@@ -1,0 +1,107 @@
+"""Fixture wiring: the driver-generated parquet tables (TESTDATA.md) as
+event tables in an :class:`EventCatalog` and as plain temp views.
+
+The star-schema tables register under project ``tpch``; ``events``
+doubles as the Rakam event-table analog with ``event_id`` as the
+``_offset`` column (FIXTURES.md §2).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from presto_rakam_kafka_spark.catalog import EventCatalog
+from presto_rakam_kafka_spark.metastore import InMemoryMetastore
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Monotone column exposed as _offset per table (FIXTURES.md §2 notes
+#: event_id doubles as the offset analog; keys serve elsewhere).
+OFFSET_COLUMNS = {
+    "events": "event_id",
+    "orders": "o_orderkey",
+    "lineitem": None,  # composite key; falls back to monotone id
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "nation": "n_nationkey",
+    "region": "r_regionkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return str(Path(sf_dir) / f"{name}.parquet")
+
+
+#: parquet TIMESTAMP(NANOS) columns per table. Spark 4 rejects the nanos
+#: parquet type outright (PARQUET_TYPE_ILLEGAL); we read them as long
+#: (legacy conf) and rebuild a µs TimestampType with an exact integer
+#: div — the fixture generator writes µs-precision values, so this is
+#: lossless and matches DuckDB's TIMESTAMP (µs) view of the same file.
+NANOS_TS_COLUMNS = {"events": ["ts"]}
+
+
+_CATALOG_CACHE: dict[tuple[int, str, str], EventCatalog] = {}
+
+
+def load_catalog(spark: SparkSession, sf_dir: str, project: str = "tpch") -> EventCatalog:
+    """Register every fixture table as a (project, collection) event table.
+
+    Memoized per (session, sf_dir): schema registration costs one
+    parquet-footer read per table and must not be paid per query.
+    """
+    key = (id(spark), str(sf_dir), project)
+    cached = _CATALOG_CACHE.get(key)
+    if cached is not None:
+        return cached
+    ms = InMemoryMetastore()
+    catalog = EventCatalog(spark, ms)
+    for name in TABLES:
+        path = table_path(sf_dir, name)
+        schema = read_table(spark, sf_dir, name).schema
+        ms.register_struct(project, name, schema)
+        catalog.register_parquet(
+            project,
+            name,
+            path,
+            offset_column=OFFSET_COLUMNS.get(name),
+            nanos_ts_columns=tuple(NANOS_TS_COLUMNS.get(name, ())),
+        )
+    _CATALOG_CACHE[key] = catalog
+    return catalog
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    nanos_cols = NANOS_TS_COLUMNS.get(name, [])
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Plain temp views named exactly like the DuckDB oracle's views."""
+    for name in TABLES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,174 @@
+"""Metastore: external, per-(project, collection) schema registry.
+
+Reference parity (``/root/reference/src/main/java/com/facebook/presto/kafka/``):
+
+* Schemas are fetched from an external metastore, never inferred —
+  ``metastore.getCollection(schemaName, tableName)`` at
+  ``KafkaMetadata.java:157`` (backed by a JDBC/PostgreSQL Rakam
+  metastore, ``MetastoreModule.java:34-44``).
+* Missing table ⇒ ``TableNotFoundException`` (``KafkaMetadata.java:159-161``).
+* Column names are lower-cased on exposure (``KafkaMetadata.java:171``).
+* ``listSchemaNames`` / ``listTables`` return empty in the reference
+  (``KafkaMetadata.java:69-74,91-97``); we keep lookup-by-name as the
+  contract but *also* support enumeration (strictly more useful, and
+  what Spark's catalog surface expects).
+
+Improvement over the reference (SURVEY §4 O11): the reference re-fetches
+the schema from PostgreSQL per query *and per split*
+(``KafkaConnectorPageSource.java:89``).  Here schemas are cached on the
+driver with a TTL and shipped to tasks inside the serialized plan — a
+task never talks to the metastore.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Protocol
+
+from pyspark.sql import types as T
+
+from presto_rakam_kafka_spark.types import FieldType, field_to_spark, spark_to_field
+
+
+@dataclass(frozen=True)
+class SchemaField:
+    """One column of a collection (analog of Rakam's ``SchemaField``)."""
+
+    name: str
+    type: FieldType
+    nullable: bool = True
+
+    def to_struct_field(self) -> T.StructField:
+        # Lower-case on exposure, like KafkaMetadata.java:171.
+        return T.StructField(self.name.lower(), field_to_spark(self.type), self.nullable)
+
+
+class CollectionNotFoundError(KeyError):
+    """Analog of the reference's ``TableNotFoundException``
+    (``KafkaMetadata.java:159-161``)."""
+
+    def __init__(self, project: str, collection: str):
+        super().__init__(f"{project}.{collection}")
+        self.project = project
+        self.collection = collection
+
+
+class Metastore(Protocol):
+    """Schema source for event tables (analog of Rakam's ``Metastore``
+    interface bound at ``MetastoreModule.java:37-42``)."""
+
+    def get_collection(self, project: str, collection: str) -> list[SchemaField]:
+        """Return the user-visible fields, or raise CollectionNotFoundError."""
+        ...
+
+    def list_projects(self) -> list[str]: ...
+
+    def list_collections(self, project: str) -> list[str]: ...
+
+
+class InMemoryMetastore:
+    """Dict-backed metastore for tests and programmatic registration."""
+
+    def __init__(self) -> None:
+        self._schemas: dict[tuple[str, str], list[SchemaField]] = {}
+
+    def register(self, project: str, collection: str, fields: list[SchemaField]) -> None:
+        self._schemas[(project.lower(), collection.lower())] = list(fields)
+
+    def register_struct(self, project: str, collection: str, schema: T.StructType) -> None:
+        fields = [
+            SchemaField(f.name, spark_to_field(f.dataType), f.nullable) for f in schema.fields
+        ]
+        self.register(project, collection, fields)
+
+    def get_collection(self, project: str, collection: str) -> list[SchemaField]:
+        try:
+            return self._schemas[(project.lower(), collection.lower())]
+        except KeyError:
+            raise CollectionNotFoundError(project, collection) from None
+
+    def list_projects(self) -> list[str]:
+        return sorted({p for p, _ in self._schemas})
+
+    def list_collections(self, project: str) -> list[str]:
+        p = project.lower()
+        return sorted(c for q, c in self._schemas if q == p)
+
+
+class JsonFileMetastore:
+    """File-backed metastore (stand-in for the reference's JDBC/PostgreSQL
+    ``JDBCMetastore``, ``MetastoreModule.java:42``).
+
+    Layout::
+
+        {"<project>": {"<collection>": [{"name": ..., "type": ..., "nullable": ...}, ...]}}
+    """
+
+    def __init__(self, path: str | Path):
+        self._path = Path(path)
+
+    def _load(self) -> dict:
+        with open(self._path) as f:
+            return json.load(f)
+
+    def get_collection(self, project: str, collection: str) -> list[SchemaField]:
+        data = self._load()
+        try:
+            fields = data[project.lower()][collection.lower()]
+        except KeyError:
+            raise CollectionNotFoundError(project, collection) from None
+        return [
+            SchemaField(f["name"], FieldType(f["type"]), f.get("nullable", True))
+            for f in fields
+        ]
+
+    def list_projects(self) -> list[str]:
+        return sorted(self._load().keys())
+
+    def list_collections(self, project: str) -> list[str]:
+        return sorted(self._load().get(project.lower(), {}).keys())
+
+
+@dataclass
+class CachingMetastore:
+    """TTL cache in front of any metastore (fixes reference O11: per-query
+    *and per-split* metastore hits at ``KafkaConnectorPageSource.java:89``).
+
+    The cached ``StructType`` is embedded in the query plan on the driver;
+    executors never see the metastore.
+    """
+
+    delegate: Metastore
+    ttl_seconds: float = 300.0
+    _cache: dict[tuple[str, str], tuple[float, list[SchemaField]]] = field(default_factory=dict)
+
+    def get_collection(self, project: str, collection: str) -> list[SchemaField]:
+        key = (project.lower(), collection.lower())
+        now = time.monotonic()
+        hit = self._cache.get(key)
+        if hit is not None and now - hit[0] < self.ttl_seconds:
+            return hit[1]
+        fields = self.delegate.get_collection(project, collection)
+        self._cache[key] = (now, fields)
+        return fields
+
+    def invalidate(self, project: str | None = None, collection: str | None = None) -> None:
+        if project is None:
+            self._cache.clear()
+        elif collection is None:
+            self._cache = {k: v for k, v in self._cache.items() if k[0] != project.lower()}
+        else:
+            self._cache.pop((project.lower(), collection.lower()), None)
+
+    def list_projects(self) -> list[str]:
+        return self.delegate.list_projects()
+
+    def list_collections(self, project: str) -> list[str]:
+        return self.delegate.list_collections(project)
+
+
+def fields_to_struct(fields: list[SchemaField]) -> T.StructType:
+    return T.StructType([f.to_struct_field() for f in fields])

