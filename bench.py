@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing methodology: each query's result is written to the ``noop`` sink
+so we measure the full distributed plan (scan → shuffle → agg/join)
+without driver-side collect skew. A warmup query first pays the JVM /
+codegen / parquet-footer costs once, the way a long-lived cluster would.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: one per plan family (scan+pushdown, wide agg, multi-join
+#: top-k, 6-way broadcast join, distinct agg, window, semi join, top-k sort,
+#: exact-count-many-splits) plus the LLM-pipeline operators once present.
+HEADLINE = [
+    "flagship_offset_agg",
+    "count_many_splits",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_broadcast",
+    "join_semi",
+    "agg_distinct",
+    "window_rank",
+    "topk_parts",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from presto_rakam_kafka_spark import queries as Q
+    from presto_rakam_kafka_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    names = [n for n in HEADLINE if n in Q.QUERIES]
+
+    # Warmup: JVM + whole-stage-codegen compile + parquet footer reads.
+    Q.QUERIES["count_star"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = Q.QUERIES[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -167,3 +167,684 @@ def select_star_hides_system_columns(spark: SparkSession, sf_dir: str) -> DataFr
     the default table() projection returns exactly the user schema."""
     catalog = load_catalog(spark, sf_dir)
     return catalog.table("tpch", "events").filter(F.col("event_id") < 5)
+
+
+# =====================================================================
+# Tier B — relational surface (host-engine ops, via Catalyst; SURVEY §2.B)
+# =====================================================================
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the partial+final distributed agg the reference
+    delegated to Presto (SURVEY §2.B 'Aggregation')."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-12-01"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ),
+            2,
+        ).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: multi-join + agg + deterministic top-k
+    (TakeOrderedAndProject in the Spark plan)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join; small dims (region/nation/supplier)
+    broadcast, fact-fact join shuffles on the key — the plan shape that
+    survives 100× scale-up."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (Presto: IN/EXISTS → semi join; SURVEY §2.B)."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT IN/NOT EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT p_brand, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast (replicated) join: the dim side ships to every task, no
+    shuffle of the fact table — Presto's 'replicated' strategy
+    (SURVEY §2.B 'Joins')."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "join_outer_full",
+    oracle="""
+    SELECT n_name, s_name
+    FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
+    """,
+)
+def join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with null-extension on both sides."""
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    return nation.join(supp, nation.n_nationkey == supp.s_nationkey, "full_outer").select(
+        "n_name", "s_name"
+    )
+
+
+@query(
+    "join_cross_theta",
+    oracle="""
+    SELECT r.r_name AS region_a, s.r_name AS region_b
+    FROM region r CROSS JOIN region s
+    WHERE r.r_regionkey < s.r_regionkey
+    """,
+)
+def join_cross_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join + theta filter (Presto theta-join equivalent)."""
+    a = _t(spark, sf_dir, "region").alias("a")
+    b = _t(spark, sf_dir, "region").alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.r_regionkey") < F.col("b.r_regionkey"))
+        .select(F.col("a.r_name").alias("region_a"), F.col("b.r_name").alias("region_b"))
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT l_partkey) AS n_part,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one agg (expand + partial agg plan)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "approx_count_distinct_ok",
+    oracle="SELECT TRUE AS within_5pct",
+)
+def approx_count_distinct_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_distinct (HLL) — Presto's approx agg (SURVEY §2.B).
+
+    Sketches differ across engines, so the oracle checks the *contract*:
+    the approximation lands within the documented 5% error of the exact
+    count computed in the same query."""
+    df = _t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+        F.countDistinct("l_orderkey").alias("exact"),
+    )
+    return df.select(
+        (
+            (F.abs(F.col("approx") - F.col("exact")) / F.col("exact")) <= F.lit(0.05)
+        ).alias("within_5pct")
+    )
+
+
+@query(
+    "approx_percentile_ok",
+    oracle="SELECT TRUE AS within_band",
+)
+def approx_percentile_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (q-digest in Presto, KLL-ish in Spark): the
+    median estimate must land between the exact p45 and p55."""
+    df = _t(spark, sf_dir, "lineitem").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
+    )
+    return df.select(
+        (
+            (F.col("approx_median") >= F.col("p45"))
+            & (F.col("approx_median") <= F.col("p55"))
+        ).alias("within_band")
+    )
+
+
+@query(
+    "rollup_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — beyond Presto 0.123 (arrived ~0.128), free in Spark
+    (SURVEY §2.B 'Grouping sets')."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "cube_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rk FROM (
+      SELECT o_custkey, o_orderkey,
+             rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions over a deterministic total order."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", F.rank().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "window_analytic",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(lag(o_totalprice) OVER w, 2) AS prev_price,
+           round(lead(o_totalprice) OVER w, 2) AS next_price,
+           round(first_value(o_totalprice) OVER w, 2) AS first_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions: lag/lead/first_value."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    df = _t(spark, sf_dir, "orders")
+    return df.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+    )
+
+
+@query(
+    "window_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_sum3
+    FROM orders
+    """,
+)
+def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frames: running total + moving sum.
+
+    A moving *average* over 2-decimal data lands on exact .xx5 halves
+    (sum/2), where Spark and DuckDB round to different sides — a sum is
+    order-deterministic in a window frame, so both engines agree.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    df = _t(spark, sf_dir, "orders")
+    return df.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+            2,
+        ).alias("running_total"),
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(-2, W.currentRow)), 2).alias(
+            "moving_sum3"
+        ),
+    )
+
+
+@query(
+    "topk_parts",
+    oracle="""
+    SELECT p_partkey, p_name, round(p_retailprice, 2) AS price
+    FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+    """,
+)
+def topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT → TakeOrderedAndProject (Presto TopN analog);
+    tie-break on the key keeps the boundary deterministic."""
+    return (
+        _t(spark, sf_dir, "part")
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .select("p_partkey", "p_name", F.round("p_retailprice", 2).alias("price"))
+        .limit(10)
+    )
+
+
+@query(
+    "setop_union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    b = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return a.unionByName(b)
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — not yet in Presto 0.123; free in Spark (SURVEY §2.B)."""
+    a = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    b = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return a.intersect(b)
+
+
+@query(
+    "setop_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    b = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    # subtract == EXCEPT DISTINCT (set minus); exceptAll subtracts
+    # multiplicities, which keeps values that merely occur more often in a.
+    return a.subtract(b)
+
+
+@query(
+    "string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           length(p_name) AS name_len,
+           substr(p_name, 1, 5) AS name_pre,
+           concat(p_brand, ':', p_type) AS brand_type,
+           replace(p_name, ' ', '-') AS name_dashed,
+           split_part(p_name, ' ', 1) AS first_word,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_alpha,
+           trim(concat('  ', p_name, ' ')) AS name_trim,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad
+    FROM part
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string functions (Presto 0.123 string surface, SURVEY §2.B)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_pre"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("-")).alias("name_dashed"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_alpha"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+    )
+
+
+@query(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS order_month,
+           CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS order_day,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS BIGINT) AS days_to_2002,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date/time functions (Presto's Joda-based surface → Spark)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(F.lit("2002-01-01"), F.col("o_orderdate")).cast("long").alias(
+            "days_to_2002"
+        ),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@query(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 6) AS abs_disc,
+           ceil(l_extendedprice) AS price_ceil,
+           floor(l_extendedprice) AS price_floor,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           round(exp(l_discount), 6) AS disc_exp,
+           round(power(l_quantity, 2), 6) AS qty_sq,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod
+    FROM lineitem
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_disc"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.pow("l_quantity", 2), 6).alias("qty_sq"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod"),
+    )
+
+
+@query(
+    "json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           CAST(json_valid(props) AS BOOLEAN) AS is_valid
+    FROM events WHERE event_id < 500
+    """,
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions over the events.props payload (Presto
+    json_extract_scalar analog; SURVEY §2.B 'JSON functions')."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        F.get_json_object("props", "$").isNotNull().alias("is_valid"),
+    )
+
+
+@query(
+    "case_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 50000 THEN 'mid'
+                ELSE 'small' END AS price_band,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_alias,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_urgent
+    FROM orders
+    """,
+)
+def case_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_alias"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_urgent"),
+    )
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT count(*) AS n_above_avg
+    FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery through the Spark SQL surface."""
+    from presto_rakam_kafka_spark.fixtures import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT count(*) AS n_above_avg
+        FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        """
+    )
+
+
+@query(
+    "subquery_exists_correlated",
+    oracle="""
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — decorrelated by Catalyst into a semi join
+    (beyond Presto 0.123's limited decorrelation; SURVEY §2.B)."""
+    from presto_rakam_kafka_spark.fixtures import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        """
+    )
+
+
+@query(
+    "sql_over_event_table",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(avg(value), 2) AS avg_value
+    FROM events WHERE event_id >= 200 AND event_id < 800
+    GROUP BY event_type
+    """,
+)
+def sql_over_event_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql over a catalog-registered event view, filtering on the
+    hidden _offset column — the reference's primary entry point shape
+    (SQL over a Kafka-backed table, SURVEY §3 entry point 1)."""
+    catalog = load_catalog(spark, sf_dir)
+    view = catalog.sql_view("tpch", "events")
+    return spark.sql(
+        f"""
+        SELECT event_type, count(*) AS n, round(avg(value), 2) AS avg_value
+        FROM {view} WHERE _offset >= 200 AND _offset < 800
+        GROUP BY event_type
+        """
+    )
