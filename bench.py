@@ -36,6 +36,15 @@ HEADLINE = [
     "agg_distinct",
     "window_rank",
     "topk_parts",
+    # LLM-pipeline scale paths (brute-force counterparts are
+    # verification-scale only and deliberately not benched)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_lsh",
+    "text_stats",
+    "text_fingerprint",
+    "multimodal_features",
 ]
 
 

@@ -1,0 +1,390 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Beyond-reference extension (the reference connector is scan-only; these
+are the corpus-curation operators a 100 TB training-data pipeline runs
+over the tables it exposes). All implementations are pure DataFrame
+expressions — JVM whole-stage codegen, no Python UDFs — and every
+probabilistic operator has a brute-force *exact* counterpart so the
+DuckDB oracle can check it.
+
+Scale design notes (the part that matters at 1000 executors):
+
+* **Exact dedup** is a hash-groupBy on a content digest — one shuffle
+  on ``md5(text)``, map-side partial agg, no skew (digests are uniform).
+* **MinHash-LSH** never materializes the O(n²) pair space: docs are
+  exploded to (band, band-key) rows — ``n_bands`` rows per doc — and
+  only bucket collisions are joined. Candidate verification re-joins the
+  shingle sets and filters on *exact* Jaccard, so false positives cost
+  one broadcast-sized join, and output quality is exact given candidate
+  recall (≥ 1 - (1-t^r)^b per pair; ~1-5e-8 at t=0.8, r=4, b=32).
+* **SimHash** compresses each doc to one 60-bit signature in a single
+  projection (no explode), then finds Hamming-≤k pairs with the
+  pigeonhole band join: k+1 disjoint bit-chunks, a pair within
+  Hamming k must collide on ≥1 chunk — O(n·(k+1)) join keys, not O(n²).
+* **Embedding near-dup** is brute-force here (exact contract, small
+  dims); the bucketed scale path is :mod:`.similarity`'s LSH.
+
+Hash portability (Spark ≡ DuckDB) comes from
+:mod:`presto_rakam_kafka_spark.functions.hashing`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from presto_rakam_kafka_spark.functions.hashing import (
+    HASH_P,
+    base_hash_duckdb,
+    base_hash_spark,
+    jaccard_duckdb,
+    jaccard_spark,
+    minhash_coefficients,
+    shingles_duckdb,
+    shingles_spark,
+)
+
+# Sketch defaults: 32 bands × 4 rows = 128 hashes, tuned for a 0.8
+# Jaccard threshold (S-curve midpoint (1/b)^(1/r) ≈ 0.42, detection
+# probability at 0.8 ≈ 1 - 5e-8).
+NUM_BANDS = 32
+ROWS_PER_BAND = 4
+
+SIMHASH_BITS = 60  # the portable md5-prefix hash is 60-bit
+
+
+# ---------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact content digest.
+
+    One shuffle on the digest; survivor choice (min id) is
+    deterministic so reruns and retries converge.
+    """
+    digest = F.md5(F.col(text_col))
+    keep = (
+        df.select(F.col(id_col), digest.alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------
+# N-gram Jaccard (brute-force exact — the oracle-grade reference)
+# ---------------------------------------------------------------------
+
+
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.expr(shingles_spark(text_col, n)).alias("shingles")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """All pairs with word-``n``-gram Jaccard ≥ threshold, O(n²) exact.
+
+    This is the correctness reference for :func:`minhash_lsh_pairs`;
+    run it only at verification scale.
+    """
+    s = shingle_sets(df, text_col, id_col, n)
+    a = s.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = s.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = F.expr(jaccard_spark("sh_a", "sh_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_oracle(
+    table: str, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> str:
+    """DuckDB SQL computing the identical pair set."""
+    return f"""
+    WITH s AS (
+      SELECT {id_col}, {shingles_duckdb(text_col, n)} AS sh FROM {table}
+    )
+    SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+           round({jaccard_duckdb('a.sh', 'b.sh')}, 4) AS jaccard
+    FROM s a JOIN s b ON a.{id_col} < b.{id_col}
+    WHERE round({jaccard_duckdb('a.sh', 'b.sh')}, 4) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------
+# MinHash + LSH (the scale path)
+# ---------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = NUM_BANDS * ROWS_PER_BAND,
+) -> DataFrame:
+    """(id, sig_0..sig_{K-1}) via explode + K min-aggregates.
+
+    ``sig_i = min over shingles of (a_i * (h(s) mod P) + b_i) mod P``.
+
+    Shape note: the tempting single-projection form (K ×
+    ``array_min(transform(...))``) is 100× slower — Spark evaluates
+    higher-order lambdas interpreted (outside whole-stage codegen), and
+    projection collapse re-inlines the md5 array into every signature
+    expression. Exploding shingles instead computes each md5 exactly
+    once in codegen, and the K universal hashes become K ``min()``
+    partial aggregates — map-side combined, one narrow shuffle of one
+    row per (doc × partition).
+    """
+    a, b = minhash_coefficients(num_hashes)
+    exploded = shingle_sets(df, text_col, id_col, n).select(
+        F.col(id_col), F.explode("shingles").alias("s")
+    )
+    # Spread the hash+aggregate work across the cluster even when the
+    # scan produced few splits (one small file ⇒ one partition ⇒ one
+    # core does everything). Partitioning by id means the groupBy below
+    # needs no second shuffle.
+    exploded = exploded.repartition(F.col(id_col))
+    hashed = exploded.select(
+        F.col(id_col),
+        F.expr(f"pmod({base_hash_spark('s')}, {HASH_P})").alias("h"),
+    )
+    aggs = [
+        F.min(F.expr(f"pmod({a[i]}L * h + {b[i]}L, {HASH_P})")).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_bands: int = NUM_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    Jaccard — output equals :func:`ngram_jaccard_pairs` at the same
+    threshold whenever LSH recall holds (w.p. ≥ 1-5e-8 per pair at the
+    defaults).
+
+    Dataflow: sign → explode to (band, key) → shuffle on key → bucket
+    self-join → distinct candidate pairs → exact verify. No O(n²) stage;
+    hot buckets (near-identical boilerplate docs) are the skew risk and
+    are handled by AQE skew-join splitting.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, n, num_bands * rows_per_band)
+    band_cols = [
+        F.concat_ws(
+            "-", *[F.col(f"sig_{band * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band_{band}")
+        for band in range(num_bands)
+    ]
+    banded = sigs.select(F.col(id_col), *band_cols)
+    melted = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"band_{i}").alias("key"))
+                    for i in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    left = melted.select(F.col(id_col).alias("doc_a"), "band", "key")
+    right = melted.select(F.col(id_col).alias("doc_b"), "band", "key")
+    candidates = (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    s = shingle_sets(df, text_col, id_col, n)
+    a = s.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = s.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = F.expr(jaccard_spark("sh_a", "sh_b"))
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One 60-bit SimHash per doc via explode + 60 sign-sum aggregates.
+
+    bit_j(doc) = sign of Σ_tokens (±1 by bit j of the token hash) —
+    classic frequency-weighted SimHash (tokens are NOT de-duplicated).
+
+    Same shape rationale as :func:`minhash_signatures`: explode keeps
+    the md5 and all bit tests inside whole-stage codegen with map-side
+    partial aggregation, where the nested higher-order-lambda form runs
+    interpreted and ~15× slower.
+    """
+    tokens = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
+    )
+    # Same rationale as minhash_signatures: parallelize past a
+    # few-split scan; the groupBy reuses this partitioning.
+    tokens = tokens.repartition(F.col(id_col))
+    hashed = tokens.select(F.col(id_col), F.expr(base_hash_spark("t")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.expr(f"if(((h div shiftleft(1L, {j})) % 2) = 1, 1L, -1L)")
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = hashed.groupBy(id_col).agg(*bit_sums)
+    assemble = " + ".join(
+        f"if(b{j} > 0, shiftleft(1L, {j}), 0L)" for j in range(SIMHASH_BITS)
+    )
+    return per_doc.select(F.col(id_col), F.expr(assemble).alias("simhash"))
+
+
+def simhash_signatures_oracle_cte(table: str, text_col: str, id_col: str) -> str:
+    """DuckDB CTE body producing (id, simhash) identically (explode
+    form — the oracle favors clarity over the single-pass shape)."""
+    return f"""
+      tok AS (SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS t FROM {table}),
+      th AS (SELECT {id_col}, {base_hash_duckdb('t')} AS h FROM tok),
+      bits AS (
+        SELECT {id_col}, j,
+               sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS s
+        FROM th, range({SIMHASH_BITS}) r(j) GROUP BY {id_col}, j
+      ),
+      sh AS (
+        SELECT {id_col},
+               sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+        FROM bits GROUP BY {id_col}
+      )
+    """
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming`` of SimHash.
+
+    Pigeonhole banding: split the 60 bits into ``max_hamming + 1``
+    chunks covering every bit; a pair within the distance must agree on
+    at least one whole chunk, so joining per-chunk finds every such
+    pair without a cross join.
+    """
+    n_chunks = max_hamming + 1
+    base, extra = divmod(SIMHASH_BITS, n_chunks)
+    widths = [base + (1 if c < extra else 0) for c in range(n_chunks)]
+    starts = [sum(widths[:c]) for c in range(n_chunks)]
+    sh = simhash_signatures(df, text_col, id_col)
+    chunks = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.expr(
+                            f"(simhash div shiftleft(1L, {starts[c]}))"
+                            f" % shiftleft(1L, {widths[c]})"
+                        ).alias("val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("cv"),
+    ).select(
+        F.col(id_col), F.col("simhash"), F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val")
+    )
+    a = chunks.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk", "val"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk", "val"
+    )
+    return (
+        a.join(b, on=["chunk", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(sh_a ^ sh_b)").cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs_oracle(
+    table: str, text_col: str, id_col: str, max_hamming: int = 3
+) -> str:
+    return f"""
+    WITH {simhash_signatures_oracle_cte(table, text_col, id_col)}
+    SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM sh a JOIN sh b ON a.{id_col} < b.{id_col}
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+# ---------------------------------------------------------------------
+# Embedding cosine near-dup (exact; LSH scale path in .similarity)
+# ---------------------------------------------------------------------
+
+
+def cosine_expr(a: str, b: str) -> str:
+    """Left-fold double cosine — element order fixed, so Spark and the
+    DuckDB oracle produce bit-identical doubles."""
+    dot = f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"
+    na = f"sqrt(aggregate(transform({a}, x -> cast(x as double) * cast(x as double)), 0D, (acc, v) -> acc + v))"
+    nb = f"sqrt(aggregate(transform({b}, x -> cast(x as double) * cast(x as double)), 0D, (acc, v) -> acc + v))"
+    return f"({dot}) / (({na}) * ({nb}))"
+
+
+def cosine_expr_duckdb(a: str, b: str, dim: int) -> str:
+    dot = f"list_reduce(list_transform(range(1, {dim + 1}), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+    na = f"sqrt(list_reduce(list_transform(range(1, {dim + 1}), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE), (x, y) -> x + y))"
+    nb = f"sqrt(list_reduce(list_transform(range(1, {dim + 1}), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y))"
+    return f"({dot}) / (({na}) * ({nb}))"
+
+
+def embedding_dup_pairs(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.45
+) -> DataFrame:
+    """Exact near-duplicate vector pairs: cosine ≥ threshold, O(n²)."""
+    a = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a"))
+    b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b"))
+    cos = F.expr(cosine_expr("emb_a", "emb_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_dup_pairs_oracle(
+    table: str, vec_col: str, id_col: str, dim: int, threshold: float = 0.45
+) -> str:
+    cos = cosine_expr_duckdb(f"a.{vec_col}", f"b.{vec_col}", dim)
+    return f"""
+    SELECT a.{id_col} AS vec_a, b.{id_col} AS vec_b, round({cos}, 6) AS cosine
+    FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
+    WHERE round({cos}, 6) >= {threshold}
+    """

@@ -1,0 +1,115 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads with typed
+metadata, processed by Arrow-batched ``mapInPandas`` feature extractors.
+
+The Spark-side machinery here — schema contract, batch iteration,
+partition-preserving mapInPandas, deterministic metadata features — is
+real and tested. The *codec* step (image decode / resize, audio
+feature extraction, video frame sampling) requires libraries this
+container does not ship, so it is stubbed behind
+:func:`decode_payload`, which raises ``NotImplementedError`` unless a
+deterministic fake is requested. Swapping in PIL/ffmpeg later changes
+only that function; the distributed plumbing is already load-bearing.
+
+Scale notes: mapInPandas streams Arrow batches (no per-row pickling,
+no driver round-trip); the extractor is stateless per batch so Spark is
+free to split/retry partitions. Payload bytes stay columnar end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Output contract of the feature extractor.
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("size_bytes", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("feature_dim", T.IntegerType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+#: Dimensionality the (stubbed) decoder would emit per item.
+STUB_FEATURE_DIM = 16
+
+
+def decode_payload(payload: bytes, mime: str) -> list[float]:
+    """Decode an opaque payload into a feature vector.
+
+    Real codecs (PIL for image/*, soundfile/ffmpeg for audio|video/*)
+    are not available in this container — this is the single seam where
+    they plug in.
+    """
+    raise NotImplementedError(
+        f"no codec available for {mime!r}; install an image/audio stack and "
+        "replace decode_payload"
+    )
+
+
+def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Model the fixture text as a binary asset: payload = UTF-8 bytes,
+    metadata = typed struct — the shape a real (image, metadata) table
+    has after ingestion."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(F.encode(F.col(text_col), "UTF-8")).cast("long").alias("size_bytes"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched metadata/feature extraction over (payload, meta).
+
+    Computes deterministic byte-level features (size, md5) in Python —
+    bit-identical to the SQL ``md5``/``octet_length`` the oracle uses —
+    and records whether the codec path ran (always False with the stub).
+    """
+
+    # One small input file ⇒ one partition ⇒ one Python worker; spread
+    # the Arrow batches so every core hosts an extractor.
+    sc = assets.sparkSession.sparkContext
+    if assets.rdd.getNumPartitions() < sc.defaultParallelism:
+        assets = assets.repartition(sc.defaultParallelism)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "size_bytes": [len(p) for p in payloads],
+                    "content_md5": [hashlib.md5(bytes(p)).hexdigest() for p in payloads],
+                    "feature_dim": STUB_FEATURE_DIM,
+                    "decoded": False,
+                }
+            )
+            out["feature_dim"] = out["feature_dim"].astype("int32")
+            yield out
+
+    return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def extract_features_oracle(table: str, text_col: str, id_col: str) -> str:
+    """The extractor's deterministic features, replayed in SQL."""
+    return f"""
+    SELECT {id_col} AS doc_id,
+           'text/plain' AS mime,
+           octet_length(encode({text_col}))::BIGINT AS size_bytes,
+           md5({text_col}) AS content_md5,
+           {STUB_FEATURE_DIM}::INTEGER AS feature_dim,
+           FALSE AS decoded
+    FROM {table}
+    """

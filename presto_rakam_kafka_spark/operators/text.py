@@ -1,0 +1,167 @@
+"""Text-analysis operators: token stats, quality scoring, language ID,
+document fingerprinting.
+
+All single-pass projections over the corpus — no shuffle, no UDF; they
+pipeline with whatever scan feeds them and scale linearly with input
+splits. Each has a DuckDB-oracle twin generated from the same constants
+(see the ``*_oracle`` builders).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from presto_rakam_kafka_spark.functions.hashing import (
+    shingles_duckdb,
+    shingles_spark,
+)
+
+#: Tiny per-language marker lists for the heuristic language ID. The
+#: heuristic is the deliverable; on the synthetic fixture corpus (whose
+#: ``lang`` column is a label, not a property of the text) it detects
+#: the text's actual surface language, mostly 'en'.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "los", "una", "es", "y", "en"),
+    "fr": ("le", "les", "une", "est", "et", "dans"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+#: Stopwords for the quality score's stopword-ratio feature.
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is")
+
+#: Characters that count as "clean" for the punctuation-ratio feature.
+_CLEAN_CLASS = "[a-z0-9 ]"
+
+
+def _sql_list_spark(words: tuple[str, ...]) -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def _sql_list_duckdb(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# ---------------------------------------------------------------------
+# Token counting + quality scoring
+# ---------------------------------------------------------------------
+
+
+def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc: token count, char count, mean token length, punctuation
+    ratio, stopword ratio, and a logistic quality score combining them
+    (long, clean, stopword-bearing docs score high — the usual
+    pretraining heuristic shape)."""
+    toks = f"split({text_col}, ' ')"
+    sw = _sql_list_spark(STOPWORDS)
+    n_tokens = f"size({toks})"
+    punct = f"length(regexp_replace({text_col}, '{_CLEAN_CLASS}', ''))"
+    return df.select(
+        F.col(id_col),
+        F.expr(n_tokens).cast("long").alias("n_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        # cast: Spark's `int * 1.0` arithmetic is DECIMAL, DuckDB's is
+        # DOUBLE — align the output type or the value hash differs.
+        F.expr(f"round((length({text_col}) - {n_tokens} + 1) * 1.0 / {n_tokens}, 4)")
+        .cast("double")
+        .alias("avg_token_len"),
+        F.expr(f"round({punct} * 1.0 / length({text_col}), 4)")
+        .cast("double")
+        .alias("punct_ratio"),
+        F.expr(
+            f"round(size(filter({toks}, t -> array_contains({sw}, t))) * 1.0 / {n_tokens}, 4)"
+        )
+        .cast("double")
+        .alias("stopword_ratio"),
+        F.expr(
+            f"round(1.0 / (1.0 + exp(-(0.05 * {n_tokens}"
+            f" - 5.0 * ({punct} * 1.0 / length({text_col}))"
+            f" + 2.0 * (size(filter({toks}, t -> array_contains({sw}, t))) * 1.0 / {n_tokens})"
+            f" - 2.0))), 4)"
+        ).alias("quality_score"),
+    )
+
+
+def text_stats_oracle(table: str, text_col: str, id_col: str) -> str:
+    toks = f"string_split({text_col}, ' ')"
+    sw = _sql_list_duckdb(STOPWORDS)
+    n_tokens = f"len({toks})"
+    punct = f"length(regexp_replace({text_col}, '{_CLEAN_CLASS}', '', 'g'))"
+    sw_ratio = f"len(list_filter({toks}, t -> list_contains({sw}, t))) * 1.0 / {n_tokens}"
+    return f"""
+    SELECT {id_col},
+           {n_tokens}::BIGINT AS n_tokens,
+           length({text_col})::BIGINT AS n_chars,
+           round((length({text_col}) - {n_tokens} + 1) * 1.0 / {n_tokens}, 4) AS avg_token_len,
+           round({punct} * 1.0 / length({text_col}), 4) AS punct_ratio,
+           round({sw_ratio}, 4) AS stopword_ratio,
+           round(1.0 / (1.0 + exp(-(0.05 * {n_tokens}
+                 - 5.0 * ({punct} * 1.0 / length({text_col}))
+                 + 2.0 * ({sw_ratio}) - 2.0))), 4) AS quality_score
+    FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------
+# Language ID (n-gram/marker heuristic)
+# ---------------------------------------------------------------------
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Argmax of marker-token hits with a fixed priority tie-break
+    (en > de > es > fr > zh, then 'und' when no marker hits at all)."""
+    toks = f"split({text_col}, ' ')"
+    hits = {
+        lang: f"size(filter({toks}, t -> array_contains({_sql_list_spark(m)}, t)))"
+        for lang, m in LANG_MARKERS.items()
+    }
+    order = list(LANG_MARKERS)
+    best = f"greatest({', '.join(hits.values())})"
+    case = "CASE "
+    for lang in order:
+        case += f"WHEN {hits[lang]} = {best} AND {best} > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return df.select(F.col(id_col), F.expr(case).alias("lang_pred"))
+
+
+def lang_id_oracle(table: str, text_col: str, id_col: str) -> str:
+    toks = f"string_split({text_col}, ' ')"
+    hits = {
+        lang: f"len(list_filter({toks}, t -> list_contains({_sql_list_duckdb(m)}, t)))"
+        for lang, m in LANG_MARKERS.items()
+    }
+    order = list(LANG_MARKERS)
+    best = f"greatest({', '.join(hits.values())})"
+    case = "CASE "
+    for lang in order:
+        case += f"WHEN {hits[lang]} = {best} AND {best} > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"SELECT {id_col}, {case} AS lang_pred FROM {table}"
+
+
+# ---------------------------------------------------------------------
+# Document fingerprinting
+# ---------------------------------------------------------------------
+
+
+def fingerprints(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Two fingerprints per doc: the full-content md5 (exact-dup key)
+    and the minimum shingle-hash (a 1-hash MinHash — equal for docs
+    sharing their 'rarest' shingle, the winnowing-style anchor)."""
+    sh = shingles_spark(text_col, n)
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("content_md5"),
+        F.expr(f"array_min(transform({sh}, s -> md5(s)))").alias("min_shingle_md5"),
+    )
+
+
+def fingerprints_oracle(table: str, text_col: str, id_col: str, n: int = 3) -> str:
+    sh = shingles_duckdb(text_col, n)
+    return f"""
+    SELECT {id_col}, md5({text_col}) AS content_md5,
+           list_min(list_transform({sh}, s -> md5(s))) AS min_shingle_md5
+    FROM {table}
+    """

@@ -827,6 +827,152 @@ def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# LLM-data-pipeline operators (SURVEY §7 step 6; north-star extension)
+# =====================================================================
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings")
+
+
+def _register_llm_queries() -> None:
+    """Register dedup / similarity / text / multimodal operators.
+
+    Oracles are generated from the same constants as the Spark plans
+    (see functions.hashing), so both sides express one algorithm.
+    """
+    from presto_rakam_kafka_spark.operators import dedup, multimodal, similarity, text
+
+    EMB_DIM = 64
+
+    @query(
+        "dedup_exact",
+        oracle="SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+    )
+    def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact dedup on content digest; survivors = min doc_id per
+        digest (one shuffle on md5, no skew)."""
+        return dedup.exact_dedup(_documents(spark, sf_dir), "text", "doc_id").select(
+            "doc_id"
+        )
+
+    @query(
+        "dedup_ngram_jaccard",
+        oracle=dedup.ngram_jaccard_pairs_oracle(
+            "documents", "text", "doc_id", n=3, threshold=0.5
+        ),
+    )
+    def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Brute-force exact 3-gram Jaccard near-dup pairs (the
+        oracle-grade reference for the LSH path)."""
+        return dedup.ngram_jaccard_pairs(
+            _documents(spark, sf_dir), "text", "doc_id", n=3, threshold=0.5
+        )
+
+    @query(
+        "dedup_minhash_lsh",
+        oracle=dedup.ngram_jaccard_pairs_oracle(
+            "documents", "text", "doc_id", n=3, threshold=0.8
+        ),
+    )
+    def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """MinHash(128)+LSH(32×4) banding with exact-Jaccard verify —
+        the O(n·bands) scale path; its oracle is the brute-force exact
+        pair set (LSH recall at t=0.8 is 1-5e-8 per pair)."""
+        return dedup.minhash_lsh_pairs(
+            _documents(spark, sf_dir), "text", "doc_id", n=3, threshold=0.8
+        )
+
+    @query(
+        "dedup_simhash",
+        oracle=dedup.simhash_pairs_oracle("documents", "text", "doc_id", max_hamming=3),
+    )
+    def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SimHash-60 near-dup pairs at Hamming ≤ 3 via pigeonhole
+        banding (4 chunks — exact, no cross join)."""
+        return dedup.simhash_pairs(
+            _documents(spark, sf_dir), "text", "doc_id", max_hamming=3
+        )
+
+    @query(
+        "dedup_embedding_cosine",
+        oracle=dedup.embedding_dup_pairs_oracle(
+            "embeddings", "embedding", "vec_id", dim=EMB_DIM, threshold=0.45
+        ),
+    )
+    def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact embedding near-dup pairs (cosine ≥ 0.45, left-fold
+        double math identical in both engines)."""
+        return dedup.embedding_dup_pairs(
+            _embeddings(spark, sf_dir), "embedding", "vec_id", threshold=0.45
+        )
+
+    @query(
+        "sim_topk_bruteforce",
+        oracle=similarity.cosine_topk_oracle(
+            "embeddings", "vec_id % 100 = 0", "embedding", "vec_id", dim=EMB_DIM, k=5
+        ),
+    )
+    def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact cosine top-5 per query vector: broadcast the query set,
+        scan the corpus once, window-rank with deterministic ties."""
+        emb = _embeddings(spark, sf_dir)
+        return similarity.cosine_topk(
+            emb, emb.filter("vec_id % 100 = 0"), "embedding", "vec_id", k=5
+        )
+
+    @query(
+        "sim_topk_lsh",
+        oracle=similarity.lsh_bucket_topk_oracle(
+            "embeddings", "vec_id % 100 = 0", "embedding", "vec_id", dim=EMB_DIM, k=5
+        ),
+    )
+    def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Random-hyperplane LSH bucketed top-5 (the ANN scale path:
+        candidates shrink by 2^planes; seeded planes keep it
+        deterministic and oracle-checkable)."""
+        emb = _embeddings(spark, sf_dir)
+        return similarity.lsh_bucket_topk(
+            emb, emb.filter("vec_id % 100 = 0"), "embedding", "vec_id", dim=EMB_DIM, k=5
+        )
+
+    @query("text_stats", oracle=text.text_stats_oracle("documents", "text", "doc_id"))
+    def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Token counting + quality scoring, single scan, no shuffle."""
+        return text.text_stats(_documents(spark, sf_dir), "text", "doc_id")
+
+    @query("text_lang_id", oracle=text.lang_id_oracle("documents", "text", "doc_id"))
+    def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Marker-token language-ID heuristic."""
+        return text.lang_id(_documents(spark, sf_dir), "text", "doc_id")
+
+    @query(
+        "text_fingerprint",
+        oracle=text.fingerprints_oracle("documents", "text", "doc_id", n=3),
+    )
+    def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Content md5 + min-shingle-hash document fingerprints."""
+        return text.fingerprints(_documents(spark, sf_dir), "text", "doc_id", n=3)
+
+    @query(
+        "multimodal_features",
+        oracle=multimodal.extract_features_oracle("documents", "text", "doc_id"),
+    )
+    def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Binary payload + typed metadata through the Arrow-batched
+        mapInPandas extractor (codec stubbed; plumbing real)."""
+        assets = multimodal.attach_payload(_documents(spark, sf_dir), "text", "doc_id")
+        return multimodal.extract_features(assets)
+
+
+_register_llm_queries()
+
+
 @query(
     "sql_over_event_table",
     oracle="""

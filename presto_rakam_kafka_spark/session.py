@@ -49,6 +49,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Sketch operators aggregate >100 columns (e.g. 128 MinHash
+        # mins); default maxFields=100 silently drops them out of
+        # whole-stage codegen — a ~2-4× slowdown.
+        .config("spark.sql.codegen.maxFields", "300")
     )
     if extra_conf:
         for k, v in extra_conf.items():
