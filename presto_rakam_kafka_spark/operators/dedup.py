@@ -50,6 +50,17 @@ from presto_rakam_kafka_spark.functions.hashing import (
 NUM_BANDS = 32
 ROWS_PER_BAND = 4
 
+
+def _ensure_min_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a few-split scan up to the cluster's
+    parallelism; a no-op (plan-time check, no job) when the scan
+    already has enough splits — at real scale it always does, and the
+    shuffle is skipped entirely."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
 SIMHASH_BITS = 60  # the portable md5-prefix hash is 60-bit
 
 
@@ -144,14 +155,16 @@ def minhash_signatures(
     row per (doc × partition).
     """
     a, b = minhash_coefficients(num_hashes)
+    # Spread work when the scan produced few splits (one small file ⇒
+    # one partition ⇒ one core does everything). Repartitioning the
+    # *documents* — not the exploded shingles — shuffles each text once
+    # instead of once per shingle, and explode keeps a doc's shingles
+    # colocated, so the groupBy's map-side partial agg still emits
+    # exactly one row per doc before the final (tiny) shuffle.
+    df = _ensure_min_parallelism(df)
     exploded = shingle_sets(df, text_col, id_col, n).select(
         F.col(id_col), F.explode("shingles").alias("s")
     )
-    # Spread the hash+aggregate work across the cluster even when the
-    # scan produced few splits (one small file ⇒ one partition ⇒ one
-    # core does everything). Partitioning by id means the groupBy below
-    # needs no second shuffle.
-    exploded = exploded.repartition(F.col(id_col))
     hashed = exploded.select(
         F.col(id_col),
         F.expr(f"pmod({base_hash_spark('s')}, {HASH_P})").alias("h"),
@@ -239,12 +252,12 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     partial aggregation, where the nested higher-order-lambda form runs
     interpreted and ~15× slower.
     """
+    # Same rationale as minhash_signatures: repartition docs (cheap),
+    # not exploded tokens; partial agg then collapses per doc locally.
+    df = _ensure_min_parallelism(df)
     tokens = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
     )
-    # Same rationale as minhash_signatures: parallelize past a
-    # few-split scan; the groupBy reuses this partitioning.
-    tokens = tokens.repartition(F.col(id_col))
     hashed = tokens.select(F.col(id_col), F.expr(base_hash_spark("t")).alias("h"))
     bit_sums = [
         F.sum(

@@ -75,12 +75,11 @@ def extract_features(assets: DataFrame) -> DataFrame:
     and records whether the codec path ran (always False with the stub).
     """
 
-    # One small input file ⇒ one partition ⇒ one Python worker; spread
-    # the Arrow batches so every core hosts an extractor.
-    sc = assets.sparkSession.sparkContext
-    if assets.rdd.getNumPartitions() < sc.defaultParallelism:
-        assets = assets.repartition(sc.defaultParallelism)
-
+    # No repartition here, deliberately: at scale the parquet/Kafka scan
+    # already yields one partition per split (maxPartitionBytes), and a
+    # repartition would shuffle the binary payloads — the most expensive
+    # bytes in the table — just to rearrange them. If a caller needs more
+    # parallelism on a tiny input, lower maxPartitionBytes at read time.
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 

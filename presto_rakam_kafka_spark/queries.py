@@ -973,6 +973,91 @@ def _register_llm_queries() -> None:
 _register_llm_queries()
 
 
+# =====================================================================
+# Structured Streaming surface (SURVEY §7 step 4; beyond-reference)
+# =====================================================================
+
+
+_STREAM_SEQ = iter(range(10**9))
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table replayed as a real micro-batched stream (4
+    time-ordered chunks, one per trigger) — see streaming.runner."""
+    from presto_rakam_kafka_spark.streaming import runner
+
+    d = runner.stage_chunked_events(spark, sf_dir, "events", num_chunks=4)
+    schema = read_table(spark, sf_dir, "events").schema
+    return runner.read_file_stream(spark, d, schema)
+
+
+def _drain(df: DataFrame, base: str, mode: str) -> DataFrame:
+    from presto_rakam_kafka_spark.streaming import runner
+
+    return runner.run_available_now(df, f"{base}_{next(_STREAM_SEQ)}", mode)
+
+
+def _register_streaming_queries() -> None:
+    from presto_rakam_kafka_spark.streaming import dedup as sdedup
+    from presto_rakam_kafka_spark.streaming import sessionize as ssz
+    from presto_rakam_kafka_spark.streaming import windows as swin
+
+    @query("stream_tumbling_window", oracle=swin.tumbling_counts_oracle("events"))
+    def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Tumbling 1h windowed agg over the replayed stream (complete
+        mode: the bounded-replay result equals the batch GROUP BY)."""
+        return _drain(
+            swin.tumbling_counts(_events_stream(spark, sf_dir)), "tumbling", "complete"
+        )
+
+    @query("stream_sliding_window", oracle=swin.sliding_counts_oracle("events"))
+    def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Sliding 1h/30m windowed counts (each event in 2 windows)."""
+        return _drain(
+            swin.sliding_counts(_events_stream(spark, sf_dir)), "sliding", "complete"
+        )
+
+    @query("stream_session_window", oracle=swin.session_window_stats_oracle("events"))
+    def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Native session_window gap-merge per user (30 min gap)."""
+        return _drain(
+            swin.session_window_stats(_events_stream(spark, sf_dir), watermark="30 minutes"),
+            "session",
+            "complete",
+        )
+
+    @query(
+        "stream_dedup_keys",
+        oracle=sdedup.dedup_keys_oracle("events", ["user_id", "event_type"]),
+    )
+    def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """dropDuplicatesWithinWatermark with a delay spanning the
+        replay → global key-distinct (bounded-state expiry semantics
+        under shorter delays are covered by tests/test_streaming.py)."""
+        return _drain(
+            sdedup.dedup_keys_within_watermark(
+                _events_stream(spark, sf_dir),
+                ["user_id", "event_type"],
+                watermark="3650 days",
+            ),
+            "dedup",
+            "append",
+        )
+
+    @query("stream_sessionize_stateful", oracle=ssz.sessionize_oracle("events", 30, 30))
+    def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Custom stateful operator (applyInPandasWithState): per-user
+        close-on-gap sessions with event-time-timeout state expiry."""
+        return _drain(
+            ssz.sessionize(_events_stream(spark, sf_dir), 30, "30 minutes"),
+            "sessionize",
+            "append",
+        )
+
+
+_register_streaming_queries()
+
+
 @query(
     "sql_over_event_table",
     oracle="""

@@ -1,0 +1,115 @@
+"""Streaming test/run harness: chunked file-stream input + drain-to-
+DataFrame execution.
+
+The reference is batch-over-log only (SURVEY §1.1); this module powers
+the beyond-reference Structured Streaming surface (SURVEY §7 step 4).
+Production streams come from :class:`..sources.kafka.KafkaEventSource`
+``.stream()``; this harness replays the same event tables through the
+*file* stream source so every streaming operator is testable — and
+oracle-checkable — without a broker. Micro-batch boundaries are real:
+the input is staged as N time-ordered parquet chunks and
+``maxFilesPerTrigger=1`` makes each chunk one trigger, so watermark
+advancement, state timeouts, and late-data policies execute exactly as
+they would on a live stream.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_STAGE_CACHE: dict[tuple[str, str, int], str] = {}
+
+
+def stage_chunked_events(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "events",
+    num_chunks: int = 4,
+    order_col: str = "ts",
+) -> str:
+    """Write ``table`` as ``num_chunks`` time-ordered parquet files and
+    return the directory. Chunk *i* holds the i-th quantile of
+    ``order_col`` and files carry increasing mtimes, so the file source
+    replays them in event-time order — the well-behaved stream on which
+    append-mode results are deterministic. (Late data is injected by
+    tests explicitly, not by the replay.)
+
+    Results are cached per (sf_dir, table, num_chunks): queries and
+    tests share one staging.
+    """
+    key = (sf_dir, table, num_chunks)
+    if key in _STAGE_CACHE and os.path.isdir(_STAGE_CACHE[key]):
+        return _STAGE_CACHE[key]
+    out_dir = tempfile.mkdtemp(prefix=f"stream_{table}_")
+    # read_table normalizes fixture quirks (nanos → µs timestamps), so
+    # the staged chunks are plain µs-timestamp parquet.
+    from presto_rakam_kafka_spark.fixtures import read_table
+
+    df = read_table(spark, sf_dir, table)
+    # ntile over the order column → equal-size contiguous time slices.
+    from pyspark.sql import Window as W
+
+    chunked = df.withColumn(
+        "_chunk", F.ntile(num_chunks).over(W.orderBy(order_col)) - 1
+    )
+    for i in range(num_chunks):
+        part = chunked.filter(F.col("_chunk") == i).drop("_chunk")
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"chunk={i}")
+        )
+    # Flatten: the file source watches one flat dir; name files so
+    # lexicographic order == time order and bump mtimes monotonically.
+    import glob
+    import shutil
+    import time as _time
+
+    flat = tempfile.mkdtemp(prefix=f"stream_{table}_flat_")
+    now = _time.time()
+    for i in range(num_chunks):
+        srcs = glob.glob(os.path.join(out_dir, f"chunk={i}", "*.parquet"))
+        assert len(srcs) == 1
+        dst = os.path.join(flat, f"part-{i:05d}.parquet")
+        shutil.copy(srcs[0], dst)
+        os.utime(dst, (now + i, now + i))
+    shutil.rmtree(out_dir)
+    _STAGE_CACHE[key] = flat
+    return flat
+
+
+def read_file_stream(
+    spark: SparkSession, input_dir: str, schema, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a staged directory, one chunk per
+    micro-batch by default."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+
+
+def run_available_now(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Drain the stream with ``Trigger.AvailableNow`` into a memory sink
+    and return the result table.
+
+    AvailableNow processes all staged input in micro-batches (respecting
+    ``maxFilesPerTrigger``), runs the trailing no-data batch so
+    event-time timeouts and window evictions fire against the final
+    watermark, then stops — the batch-bounded replay of an unbounded
+    query.
+    """
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,178 @@
+"""Streaming semantics: watermark late-data policy, bounded-state
+dedup expiry, stateful sessionization — the invariants append mode is
+supposed to guarantee, asserted over hand-built micro-batches.
+
+(The streaming gate queries in queries.py replay the full events table
+and are oracle-checked by test_queries_vs_oracle; these tests cover the
+behaviors a full-replay comparison can't pin down: which rows are
+*dropped* and when state *expires*.)
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+from datetime import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _ts(hhmm: str) -> datetime:
+    h, m = hhmm.split(":")
+    return datetime(2024, 6, 1, int(h), int(m))
+
+
+def _stage_batches(spark, batches):
+    """Write each batch as one parquet file with increasing mtimes so
+    maxFilesPerTrigger=1 replays them in order."""
+    d = tempfile.mkdtemp(prefix="stream_case_")
+    now = time.time()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [(j, t, u, et, 1.0, None) for j, (t, u, et) in enumerate(rows)],
+            EVENT_SCHEMA,
+        )
+        tmp = tempfile.mkdtemp(prefix="stage_tmp_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import glob
+        import shutil
+
+        src = glob.glob(os.path.join(tmp, "*.parquet"))[0]
+        dst = os.path.join(d, f"part-{i:05d}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (now + i, now + i))
+        shutil.rmtree(tmp)
+    return d
+
+
+def _run(spark, d, build, mode):
+    from presto_rakam_kafka_spark.streaming import runner
+
+    src = runner.read_file_stream(spark, d, EVENT_SCHEMA)
+    return runner.run_available_now(
+        build(src), f"case_{abs(hash(d)) % 10**9}", mode
+    )
+
+
+def test_append_mode_drops_late_beyond_watermark(spark):
+    """A row older than the watermark whose window already passed is
+    dropped; windows emit only once the watermark passes their end."""
+    from presto_rakam_kafka_spark.streaming import windows as swin
+
+    # Spark applies the late-event filter with the watermark of the
+    # PREVIOUS batch, while eviction/emission uses the current one — so
+    # a row must arrive ≥2 batches after the watermark passed its
+    # window to be dropped.
+    batches = [
+        # batch 0: eviction wm after it = 11:05 - 10m = 10:55
+        [(_ts("09:10"), 1, "view"), (_ts("10:00"), 1, "view"),
+         (_ts("10:30"), 1, "view"), (_ts("11:05"), 1, "view")],
+        # batch 1: emits windows 09:00 (n=1) and 10:00 (n=2) at wm
+        # 10:55; eviction wm after = 11:50
+        [(_ts("12:00"), 1, "view")],
+        # batch 2: late filter wm = 11:50 → 09:20 (window end 10:00)
+        # dropped, not resurrected as a fresh state group
+        [(_ts("12:30"), 1, "view"), (_ts("09:20"), 1, "view")],
+    ]
+    d = _stage_batches(spark, batches)
+    out = _run(
+        spark, d,
+        lambda src: swin.tumbling_counts(src, "1 hour", watermark="10 minutes"),
+        "append",
+    )
+    got = {r["window_start"][11:16]: r["n"] for r in out.collect()}
+    # final eviction wm = 12:30 - 10m = 12:20 → 11:00 window (end
+    # 12:00) emits; the 12:00 window (end 13:00) stays open forever; a
+    # resurrected 09:00 group would show up as a duplicate 09:00 row.
+    assert got == {"09:00": 1, "10:00": 2, "11:00": 1}
+
+
+def test_dedup_state_expires_past_watermark(spark):
+    """dropDuplicatesWithinWatermark: a duplicate within the delay is
+    suppressed; once the watermark passes first_seen + delay the state
+    is evicted and the key is emitted again."""
+    from presto_rakam_kafka_spark.streaming import dedup as sdedup
+
+    batches = [
+        # a@10:00 first seen (a@10:10 duplicate suppressed); b@11:30
+        # pushes the eviction watermark to 11:00 past a's expiry
+        # (10:00 + 30m = 10:30).
+        [(_ts("10:00"), 1, "a"), (_ts("10:10"), 1, "a"), (_ts("11:30"), 2, "b")],
+        # state eviction applies with one batch of delay (like the
+        # late-event filter): this filler batch lets a's state go.
+        [(_ts("12:00"), 3, "c")],
+        # a@12:00 re-emitted (state evicted); a@12:05 suppressed again.
+        [(_ts("12:00"), 1, "a"), (_ts("12:05"), 1, "a")],
+    ]
+    d = _stage_batches(spark, batches)
+
+    def build(src):
+        return (
+            src.withWatermark("ts", "30 minutes")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type", F.date_format("ts", "HH:mm").alias("t"))
+        )
+
+    out = _run(spark, d, build, "append")
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [
+        (1, "a", "10:00"),
+        (1, "a", "12:00"),
+        (2, "b", "11:30"),
+        (3, "c", "12:00"),
+    ]
+
+
+def test_sessionize_closes_on_gap_and_timeout(spark):
+    """applyInPandasWithState: a later-than-gap event closes the open
+    session immediately; the final session closes only via event-time
+    timeout once the watermark passes last_event + gap."""
+    from presto_rakam_kafka_spark.streaming import sessionize as ssz
+
+    batches = [
+        # user 1: events 10:00/10:10 (one session), then 11:00 opens a
+        # second (gap 50m > 30m closes the first).
+        [(_ts("10:00"), 1, "view"), (_ts("10:10"), 1, "view"), (_ts("11:00"), 1, "view")],
+        # user 2 far ahead at 14:00 pushes the final watermark to 13:30
+        # > 11:00+30m → user 1's second session times out and emits.
+        # user 2's own session stays open (13:30 < 14:00+30m).
+        [(_ts("14:00"), 2, "view")],
+    ]
+    d = _stage_batches(spark, batches)
+    out = _run(spark, d, lambda src: ssz.sessionize(src, 30, "30 minutes"), "append")
+    got = sorted(
+        (r["user_id"], r["session_start"][11:16], r["session_end"][11:16], r["n_events"])
+        for r in out.collect()
+    )
+    assert got == [(1, "10:00", "10:40", 2), (1, "11:00", "11:30", 1)]
+
+
+def test_stream_replay_has_multiple_batches(spark, sf_dir):
+    """The staged replay really is micro-batched (4 chunks → 4 files),
+    so gate queries exercise cross-batch state, not a single batch."""
+    from presto_rakam_kafka_spark.streaming import runner
+
+    d = runner.stage_chunked_events(spark, sf_dir, "events", num_chunks=4)
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert len(files) == 4
+    # chunks are time-ordered: max ts of chunk i <= min ts of chunk i+1
+    bounds = []
+    for f in sorted(files):
+        df = spark.read.parquet(os.path.join(d, f))
+        row = df.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+        bounds.append((row["lo"], row["hi"]))
+    for (_, hi), (lo, _) in zip(bounds, bounds[1:]):
+        assert hi <= lo
