@@ -974,6 +974,106 @@ _register_llm_queries()
 
 
 # =====================================================================
+# Temporal joins + array/map surface (SURVEY §2.B rows the host engine
+# lacked or could only express as theta joins)
+# =====================================================================
+
+
+def _register_temporal_queries() -> None:
+    from presto_rakam_kafka_spark.operators import temporal_joins as tj
+
+    @query("join_asof", oracle=tj.asof_prior_purchase_oracle("events"))
+    def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """As-of join (latest strictly-prior purchase value per user per
+        event): union+window formulation, one shuffle, no join operator
+        — vs Presto 0.123's only option, a theta cross join."""
+        ev = _t(spark, sf_dir, "events")
+        purch = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value"
+        )
+        res = tj.asof_join_prior(
+            ev, purch, "user_id", "ts", "value", "last_purchase_value"
+        )
+        return res.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.round("last_purchase_value", 2).alias("last_purchase_value"),
+        )
+
+    @query(
+        "join_interval",
+        oracle=tj.interval_self_join_oracle("events", "user_id", "event_id", 30),
+    )
+    def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Interval (band) self-join — same-user event pairs within 30
+        minutes — as a time-bucketed equi join with residual filter:
+        hash join on (user, bucket), never a cross product."""
+        return tj.interval_self_join(
+            _t(spark, sf_dir, "events"), "user_id", "ts", "event_id", band_minutes=30
+        )
+
+
+_register_temporal_queries()
+
+
+@query(
+    "array_hof_funcs",
+    oracle="""
+    WITH g AS (
+      SELECT l_orderkey, list_sort(list(l_quantity)) AS arr
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(list_filter(arr, x -> x > 25))::BIGINT AS n_big,
+           round(list_aggregate(arr, 'sum'), 2) AS total_qty,
+           round(arr[1] * 2, 2) AS first_doubled,
+           list_contains(arr, 1.0) AS has_single
+    FROM g
+    """,
+)
+def array_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + higher-order functions (SURVEY §2.B 'Array / map
+    functions' — unreachable over the reference's Kafka tables since
+    its decoder rejected ARRAY; native here): collect to a sorted
+    array, then filter/aggregate/transform lambdas."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_quantity")).alias("arr")
+    )
+    return g.select(
+        "l_orderkey",
+        F.size(F.expr("filter(arr, x -> x > 25)")).cast("long").alias("n_big"),
+        F.round(F.expr("aggregate(arr, 0D, (acc, x) -> acc + x)"), 2).alias("total_qty"),
+        F.round(F.element_at("arr", 1) * 2, 2).alias("first_doubled"),
+        F.array_contains("arr", 1.0).alias("has_single"),
+    )
+
+
+@query(
+    "map_json_funcs",
+    oracle="""
+    SELECT event_id,
+           array_to_string(json_keys(props), ',') AS keys_csv,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events WHERE event_id < 1000
+    """,
+)
+def map_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions over JSON-decoded props (from_json → map<…>,
+    map_keys, element_at) — SURVEY §2.B 'JSON functions' beyond
+    get_json_object."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.element_at(m, "k").alias("k_val"),
+    )
+
+
+# =====================================================================
 # Structured Streaming surface (SURVEY §7 step 4; beyond-reference)
 # =====================================================================
 

@@ -122,15 +122,32 @@ class KafkaEventSource:
                 from_avro(F.col("value"), avro_schema, {"mode": "PERMISSIVE"}).alias("r"),
                 F.col("topic"),
             )
+            # A14 for Avro: PERMISSIVE from_avro nulls the struct on
+            # decode failure — drop and keep scanning.
+            decoded = decoded.filter(F.col("r").isNotNull())
         else:
+            # PERMISSIVE from_json yields an all-null struct (not NULL)
+            # for malformed payloads, so corrupt rows must be tagged
+            # explicitly to be droppable.
+            from pyspark.sql import types as T
+
+            parse_schema = T.StructType(
+                [*schema.fields, T.StructField("_corrupt_record", T.StringType())]
+            )
             decoded = raw.select(
                 F.col("offset").alias("_offset"),
-                F.from_json(F.col("value").cast("string"), schema).alias("r"),
+                F.from_json(
+                    F.col("value").cast("string"),
+                    parse_schema,
+                    {"columnNameOfCorruptRecord": "_corrupt_record"},
+                ).alias("r"),
                 F.col("topic"),
             )
-        # Corrupt-record tolerance (A14): bad payloads decode to NULL;
-        # drop them, keep scanning (KafkaConnectorPageSource.java:300-308).
-        decoded = decoded.filter(F.col("r").isNotNull())
+            # Corrupt-record tolerance (A14): drop the whole message,
+            # keep scanning (KafkaConnectorPageSource.java:300-308).
+            decoded = decoded.filter(
+                F.col("r").isNotNull() & F.col("r._corrupt_record").isNull()
+            ).withColumn("r", F.col("r").dropFields("_corrupt_record"))
         # Hidden-column synthesis (A7) from the topic name, split on the
         # first '_' (KafkaConnectorPageSource.java:88-89,134-138).
         return decoded.select(
