@@ -1019,6 +1019,83 @@ _register_temporal_queries()
 
 
 @query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null-extension feeding an agg (customers
+    without orders count 0) — SURVEY §2.B 'Joins: equi'."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1000
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, vs the ROWS frames in window_frame):
+    orders within $1000 below the current price — deterministic under
+    ties because the frame is value-defined."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, W.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.count(F.lit(1)).over(w).alias("n_within_1000")
+    )
+
+
+def _register_udf_queries() -> None:
+    from presto_rakam_kafka_spark.functions import pandas_udfs as PU
+
+    @query(
+        "udf_pandas_scalar",
+        oracle=PU.scalar_token_counts_oracle("documents", "text", "doc_id"),
+    )
+    def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Scalar pandas UDF (Arrow-batched element-wise)."""
+        return PU.scalar_token_counts(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+    @query(
+        "udf_pandas_grouped_agg",
+        oracle=PU.grouped_median_oracle("lineitem", "l_returnflag", "l_quantity"),
+    )
+    def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Grouped-agg pandas UDF (exact median per group)."""
+        return PU.grouped_median(_t(spark, sf_dir, "lineitem"), "l_returnflag", "l_quantity")
+
+    @query("udf_grouped_map", oracle=PU.grouped_rank_oracle("events"))
+    def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Grouped-map applyInPandas (whole group in, frame out)."""
+        return PU.grouped_rank(_t(spark, sf_dir, "events"))
+
+
+_register_udf_queries()
+
+
+@query(
     "array_hof_funcs",
     oracle="""
     WITH g AS (
