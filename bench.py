@@ -63,7 +63,12 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     names = [n for n in HEADLINE if n in Q.QUERIES]
 
-    # Warmup: JVM + whole-stage-codegen compile + parquet footer reads.
+    # Warmup: JVM + whole-stage-codegen compile + parquet footer reads +
+    # catalog registration (schema reads happen once per cluster
+    # lifetime, not per query).
+    from presto_rakam_kafka_spark.fixtures import load_catalog
+
+    load_catalog(spark, SF_DIR)
     Q.QUERIES["count_star"](spark, SF_DIR).collect()
 
     timings: dict[str, float] = {}

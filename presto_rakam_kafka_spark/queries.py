@@ -1067,6 +1067,42 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           round(sum(value), 2) AS sum_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a deliberately hot key space
+    (5 event types): identical results to the plain groupBy, but the
+    hot key's rows spread over 16 reducers in phase 1 (SURVEY §7
+    skew discipline; operators.skew)."""
+    from presto_rakam_kafka_spark.operators.skew import salted_agg
+
+    out = salted_agg(
+        _t(spark, sf_dir, "events"),
+        ["event_type"],
+        {
+            "n": ("count", "value"),
+            "sum_value": ("sum", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+    )
+
+
 def _register_udf_queries() -> None:
     from presto_rakam_kafka_spark.functions import pandas_udfs as PU
 

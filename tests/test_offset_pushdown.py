@@ -71,6 +71,61 @@ def test_no_offset_conjuncts_means_no_pruning():
     assert residual == [("like", "x%")]
 
 
+def test_pushdown_equals_predicate_eval_property():
+    """Property (hypothesis): for any conjunction of range ops, the
+    extracted scan ranges cover EXACTLY the offsets satisfying the
+    predicate — pruning must never change a count
+    (TestManySegments.java's exact-count invariant, SURVEY §5)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    DOMAIN = range(0, 64)
+
+    def eval_conjunct(off: int, op: str, val) -> bool:
+        if op == ">":
+            return off > val
+        if op == ">=":
+            return off >= val
+        if op == "<":
+            return off < val
+        if op == "<=":
+            return off <= val
+        if op == "=":
+            return off == val
+        if op == "between":
+            return val[0] <= off <= val[1]
+        if op == "in":
+            return off in val
+        raise AssertionError(op)
+
+    point = st.integers(min_value=-5, max_value=70)
+    conjunct = st.one_of(
+        st.tuples(st.sampled_from([">", ">=", "<", "<=", "="]), point),
+        st.tuples(st.just("between"), st.tuples(point, point)),
+        st.tuples(st.just("in"), st.lists(point, min_size=1, max_size=5)),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(conjunct, min_size=1, max_size=5))
+    def check(conjuncts):
+        ranges, residual = extract_offset_ranges(conjuncts)
+        assert residual == []
+        covered = {
+            off
+            for off in DOMAIN
+            for r in ranges
+            if off >= r.start and (r.end is None or off < r.end)
+        }
+        expected = {
+            off
+            for off in DOMAIN
+            if all(eval_conjunct(off, op, val) for op, val in conjuncts)
+        }
+        assert covered == expected, (conjuncts, sorted(covered), sorted(expected))
+
+    check()
+
+
 def test_kafka_offsets_json():
     from presto_rakam_kafka_spark.sources.kafka import offsets_json
 
