@@ -973,6 +973,33 @@ def _register_llm_queries() -> None:
 _register_llm_queries()
 
 
+@query(
+    "subquery_scalar_correlated",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+    FROM orders o
+    WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (each customer's max-price order) —
+    Catalyst's RewriteCorrelatedScalarSubquery decorrelates it into an
+    aggregate + join; Presto 0.123's decorrelation could not
+    (SURVEY §2.B 'Subqueries')."""
+    from presto_rakam_kafka_spark.fixtures import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        FROM orders o
+        WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
 # =====================================================================
 # Temporal joins + array/map surface (SURVEY §2.B rows the host engine
 # lacked or could only express as theta joins)
