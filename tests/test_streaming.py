@@ -160,6 +160,34 @@ def test_sessionize_closes_on_gap_and_timeout(spark):
     assert got == [(1, "10:00", "10:40", 2), (1, "11:00", "11:30", 1)]
 
 
+def test_foreachbatch_parquet_sink_exactly_once(spark, sf_dir):
+    """foreachBatch sink: every input row lands exactly once across
+    micro-batches (epoch-keyed idempotent writes), and the sink equals
+    the batch read of the same input."""
+    import tempfile
+
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.streaming import runner, sinks
+
+    d = runner.stage_chunked_events(spark, sf_dir, "events", num_chunks=4)
+    schema = read_table(spark, sf_dir, "events").schema
+    src = runner.read_file_stream(spark, d, schema).select(
+        "event_id", "user_id", "event_type"
+    )
+    out_dir = tempfile.mkdtemp(prefix="sink_out_")
+    q = sinks.write_stream_parquet_exactly_once(src, out_dir)
+    q.awaitTermination()
+    got = sinks.read_sink(spark, out_dir)
+    expected = read_table(spark, sf_dir, "events")
+    assert got.count() == expected.count()
+    assert got.select("event_id").distinct().count() == expected.count()
+    # >1 epoch directory proves multi-batch, not one big write
+    import os
+
+    epochs = [e for e in os.listdir(out_dir) if e.startswith("epoch=")]
+    assert len(epochs) >= 2
+
+
 def test_stream_replay_has_multiple_batches(spark, sf_dir):
     """The staged replay really is micro-batched (4 chunks → 4 files),
     so gate queries exercise cross-batch state, not a single batch."""
