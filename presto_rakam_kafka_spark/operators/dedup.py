@@ -44,11 +44,15 @@ from presto_rakam_kafka_spark.functions.hashing import (
     shingles_spark,
 )
 
-# Sketch defaults: 32 bands × 4 rows = 128 hashes, tuned for a 0.8
-# Jaccard threshold (S-curve midpoint (1/b)^(1/r) ≈ 0.42, detection
-# probability at 0.8 ≈ 1 - 5e-8).
-NUM_BANDS = 32
-ROWS_PER_BAND = 4
+# Sketch defaults: 20 bands × 3 rows = 60 hashes, tuned for a 0.8
+# Jaccard threshold (S-curve midpoint (1/b)^(1/r) ≈ 0.37, detection
+# probability at 0.8 ≈ 1 - 6e-7 per pair). Output is unaffected by the
+# band geometry — candidates are verified with exact Jaccard — so the
+# knob trades signature cost against candidate-verification cost; 60
+# hashes halves the aggregate width (and its codegen size) vs the
+# classic 128 with recall still far beyond the correctness gate's needs.
+NUM_BANDS = 20
+ROWS_PER_BAND = 3
 
 
 def _ensure_min_parallelism(df: DataFrame) -> DataFrame:
@@ -145,11 +149,18 @@ def minhash_signatures(
 
     ``sig_i = min over shingles of (a_i * (h(s) mod P) + b_i) mod P``.
 
+    ``h`` here is Spark's native ``xxhash64`` — NOT the md5-based
+    engine-portable hash used elsewhere. Signatures only *route*
+    candidate pairs into buckets; the output pairs are verified with
+    exact Jaccard over the shingle strings (which IS oracle-portable),
+    so the signature hash needs determinism, not cross-engine equality,
+    and xxhash64 stays in codegen with no hex/string round-trip.
+
     Shape note: the tempting single-projection form (K ×
     ``array_min(transform(...))``) is 100× slower — Spark evaluates
     higher-order lambdas interpreted (outside whole-stage codegen), and
-    projection collapse re-inlines the md5 array into every signature
-    expression. Exploding shingles instead computes each md5 exactly
+    projection collapse re-inlines the hash array into every signature
+    expression. Exploding shingles instead computes each hash exactly
     once in codegen, and the K universal hashes become K ``min()``
     partial aggregates — map-side combined, one narrow shuffle of one
     row per (doc × partition).
@@ -167,7 +178,7 @@ def minhash_signatures(
     )
     hashed = exploded.select(
         F.col(id_col),
-        F.expr(f"pmod({base_hash_spark('s')}, {HASH_P})").alias("h"),
+        F.expr(f"pmod(xxhash64(s), {HASH_P})").alias("h"),
     )
     aggs = [
         F.min(F.expr(f"pmod({a[i]}L * h + {b[i]}L, {HASH_P})")).alias(f"sig_{i}")
@@ -196,9 +207,11 @@ def minhash_lsh_pairs(
     are handled by AQE skew-join splitting.
     """
     sigs = minhash_signatures(df, text_col, id_col, n, num_bands * rows_per_band)
+    # One 8-byte key per band (hash of the band's signature rows):
+    # numeric shuffle keys, not concatenated strings.
     band_cols = [
-        F.concat_ws(
-            "-", *[F.col(f"sig_{band * rows_per_band + r}") for r in range(rows_per_band)]
+        F.xxhash64(
+            *[F.col(f"sig_{band * rows_per_band + r}") for r in range(rows_per_band)]
         ).alias(f"band_{band}")
         for band in range(num_bands)
     ]
