@@ -1319,3 +1319,248 @@ def sql_over_event_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         """
     )
+
+
+# =====================================================================
+# Tier B widening — statistical aggs, grouping sets, ranking windows,
+# further TPC-H shapes, TIME representation (SURVEY §2.B, §7 risk 2)
+# =====================================================================
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 2) AS sd_price,
+           round(stddev_pop(l_extendedprice), 2) AS sdp_price,
+           round(var_samp(l_quantity), 2) AS var_qty,
+           round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+           round(covar_samp(l_extendedprice, l_quantity), 2) AS covar_pq
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (Presto 0.123's stddev/variance family,
+    SURVEY §2.B 'Aggregation'), plus corr/covar. Partial+final
+    distributed agg — single shuffle on the group key."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.stddev_pop("l_extendedprice"), 2).alias("sdp_price"),
+        F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("covar_pq"),
+    )
+
+
+@query(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+           count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() indicators (beyond Presto
+    0.123 like cube/rollup — free via Catalyst's Expand operator; one
+    shuffle over the expanded rows)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "window_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(dense_rank() OVER w AS BIGINT) AS drk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining ranking/distribution window functions: ntile,
+    percent_rank, cume_dist, row_number, dense_rank (SURVEY §2.B
+    'Window functions')."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.dense_rank().over(w).cast("long").alias("drk"),
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.08
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: selective filter + global agg. The whole WHERE
+    reaches the parquet scan as PushedFilters; no shuffle at all except
+    the final single-row partial-agg combine."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount").between(0.02, 0.08))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: fact-fact join + broadcast dim + agg +
+    deterministic top-20 (TakeOrderedAndProject)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS total_price,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 100
+    )
+    GROUP BY c_custkey, o_orderkey, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: agg-derived semi-join filter (HAVING subquery)
+    then re-aggregate. The HAVING side is a map-side-combined agg whose
+    output is small → broadcast into the semi join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > 100)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+@query(
+    "setop_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — Presto 0.123's UNION (SURVEY §2.B 'Set ops');
+    union + one dedup shuffle."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "time_of_day_millis",
+    oracle="""
+    SELECT event_id,
+           (epoch_ms(ts) - epoch_ms(date_trunc('day', ts))) AS time_ms,
+           CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hr
+    FROM events WHERE event_id < 1000
+    """,
+)
+def time_of_day_millis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's TIME type (``KafkaMetadata.java:192-193``) has no
+    Spark equivalent; the engine's canonical representation is BIGINT
+    millis-of-day (SURVEY §7 risk 2, ``types.FieldType.TIME``). This
+    query exercises the representation end-to-end."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return ev.select(
+        "event_id",
+        (F.unix_millis(F.col("ts")) - F.unix_millis(F.date_trunc("day", "ts"))).alias(
+            "time_ms"
+        ),
+        F.hour("ts").cast("long").alias("hr"),
+    )
