@@ -31,6 +31,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
     "join_broadcast",
     "join_semi",
     "agg_distinct",

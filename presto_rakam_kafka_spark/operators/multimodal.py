@@ -101,6 +101,117 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+#: Output contract of the (stubbed) image-resize stage.
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_w", T.IntegerType()),
+        T.StructField("src_h", T.IntegerType()),
+        T.StructField("dst_w", T.IntegerType()),
+        T.StructField("dst_h", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(assets: DataFrame, dst_w: int = 224, dst_h: int = 224) -> DataFrame:
+    """Image-resize stage over (payload, meta) assets via mapInPandas.
+
+    The codec seam is :func:`decode_payload`; without a real image
+    stack the *source* dimensions come from a deterministic fake
+    (derived from payload length, replayable in SQL so the oracle can
+    check the plumbing), and ``resized`` carries the first 64 payload
+    bytes as a stand-in for re-encoded pixels. Swapping in PIL changes
+    only the inside of the batch loop — batch shape, schema, and
+    partitioning behavior (narrow, no shuffle) are the real contract.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            sizes = pdf["payload"].map(len)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_w": (sizes % 640 + 32).astype("int32"),
+                    "src_h": (sizes % 480 + 32).astype("int32"),
+                    "dst_w": dst_w,
+                    "dst_h": dst_h,
+                    "resized": [bytes(p)[:64] for p in pdf["payload"]],
+                }
+            )
+            out["dst_w"] = out["dst_w"].astype("int32")
+            out["dst_h"] = out["dst_h"].astype("int32")
+            yield out
+
+    return assets.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def resize_images_oracle(
+    table: str, text_col: str, id_col: str, dst_w: int = 224, dst_h: int = 224
+) -> str:
+    """Deterministic-fake resize metadata replayed in SQL (the binary
+    column is excluded — DuckDB and Spark render binaries differently,
+    and the pixels are fake anyway)."""
+    size = f"octet_length(encode({text_col}))"
+    return f"""
+    SELECT {id_col} AS doc_id,
+           ({size} % 640 + 32)::INTEGER AS src_w,
+           ({size} % 480 + 32)::INTEGER AS src_h,
+           {dst_w}::INTEGER AS dst_w,
+           {dst_h}::INTEGER AS dst_h
+    FROM {table}
+    """
+
+
+#: Output contract of the (stubbed) video frame-sampling stage: one row
+#: per sampled frame — the exploded shape downstream vision encoders eat.
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, every_n: int = 8) -> DataFrame:
+    """Frame-sampling stage: emit every ``every_n``-th frame index per
+    asset. Frame *count* comes from a deterministic fake (payload bytes
+    / 100 + 1, standing in for container-header parsing); a real
+    ffmpeg-backed version changes only the count/extract closure.
+
+    Note the fan-out shape: mapInPandas may emit more rows than it
+    consumes — the contract a real frame extractor needs.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "n_frames": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) // 100 + 1
+                for idx in range(0, n_frames, every_n):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["n_frames"].append(n_frames)
+            yield pd.DataFrame(rows, dtype="int64")
+
+    return assets.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def sample_frames_oracle(table: str, text_col: str, id_col: str, every_n: int = 8) -> str:
+    n_frames = f"(octet_length(encode({text_col})) // 100 + 1)"
+    return f"""
+    SELECT {id_col} AS doc_id,
+           unnest(range(0, {n_frames}, {every_n}))::BIGINT AS frame_idx,
+           {n_frames}::BIGINT AS n_frames
+    FROM {table}
+    """
+
+
 def extract_features_oracle(table: str, text_col: str, id_col: str) -> str:
     """The extractor's deterministic features, replayed in SQL."""
     return f"""

@@ -105,6 +105,41 @@ def text_stats_oracle(table: str, text_col: str, id_col: str) -> str:
 
 
 # ---------------------------------------------------------------------
+# BPE-ish token counting
+# ---------------------------------------------------------------------
+
+#: GPT-2-flavored pretokenizer, simplified to the engine-portable
+#: subset (no unicode classes, no lookahead — identical match semantics
+#: in Java regex and RE2): a token is an optionally space-prefixed
+#: letter run, digit run, or punctuation run. Counting these
+#: approximates BPE token counts far better than whitespace splitting
+#: (punctuation and numbers tokenize separately).
+BPE_ISH_PATTERN = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace and BPE-ish token counts per document — the two
+    numbers a pretraining pipeline budgets with. Single-pass
+    projection, no shuffle."""
+    return df.select(
+        F.col(id_col),
+        F.expr(f"size(split({text_col}, ' '))").cast("long").alias("ws_tokens"),
+        F.expr(f"size(regexp_extract_all({text_col}, '{BPE_ISH_PATTERN}', 0))")
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+def token_counts_oracle(table: str, text_col: str, id_col: str) -> str:
+    return f"""
+    SELECT {id_col},
+           len(string_split({text_col}, ' '))::BIGINT AS ws_tokens,
+           len(regexp_extract_all({text_col}, '{BPE_ISH_PATTERN}'))::BIGINT AS bpe_tokens
+    FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------
 # Language ID (n-gram/marker heuristic)
 # ---------------------------------------------------------------------
 

@@ -1564,3 +1564,44 @@ def time_of_day_millis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.hour("ts").cast("long").alias("hr"),
     )
+
+
+def _register_llm_queries_2() -> None:
+    """Second LLM-pipeline batch: BPE-ish token counting and the
+    multimodal resize / frame-sample stages (brief: decode /
+    feature-extract / resize / frame-sample, each with real Spark
+    plumbing and a stubbed codec)."""
+    from presto_rakam_kafka_spark.operators import multimodal, text
+
+    @query(
+        "text_token_counts",
+        oracle=text.token_counts_oracle("documents", "text", "doc_id"),
+    )
+    def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Whitespace + BPE-ish regex token counts (pretraining token
+        budgeting); single-pass, no shuffle."""
+        return text.token_counts(_documents(spark, sf_dir), "text", "doc_id")
+
+    @query(
+        "multimodal_resize",
+        oracle=multimodal.resize_images_oracle("documents", "text", "doc_id"),
+    )
+    def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Image-resize stage via mapInPandas (codec stubbed with a
+        deterministic fake; batch shape/schema real). The binary output
+        column is dropped for the oracle compare."""
+        assets = multimodal.attach_payload(_documents(spark, sf_dir), "text", "doc_id")
+        return multimodal.resize_images(assets).drop("resized")
+
+    @query(
+        "multimodal_frame_sample",
+        oracle=multimodal.sample_frames_oracle("documents", "text", "doc_id"),
+    )
+    def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Frame-sampling stage: mapInPandas fan-out (more rows out than
+        in) — one row per sampled frame index."""
+        assets = multimodal.attach_payload(_documents(spark, sf_dir), "text", "doc_id")
+        return multimodal.sample_frames(assets)
+
+
+_register_llm_queries_2()
