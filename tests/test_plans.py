@@ -1,0 +1,97 @@
+"""Physical-plan assertions — the 100 TB discipline, checked.
+
+Correctness tests prove the small-SF answer; these prove the *plan* is
+the one that survives a 1000-executor scale-up: filters pushed into the
+parquet scan, projections pruned, small dims broadcast (no shuffle of
+the fact table against a 25-row nation list), top-k as
+TakeOrderedAndProject (no global sort), and hot paths free of
+row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from presto_rakam_kafka_spark import queries as Q
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q6_filters_reach_parquet_scan(spark, sf_dir):
+    df = Q.QUERIES["q6_forecast_revenue"](spark, sf_dir)
+    plan = _plan(df)
+    # Every conjunct lands in PushedFilters: the 100 TB scan reads only
+    # matching row groups, not the whole fact table.
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_q6_projection_pruned(spark, sf_dir):
+    df = Q.QUERIES["q6_forecast_revenue"](spark, sf_dir)
+    plan = _plan(df)
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    # 4 referenced columns only — not the 16-column lineitem schema.
+    assert "l_extendedprice" in read and "l_discount" in read
+    assert "l_comment" not in read and "l_orderkey" not in read
+
+
+@pytest.mark.parametrize("name", ["q5_local_supplier_volume", "q10_returned_items"])
+def test_dims_broadcast_in_star_joins(spark, sf_dir, name):
+    plan = _plan(Q.QUERIES[name](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    # TopN must not globally sort 100 TB: Spark's TakeOrderedAndProject
+    # keeps k rows per partition then merges k·p on one reducer.
+    plan = _plan(Q.QUERIES["topk_parts"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hot_paths_have_no_python_row_udf(spark, sf_dir):
+    # Sketch/dedup/text operators must stay JVM-side (codegen), except
+    # the deliberate Arrow/pandas surfaces (udf_* and multimodal_*).
+    for name in (
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "text_stats",
+        "text_token_counts",
+        "text_fingerprint",
+        "q1_pricing_summary",
+    ):
+        plan = _plan(Q.QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} fell back to row Python"
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    # IN-subquery must plan as a semi join (no materialized distinct +
+    # inner join, which would double-count and shuffle more).
+    plan = _plan(Q.QUERIES["join_semi"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_offset_pushdown_prunes_scan(spark, sf_dir):
+    # The engine's own rewrite (O1): an _offset range becomes scan
+    # bounds, visible as a pushed filter on the ordering column rather
+    # than a post-scan Filter over the full table.
+    df = Q.QUERIES["flagship_offset_agg"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "event_id" in pushed
+
+
+def test_exact_dedup_aggregates_before_join(spark, sf_dir):
+    # exact_dedup = groupBy(digest) then semi join; the partial agg
+    # must appear under the join (map-side combine before shuffle).
+    plan = _plan(Q.QUERIES["dedup_exact"](spark, sf_dir))
+    assert "HashAggregate" in plan and ("LeftSemi" in plan or "SortMergeJoin" in plan)
