@@ -184,12 +184,24 @@ def lang_id_oracle(table: str, text_col: str, id_col: str) -> str:
 def fingerprints(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Two fingerprints per doc: the full-content md5 (exact-dup key)
     and the minimum shingle-hash (a 1-hash MinHash — equal for docs
-    sharing their 'rarest' shingle, the winnowing-style anchor)."""
+    sharing their 'rarest' shingle, the winnowing-style anchor).
+
+    Shape note: ``array_min(transform(sh, s -> md5(s)))`` evaluates the
+    lambda interpreted (outside whole-stage codegen) — explode keeps
+    every md5 in codegen, and the per-doc min comes back via a map-side
+    partial aggregate (shingles stay colocated with their doc, so the
+    shuffle carries one row per doc)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     sh = shingles_spark(text_col, n)
-    return df.select(
+    exploded = df.select(
         F.col(id_col),
         F.md5(F.col(text_col)).alias("content_md5"),
-        F.expr(f"array_min(transform({sh}, s -> md5(s)))").alias("min_shingle_md5"),
+        F.explode(F.expr(sh)).alias("s"),
+    )
+    return exploded.groupBy(id_col, "content_md5").agg(
+        F.min(F.md5(F.col("s"))).alias("min_shingle_md5")
     )
 
 
