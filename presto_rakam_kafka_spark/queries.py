@@ -1605,3 +1605,49 @@ def _register_llm_queries_2() -> None:
 
 
 _register_llm_queries_2()
+
+
+def _register_streaming_join_queries() -> None:
+    from presto_rakam_kafka_spark.streaming import joins as sjoins
+
+    @query(
+        "stream_static_join",
+        oracle="""
+        SELECT e.event_id, e.user_id, c.c_name,
+               round(e.value, 2) AS value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        WHERE e.event_type = 'purchase'
+        """,
+    )
+    def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Stream-static dimension enrichment: the customer table
+        broadcasts into every micro-batch; no streaming state."""
+        stream = _events_stream(spark, sf_dir).filter(
+            F.col("event_type") == "purchase"
+        )
+        dim = _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_name"
+        )
+        joined = sjoins.enrich_with_static(stream, dim, on="user_id").select(
+            "event_id", "user_id", "c_name", F.round("value", 2).alias("value")
+        )
+        return _drain(joined, "enrich", "append")
+
+    @query(
+        "stream_stream_join",
+        oracle=sjoins.view_purchase_join_oracle("events", window_minutes=60),
+    )
+    def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Watermarked stream-stream inner join (views → purchases
+        within 1h, per user): event-time bound + watermark = evictable
+        join state, the only shape that survives unbounded input."""
+        return _drain(
+            sjoins.view_purchase_join(
+                _events_stream(spark, sf_dir), window_minutes=60, watermark="1 hour"
+            ),
+            "vp_join",
+            "append",
+        )
+
+
+_register_streaming_join_queries()
