@@ -1651,3 +1651,43 @@ def _register_streaming_join_queries() -> None:
 
 
 _register_streaming_join_queries()
+
+
+def _register_sampling_queries() -> None:
+    from presto_rakam_kafka_spark.operators import sampling
+
+    @query(
+        "sample_hash_10pct",
+        oracle=sampling.hash_sample_oracle(
+            "events", "event_id", 10,
+            select="event_id, user_id, event_type, round(value, 2) AS value",
+        ),
+    )
+    def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic ~10% sample by key hash: reproducible across
+        reruns/retries/repartitions, shuffle-free (vs rand()-based
+        TABLESAMPLE which is none of those)."""
+        ev = _t(spark, sf_dir, "events")
+        return sampling.hash_sample(ev, "event_id", 10).select(
+            "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+        )
+
+    @query(
+        "split_train_val_test",
+        oracle=f"""
+        SELECT {sampling.assign_split_oracle_case('doc_id')} AS split,
+               count(*) AS n, count(DISTINCT lang) AS n_langs
+        FROM documents GROUP BY 1
+        """,
+    )
+    def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Train/val/test assignment by key hash + stratification check
+        (one narrow projection, then a 3-group agg)."""
+        docs = sampling.assign_split(_documents(spark, sf_dir), "doc_id")
+        return docs.groupBy("split").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+
+
+_register_sampling_queries()
