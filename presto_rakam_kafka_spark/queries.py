@@ -1691,3 +1691,22 @@ def _register_sampling_queries() -> None:
 
 
 _register_sampling_queries()
+
+
+@query(
+    "explode_embedding",
+    oracle="""
+    SELECT vec_id,
+           CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+           round(unnest(embedding)::DOUBLE, 6) AS v
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def explode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (LATERAL VIEW): array column → one row per element
+    (SURVEY §2.B 'Array / map functions' — explode). Narrow fan-out,
+    pipelines with the scan."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v_raw")
+    ).select("vec_id", "pos", F.round(F.col("v_raw").cast("double"), 6).alias("v"))
