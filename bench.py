@@ -73,6 +73,13 @@ def main() -> None:
 
     load_catalog(spark, SF_DIR)
     Q.QUERIES["count_star"](spark, SF_DIR).collect()
+    # Warm the Arrow/Python worker pool (workers are reused across
+    # queries — a long-lived cluster pays this once, not per query).
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, schema="id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -56,7 +56,16 @@ def decode_payload(payload: bytes, mime: str) -> list[float]:
 def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Model the fixture text as a binary asset: payload = UTF-8 bytes,
     metadata = typed struct — the shape a real (image, metadata) table
-    has after ingestion."""
+    has after ingestion.
+
+    Parallelism is fixed *here*, before the bytes exist: a one-file
+    test scan yields one partition, and repartitioning the small source
+    rows is cheap, whereas repartitioning downstream would shuffle the
+    payload bytes themselves. At scale the scan already has enough
+    splits and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
