@@ -1710,3 +1710,31 @@ def explode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "v_raw")
     ).select("vec_id", "pos", F.round(F.col("v_raw").cast("double"), 6).alias("v"))
+
+
+@query(
+    "string_funcs2",
+    oracle="""
+    SELECT p_partkey,
+           regexp_matches(p_name, '^[a-m]') AS starts_low,
+           split_part(p_name, ' ', 2) AS second_word,
+           CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+           reverse(p_brand) AS brand_rev,
+           CAST(starts_with(p_type, 'STANDARD') AS BOOLEAN) AS is_std,
+           repeat('-', CAST(p_size % 5 AS INTEGER)) AS size_bar
+    FROM part
+    """,
+)
+def string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string batch: regexp_like/rlike, split_part, position,
+    reverse, starts_with, repeat (Presto 0.123 string surface)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_name").rlike("^[a-m]").alias("starts_low"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.instr(F.col("p_name"), "a").cast("long").alias("first_a"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.startswith(F.col("p_type"), F.lit("STANDARD")).alias("is_std"),
+        F.repeat(F.lit("-"), (F.col("p_size") % 5).cast("int")).alias("size_bar"),
+    )
