@@ -95,3 +95,41 @@ def test_exact_dedup_aggregates_before_join(spark, sf_dir):
     # must appear under the join (map-side combine before shuffle).
     plan = _plan(Q.QUERIES["dedup_exact"](spark, sf_dir))
     assert "HashAggregate" in plan and ("LeftSemi" in plan or "SortMergeJoin" in plan)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    # Co-located joins (SURVEY §7 scale discipline): two tables bucketed
+    # on the join key must sort-merge join with NO shuffle exchange —
+    # at 100 TB the difference between reading in place and moving both
+    # fact tables over the network.
+    from presto_rakam_kafka_spark.fixtures import read_table
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{tmp_path}/bucketdb'")
+    try:
+        orders = read_table(spark, sf_dir, "orders")
+        li = read_table(spark, sf_dir, "lineitem")
+        (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .mode("overwrite").saveAsTable("bucketdb.orders_b"))
+        (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .mode("overwrite").saveAsTable("bucketdb.lineitem_b"))
+        ob, lb = spark.table("bucketdb.orders_b"), spark.table("bucketdb.lineitem_b")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).select(
+            "o_orderkey", "l_linenumber", "o_totalprice"
+        )
+        # At test scale the planner prefers broadcast (fine too); force
+        # the shuffle-join path to show bucketing removes the exchange —
+        # the decision that matters when BOTH sides are fact-table-sized.
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _plan(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan[:3000]
+            n_bucketed = joined.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        # Sanity: result is the same as the shuffled join on raw parquet.
+        n_plain = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+        assert n_bucketed == n_plain
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
