@@ -1738,3 +1738,115 @@ def string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.startswith(F.col("p_type"), F.lit("STANDARD")).alias("is_std"),
         F.repeat(F.lit("-"), (F.col("p_size") % 5).cast("int")).alias("size_bar"),
     )
+
+
+@query(
+    "pivot_event_types",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'view') AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide counts per event type). Catalyst plans one
+    partial-agg + one shuffle, same as the equivalent FILTERed aggs —
+    the oracle spells it that way since pivot syntax isn't portable."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .count()
+        .na.fill(0, ["click", "purchase", "view"])
+    )
+
+
+@query(
+    "agg_median_exact",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) - 1 AS DOUBLE) AS rn,
+             CAST(count(*) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(max(CASE WHEN rn = floor((n-1)*0.5) THEN v END)
+             + ((n-1)*0.5 - floor((n-1)*0.5))
+             * (max(CASE WHEN rn = ceil((n-1)*0.5) THEN v END)
+                - max(CASE WHEN rn = floor((n-1)*0.5) THEN v END)), 4) AS median_price,
+           round(max(CASE WHEN rn = floor((n-1)*0.9) THEN v END)
+             + ((n-1)*0.9 - floor((n-1)*0.9))
+             * (max(CASE WHEN rn = ceil((n-1)*0.9) THEN v END)
+                - max(CASE WHEN rn = floor((n-1)*0.9) THEN v END)), 4) AS p90_price
+    FROM ranked GROUP BY l_returnflag, n
+    """,
+)
+def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Presto percentile_cont analog),
+    computed with an explicit rank-based formula so Spark and the
+    oracle run the *same* double arithmetic (built-in `percentile` and
+    DuckDB `quantile_cont` disagree in the last ulp, which flips a
+    round(2) boundary). Shape: one window sort per group + one agg —
+    the values of a group must meet anyway for an exact quantile; for
+    global quantiles at 100 TB use the approx sketch path instead."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = W.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        (F.row_number().over(w) - 1).cast("double").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("double").alias("n"),
+    )
+
+    def interp(q: str):
+        h = f"(n-1)*{q}"
+        lo = f"max(CASE WHEN rn = floor({h}) THEN v END)"
+        hi = f"max(CASE WHEN rn = ceil({h}) THEN v END)"
+        # 4dp, not 2: the q=0.5 interpolation is the average of two
+        # 2-decimal prices — an exact .xx5 midpoint where Spark
+        # (binary-exact HALF_UP) and DuckDB (shortest-repr) round(…, 2)
+        # systematically disagree; the 4th decimal is past the midpoint.
+        return f"round({lo} + ({h} - floor({h})) * ({hi} - {lo}), 4)"
+
+    return (
+        ranked.groupBy("l_returnflag", "n")
+        .agg(
+            F.expr(interp("0.5")).alias("median_price"),
+            F.expr(interp("0.9")).alias("p90_price"),
+        )
+        .select("l_returnflag", "median_price", "p90_price")
+    )
+
+
+@query(
+    "window_nth_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price,
+           round(last_value(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value + last_value over an unbounded frame (the
+    full-partition frame is what makes last_value deterministic)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+        F.round(F.last("o_totalprice").over(w_full), 2).alias("last_price"),
+    )
