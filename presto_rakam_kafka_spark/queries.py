@@ -1850,3 +1850,35 @@ def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
         F.round(F.last("o_totalprice").over(w_full), 2).alias("last_price"),
     )
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'N'
+    EXCEPT ALL
+    SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics — per-key multiplicity subtraction)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "N").select(F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
+    return a.exceptAll(b)
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics — min of multiplicities)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    return a.intersectAll(b)
