@@ -1882,3 +1882,57 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
     b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
     return a.intersectAll(b)
+
+
+@query(
+    "try_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber - 1 = 0 THEN NULL
+                ELSE round(l_quantity / (l_linenumber - 1), 4) END AS qty_per_prev,
+           TRY_CAST(l_returnflag AS BIGINT) AS flag_num,
+           TRY_CAST(l_linenumber AS VARCHAR) AS line_str
+    FROM lineitem
+    """,
+)
+def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presto `try(...)` analog: error-to-NULL arithmetic and casts
+    (`try_divide`, `try_cast`) — NULL on /0 or bad cast instead of
+    query failure."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide("l_quantity", F.col("l_linenumber") - 1), 4).alias(
+            "qty_per_prev"
+        ),
+        F.col("l_returnflag").try_cast("bigint").alias("flag_num"),
+        F.col("l_linenumber").try_cast("string").alias("line_str"),
+    )
+
+
+@query(
+    "bitwise_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 1 AS set_low,
+           xor(o_orderkey, o_custkey) AS x_keys,
+           CAST(bit_count(o_orderkey) AS INTEGER) AS pop,
+           o_orderkey << 2 AS shl,
+           o_orderkey >> 3 AS shr
+    FROM orders
+    """,
+)
+def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operators (AND/OR/XOR/popcount/shifts)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").alias("low_byte"),
+        F.expr("o_orderkey | 1").alias("set_low"),
+        F.expr("o_orderkey ^ o_custkey").alias("x_keys"),
+        F.bit_count("o_orderkey").alias("pop"),
+        F.expr("shiftleft(o_orderkey, 2)").alias("shl"),
+        F.expr("shiftright(o_orderkey, 3)").alias("shr"),
+    )
