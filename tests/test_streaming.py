@@ -204,3 +204,32 @@ def test_stream_replay_has_multiple_batches(spark, sf_dir):
         bounds.append((row["lo"], row["hi"]))
     for (_, hi), (lo, _) in zip(bounds, bounds[1:]):
         assert hi <= lo
+
+
+def test_update_mode_emits_revisions_converging_to_batch(spark):
+    # Update mode re-emits a window's row every batch that changes it;
+    # the LAST revision per window must equal the batch-mode answer.
+    batches = [
+        [(_ts("10:05"), 1, "click"), (_ts("10:10"), 2, "click")],
+        [(_ts("10:20"), 3, "click")],          # revises the 10:00 window
+        [(_ts("11:05"), 4, "click")],          # opens the 11:00 window
+    ]
+    d = _stage_batches(spark, batches)
+
+    def build(src):
+        return (
+            src.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+
+    out = _run(spark, d, build, "update").collect()
+    # Multiple revisions of the 10:00 window must exist...
+    revs = sorted(r.n for r in out if r.ws == _ts("10:00"))
+    assert len(revs) >= 2 and revs[-1] == 3
+    # ...and the final state per window equals the batch result.
+    final = {}
+    for r in out:  # memory sink appends in emission order
+        final[r.ws] = r.n
+    assert final == {_ts("10:00"): 3, _ts("11:00"): 1}
