@@ -165,3 +165,155 @@ def lsh_bucket_topk_oracle(
       WHERE q.{query_pred}
     ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------
+# IVF (inverted-file) bucketed search — coarse-quantizer scale path
+# ---------------------------------------------------------------------
+
+NUM_CENTROIDS = 8
+NUM_PROBE = 2
+
+
+def ivf_centroids(num: int, dim: int, seed: int = 7):
+    """Seeded random coarse-quantizer centroids (stand-in for a k-means
+    fit — at 100 TB the centroids come from a sampled offline fit and
+    are broadcast exactly like these literals). Rounded so the literal
+    embedded in Spark exprs and DuckDB SQL is the same double."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((num, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    return [[round(float(v), 6) for v in row] for row in cents]
+
+
+def _dots_spark(vec_col: str, cents: list[list[float]]) -> list[str]:
+    out = []
+    for cent in cents:
+        arr = "array(" + ", ".join(f"{v}D" for v in cent) + ")"
+        out.append(
+            f"aggregate(zip_with({vec_col}, {arr},"
+            f" (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)"
+        )
+    return out
+
+
+def _dots_duckdb(vec_col: str, cents: list[list[float]]) -> list[str]:
+    out = []
+    for cent in cents:
+        arr = "[" + ", ".join(str(v) for v in cent) + "]"
+        out.append(
+            f"list_reduce(list_transform(range(1, {len(cent) + 1}),"
+            f" i -> {vec_col}[i]::DOUBLE * ({arr}::DOUBLE[])[i]), (x, y) -> x + y)"
+        )
+    return out
+
+
+def _argmax_rank_case(dots: list[str], rank: int) -> str:
+    """CASE expression returning the index of the rank-th largest dot
+    (rank 0 = nearest centroid, 1 = second) with index tie-break."""
+    n = len(dots)
+    terms = []
+    for i in range(n):
+        # count of j strictly better than i (higher dot, or equal with
+        # smaller index) == rank  ⇒  i is the rank-th choice.
+        better = " + ".join(
+            f"(CASE WHEN ({dots[j]}) > ({dots[i]})"
+            f" OR (({dots[j]}) = ({dots[i]}) AND {j} < {i})"
+            f" THEN 1 ELSE 0 END)"
+            for j in range(n) if j != i
+        )
+        terms.append(f"WHEN ({better}) = {rank} THEN {i}")
+    return "CASE " + " ".join(terms) + " END"
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    k: int = 5,
+    num_centroids: int = NUM_CENTROIDS,
+    nprobe: int = NUM_PROBE,
+) -> DataFrame:
+    """IVF search: corpus rows are assigned to their nearest centroid
+    (the inverted list); each query probes its ``nprobe`` nearest lists
+    and ranks only those candidates.
+
+    Scale shape: the corpus side is ONE projection (no shuffle — the
+    list id rides with the row, like a partition key); queries
+    broadcast; candidate volume per query is ~n·nprobe/num_centroids.
+    Deterministic seeded centroids ⇒ the oracle replays the identical
+    algorithm, so the contract is exact: "true top-k within the probed
+    lists". The dots are materialized as columns once per row, then the
+    argmax CASE references the columns — without this the O(n²)
+    comparison matrix re-inlines every 64-literal dot product and the
+    plan balloons to megabytes."""
+    cents = ivf_centroids(num_centroids, dim)
+    dots = _dots_spark(vec_col, cents)
+    dcols = [f"d{i}" for i in range(num_centroids)]
+
+    def with_dots(df):
+        return df.select(
+            "*", *[F.expr(d).alias(c) for d, c in zip(dots, dcols)]
+        )
+
+    c = with_dots(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_emb"),
+        F.expr(_argmax_rank_case(dcols, 0)).alias("list_id"),
+    )
+    probes = [
+        with_dots(queries).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_emb"),
+            F.expr(_argmax_rank_case(dcols, r)).alias("list_id"),
+        )
+        for r in range(nprobe)
+    ]
+    q = F.broadcast(probes[0].unionAll(*probes[1:]) if len(probes) > 1 else probes[0])
+    cos = F.expr(cosine_expr("q_emb", "c_emb"))
+    pairs = (
+        c.join(q, on="list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+    )
+    return _topk_within(pairs, k)
+
+
+def ivf_topk_oracle(
+    table: str,
+    query_pred: str,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    k: int = 5,
+    num_centroids: int = NUM_CENTROIDS,
+    nprobe: int = NUM_PROBE,
+) -> str:
+    cents = ivf_centroids(num_centroids, dim)
+    dots = _dots_duckdb(vec_col, cents)
+    dcols = [f"d{i}" for i in range(num_centroids)]
+    dot_sel = ", ".join(f"({d}) AS {c}" for d, c in zip(dots, dcols))
+    cos = cosine_expr_duckdb(f"q.{vec_col}", f"c.{vec_col}", dim)
+    assign = _argmax_rank_case(dcols, 0)
+    probe_selects = " UNION ALL ".join(
+        f"SELECT {id_col}, {vec_col}, ({_argmax_rank_case(dcols, r)}) AS list_id"
+        f" FROM qd WHERE {query_pred}"
+        for r in range(nprobe)
+    )
+    return f"""
+    WITH cd AS (SELECT {id_col}, {vec_col}, {dot_sel} FROM {table}),
+         qd AS (SELECT * FROM cd),
+         c AS (SELECT {id_col}, {vec_col}, ({assign}) AS list_id FROM cd),
+         q AS ({probe_selects})
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.{id_col} AS query_id, c.{id_col} AS neighbor_id,
+             round({cos}, 6) AS cosine,
+             row_number() OVER (PARTITION BY q.{id_col}
+                                ORDER BY round({cos}, 6) DESC, c.{id_col}) AS rank
+      FROM q JOIN c ON q.list_id = c.list_id AND q.{id_col} != c.{id_col}
+    ) WHERE rank <= {k}
+    """

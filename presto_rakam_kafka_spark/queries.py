@@ -1936,3 +1936,59 @@ def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftleft(o_orderkey, 2)").alias("shl"),
         F.expr("shiftright(o_orderkey, 3)").alias("shr"),
     )
+
+
+def _register_ivf_query() -> None:
+    from presto_rakam_kafka_spark.operators import similarity
+
+    EMB_DIM = 64
+
+    @query(
+        "sim_topk_ivf",
+        oracle=similarity.ivf_topk_oracle(
+            "embeddings", "vec_id % 100 = 0", "embedding", "vec_id", dim=EMB_DIM, k=5
+        ),
+    )
+    def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IVF (inverted-file) ANN: corpus assigned to nearest of 8
+        seeded centroids, queries probe their 2 nearest lists —
+        the coarse-quantizer counterpart to sim_topk_lsh."""
+        emb = _embeddings(spark, sf_dir)
+        return similarity.ivf_topk(
+            emb, emb.filter("vec_id % 100 = 0"), "embedding", "vec_id", dim=EMB_DIM, k=5
+        )
+
+
+_register_ivf_query()
+
+
+@query(
+    "date_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+           strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus_2mo,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS woy
+    FROM orders
+    """,
+)
+def date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date batch: interval arithmetic, add_months, last_day,
+    ISO weekday, quarter, ISO week-of-year."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias(
+            "plus_30d"
+        ),
+        F.date_format(F.add_months(F.col("o_orderdate"), 2), "yyyy-MM-dd").alias(
+            "plus_2mo"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.expr("weekday(o_orderdate) + 1").cast("int").alias("iso_dow"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.weekofyear("o_orderdate").cast("int").alias("woy"),
+    )
