@@ -91,3 +91,35 @@ def test_multimodal_feature_schema_and_partitioning(spark, sf_dir):
     rows = feats.collect()
     assert len(rows) == docs.count()
     assert all((not r.decoded) and r.feature_dim == multimodal.STUB_FEATURE_DIM for r in rows)
+
+
+def test_minhash_equals_exact_on_edge_corpus(spark):
+    # Edge shapes the fixture corpus lacks: exact duplicates, one-token
+    # variants (jaccard just under 1), unicode tokens, minimum-length
+    # docs, and a doc with every shingle repeated (array_distinct path).
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    uni = "ünïcödé tõkens über ałl zhe läzy døg jümps qüick"
+    corpus = [
+        (1, base),
+        (2, base),                                   # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),         # near dup
+        (4, uni),
+        (5, uni),                                    # exact unicode dup
+        (6, "a b c"),                                # minimum 3 tokens
+        (7, "a b c"),                                # dup of 6 (1 shingle)
+        (8, "x y x y x y x y"),                      # repeated shingles
+        (9, "totally different words entirely here"),
+    ]
+    from presto_rakam_kafka_spark.operators import dedup
+
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.8).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(df, "text", "doc_id", threshold=0.8).collect()
+    }
+    assert lsh == exact
+    assert (1, 2, 1.0) in lsh and (4, 5, 1.0) in lsh and (6, 7, 1.0) in lsh

@@ -133,3 +133,25 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         assert n_bucketed == n_plain
     finally:
         spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+
+
+def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    # Hive-partitioned layout (the 100 TB norm: events partitioned by
+    # day): a filter on the partition column must become a
+    # PartitionFilter (directories never listed), not a data filter.
+    from presto_rakam_kafka_spark.fixtures import read_table
+    import pyspark.sql.functions as F
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = f"{tmp_path}/events_by_day"
+    ev.write.partitionBy("day").mode("overwrite").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("day") == "2024-01-05")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "day" in pf, pf
+    # And the partition filter is NOT also a post-scan data filter.
+    n = df.count()
+    assert n == ev.filter(F.col("day") == "2024-01-05").count()
