@@ -2192,3 +2192,36 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "rollup_time_hierarchy",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             count(*) AS n, sum(value) AS sv
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(date_trunc('day', h), '%Y-%m-%d') AS day, event_type,
+           sum(n) AS n_events, round(sum(sv), 2) AS sum_value
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: hourly pre-aggregates
+    re-aggregated to daily. The point at 100 TB: the daily rollup reads
+    the (tiny) hourly aggregate — sums of sums, counts of counts — not
+    the raw events; in production the hourly layer is a continuously
+    maintained materialization (streaming windows upstream), and every
+    coarser granularity derives from it the same way."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", "h"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.sum("n").alias("n_events"), F.round(F.sum("sv"), 2).alias("sum_value"))
+    )
