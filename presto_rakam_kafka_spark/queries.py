@@ -2225,3 +2225,32 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("n").alias("n_events"), F.round(F.sum("sv"), 2).alias("sum_value"))
     )
+
+
+@query(
+    "agg_minby_maxby",
+    oracle="""
+    SELECT l_returnflag,
+           max_by(l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT) * 10000000 + l_orderkey) AS priciest_order,
+           min_by(l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT) * 10000000 + l_orderkey) AS cheapest_order,
+           CAST(bool_and(l_discount <= 0.1) AS BOOLEAN) AS all_low_disc,
+           CAST(bool_or(l_quantity > 49) AS BOOLEAN) AS any_bulk
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (argmin/argmax — in Presto's agg family) and
+    bool_and/bool_or. The ordering key folds the row id into the low
+    digits so ties are impossible — argmax over a non-unique key is
+    nondeterministic in BOTH engines and would flap the value hash."""
+    li = _t(spark, sf_dir, "lineitem")
+    ordkey = (
+        F.round(F.col("l_extendedprice") * 100).cast("long") * 10000000
+        + F.col("l_orderkey")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.max_by("l_orderkey", ordkey).alias("priciest_order"),
+        F.min_by("l_orderkey", ordkey).alias("cheapest_order"),
+        F.bool_and(F.col("l_discount") <= 0.1).alias("all_low_disc"),
+        F.bool_or(F.col("l_quantity") > 49).alias("any_bulk"),
+    )
