@@ -44,14 +44,16 @@ from presto_rakam_kafka_spark.functions.hashing import (
     shingles_spark,
 )
 
-# Sketch defaults: 20 bands × 3 rows = 60 hashes, tuned for a 0.8
-# Jaccard threshold (S-curve midpoint (1/b)^(1/r) ≈ 0.37, detection
-# probability at 0.8 ≈ 1 - 6e-7 per pair). Output is unaffected by the
+# Sketch defaults: 16 bands × 3 rows = 48 hashes, tuned for a 0.8
+# Jaccard threshold (S-curve midpoint (1/b)^(1/r) ≈ 0.40, detection
+# probability at 0.8 ≈ 1 - 1e-5 per pair). Output is unaffected by the
 # band geometry — candidates are verified with exact Jaccard — so the
-# knob trades signature cost against candidate-verification cost; 60
-# hashes halves the aggregate width (and its codegen size) vs the
-# classic 128 with recall still far beyond the correctness gate's needs.
-NUM_BANDS = 20
+# knob trades signature cost (agg width and its codegen/JIT size)
+# against candidate-verification cost. 48 hashes is verified to produce
+# output identical to the exact O(n²) Jaccard pairs on the
+# deterministic fixture corpora at sf0.001/0.01/0.1; raise NUM_BANDS
+# for corpora where a 1e-5 per-pair miss rate matters.
+NUM_BANDS = 16
 ROWS_PER_BAND = 3
 
 
