@@ -2254,3 +2254,32 @@ def agg_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("l_discount") <= 0.1).alias("all_low_disc"),
         F.bool_or(F.col("l_quantity") > 49).alias("any_bulk"),
     )
+
+
+@query(
+    "lateral_topk_per_nation",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+    ) t
+    """,
+)
+def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (top-3 customers per nation) through
+    Spark SQL — Catalyst plans the correlated limit as a partitioned
+    window, not N=|nation| scans."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal
+        FROM nation_v n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer_v c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 3
+        ) t
+        """
+    )
