@@ -76,11 +76,18 @@ def tokens_duckdb(col: str) -> str:
 
 
 def shingles_spark(col: str, n: int = 3) -> str:
-    """Distinct word n-gram shingles as an array<string>."""
+    """Distinct word n-gram shingles as an array<string>.
+
+    Docs with fewer than ``n`` tokens (or NULL text, where ``size`` is
+    -1) yield an empty array: unguarded, ``sequence(1, size-2)`` counts
+    *down* to 0 and ``slice`` rejects start=0. DuckDB's ``range(1, x)``
+    is already empty for x ≤ 1, so the oracle needs no guard."""
     w = tokens_spark(col)
     return (
-        f"array_distinct(transform(sequence(1, size({w}) - {n - 1}),"
-        f" i -> concat_ws(' ', slice({w}, i, {n}))))"
+        f"if(size({w}) >= {n},"
+        f" array_distinct(transform(sequence(1, size({w}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({w}, i, {n})))),"
+        f" array())"
     )
 
 

@@ -15,8 +15,14 @@ Scale design notes (the part that matters at 1000 executors):
   exploded to (band, band-key) rows — ``n_bands`` rows per doc — and
   only bucket collisions are joined. Candidate verification re-joins the
   shingle sets and filters on *exact* Jaccard, so false positives cost
-  one broadcast-sized join, and output quality is exact given candidate
-  recall (≥ 1 - (1-t^r)^b per pair; ~1-5e-8 at t=0.8, r=4, b=32).
+  joins, not wrong answers, and output quality is exact given candidate
+  recall (≥ 1 - (1-t^r)^b per pair; ~2e-4 at t=0.8 with the derived
+  b=16, r=4 geometry — see :func:`derived_rows_per_band`). Three
+  guards keep the candidate stage linear on hostile corpora: exact
+  pre-collapse of identical texts before sketching, a rows-per-band
+  derived from the *threshold* (S-curve midpoint just below t, not a
+  fixed constant), and a cheap signature-estimate pre-filter that
+  discards sub-threshold candidates before the shingle-array verify.
 * **SimHash** compresses each doc to one 60-bit signature in a single
   projection (no explode), then finds Hamming-≤k pairs with the
   pigeonhole band join: k+1 disjoint bit-chunks, a pair within
@@ -33,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from presto_rakam_kafka_spark.parallelism import ensure_min_parallelism
+
 from presto_rakam_kafka_spark.functions.hashing import (
     HASH_P,
     base_hash_duckdb,
@@ -44,28 +52,45 @@ from presto_rakam_kafka_spark.functions.hashing import (
     shingles_spark,
 )
 
-# Sketch defaults: 16 bands × 3 rows = 48 hashes, tuned for a 0.8
-# Jaccard threshold (S-curve midpoint (1/b)^(1/r) ≈ 0.40, detection
-# probability at 0.8 ≈ 1 - 1e-5 per pair). Output is unaffected by the
-# band geometry — candidates are verified with exact Jaccard — so the
-# knob trades signature cost (agg width and its codegen/JIT size)
-# against candidate-verification cost. 48 hashes is verified to produce
-# output identical to the exact O(n²) Jaccard pairs on the
-# deterministic fixture corpora at sf0.001/0.01/0.1; raise NUM_BANDS
-# for corpora where a 1e-5 per-pair miss rate matters.
+# Band count default. Rows-per-band is NOT a constant anymore — it is
+# derived from the requested threshold (see derived_rows_per_band) so
+# the S-curve midpoint (1/b)^(1/r) tracks the threshold instead of
+# sitting at 0.40 regardless of what the caller asked for. Output is
+# unaffected by the band geometry — candidates are verified with exact
+# Jaccard — so the knob trades signature cost (agg width and its
+# codegen/JIT size) against candidate-verification cost.
 NUM_BANDS = 16
+# Legacy constant kept for callers that pin the round-1 geometry.
 ROWS_PER_BAND = 3
+# Ceiling on the banding miss probability for a pair exactly at the
+# threshold; derived_rows_per_band picks the steepest S-curve that
+# stays under it.
+MAX_PAIR_MISS = 1e-3
 
 
-def _ensure_min_parallelism(df: DataFrame) -> DataFrame:
-    """Round-robin repartition a few-split scan up to the cluster's
-    parallelism; a no-op (plan-time check, no job) when the scan
-    already has enough splits — at real scale it always does, and the
-    shuffle is skipped entirely."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
+def derived_rows_per_band(
+    threshold: float, num_bands: int = NUM_BANDS, max_pair_miss: float = MAX_PAIR_MISS
+) -> int:
+    """Largest rows-per-band whose banding miss probability at the
+    threshold, ``(1 - t^r)^b``, stays ≤ ``max_pair_miss``.
+
+    Larger ``r`` pushes the S-curve midpoint ``(1/b)^(1/r)`` up toward
+    the threshold, collapsing the sub-threshold candidate flood (the
+    round-1 hot-bucket cliff: near-copies at J ≈ 0.46 were *above* the
+    fixed r=3 midpoint of 0.40 and all became candidates) — at the cost
+    of recall at the threshold, which this function caps. For t=0.8,
+    b=16 it returns r=4: midpoint 0.50, miss 2.2e-4; r=5 would miss
+    1.7e-3 and is rejected."""
+    r = 2
+    for cand in range(3, 9):
+        if (1.0 - threshold**cand) ** num_bands <= max_pair_miss:
+            r = cand
+        else:
+            break
+    return r
+
+
+_ensure_min_parallelism = ensure_min_parallelism
 
 SIMHASH_BITS = 60  # the portable md5-prefix hash is 60-bit
 
@@ -189,26 +214,28 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
+def _lsh_rep_pairs(
+    reps: DataFrame,
     text_col: str,
     id_col: str,
-    n: int = 3,
-    threshold: float = 0.8,
-    num_bands: int = NUM_BANDS,
-    rows_per_band: int = ROWS_PER_BAND,
+    n: int,
+    threshold: float,
+    num_bands: int,
+    rows_per_band: int,
+    sig_prefilter: bool,
+    max_bucket_size: int | None,
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash banding, verified with exact
-    Jaccard — output equals :func:`ngram_jaccard_pairs` at the same
-    threshold whenever LSH recall holds (w.p. ≥ 1-5e-8 per pair at the
-    defaults).
+    """LSH candidate generation + verification over (already distinct)
+    documents. Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
 
     Dataflow: sign → explode to (band, key) → shuffle on key → bucket
-    self-join → distinct candidate pairs → exact verify. No O(n²) stage;
-    hot buckets (near-identical boilerplate docs) are the skew risk and
-    are handled by AQE skew-join splitting.
+    self-join → distinct candidate pairs → signature-estimate filter →
+    exact-Jaccard verify. No O(n²) stage; hot buckets (near-identical
+    boilerplate) are bounded by the derived band geometry, the optional
+    per-bucket cap, and AQE skew-join splitting.
     """
-    sigs = minhash_signatures(df, text_col, id_col, n, num_bands * rows_per_band)
+    num_hashes = num_bands * rows_per_band
+    sigs = minhash_signatures(reps, text_col, id_col, n, num_hashes)
     # One 8-byte key per band (hash of the band's signature rows):
     # numeric shuffle keys, not concatenated strings.
     band_cols = [
@@ -230,6 +257,22 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
+    if max_bucket_size is not None:
+        # Documented spill-to-sampling policy for degenerate buckets:
+        # keep the max_bucket_size smallest doc ids per (band, key) —
+        # deterministic, so the oracle can replay it — bounding the
+        # self-join fan-out at cap²/2 pairs per bucket. A truncated doc
+        # can still pair in its other bands; recall loss is confined to
+        # pairs whose EVERY colliding band is a > cap bucket.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key").orderBy(F.col(id_col))
+        melted = (
+            melted.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_bucket_size)
+            .drop("__rn")
+        )
+
     left = melted.select(F.col(id_col).alias("doc_a"), "band", "key")
     right = melted.select(F.col(id_col).alias("doc_b"), "band", "key")
     candidates = (
@@ -239,7 +282,39 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    s = shingle_sets(df, text_col, id_col, n)
+    if sig_prefilter:
+        # Cheap verification pass BEFORE touching shingle arrays: the
+        # fraction of agreeing minhashes is an unbiased Jaccard
+        # estimate (σ = sqrt(t(1-t)/K)), and the signatures are narrow
+        # longs already computed for banding. Candidates whose estimate
+        # sits 3.5σ below the threshold are discarded — this is what
+        # keeps the adversarial hot-bucket regime (millions of
+        # sub-threshold candidates at J just above the S-curve
+        # midpoint) off the expensive shingle-array verify join. Extra
+        # miss probability for a true pair at J=t is Φ(-3.5) ≈ 2e-4 —
+        # the same order as the banding miss itself.
+        cutoff = threshold - 3.5 * (threshold * (1.0 - threshold) / num_hashes) ** 0.5
+        if cutoff > 0.0:
+            sig_a = sigs.select(
+                F.col(id_col).alias("doc_a"),
+                *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(num_hashes)],
+            )
+            sig_b = sigs.select(
+                F.col(id_col).alias("doc_b"),
+                *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(num_hashes)],
+            )
+            matches = sum(
+                F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+                for i in range(num_hashes)
+            )
+            candidates = (
+                candidates.join(sig_a, "doc_a")
+                .join(sig_b, "doc_b")
+                .filter(matches >= F.lit(cutoff * num_hashes))
+                .select("doc_a", "doc_b")
+            )
+
+    s = shingle_sets(reps, text_col, id_col, n)
     a = s.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = s.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
     jac = F.expr(jaccard_spark("sh_a", "sh_b"))
@@ -249,6 +324,114 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_bands: int = NUM_BANDS,
+    rows_per_band: int | None = None,
+    pre_collapse: bool = True,
+    sig_prefilter: bool = True,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    Jaccard — output equals :func:`ngram_jaccard_pairs` at the same
+    threshold whenever LSH recall holds (per-pair miss ≤ ~4e-4 at the
+    derived t=0.8 defaults: 2.2e-4 banding + 2e-4 prefilter; raise
+    ``num_bands`` where that matters; verified empirically identical to
+    the exact pairs on the deterministic fixture corpora).
+
+    Hostile-corpus guards (all on by default — the round-1 operator had
+    none and hit a measured 44.9 s cliff on boilerplate-heavy data):
+
+    * ``pre_collapse`` — byte-identical texts are collapsed to their
+      min-id representative BEFORE sketching (one digest shuffle), and
+      the output pairs are expanded back afterwards (members of the
+      same group pair at Jaccard 1.0; cross-group pairs inherit their
+      representatives' Jaccard). A corpus with d copies per doc sketches
+      and bands n/d docs instead of n, and the intra-copy pair flood
+      never reaches the LSH join at all.
+    * ``rows_per_band=None`` — derived from the threshold via
+      :func:`derived_rows_per_band` so the S-curve midpoint sits just
+      below ``threshold`` instead of at a fixed 0.40.
+    * ``sig_prefilter`` — sub-threshold candidates are discarded with
+      the already-computed signatures before the shingle-array join.
+    * ``max_bucket_size`` — optional deterministic per-bucket cap
+      (spill-to-sampling; off by default because it is the only knob
+      that can silently lose recall on legitimate pairs).
+    """
+    if rows_per_band is None:
+        rows_per_band = derived_rows_per_band(threshold, num_bands)
+
+    df = _ensure_min_parallelism(df)
+
+    if not pre_collapse:
+        return _lsh_rep_pairs(
+            df, text_col, id_col, n, threshold, num_bands, rows_per_band,
+            sig_prefilter, max_bucket_size,
+        )
+
+    with_digest = df.select(
+        F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("__digest")
+    )
+    groups = with_digest.groupBy("__digest").agg(
+        F.min(F.col(id_col)).alias("__rep"), F.count(F.lit(1)).alias("__size")
+    )
+    membership = with_digest.join(
+        groups.select("__digest", "__rep", "__size"), on="__digest"
+    ).select(
+        F.col("__rep").alias("rep"), F.col(id_col).alias("member"), F.col("__size")
+    )
+    reps = with_digest.join(
+        groups.select("__digest", "__rep"), on="__digest"
+    ).filter(F.col(id_col) == F.col("__rep")).select(F.col(id_col), F.col(text_col))
+
+    rep_pairs = _lsh_rep_pairs(
+        reps, text_col, id_col, n, threshold, num_bands, rows_per_band,
+        sig_prefilter, max_bucket_size,
+    )
+
+    # Expand representative pairs to member pairs. Orientation is
+    # re-derived with least/greatest because a member of the lower-id
+    # group may carry a higher id than a member of the other group.
+    ma = membership.select(F.col("rep").alias("doc_a"), F.col("member").alias("m_a"))
+    mb = membership.select(F.col("rep").alias("doc_b"), F.col("member").alias("m_b"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+
+    # Intra-group pairs: identical texts are Jaccard 1.0 by definition —
+    # provided they have at least one shingle (zero-shingle docs never
+    # produce a signature and must stay invisible, matching the
+    # un-collapsed operator and the exact oracle).
+    sh_ok = (
+        shingle_sets(reps, text_col, id_col, n)
+        .filter(F.size("shingles") >= 1)
+        .select(F.col(id_col).alias("rep"))
+    )
+    dup_members = membership.filter(F.col("__size") >= 2).join(sh_ok, "rep")
+    ia = dup_members.select("rep", F.col("member").alias("m_a"))
+    ib = dup_members.select("rep", F.col("member").alias("m_b"))
+    intra = (
+        ia.join(ib, "rep")
+        .filter(F.col("m_a") < F.col("m_b"))
+        .select(
+            F.col("m_a").alias("doc_a"),
+            F.col("m_b").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 # ---------------------------------------------------------------------

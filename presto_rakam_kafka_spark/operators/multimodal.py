@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from presto_rakam_kafka_spark.parallelism import ensure_min_parallelism
+
 #: Output contract of the feature extractor.
 FEATURE_SCHEMA = T.StructType(
     [
@@ -63,9 +65,7 @@ def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     rows is cheap, whereas repartitioning downstream would shuffle the
     payload bytes themselves. At scale the scan already has enough
     splits and this is a no-op."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    df = ensure_min_parallelism(df)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),

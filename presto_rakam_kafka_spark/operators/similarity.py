@@ -21,6 +21,8 @@ All cosine math is the left-fold double form from
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -273,7 +275,7 @@ def ivf_topk(
         )
         for r in range(nprobe)
     ]
-    q = F.broadcast(probes[0].unionAll(*probes[1:]) if len(probes) > 1 else probes[0])
+    q = F.broadcast(reduce(DataFrame.unionAll, probes))
     cos = F.expr(cosine_expr("q_emb", "c_emb"))
     pairs = (
         c.join(q, on="list_id")

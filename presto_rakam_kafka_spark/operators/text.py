@@ -12,6 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from presto_rakam_kafka_spark.parallelism import (
+    ensure_min_parallelism as _ensure_min_parallelism,
+)
+
 from presto_rakam_kafka_spark.functions.hashing import (
     shingles_duckdb,
     shingles_spark,
@@ -190,15 +194,17 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
     lambda interpreted (outside whole-stage codegen) — explode keeps
     every md5 in codegen, and the per-doc min comes back via a map-side
     partial aggregate (shingles stay colocated with their doc, so the
-    shuffle carries one row per doc)."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    shuffle carries one row per doc).
+
+    ``explode_outer`` (not ``explode``) keeps zero-shingle docs (<n
+    tokens or NULL text) alive with a NULL min — matching the oracle's
+    ``list_min`` over an empty list."""
+    df = _ensure_min_parallelism(df)
     sh = shingles_spark(text_col, n)
     exploded = df.select(
         F.col(id_col),
         F.md5(F.col(text_col)).alias("content_md5"),
-        F.explode(F.expr(sh)).alias("s"),
+        F.explode_outer(F.expr(sh)).alias("s"),
     )
     return exploded.groupBy(id_col, "content_md5").agg(
         F.min(F.md5(F.col("s"))).alias("min_shingle_md5")

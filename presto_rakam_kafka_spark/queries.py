@@ -711,8 +711,8 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            round(abs(l_discount - 0.05), 6) AS abs_disc,
-           ceil(l_extendedprice) AS price_ceil,
-           floor(l_extendedprice) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
            round(sqrt(l_extendedprice), 6) AS price_sqrt,
            round(ln(l_extendedprice), 6) AS price_ln,
            round(exp(l_discount), 6) AS disc_exp,
@@ -881,9 +881,13 @@ def _register_llm_queries() -> None:
         ),
     )
     def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """MinHash(128)+LSH(32×4) banding with exact-Jaccard verify —
-        the O(n·bands) scale path; its oracle is the brute-force exact
-        pair set (LSH recall at t=0.8 is 1-5e-8 per pair)."""
+        """MinHash+LSH banding (b=16, threshold-derived r=4 ⇒ 64
+        hashes) with exact-Jaccard verify — the O(n·bands) scale path;
+        its oracle is the brute-force exact pair set (per-pair miss
+        ≤ ~4e-4 at t=0.8: banding 2.2e-4 + signature prefilter 2e-4;
+        empirically identical on the deterministic fixtures). Exact
+        pre-collapse + signature prefilter guard the hot-bucket
+        regime (see operators/dedup.py)."""
         return dedup.minhash_lsh_pairs(
             _documents(spark, sf_dir), "text", "doc_id", n=3, threshold=0.8
         )
@@ -2231,8 +2235,8 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_minby_maxby",
     oracle="""
     SELECT l_returnflag,
-           max_by(l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT) * 10000000 + l_orderkey) AS priciest_order,
-           min_by(l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT) * 10000000 + l_orderkey) AS cheapest_order,
+           max_by(l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT) * 68719476736 + l_orderkey) AS priciest_order,
+           min_by(l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT) * 68719476736 + l_orderkey) AS cheapest_order,
            CAST(bool_and(l_discount <= 0.1) AS BOOLEAN) AS all_low_disc,
            CAST(bool_or(l_quantity > 49) AS BOOLEAN) AS any_bulk
     FROM lineitem GROUP BY l_returnflag
@@ -2241,11 +2245,14 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min_by/max_by (argmin/argmax — in Presto's agg family) and
     bool_and/bool_or. The ordering key folds the row id into the low
-    digits so ties are impossible — argmax over a non-unique key is
-    nondeterministic in BOTH engines and would flap the value hash."""
+    36 bits below the price cents (price_cents·2^36 + orderkey) so ties
+    are impossible for any l_orderkey < 2^36 (TPC-H SF ≲ 2800) —
+    argmax over a non-unique key is nondeterministic in BOTH engines
+    and would flap the value hash. Price cents ≤ ~1e7 < 2^24, so the
+    composite stays under 2^60 with no BIGINT overflow."""
     li = _t(spark, sf_dir, "lineitem")
     ordkey = (
-        F.round(F.col("l_extendedprice") * 100).cast("long") * 10000000
+        F.shiftleft(F.round(F.col("l_extendedprice") * 100).cast("long"), 36)
         + F.col("l_orderkey")
     )
     return li.groupBy("l_returnflag").agg(

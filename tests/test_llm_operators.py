@@ -123,3 +123,98 @@ def test_minhash_equals_exact_on_edge_corpus(spark):
     }
     assert lsh == exact
     assert (1, 2, 1.0) in lsh and (4, 5, 1.0) in lsh and (6, 7, 1.0) in lsh
+
+
+def _pair_set(df):
+    return {(r.doc_a, r.doc_b, r.jaccard) for r in df.collect()}
+
+
+def test_minhash_guard_paths_equivalent(spark):
+    """Every hostile-corpus guard combination produces the identical
+    pair set on the edge corpus: the guards reshape the candidate
+    stage, never the verified output (a lossless max_bucket_size is
+    included; a lossy one is covered separately below)."""
+    from presto_rakam_kafka_spark.operators import dedup
+
+    corpus = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "the quick brown fox jumps over the sleepy dog again and again"),
+        (4, "a b c"),
+        (5, "a b c"),
+        (6, "totally different words entirely here"),
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    exact = _pair_set(dedup.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.8))
+    for kwargs in (
+        {},
+        {"pre_collapse": False},
+        {"sig_prefilter": False},
+        {"pre_collapse": False, "sig_prefilter": False},
+        {"max_bucket_size": 16},
+        {"rows_per_band": 3},  # pinned round-1 geometry
+    ):
+        got = _pair_set(
+            dedup.minhash_lsh_pairs(df, "text", "doc_id", threshold=0.8, **kwargs)
+        )
+        assert got == exact, kwargs
+
+
+def test_minhash_bucket_cap_is_sound_subset(spark):
+    """A lossy per-bucket cap may drop pairs but must never invent
+    them, and every survivor still carries its exact Jaccard."""
+    from presto_rakam_kafka_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = [(i, base + f" tail{i % 2}") for i in range(1, 13)]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    exact = _pair_set(dedup.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.8))
+    capped = _pair_set(
+        dedup.minhash_lsh_pairs(
+            df, "text", "doc_id", threshold=0.8, pre_collapse=False, max_bucket_size=3
+        )
+    )
+    assert capped <= exact
+
+
+def test_derived_rows_per_band():
+    from presto_rakam_kafka_spark.operators import dedup
+
+    # t=0.8, b=16: r=4 (miss 2.2e-4); r=5 would miss 1.7e-3.
+    assert dedup.derived_rows_per_band(0.8, 16) == 4
+    # Low thresholds cannot afford steep curves at 16 bands.
+    assert dedup.derived_rows_per_band(0.5, 16) == 2
+    # Near-exact thresholds support very steep curves (capped at 8).
+    assert dedup.derived_rows_per_band(0.95, 16) == 8
+
+
+def test_ivf_topk_nprobe_three(spark, sf_dir):
+    """nprobe ≥ 3 regression (round-1 unionAll(*rest) raised TypeError):
+    multi-probe must run and return dense per-query ranks."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    res = similarity.ivf_topk(
+        emb, emb.filter("vec_id % 200 = 0"), "embedding", "vec_id", dim=64, k=3,
+        nprobe=3,
+    ).collect()
+    assert res
+    by_q: dict[int, list[int]] = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+def test_fingerprints_keep_zero_shingle_docs(spark):
+    """Docs with <3 tokens or NULL text survive with a NULL min-shingle
+    hash, matching the DuckDB oracle's list_min-over-empty-list."""
+    from presto_rakam_kafka_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, None), (3, "one two three four")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in text_ops.fingerprints(df, "text", "doc_id").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].min_shingle_md5 is None
+    assert rows[2].min_shingle_md5 is None and rows[2].content_md5 is None
+    assert rows[3].min_shingle_md5 is not None
