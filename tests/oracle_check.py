@@ -6,28 +6,42 @@ from __future__ import annotations
 
 import datetime as _dt
 import math
+from decimal import Decimal as _Decimal
 
 
 def _norm_cell(v):
+    # Every rendering is TYPE-TAGGED: the driver's hash distinguishes
+    # 68424 (BIGINT) from 68424.0 (DOUBLE), and round 1's math_funcs
+    # slipped through this gate precisely because untagged "%.12g"
+    # rendered both identically (VERDICT r1 §wrong-1/4). A bool is an
+    # int in Python, so it is tested first.
     if v is None:
         return "∅"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return "f:NaN"
         # 12 significant digits: strict enough to catch real bugs,
         # loose enough for sum-order jitter we already round away.
-        return f"{v:.12g}"
+        return f"f:{v:.12g}"
+    if isinstance(v, _Decimal):
+        # Normalize scale (2.50 == 2.5) but keep exactness and the tag:
+        # a DECIMAL result is not interchangeable with a DOUBLE.
+        return f"dec:{v.normalize()}"
     if isinstance(v, _dt.datetime):
-        return v.isoformat()
+        return f"ts:{v.isoformat()}"
     if isinstance(v, _dt.date):
-        return v.isoformat()
+        return f"d:{v.isoformat()}"
     if isinstance(v, (bytes, bytearray)):
-        return v.hex()
+        return f"x:{v.hex()}"
     if isinstance(v, list):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}:{_norm_cell(x)}" for k, x in sorted(v.items())) + "}"
-    return str(v)
+    return f"s:{v}"
 
 
 def _normalize(rows, colnames):

@@ -152,6 +152,12 @@ def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan
     pf = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "day" in pf, pf
-    # And the partition filter is NOT also a post-scan data filter.
+    # And the partition filter is NOT also a post-scan data filter:
+    # the scan's PushedFilters/DataFilters sections must not mention
+    # the partition column (it never exists in the data files).
+    for section in ("PushedFilters:", "DataFilters:"):
+        if section in plan:
+            body = plan.split(section)[1].split("]")[0]
+            assert "day" not in body, f"{section} contains partition column: {body}"
     n = df.count()
     assert n == ev.filter(F.col("day") == "2024-01-05").count()

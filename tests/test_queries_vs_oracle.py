@@ -26,3 +26,27 @@ def test_all_queries_return_rows_or_schema(spark, sf_dir):
     for name, fn in Q.QUERIES.items():
         df = fn(spark, sf_dir)
         assert df.columns, f"{name} has no columns"
+
+
+def test_gate_is_type_strict(spark, duck):
+    """The local gate must fail on a type-skewed oracle — round 1's
+    math_funcs passed locally with a BIGINT-vs-DOUBLE mismatch that the
+    driver's (type-aware) hash then rejected."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(1).select(F.lit(68424).cast("long").alias("v"))
+    ok, _ = compare_query(df, duck, "SELECT CAST(68424 AS DOUBLE) AS v")
+    assert not ok, "gate accepted BIGINT vs DOUBLE"
+    ok, msg = compare_query(df, duck, "SELECT CAST(68424 AS BIGINT) AS v")
+    assert ok, msg
+
+
+def test_gate_is_decimal_strict(spark, duck):
+    import pyspark.sql.functions as F
+
+    df = spark.range(1).select(F.lit("2.50").cast("decimal(10,2)").alias("v"))
+    ok, _ = compare_query(df, duck, "SELECT CAST(2.5 AS DOUBLE) AS v")
+    assert not ok, "gate accepted DECIMAL vs DOUBLE"
+    # Scale differences within DECIMAL are NOT differences (2.50 == 2.5).
+    ok, msg = compare_query(df, duck, "SELECT CAST(2.5 AS DECIMAL(8,1)) AS v")
+    assert ok, msg
