@@ -80,14 +80,29 @@ def derived_rows_per_band(
     fixed r=3 midpoint of 0.40 and all became candidates) — at the cost
     of recall at the threshold, which this function caps. For t=0.8,
     b=16 it returns r=4: midpoint 0.50, miss 2.2e-4; r=5 would miss
-    1.7e-3 and is rejected."""
-    r = 2
-    for cand in range(3, 9):
+    1.7e-3 and is rejected. Miss is monotone increasing in r, so the
+    search starts at r=1 and keeps the last candidate under the cap —
+    low thresholds (e.g. t=0.5, b=16) land on r=1 (miss 1.5e-5), where
+    any larger r would silently blow the documented bound. If even r=1
+    misses the cap the bound is unattainable at this band count: warn
+    and return 1 (the flattest curve available)."""
+    best = None
+    for cand in range(1, 9):
         if (1.0 - threshold**cand) ** num_bands <= max_pair_miss:
-            r = cand
+            best = cand
         else:
             break
-    return r
+    if best is None:
+        import warnings
+
+        warnings.warn(
+            f"no rows-per-band satisfies miss <= {max_pair_miss} at "
+            f"threshold={threshold}, num_bands={num_bands}; using r=1 "
+            f"(miss {(1.0 - threshold) ** num_bands:.2e}) — raise num_bands",
+            stacklevel=2,
+        )
+        return 1
+    return best
 
 
 _ensure_min_parallelism = ensure_min_parallelism
@@ -192,7 +207,6 @@ def minhash_signatures(
     partial aggregates — map-side combined, one narrow shuffle of one
     row per (doc × partition).
     """
-    a, b = minhash_coefficients(num_hashes)
     # Spread work when the scan produced few splits (one small file ⇒
     # one partition ⇒ one core does everything). Repartitioning the
     # *documents* — not the exploded shingles — shuffles each text once
@@ -200,18 +214,42 @@ def minhash_signatures(
     # colocated, so the groupBy's map-side partial agg still emits
     # exactly one row per doc before the final (tiny) shuffle.
     df = _ensure_min_parallelism(df)
-    exploded = shingle_sets(df, text_col, id_col, n).select(
-        F.col(id_col), F.explode("shingles").alias("s")
+    sh = shingle_sets(df, text_col, id_col, n)
+    arr = _signatures_from_shingles(sh, id_col, num_hashes)
+    return arr.selectExpr(
+        id_col, *[f"sig[{i}] AS sig_{i}" for i in range(num_hashes)]
     )
-    hashed = exploded.select(
-        F.col(id_col),
-        F.expr(f"pmod(xxhash64(s), {HASH_P})").alias("h"),
+
+
+def _signatures_from_shingles(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """(id, sig: array<bigint>) from a precomputed (id, shingles) frame.
+
+    Three deliberate shapes here:
+
+    * The K mins are computed as K aggregates (codegen, map-side
+      combined) folded into one array column inside a SINGLE
+      ``array(min(...), ...)`` aggregate expression. Every downstream
+      schema (banding, prefilter joins) is 2 columns instead of K+1 —
+      at K=64 the wide form made Catalyst analyze 65-column join
+      schemas on every plan branch, and driver-side plan handling
+      (~2.8 s of the round-2 cold run) dwarfed the executors' work.
+    * The whole aggregate crosses the Python↔JVM bridge as ONE
+      expression string: building K Column objects costs K+ py4j
+      round-trips (~0.3 ms each — the round-2 query spent 1.7 s of its
+      cold time on 6k such round-trips building the plan).
+    * This is the shared entry point that lets :func:`_lsh_rep_pairs`
+      derive banding AND the prefilter from ONE signature computation
+      instead of re-deriving the explode + K-min-agg subtree per
+      consumer (the round-2 bench regression).
+    """
+    a, b = minhash_coefficients(num_hashes)
+    hashed = sh.selectExpr(id_col, "explode(shingles) AS s").selectExpr(
+        id_col, f"pmod(xxhash64(s), {HASH_P}) AS h"
     )
-    aggs = [
-        F.min(F.expr(f"pmod({a[i]}L * h + {b[i]}L, {HASH_P})")).alias(f"sig_{i}")
-        for i in range(num_hashes)
-    ]
-    return hashed.groupBy(id_col).agg(*aggs)
+    mins = ", ".join(
+        f"min(pmod({a[i]}L * h + {b[i]}L, {HASH_P}))" for i in range(num_hashes)
+    )
+    return hashed.groupBy(id_col).agg(F.expr(f"array({mins})").alias("sig"))
 
 
 def _lsh_rep_pairs(
@@ -224,6 +262,7 @@ def _lsh_rep_pairs(
     rows_per_band: int,
     sig_prefilter: bool,
     max_bucket_size: int | None,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate generation + verification over (already distinct)
     documents. Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
@@ -233,29 +272,38 @@ def _lsh_rep_pairs(
     exact-Jaccard verify. No O(n²) stage; hot buckets (near-identical
     boilerplate) are bounded by the derived band geometry, the optional
     per-bucket cap, and AQE skew-join splitting.
+
+    ``sh`` is the precomputed (id, shingles) frame over ``reps``
+    (computed here when absent). It is joined once with the signature
+    frame into ``ver`` = (id, shingles, sig), which is ``persist()``-ed
+    and feeds all three consumers (band explode — column-pruned to
+    (id, sig) by the InMemoryTableScan — and verify sides a/b) rather
+    than relying on plan-shape-fragile exchange reuse: one explode +
+    K-min-agg pass ever runs. One id-keyed join here replaces the
+    round-2 shape's TWO extra prefilter joins downstream, and the
+    cached frame is shingles + K longs per DISTINCT doc
+    (MEMORY_AND_DISK spill, LRU-evicted after the query).
     """
     num_hashes = num_bands * rows_per_band
-    sigs = minhash_signatures(reps, text_col, id_col, n, num_hashes)
+    if sh is None:
+        sh = shingle_sets(_ensure_min_parallelism(reps), text_col, id_col, n)
+    sigs = _signatures_from_shingles(sh, id_col, num_hashes)
+    ver = sh.join(sigs, id_col).persist()
     # One 8-byte key per band (hash of the band's signature rows):
-    # numeric shuffle keys, not concatenated strings.
-    band_cols = [
-        F.xxhash64(
-            *[F.col(f"sig_{band * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band_{band}")
-        for band in range(num_bands)
-    ]
-    banded = sigs.select(F.col(id_col), *band_cols)
-    melted = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band"), F.col(f"band_{i}").alias("key"))
-                    for i in range(num_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # numeric shuffle keys, not concatenated strings. inline() explodes
+    # the per-band structs straight to (band, key) columns — the whole
+    # melt is one expression string (one py4j round-trip, one
+    # Generate node).
+    band_structs = ", ".join(
+        "named_struct('band', {i}, 'key', xxhash64({args}))".format(
+            i=i,
+            args=", ".join(
+                f"sig[{i * rows_per_band + r}]" for r in range(rows_per_band)
+            ),
+        )
+        for i in range(num_bands)
+    )
+    melted = ver.selectExpr(id_col, f"inline(array({band_structs}))")
 
     if max_bucket_size is not None:
         # Documented spill-to-sampling policy for degenerate buckets:
@@ -264,14 +312,12 @@ def _lsh_rep_pairs(
         # self-join fan-out at cap²/2 pairs per bucket. A truncated doc
         # can still pair in its other bands; recall loss is confined to
         # pairs whose EVERY colliding band is a > cap bucket.
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "key").orderBy(F.col(id_col))
-        melted = (
-            melted.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= max_bucket_size)
-            .drop("__rn")
-        )
+        melted = melted.selectExpr(
+            id_col,
+            "band",
+            "key",
+            f"row_number() OVER (PARTITION BY band, key ORDER BY {id_col}) AS __rn",
+        ).filter(F.col("__rn") <= max_bucket_size).drop("__rn")
 
     left = melted.select(F.col(id_col).alias("doc_a"), "band", "key")
     right = melted.select(F.col(id_col).alias("doc_b"), "band", "key")
@@ -282,48 +328,35 @@ def _lsh_rep_pairs(
         .distinct()
     )
 
+    a = ver.selectExpr(f"{id_col} AS doc_a", "shingles AS sh_a", "sig AS sig_a")
+    b = ver.selectExpr(f"{id_col} AS doc_b", "shingles AS sh_b", "sig AS sig_b")
+    pairs = candidates.join(a, "doc_a").join(b, "doc_b")
+
     if sig_prefilter:
-        # Cheap verification pass BEFORE touching shingle arrays: the
+        # Cheap verification pass BEFORE the shingle intersect: the
         # fraction of agreeing minhashes is an unbiased Jaccard
         # estimate (σ = sqrt(t(1-t)/K)), and the signatures are narrow
         # longs already computed for banding. Candidates whose estimate
-        # sits 3.5σ below the threshold are discarded — this is what
-        # keeps the adversarial hot-bucket regime (millions of
+        # sits 3.5σ below the threshold are discarded by this filter —
+        # evaluated per joined row BEFORE the exact-Jaccard projection,
+        # so the adversarial hot-bucket regime (millions of
         # sub-threshold candidates at J just above the S-curve
-        # midpoint) off the expensive shingle-array verify join. Extra
-        # miss probability for a true pair at J=t is Φ(-3.5) ≈ 2e-4 —
-        # the same order as the banding miss itself.
+        # midpoint) pays K long-compares per pair, never the
+        # array_intersect. Extra miss probability for a true pair at
+        # J=t is Φ(-3.5) ≈ 2e-4 — the same order as the banding miss.
+        # (Round 2 ran this as two extra joins against a separate sig
+        # frame; the fused filter removes both joins and an exchange.)
         cutoff = threshold - 3.5 * (threshold * (1.0 - threshold) / num_hashes) ** 0.5
         if cutoff > 0.0:
-            sig_a = sigs.select(
-                F.col(id_col).alias("doc_a"),
-                *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(num_hashes)],
+            matches = F.expr(
+                "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
             )
-            sig_b = sigs.select(
-                F.col(id_col).alias("doc_b"),
-                *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(num_hashes)],
-            )
-            matches = sum(
-                F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
-                for i in range(num_hashes)
-            )
-            candidates = (
-                candidates.join(sig_a, "doc_a")
-                .join(sig_b, "doc_b")
-                .filter(matches >= F.lit(cutoff * num_hashes))
-                .select("doc_a", "doc_b")
-            )
+            pairs = pairs.filter(matches >= F.lit(cutoff * num_hashes))
 
-    s = shingle_sets(reps, text_col, id_col, n)
-    a = s.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = s.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
     jac = F.expr(jaccard_spark("sh_a", "sh_b"))
-    return (
-        candidates.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return pairs.select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def minhash_lsh_pairs(
@@ -367,71 +400,77 @@ def minhash_lsh_pairs(
     if rows_per_band is None:
         rows_per_band = derived_rows_per_band(threshold, num_bands)
 
-    df = _ensure_min_parallelism(df)
-
     if not pre_collapse:
         return _lsh_rep_pairs(
-            df, text_col, id_col, n, threshold, num_bands, rows_per_band,
-            sig_prefilter, max_bucket_size,
+            _ensure_min_parallelism(df), text_col, id_col, n, threshold,
+            num_bands, rows_per_band, sig_prefilter, max_bucket_size,
         )
 
-    with_digest = df.select(
-        F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("__digest")
+    # Group-collapse in ONE pass: a window over the content digest tags
+    # every row with its group's representative (min id) and size. The
+    # earlier groupBy + join-back shape costs a corpus shuffle PLUS a
+    # groups-aggregate shuffle PLUS the join (groups are ~n rows at
+    # corpus scale — not broadcastable); the window is a single corpus
+    # shuffle on the digest. Digests are uniform, so no skew.
+    annotated = df.selectExpr(
+        id_col, text_col, f"md5({text_col}) AS __digest"
+    ).selectExpr(
+        id_col,
+        text_col,
+        f"min({id_col}) OVER (PARTITION BY __digest) AS __rep",
+        "count(1) OVER (PARTITION BY __digest) AS __size",
+    ).persist()
+    # annotated feeds four plan branches (expansion sides a/b, the
+    # intra-group pair build, and reps → shingles). Without persist each
+    # branch re-runs the digest window; exchange reuse MIGHT dedupe
+    # them, but that is plan-shape fragile — persist makes the reuse
+    # explicit (MEMORY_AND_DISK, ≈ corpus size, LRU-evicted after).
+    reps = annotated.filter(F.col(id_col) == F.col("__rep")).select(
+        F.col(id_col), F.col(text_col)
     )
-    groups = with_digest.groupBy("__digest").agg(
-        F.min(F.col(id_col)).alias("__rep"), F.count(F.lit(1)).alias("__size")
-    )
-    membership = with_digest.join(
-        groups.select("__digest", "__rep", "__size"), on="__digest"
-    ).select(
-        F.col("__rep").alias("rep"), F.col(id_col).alias("member"), F.col("__size")
-    )
-    reps = with_digest.join(
-        groups.select("__digest", "__rep"), on="__digest"
-    ).filter(F.col(id_col) == F.col("__rep")).select(F.col(id_col), F.col(text_col))
+    sh = shingle_sets(_ensure_min_parallelism(reps), text_col, id_col, n)
 
     rep_pairs = _lsh_rep_pairs(
         reps, text_col, id_col, n, threshold, num_bands, rows_per_band,
-        sig_prefilter, max_bucket_size,
+        sig_prefilter, max_bucket_size, sh=sh,
+    )
+
+    # Intra-group pairs: identical texts are Jaccard 1.0 by definition —
+    # provided they have at least one shingle, i.e. ≥ n tokens
+    # (zero-shingle docs never produce a signature and must stay
+    # invisible, matching the un-collapsed operator and the exact
+    # oracle). Expressed as a SELF-pair of the representative and
+    # expanded through the same two joins as the cross pairs below —
+    # the round-2 shape ran a separate sh_ok join + member self-join +
+    # union for these (three more exchanges).
+    self_pairs = annotated.filter(
+        f"{id_col} = __rep AND __size >= 2"
+        f" AND size(split({text_col}, ' ')) >= {n}"
+    ).selectExpr(
+        f"{id_col} AS doc_a", f"{id_col} AS doc_b", "cast(1.0 AS double) AS jaccard"
     )
 
     # Expand representative pairs to member pairs. Orientation is
     # re-derived with least/greatest because a member of the lower-id
-    # group may carry a higher id than a member of the other group.
+    # group may carry a higher id than a member of the other group; for
+    # self pairs the m_a < m_b filter already emits each unordered
+    # member pair exactly once (both orderings reach the filter).
+    membership = annotated.select(
+        F.col("__rep").alias("rep"), F.col(id_col).alias("member")
+    )
     ma = membership.select(F.col("rep").alias("doc_a"), F.col("member").alias("m_a"))
     mb = membership.select(F.col("rep").alias("doc_b"), F.col("member").alias("m_b"))
-    cross = (
-        rep_pairs.join(ma, "doc_a")
+    return (
+        rep_pairs.unionByName(self_pairs)
+        .join(ma, "doc_a")
         .join(mb, "doc_b")
+        .filter((F.col("doc_a") != F.col("doc_b")) | (F.col("m_a") < F.col("m_b")))
         .select(
             F.least("m_a", "m_b").alias("doc_a"),
             F.greatest("m_a", "m_b").alias("doc_b"),
             "jaccard",
         )
     )
-
-    # Intra-group pairs: identical texts are Jaccard 1.0 by definition —
-    # provided they have at least one shingle (zero-shingle docs never
-    # produce a signature and must stay invisible, matching the
-    # un-collapsed operator and the exact oracle).
-    sh_ok = (
-        shingle_sets(reps, text_col, id_col, n)
-        .filter(F.size("shingles") >= 1)
-        .select(F.col(id_col).alias("rep"))
-    )
-    dup_members = membership.filter(F.col("__size") >= 2).join(sh_ok, "rep")
-    ia = dup_members.select("rep", F.col("member").alias("m_a"))
-    ib = dup_members.select("rep", F.col("member").alias("m_b"))
-    intra = (
-        ia.join(ib, "rep")
-        .filter(F.col("m_a") < F.col("m_b"))
-        .select(
-            F.col("m_a").alias("doc_a"),
-            F.col("m_b").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-    return cross.unionByName(intra)
 
 
 # ---------------------------------------------------------------------

@@ -21,18 +21,65 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+_DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+
+_SIZE_SUFFIXES = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+
+
+def _parse_bytes(value: str) -> int:
+    """Parse a Spark byte-string conf value ('134217728', '134217728b',
+    '128m', '128MB')."""
+    v = value.strip().lower().removesuffix("b")
+    if v and v[-1] in _SIZE_SUFFIXES:
+        return int(float(v[:-1]) * _SIZE_SUFFIXES[v[-1]])
+    return int(v)
+
+
+def _estimated_splits(df: DataFrame, files: list[str]) -> int:
+    """Split-count estimate sum(ceil(size / maxPartitionBytes)) from
+    file-status metadata (one Hadoop FS getFileStatus per file — only
+    ever called for scans with fewer files than cores, so ≤ ~cores
+    metadata RPCs). A few multi-GB files already yield many splits and
+    must NOT be repartitioned: the round-robin shuffle of the whole
+    corpus would cost more than the skew it fixes."""
+    spark = df.sparkSession
+    try:
+        max_pb = _parse_bytes(
+            spark.conf.get(
+                "spark.sql.files.maxPartitionBytes",
+                str(_DEFAULT_MAX_PARTITION_BYTES),
+            )
+        )
+        jvm = spark._jvm  # noqa: SLF001
+        hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        total = 0
+        for f in files:
+            path = jvm.org.apache.hadoop.fs.Path(f)
+            size = path.getFileSystem(hconf).getFileStatus(path).getLen()
+            total += max(1, -(-size // max_pb))
+        return total
+    except Exception:
+        # Metadata unavailable → assume the pessimistic one-split-per-
+        # file estimate (the pre-round-3 behavior).
+        return len(files)
+
 
 def ensure_min_parallelism(df: DataFrame) -> DataFrame:
-    """Round-robin repartition a few-file scan up to the cluster's
-    parallelism; a no-op (metadata-only check, no job) when the scan
+    """Round-robin repartition a few-small-file scan up to the cluster's
+    parallelism; a no-op (metadata-only checks, no job) when the scan
     already has enough splits — at real scale it always does, and the
-    shuffle is skipped entirely."""
+    shuffle is skipped entirely.
+
+    Two-stage check: file COUNT first (free — from the file index), and
+    only when that is below the parallelism, a byte-based split
+    estimate, so that e.g. 4 × 10 GB files on a 64-core cluster (≈ 320
+    splits at the default 128 MB maxPartitionBytes) are left alone."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:  # non-file relations (streaming, in-memory)
         return df
-    if files and len(files) < target:
+    if files and len(files) < target and _estimated_splits(df, files) < target:
         return df.repartition(target)
     return df

@@ -182,10 +182,18 @@ def test_derived_rows_per_band():
 
     # t=0.8, b=16: r=4 (miss 2.2e-4); r=5 would miss 1.7e-3.
     assert dedup.derived_rows_per_band(0.8, 16) == 4
-    # Low thresholds cannot afford steep curves at 16 bands.
-    assert dedup.derived_rows_per_band(0.5, 16) == 2
+    # Low thresholds cannot afford steep curves at 16 bands: r=1 misses
+    # 1.5e-5 but already r=2 misses 1.0e-2, 10x the documented cap.
+    assert dedup.derived_rows_per_band(0.5, 16) == 1
     # Near-exact thresholds support very steep curves (capped at 8).
     assert dedup.derived_rows_per_band(0.95, 16) == 8
+    # Unattainable bound -> warn and fall back to the flattest curve.
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert dedup.derived_rows_per_band(0.05, 16) == 1
+    assert any("raise num_bands" in str(w.message) for w in caught)
 
 
 def test_ivf_topk_nprobe_three(spark, sf_dir):
