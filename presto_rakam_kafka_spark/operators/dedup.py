@@ -348,9 +348,21 @@ def _lsh_rep_pairs(
         # frame; the fused filter removes both joins and an exchange.)
         cutoff = threshold - 3.5 * (threshold * (1.0 - threshold) / num_hashes) ** 0.5
         if cutoff > 0.0:
-            matches = F.expr(
-                "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
-            )
+            # The agreement count is computed as a VALUE-set intersect,
+            # not a positional compare. Equivalence: sig values are
+            # ~uniform in [0, 1e9), so a cross-position value collision
+            # (which inflates the estimate — the safe direction: extra
+            # pairs just reach the exact verify) has p ≈ K²/1e9 per
+            # pair, and a within-doc duplicate value (which can deflate
+            # it by 1) is equally rare — both vanish inside the 3.5σ
+            # cutoff slack. Why this form: array_intersect on two long
+            # arrays stays in whole-stage codegen (measured 17.5 s over
+            # 12.6M hostile candidates), while K explicit
+            # sig_a[i]=sig_b[i] terms blow the generated method past
+            # the JIT limit and drop the whole stage to interpreted
+            # eval (53.6 s), and a zip_with lambda is interpreted by
+            # design (~4 µs/row).
+            matches = F.expr("size(array_intersect(sig_a, sig_b))")
             pairs = pairs.filter(matches >= F.lit(cutoff * num_hashes))
 
     jac = F.expr(jaccard_spark("sh_a", "sh_b"))
@@ -396,6 +408,14 @@ def minhash_lsh_pairs(
     * ``max_bucket_size`` — optional deterministic per-bucket cap
       (spill-to-sampling; off by default because it is the only knob
       that can silently lose recall on legitimate pairs).
+
+    Inherent limit, stated honestly: the guards bound the candidate
+    stage to O(Σ cluster²) over near-duplicate *clusters*. A corpus
+    that is one giant cluster at J just below the threshold (every
+    pair near the S-curve midpoint) has Ω(n²) band-colliding pairs
+    under ANY banding geometry with usable recall — for such corpora
+    the only sub-quadratic option is ``max_bucket_size`` (documented
+    recall loss), which is why it exists.
     """
     if rows_per_band is None:
         rows_per_band = derived_rows_per_band(threshold, num_bands)

@@ -56,13 +56,20 @@ def build_corpus(spark, families: int, copies: int, mode: str):
     )
     if mode == "exact":
         text = F.concat_ws(
-            " ", *[F.lit(t) for t in BASE_TOKENS], F.concat(F.lit("fam"), F.col("fam"))
+            " ", *[F.concat(F.lit(t), F.col("fam")) for t in BASE_TOKENS]
         )
     else:
         # Replace 3 or 4 spaced-out positions (by family parity) with
         # copy-specific junk: same-family pairs share the untouched
-        # base shingles -> pairwise J ~= 0.51 (3 repl) / 0.40 (4 repl),
-        # different families share nothing (family token in every doc).
+        # base shingles -> pairwise J ~= 0.51 (3 repl) / 0.40 (4 repl).
+        # EVERY token carries the family id so different families truly
+        # share no shingles — the round-2 version suffixed only the
+        # LAST token, which left the ~26 untouched base shingles shared
+        # ACROSS families: all n²/2 cross-family pairs sat at J ≈ 0.45
+        # (measured: 494M distinct candidates, max bucket 17k docs at
+        # 50k docs), i.e. one giant near-dup cluster — a corpus no
+        # banding geometry can make linear, not the documented
+        # "families are the only near-copies" shape.
         positions = {3: (5, 12, 19), 4: (5, 12, 19, 26)}
         nrep = F.when(F.col("fam") % 2 == 0, 3).otherwise(4)
         parts = []
@@ -74,9 +81,8 @@ def build_corpus(spark, families: int, copies: int, mode: str):
                 F.when(
                     is_repl,
                     F.concat(F.lit(f"j{i}x"), F.col("fam"), F.lit("c"), F.col("cp")),
-                ).otherwise(F.lit(t))
+                ).otherwise(F.concat(F.lit(t), F.col("fam")))
             )
-        parts.append(F.concat(F.lit("fam"), F.col("fam")))
         text = F.concat_ws(" ", *parts)
     return rows.select("doc_id", text.alias("text"))
 
