@@ -35,15 +35,36 @@ from presto_rakam_kafka_spark.types import FieldType, field_to_spark, spark_to_f
 
 @dataclass(frozen=True)
 class SchemaField:
-    """One column of a collection (analog of Rakam's ``SchemaField``)."""
+    """One column of a collection (analog of Rakam's ``SchemaField``).
+
+    ``enum_symbols``: set when the Avro writer type is an ENUM — the
+    engine reads enums as their symbol strings, like the reference
+    (``PageDatumReader.java:137-138``), so the Spark-side type stays
+    STRING and the symbol list travels as column metadata for the Avro
+    reader-schema builder (:func:`..sources.kafka._struct_to_avro_json`).
+
+    ``aliases``: previous names of this column — Avro reader-schema
+    aliases (``Schema.applyAliases``, ``PageDatumReader.java:84``), so
+    payloads written under an old field name still resolve.
+    """
 
     name: str
     type: FieldType
     nullable: bool = True
+    enum_symbols: tuple[str, ...] | None = None
+    aliases: tuple[str, ...] = ()
 
     def to_struct_field(self) -> T.StructField:
         # Lower-case on exposure, like KafkaMetadata.java:171.
-        return T.StructField(self.name.lower(), field_to_spark(self.type), self.nullable)
+        metadata: dict = {}
+        if self.enum_symbols:
+            metadata["avro.enum.symbols"] = list(self.enum_symbols)
+        if self.aliases:
+            metadata["avro.aliases"] = list(self.aliases)
+        return T.StructField(
+            self.name.lower(), field_to_spark(self.type), self.nullable,
+            metadata=metadata or None,
+        )
 
 
 class CollectionNotFoundError(KeyError):

@@ -74,6 +74,112 @@ def flagship_offset_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "avro_decode_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CASE WHEN value > 10 THEN 'HIGH' ELSE 'LOW' END AS priority,
+           count(*) AS n, sum(user_id) AS sum_users,
+           round(sum(value), 2) AS sum_value
+    FROM events WHERE event_id < 2000
+    GROUP BY event_type, CASE WHEN value > 10 THEN 'HIGH' ELSE 'LOW' END
+    """,
+)
+def avro_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro decode end-to-end (A6) under the oracle gate: events rows
+    are encoded to Avro **binary** with a v1 writer schema (old field
+    names, int ids, enum priority, a legacy field), shipped as a
+    synthetic Kafka raw frame, and decoded through
+    ``KafkaEventSource._decode`` with the EVOLVED reader schema —
+    exercising alias rename, int→long promotion, enum-as-string,
+    reader-only default, and writer-only skip, the reference's
+    ResolvingDecoder semantics (``PageDatumReader.java:68-93,137-138``).
+    The aggregate of the decoded frame must equal plain SQL over the
+    original parquet — the decode is provably lossless."""
+    import pandas as pd
+
+    from presto_rakam_kafka_spark.metastore import SchemaField
+    from presto_rakam_kafka_spark.sources import avro_codec
+    from presto_rakam_kafka_spark.sources.kafka import KafkaEventSource
+    from presto_rakam_kafka_spark.types import FieldType
+    from pyspark.sql import types as T
+
+    writer_schema = (
+        '{"type": "record", "name": "event_v1", "fields": ['
+        '{"name": "uid", "type": "int"},'
+        '{"name": "etype", "type": ["null", "string"]},'
+        '{"name": "value", "type": ["null", "double"]},'
+        '{"name": "priority", "type": {"type": "enum", "name": "prio",'
+        ' "symbols": ["LOW", "HIGH"]}},'
+        '{"name": "legacy", "type": "string"}]}'
+    )
+    reader_fields = [
+        SchemaField("user_id", FieldType.LONG, aliases=("uid",)),
+        SchemaField("event_type", FieldType.STRING, aliases=("etype",)),
+        SchemaField("value", FieldType.DOUBLE),
+        SchemaField("priority", FieldType.STRING, enum_symbols=("LOW", "HIGH")),
+        SchemaField("missing_col", FieldType.DOUBLE),  # reader-only → default
+    ]
+
+    events = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+    raw_schema = T.StructType(
+        [
+            T.StructField("key", T.BinaryType()),
+            T.StructField("value", T.BinaryType()),
+            T.StructField("topic", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+        ]
+    )
+
+    def encode_batches(batches):
+        writer = avro_codec.parse_schema(writer_schema)
+        for pdf in batches:
+            payloads = []
+            for _, row in pdf.iterrows():
+                val = None if pd.isna(row["value"]) else float(row["value"])
+                out = bytearray()
+                avro_codec._encode_value(
+                    {
+                        "uid": int(row["user_id"]),
+                        "etype": row["event_type"],
+                        "value": val,
+                        "priority": "HIGH" if (val or 0.0) > 10 else "LOW",
+                        "legacy": "dropped-by-reader",
+                    },
+                    writer,
+                    out,
+                )
+                payloads.append(bytes(out))
+            yield pd.DataFrame(
+                {
+                    "key": [None] * len(pdf),
+                    "value": payloads,
+                    "topic": "tpch_events",
+                    "partition": 0,
+                    "offset": pdf["event_id"],
+                }
+            )
+
+    raw = events.mapInPandas(encode_batches, schema=raw_schema)
+    src = KafkaEventSource(
+        bootstrap_servers="none:9092",
+        value_format="avro",
+        avro_writer_schema=writer_schema,
+    )
+    decoded = src._decode(spark, raw, "tpch", "events", reader_fields)
+    return decoded.groupBy("event_type", "priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("sum_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
     "count_star",
     oracle="SELECT count(*) AS n FROM lineitem",
 )

@@ -1,0 +1,544 @@
+"""Pure-Python Avro binary codec with reader-schema resolution.
+
+Why this exists: the reference's production decode path is Avro
+(``KafkaConnectorPageSource.java:298-301`` feeding ``PageDatumReader``),
+and its evolution semantics come from Avro's ResolvingDecoder plus
+``Schema.applyAliases`` (``PageDatumReader.java:68-93``, alias
+application at ``:84``). Spark's JVM ``from_avro`` is an external
+module (``spark-avro``) that may be absent from a deployment's
+classpath — and is absent from this build environment — so the engine
+carries a self-contained decoder implementing the same public Avro
+1.x binary format and resolution rules:
+
+* **field matching by name**, with **reader aliases** applied to
+  writer field names (``Schema.applyAliases`` parity);
+* writer fields missing from the reader are **skipped** (their bytes
+  are consumed without materialization);
+* reader fields missing from the writer take their **default**;
+* **promotions**: int→long/float/double, long→float/double,
+  float→double, string↔bytes;
+* **unions** resolve per-datum by branch index;
+* **enums decode to their symbol string** — the reference reads enums
+  as strings into VARCHAR columns (``PageDatumReader.java:137-138``).
+
+Encoding support exists so tests (and local tooling) can produce real
+Avro payloads without external dependencies. This codec implements the
+Apache Avro specification (public document); no code is derived from
+the Java implementation.
+
+Scale note: this codec is the **fallback** decode path, executed
+row-at-a-time inside Arrow-batched ``mapInPandas`` workers
+(:mod:`.kafka`). When ``spark-avro`` is on the classpath the engine
+uses JVM ``from_avro`` (vectorized, codegen) instead — the fallback
+trades throughput for universality, never correctness.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import struct as _struct
+from typing import Any
+
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_EPOCH_TS = _dt.datetime(1970, 1, 1)
+
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+#: writer type -> allowed reader types (Avro spec "Schema Resolution").
+_PROMOTIONS = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+    "boolean": {"boolean"},
+    "null": {"null"},
+}
+
+
+class AvroSchemaError(ValueError):
+    """Invalid or irreconcilable schema."""
+
+
+class AvroDecodeError(ValueError):
+    """Malformed datum — the corrupt-record path (A14) catches this."""
+
+
+def parse_schema(schema: str | dict | list) -> dict | list:
+    """Normalize a schema given as JSON text / dict / union list.
+
+    Primitive names normalize to ``{"type": name}`` so every node is a
+    dict (unions stay lists). Named-type *references* are not supported
+    — the reference's lattice (SURVEY §1.5) is flat records of
+    primitives/enums plus our array/map extension, with no recursion.
+    """
+    if isinstance(schema, str):
+        s = schema.strip()
+        if s.startswith("{") or s.startswith("["):
+            return parse_schema(json.loads(s))
+        if s in _PRIMITIVES:
+            return {"type": s}
+        raise AvroSchemaError(f"unsupported schema reference: {schema!r}")
+    if isinstance(schema, list):
+        return [parse_schema(b) for b in schema]
+    if isinstance(schema, dict):
+        t = schema.get("type")
+        if isinstance(t, (dict, list)):  # {"type": {...}} wrapper
+            return parse_schema(t)
+        out = dict(schema)
+        if t == "record":
+            out["fields"] = [
+                {**f, "type": parse_schema(f["type"])} for f in schema["fields"]
+            ]
+        elif t == "array":
+            out["items"] = parse_schema(schema["items"])
+        elif t == "map":
+            out["values"] = parse_schema(schema["values"])
+        elif t == "enum":
+            if not schema.get("symbols"):
+                raise AvroSchemaError("enum schema requires symbols")
+        elif t == "fixed":
+            if "size" not in schema:
+                raise AvroSchemaError("fixed schema requires size")
+        elif t not in _PRIMITIVES:
+            raise AvroSchemaError(f"unsupported schema type: {t!r}")
+        return out
+    raise AvroSchemaError(f"unsupported schema node: {schema!r}")
+
+
+# ---------------------------------------------------------------------
+# Binary primitives (Avro spec "Binary Encoding")
+# ---------------------------------------------------------------------
+
+
+def _zigzag_encode(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    z &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        if n < 0 or self.pos + n > len(self.buf):
+            raise AvroDecodeError("truncated datum")
+        b = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return b
+
+    def read_long(self) -> int:
+        shift = 0
+        acc = 0
+        while True:
+            if self.pos >= len(self.buf):
+                raise AvroDecodeError("truncated varint")
+            b = self.buf[self.pos]
+            self.pos += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+            if shift > 63:
+                raise AvroDecodeError("varint too long")
+        return (acc >> 1) ^ -(acc & 1)
+
+    def done(self) -> bool:
+        return self.pos >= len(self.buf)
+
+
+# ---------------------------------------------------------------------
+# Encoding (tests / tooling)
+# ---------------------------------------------------------------------
+
+
+def _union_branch_for(value: Any, branches: list[dict]) -> tuple[int, dict]:
+    """Pick the first union branch that can hold ``value``."""
+    def matches(b: dict) -> bool:
+        t = b["type"]
+        if value is None:
+            return t == "null"
+        if isinstance(value, bool):
+            return t == "boolean"
+        if isinstance(value, int):
+            return t in {"int", "long"}
+        if isinstance(value, float):
+            return t in {"float", "double"}
+        if isinstance(value, str):
+            return t in {"string", "enum"}
+        if isinstance(value, (bytes, bytearray)):
+            return t in {"bytes", "fixed"}
+        if isinstance(value, _dt.datetime):
+            return t == "long"
+        if isinstance(value, _dt.date):
+            return t == "int"
+        if isinstance(value, dict):
+            return t in {"record", "map"}
+        if isinstance(value, (list, tuple)):
+            return t == "array"
+        return False
+
+    for i, b in enumerate(branches):
+        if matches(b):
+            return i, b
+    raise AvroSchemaError(f"no union branch for {type(value).__name__}")
+
+
+def _encode_value(value: Any, schema: dict | list, out: bytearray) -> None:
+    if isinstance(schema, list):
+        i, branch = _union_branch_for(value, schema)
+        out += _zigzag_encode(i)
+        _encode_value(value, branch, out)
+        return
+    t = schema["type"]
+    if t == "null":
+        return
+    if value is None:
+        raise AvroSchemaError(f"None for non-null type {t}")
+    if t == "boolean":
+        out.append(1 if value else 0)
+    elif t in {"int", "long"}:
+        if schema.get("logicalType") == "date" and isinstance(value, _dt.date):
+            value = (value - _EPOCH_DATE).days
+        elif schema.get("logicalType") == "timestamp-micros" and isinstance(
+            value, _dt.datetime
+        ):
+            value = int((value - _EPOCH_TS).total_seconds() * 1_000_000)
+        out += _zigzag_encode(int(value))
+    elif t == "float":
+        out += _struct.pack("<f", float(value))
+    elif t == "double":
+        out += _struct.pack("<d", float(value))
+    elif t == "string":
+        raw = str(value).encode("utf-8")
+        out += _zigzag_encode(len(raw))
+        out += raw
+    elif t == "bytes":
+        raw = bytes(value)
+        out += _zigzag_encode(len(raw))
+        out += raw
+    elif t == "fixed":
+        raw = bytes(value)
+        if len(raw) != schema["size"]:
+            raise AvroSchemaError("fixed size mismatch")
+        out += raw
+    elif t == "enum":
+        try:
+            out += _zigzag_encode(schema["symbols"].index(value))
+        except ValueError:
+            raise AvroSchemaError(f"{value!r} not in enum symbols") from None
+    elif t == "array":
+        items = list(value)
+        if items:
+            out += _zigzag_encode(len(items))
+            for v in items:
+                _encode_value(v, schema["items"], out)
+        out += _zigzag_encode(0)
+    elif t == "map":
+        if value:
+            out += _zigzag_encode(len(value))
+            for k, v in value.items():
+                raw = str(k).encode("utf-8")
+                out += _zigzag_encode(len(raw))
+                out += raw
+                _encode_value(v, schema["values"], out)
+        out += _zigzag_encode(0)
+    elif t == "record":
+        for f in schema["fields"]:
+            _encode_value(value.get(f["name"]), f["type"], out)
+    else:  # pragma: no cover - parse_schema rejects unknown types
+        raise AvroSchemaError(f"unsupported type {t}")
+
+
+def encode(value: dict, schema: str | dict) -> bytes:
+    """Encode one record datum to Avro binary."""
+    out = bytearray()
+    _encode_value(value, parse_schema(schema), out)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------
+# Decoding with resolution
+# ---------------------------------------------------------------------
+
+
+def _skip(schema: dict | list, r: _Reader) -> None:
+    if isinstance(schema, list):
+        idx = r.read_long()
+        if not 0 <= idx < len(schema):
+            raise AvroDecodeError("union index out of range")
+        _skip(schema[idx], r)
+        return
+    t = schema["type"]
+    if t == "null":
+        return
+    if t == "boolean":
+        r.read(1)
+    elif t in {"int", "long", "enum"}:
+        r.read_long()
+    elif t == "float":
+        r.read(4)
+    elif t == "double":
+        r.read(8)
+    elif t in {"string", "bytes"}:
+        r.read(r.read_long())
+    elif t == "fixed":
+        r.read(schema["size"])
+    elif t == "array":
+        while True:
+            n = r.read_long()
+            if n == 0:
+                break
+            if n < 0:
+                r.read(r.read_long())  # block size in bytes -> skip whole block
+                continue
+            for _ in range(n):
+                _skip(schema["items"], r)
+    elif t == "map":
+        while True:
+            n = r.read_long()
+            if n == 0:
+                break
+            if n < 0:
+                r.read(r.read_long())
+                continue
+            for _ in range(n):
+                r.read(r.read_long())
+                _skip(schema["values"], r)
+    elif t == "record":
+        for f in schema["fields"]:
+            _skip(f["type"], r)
+    else:  # pragma: no cover
+        raise AvroDecodeError(f"cannot skip type {t}")
+
+
+def _first_non_null(schema: dict | list) -> dict:
+    if isinstance(schema, list):
+        for b in schema:
+            if b["type"] != "null":
+                return b
+        return schema[0]
+    return schema
+
+
+def _read_resolved(writer: dict | list, reader: dict | list, r: _Reader) -> Any:
+    # Writer union: the datum says which branch was written.
+    if isinstance(writer, list):
+        idx = r.read_long()
+        if not 0 <= idx < len(writer):
+            raise AvroDecodeError("union index out of range")
+        return _read_resolved(writer[idx], reader, r)
+    # Reader union, writer concrete: find the reader branch the writer
+    # type resolves to (spec: "first matching branch").
+    if isinstance(reader, list):
+        for branch in reader:
+            if _resolvable(writer, branch):
+                return _read_resolved(writer, branch, r)
+        raise AvroDecodeError(
+            f"writer type {writer['type']} matches no reader union branch"
+        )
+
+    wt, rt = writer["type"], reader["type"]
+    if wt == "null":
+        if rt != "null":
+            raise AvroDecodeError("writer null vs non-null reader")
+        return None
+    if wt == "boolean":
+        return r.read(1) != b"\x00"
+    if wt in {"int", "long"}:
+        v = r.read_long()
+        if rt == "float" or rt == "double":
+            return float(v)
+        if rt not in {"int", "long"}:
+            raise AvroDecodeError(f"cannot promote {wt} to {rt}")
+        lt = reader.get("logicalType") or writer.get("logicalType")
+        if lt == "date":
+            return _EPOCH_DATE + _dt.timedelta(days=v)
+        if lt == "timestamp-micros":
+            return _EPOCH_TS + _dt.timedelta(microseconds=v)
+        if lt == "timestamp-millis":
+            return _EPOCH_TS + _dt.timedelta(milliseconds=v)
+        return v
+    if wt == "float":
+        v = _struct.unpack("<f", r.read(4))[0]
+        if rt not in {"float", "double"}:
+            raise AvroDecodeError(f"cannot promote float to {rt}")
+        return v
+    if wt == "double":
+        if rt != "double":
+            raise AvroDecodeError(f"cannot promote double to {rt}")
+        return _struct.unpack("<d", r.read(8))[0]
+    if wt == "string":
+        raw = r.read(r.read_long())
+        if rt == "bytes":
+            return raw
+        if rt != "string":
+            raise AvroDecodeError(f"cannot read string as {rt}")
+        try:
+            return raw.decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise AvroDecodeError("invalid utf-8 in string") from e
+    if wt == "bytes":
+        raw = r.read(r.read_long())
+        if rt == "string":
+            try:
+                return raw.decode("utf-8")
+            except UnicodeDecodeError as e:
+                raise AvroDecodeError("invalid utf-8 in bytes->string") from e
+        if rt != "bytes":
+            raise AvroDecodeError(f"cannot read bytes as {rt}")
+        return raw
+    if wt == "fixed":
+        if rt != "fixed" or reader.get("size") != writer["size"]:
+            raise AvroDecodeError("fixed mismatch")
+        return r.read(writer["size"])
+    if wt == "enum":
+        idx = r.read_long()
+        symbols = writer["symbols"]
+        if not 0 <= idx < len(symbols):
+            raise AvroDecodeError("enum index out of range")
+        symbol = symbols[idx]
+        # Enum-as-string (PageDatumReader.java:137-138 reads the enum
+        # into a string column): the reader may be a plain string OR an
+        # enum whose symbol set must contain the written symbol.
+        if rt == "enum" and symbol not in reader["symbols"]:
+            raise AvroDecodeError(f"enum symbol {symbol!r} not in reader symbols")
+        if rt not in {"enum", "string"}:
+            raise AvroDecodeError(f"cannot read enum as {rt}")
+        return symbol
+    if wt == "array":
+        if rt != "array":
+            raise AvroDecodeError(f"cannot read array as {rt}")
+        items = []
+        while True:
+            n = r.read_long()
+            if n == 0:
+                return items
+            if n < 0:
+                n = -n
+                r.read_long()  # block byte size, unused when materializing
+            for _ in range(n):
+                items.append(_read_resolved(writer["items"], reader["items"], r))
+    if wt == "map":
+        if rt != "map":
+            raise AvroDecodeError(f"cannot read map as {rt}")
+        out: dict[str, Any] = {}
+        while True:
+            n = r.read_long()
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                r.read_long()
+            for _ in range(n):
+                k = r.read(r.read_long())
+                try:
+                    key = k.decode("utf-8")
+                except UnicodeDecodeError as e:
+                    raise AvroDecodeError("invalid utf-8 map key") from e
+                out[key] = _read_resolved(writer["values"], reader["values"], r)
+    if wt == "record":
+        if rt != "record":
+            raise AvroDecodeError(f"cannot read record as {rt}")
+        return _read_record(writer, reader, r)
+    raise AvroDecodeError(f"unsupported writer type {wt}")
+
+
+def _resolvable(writer: dict, reader: dict) -> bool:
+    wt, rt = writer["type"], reader["type"]
+    if wt in _PROMOTIONS:
+        return rt in _PROMOTIONS[wt]
+    if wt == "enum":
+        return rt in {"enum", "string"}
+    if wt in {"record", "array", "map", "fixed"}:
+        return rt == wt
+    return False
+
+
+def _reader_field_index(reader: dict) -> dict[str, dict]:
+    """name → reader field, including alias names (Schema.applyAliases
+    parity — ``PageDatumReader.java:84``): a reader field declaring
+    ``aliases`` also matches writer fields under any of those names."""
+    index: dict[str, dict] = {}
+    for f in reader["fields"]:
+        index[f["name"]] = f
+    for f in reader["fields"]:
+        for alias in f.get("aliases", ()):  # aliases never shadow real names
+            index.setdefault(alias, f)
+    return index
+
+
+def _default_for(field: dict) -> Any:
+    if "default" in field:
+        d = field["default"]
+        t = _first_non_null(field["type"])
+        if d is not None and t["type"] == "bytes" and isinstance(d, str):
+            return d.encode("latin-1")  # spec: bytes defaults are ÿ strings
+        return d
+    # No default: a nullable union still has a well-defined absent value.
+    ft = field["type"]
+    if isinstance(ft, list) and any(b["type"] == "null" for b in ft):
+        return None
+    raise AvroDecodeError(
+        f"reader field {field['name']!r} absent from writer and has no default"
+    )
+
+
+def _read_record(writer: dict, reader: dict, r: _Reader) -> dict[str, Any]:
+    index = _reader_field_index(reader)
+    out: dict[str, Any] = {}
+    seen: set[str] = set()
+    for wf in writer["fields"]:
+        rf = index.get(wf["name"])
+        if rf is None:
+            _skip(wf["type"], r)  # writer-only field: consume, drop
+        else:
+            out[rf["name"]] = _read_resolved(wf["type"], rf["type"], r)
+            seen.add(rf["name"])
+    for rf in reader["fields"]:
+        if rf["name"] not in seen:
+            out[rf["name"]] = _default_for(rf)
+    return out
+
+
+def decode_parsed(data: bytes, writer: dict, reader: dict) -> dict[str, Any]:
+    """Decode one datum with schemas already normalized by
+    :func:`parse_schema` — the per-batch hot loop entry point (parsing
+    the schema JSON once per partition, not once per record)."""
+    r = _Reader(data)
+    out = _read_record(writer, reader, r)
+    if not r.done():
+        raise AvroDecodeError("trailing bytes after datum")
+    return out
+
+
+def decode(
+    data: bytes, writer_schema: str | dict, reader_schema: str | dict | None = None
+) -> dict[str, Any]:
+    """Decode one Avro-binary record datum, resolving writer → reader.
+
+    Raises :class:`AvroDecodeError` on any malformed input (the caller
+    treats that as a corrupt record, A14). Trailing garbage after the
+    datum is rejected — a Kafka message carries exactly one datum.
+    """
+    writer = parse_schema(writer_schema)
+    reader = parse_schema(reader_schema) if reader_schema is not None else writer
+    if not (isinstance(writer, dict) and writer.get("type") == "record"):
+        raise AvroSchemaError("writer schema must be a record")
+    if not (isinstance(reader, dict) and reader.get("type") == "record"):
+        raise AvroSchemaError("reader schema must be a record")
+    return decode_parsed(data, writer, reader)

@@ -86,6 +86,15 @@ class KafkaEventSource:
     value_format: str = "json"
     min_partitions: int | None = None  # A2: sub-partition split parallelism
     extra_options: dict[str, str] = field(default_factory=dict)
+    #: Explicit topic partition ids (A3). When None they are discovered
+    #: from broker metadata; discovery FAILURE then raises instead of
+    #: silently assuming [0] (which would under-scan a multi-partition
+    #: topic — data loss with no signal).
+    partitions: list[int] | None = None
+    #: Avro writer schema JSON. The reference fetches the writer schema
+    #: from the table description (KafkaConnectorPageSource.java:89);
+    #: when None the reader schema doubles as writer (no evolution).
+    avro_writer_schema: str | None = None
 
     def _reader(self, spark: SparkSession, streaming: bool):
         reader = (
@@ -105,26 +114,34 @@ class KafkaEventSource:
     ) -> DataFrame:
         schema = fields_to_struct(fields)
         if self.value_format == "avro":
-            if not avro_available(spark):
-                raise RuntimeError(
-                    "value_format='avro' requires the spark-avro package "
-                    "(org.apache.spark:spark-avro) on the classpath"
-                )
-            from pyspark.sql.avro.functions import from_avro
-
-            # Projection-pruned reader schema (A5): Catalyst prunes the
-            # struct fields actually referenced; schema evolution is
-            # handled by Avro reader-schema resolution like the
-            # reference's ResolvingDecoder (PageDatumReader.java:68-93).
             avro_schema = _struct_to_avro_json(schema, name=collection)
-            decoded = raw.select(
-                F.col("offset").alias("_offset"),
-                from_avro(F.col("value"), avro_schema, {"mode": "PERMISSIVE"}).alias("r"),
-                F.col("topic"),
-            )
-            # A14 for Avro: PERMISSIVE from_avro nulls the struct on
-            # decode failure — drop and keep scanning.
-            decoded = decoded.filter(F.col("r").isNotNull())
+            if avro_available(spark):
+                from pyspark.sql.avro.functions import from_avro
+
+                # Projection-pruned reader schema (A5): Catalyst prunes
+                # the struct fields actually referenced; schema
+                # evolution is handled by Avro reader-schema resolution
+                # like the reference's ResolvingDecoder
+                # (PageDatumReader.java:68-93).
+                decoded = raw.select(
+                    F.col("offset").alias("_offset"),
+                    from_avro(
+                        F.col("value"), avro_schema, {"mode": "PERMISSIVE"}
+                    ).alias("r"),
+                    F.col("topic"),
+                )
+                # A14 for Avro: PERMISSIVE from_avro nulls the struct on
+                # decode failure — drop and keep scanning.
+                decoded = decoded.filter(F.col("r").isNotNull())
+            else:
+                # spark-avro absent from the classpath: decode with the
+                # engine's own Avro codec inside Arrow-batched
+                # mapInPandas (universality over throughput — the JVM
+                # branch above is the production fast path). Returns
+                # flat columns, so hidden-column synthesis happens here.
+                return self._decode_avro_python(
+                    raw, schema, avro_schema, project, collection
+                )
         else:
             # PERMISSIVE from_json yields an all-null struct (not NULL)
             # for malformed payloads, so corrupt rows must be tagged
@@ -155,6 +172,58 @@ class KafkaEventSource:
             F.lit(project).alias("project"),
             F.lit(collection).alias("collection"),
             "r.*",
+        )
+
+    def _decode_avro_python(
+        self, raw: DataFrame, schema, reader_json: str, project: str, collection: str
+    ) -> DataFrame:
+        """Fallback Avro decode: the engine's pure-Python binary codec
+        (:mod:`.avro_codec`) applied per record inside ``mapInPandas``.
+
+        Semantics match the JVM path and the reference's
+        ``PageDatumReader``: reader-schema resolution with aliases,
+        defaults, promotions, enum-as-string
+        (``PageDatumReader.java:68-93,137-138``), and corrupt records
+        dropped without failing the scan (A14,
+        ``KafkaConnectorPageSource.java:300-308``).
+        """
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from presto_rakam_kafka_spark.sources import avro_codec
+
+        writer_json = self.avro_writer_schema or reader_json
+        names = [f.name for f in schema.fields]
+        out_schema = T.StructType(
+            [T.StructField("_offset", T.LongType()), *schema.fields]
+        )
+
+        def decode_batches(batches):
+            # Parse schema JSON once per task, not once per record.
+            writer = avro_codec.parse_schema(writer_json)
+            reader = avro_codec.parse_schema(reader_json)
+            for pdf in batches:
+                recs = []
+                for off, val in zip(pdf["offset"], pdf["value"]):
+                    if val is None:
+                        continue
+                    try:
+                        rec = avro_codec.decode_parsed(bytes(val), writer, reader)
+                    except (avro_codec.AvroDecodeError, avro_codec.AvroSchemaError):
+                        continue  # A14: drop the message, keep scanning
+                    recs.append(
+                        {"_offset": int(off), **{n: rec.get(n) for n in names}}
+                    )
+                yield pd.DataFrame(recs, columns=["_offset", *names])
+
+        decoded = raw.select("offset", "value").mapInPandas(
+            decode_batches, schema=out_schema
+        )
+        return decoded.select(
+            "_offset",
+            F.lit(project).alias("project"),
+            F.lit(collection).alias("collection"),
+            *names,
         )
 
     def scan(
@@ -221,24 +290,68 @@ class KafkaEventSource:
 
     def _discover_partitions(self, spark: SparkSession, topic: str) -> list[int]:
         """Partition discovery (A3). The Spark Kafka source discovers
-        partitions itself when given ``subscribe``; explicit discovery is
-        only needed to build per-partition offset JSON. Uses
-        kafka-python/confluent if importable, else assumes partition 0
-        (single-partition topics, e.g. the embedded test broker)."""
+        partitions itself when given ``subscribe``; explicit discovery
+        is only needed to build per-partition offset JSON for pushed-
+        down bounds. Resolution order:
+
+        1. the explicit ``partitions`` list, when configured;
+        2. broker metadata via kafka-python, when importable — the
+           reference's real-metadata enumeration
+           (``KafkaSplitManager.java:84-138``);
+        3. otherwise **raise**. The pre-round-3 behavior silently fell
+           back to ``[0]``, which on a multi-partition topic bounds the
+           scan to one partition — data loss with no signal.
+        """
+        if self.partitions is not None:
+            return list(self.partitions)
         try:  # pragma: no cover - exercised only with a live broker
             from kafka import KafkaConsumer  # type: ignore
-
+        except ImportError:
+            raise PartitionDiscoveryError(
+                f"cannot discover partitions for topic {topic!r}: kafka-python "
+                "is not installed. Pass KafkaEventSource(partitions=[...]) "
+                "explicitly, or install a Kafka client for metadata discovery."
+            ) from None
+        try:  # pragma: no cover - exercised only with a live broker
             consumer = KafkaConsumer(bootstrap_servers=self.bootstrap_servers)
-            parts = sorted(consumer.partitions_for_topic(topic) or {0})
-            consumer.close()
-            return list(parts)
-        except Exception:
-            return [0]
+            try:
+                parts = consumer.partitions_for_topic(topic)
+            finally:
+                consumer.close()
+        except Exception as e:  # pragma: no cover
+            raise PartitionDiscoveryError(
+                f"partition discovery failed for topic {topic!r} at "
+                f"{self.bootstrap_servers!r}: {e}. Pass "
+                "KafkaEventSource(partitions=[...]) to scan explicit partitions."
+            ) from e
+        if not parts:  # pragma: no cover
+            raise PartitionDiscoveryError(
+                f"topic {topic!r} reports no partitions (topic missing?)"
+            )
+        return sorted(parts)  # pragma: no cover
+
+
+class PartitionDiscoveryError(RuntimeError):
+    """Raised when topic partition metadata cannot be enumerated and no
+    explicit partition list was configured (A3). The reference builds
+    splits from real partition metadata (``KafkaSplitManager.java:84-138``)
+    and fails the query when the broker is unreachable — silent
+    single-partition fallback is never correct."""
 
 
 def _struct_to_avro_json(schema, name: str = "record") -> str:
-    """Minimal StructType → Avro schema JSON (nullable unions), enough
-    for the reference's flat type lattice (SURVEY §1.5) plus arrays."""
+    """StructType → Avro reader-schema JSON (nullable unions), covering
+    the reference's flat type lattice (SURVEY §1.5) plus arrays/maps.
+
+    Column metadata extensions (set via :class:`..metastore.SchemaField`):
+
+    * ``avro.enum.symbols`` — the column is an Avro ENUM read as its
+      symbol string (``PageDatumReader.java:137-138``); emitted as an
+      enum schema so reader-side symbol validation applies.
+    * ``avro.aliases`` — previous field names; emitted as Avro field
+      aliases so old payloads resolve (``Schema.applyAliases``,
+      ``PageDatumReader.java:84``).
+    """
     from pyspark.sql import types as T
 
     def conv(dt) -> object:
@@ -275,13 +388,27 @@ def _struct_to_avro_json(schema, name: str = "record") -> str:
             }
         raise ValueError(f"unsupported avro type: {dt}")
 
+    def field_schema(f) -> dict:
+        md = f.metadata or {}
+        symbols = md.get("avro.enum.symbols")
+        if symbols:
+            inner: object = {
+                "type": "enum",
+                "name": f"{f.name}_enum",
+                "symbols": list(symbols),
+            }
+        else:
+            inner = conv(f.dataType)
+        out: dict = {"name": f.name, "type": ["null", inner], "default": None}
+        aliases = md.get("avro.aliases")
+        if aliases:
+            out["aliases"] = list(aliases)
+        return out
+
     return json.dumps(
         {
             "type": "record",
             "name": name,
-            "fields": [
-                {"name": f.name, "type": ["null", conv(f.dataType)], "default": None}
-                for f in schema.fields
-            ],
+            "fields": [field_schema(f) for f in schema.fields],
         }
     )

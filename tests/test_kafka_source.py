@@ -145,3 +145,210 @@ def test_avro_schema_conversion_roundtrip():
         "event_type": ["null", "string"],
         "value": ["null", "double"],
     }
+
+
+# ---------------------------------------------------------------------
+# Avro binary codec + end-to-end Avro decode (A6)
+# ---------------------------------------------------------------------
+
+import datetime as dt
+
+import pytest
+
+from presto_rakam_kafka_spark.sources import avro_codec
+
+WRITER_V1 = json.dumps(
+    {
+        "type": "record",
+        "name": "pageview",
+        "fields": [
+            {"name": "user_id", "type": "int"},  # promoted to long by reader
+            {"name": "event_name", "type": ["null", "string"]},  # renamed later
+            {
+                "name": "color",
+                "type": {
+                    "type": "enum",
+                    "name": "color_enum",
+                    "symbols": ["RED", "GREEN", "BLUE"],
+                },
+            },
+            {"name": "legacy", "type": "string"},  # dropped by reader
+        ],
+    }
+)
+
+
+def _avro_v1(user_id: int, event_name: str | None, color: str, legacy: str = "x") -> bytes:
+    return avro_codec.encode(
+        {
+            "user_id": user_id,
+            "event_name": event_name,
+            "color": color,
+            "legacy": legacy,
+        },
+        WRITER_V1,
+    )
+
+
+def test_avro_codec_roundtrip_all_types():
+    """Encode → decode with writer == reader across the full lattice."""
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "by", "type": "bytes"},
+            {"name": "n", "type": ["null", "long"]},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {"name": "dt", "type": {"type": "int", "logicalType": "date"}},
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            },
+        ],
+    }
+    value = {
+        "s": "héllo",
+        "i": -42,
+        "l": 1 << 40,
+        "f": 1.5,
+        "d": -2.25,
+        "b": True,
+        "by": b"\x00\xff",
+        "n": None,
+        "arr": [1, -2, 3],
+        "m": {"k1": "v1", "k2": "v2"},
+        "dt": dt.date(2024, 5, 17),
+        "ts": dt.datetime(2024, 5, 17, 12, 30, 45, 123456),
+    }
+    got = avro_codec.decode(avro_codec.encode(value, schema), schema)
+    assert got == value
+
+
+def test_avro_codec_resolution_alias_default_promotion_skip():
+    """The reference's ResolvingDecoder semantics
+    (PageDatumReader.java:68-93): alias rename, missing-field default,
+    int→long promotion, writer-only field skipped, enum→string."""
+    reader = {
+        "type": "record",
+        "name": "pageview",
+        "fields": [
+            {"name": "user_id", "type": ["null", "long"], "default": None},
+            {
+                "name": "event_type",
+                "type": ["null", "string"],
+                "default": None,
+                "aliases": ["event_name"],  # renamed field (applyAliases)
+            },
+            {"name": "value", "type": ["null", "double"], "default": None},  # new
+            {"name": "color", "type": ["null", "string"], "default": None},
+        ],
+    }
+    got = avro_codec.decode(_avro_v1(7, "view", "GREEN"), WRITER_V1, reader)
+    assert got == {
+        "user_id": 7,          # int datum read as long
+        "event_type": "view",  # via alias
+        "value": None,         # reader-only field -> default
+        "color": "GREEN",      # enum symbol as string
+    }
+    assert "legacy" not in got  # writer-only field skipped
+
+
+def test_avro_codec_rejects_malformed():
+    for payload in (b"", b"\x07", b"\xff" * 12, _avro_v1(1, "v", "RED") + b"junk"):
+        with pytest.raises(avro_codec.AvroDecodeError):
+            avro_codec.decode(payload, WRITER_V1)
+
+
+def test_avro_decode_end_to_end(spark):
+    """Real Avro bytes through KafkaEventSource._decode — executes the
+    value_format='avro' branch (the reference's production format,
+    KafkaConnectorPageSource.java:298-301) with reader-schema evolution:
+    alias rename, added-field default, int→long promotion, enum-as-
+    string, and corrupt-record drop (A14). Runs the engine codec path
+    when spark-avro is absent, the JVM from_avro path when present."""
+    fields = [
+        SchemaField("user_id", FieldType.LONG),
+        SchemaField("event_type", FieldType.STRING, aliases=("event_name",)),
+        SchemaField("value", FieldType.DOUBLE),
+        SchemaField(
+            "color", FieldType.STRING, enum_symbols=("RED", "GREEN", "BLUE")
+        ),
+    ]
+    src = KafkaEventSource(
+        bootstrap_servers="none:9092",
+        value_format="avro",
+        avro_writer_schema=WRITER_V1,
+    )
+    raw = _raw(
+        spark,
+        [
+            _avro_v1(7, "view", "GREEN"),
+            b"\xff\xff\xff\xff\xff",  # corrupt: dropped, scan continues
+            _avro_v1(8, None, "BLUE"),
+        ],
+    )
+    out = src._decode(spark, raw, "web", "pageview", fields)
+    assert out.columns == [
+        "_offset", "project", "collection", "user_id", "event_type", "value", "color",
+    ]
+    rows = sorted(out.collect(), key=lambda r: r["_offset"])
+    assert [r["_offset"] for r in rows] == [0, 2]
+    assert all(r["project"] == "web" and r["collection"] == "pageview" for r in rows)
+    assert (rows[0]["user_id"], rows[0]["event_type"], rows[0]["color"]) == (
+        7, "view", "GREEN",
+    )
+    assert rows[0]["value"] is None  # reader-only field: default
+    assert (rows[1]["user_id"], rows[1]["event_type"], rows[1]["color"]) == (
+        8, None, "BLUE",
+    )
+
+
+def test_avro_reader_schema_emits_enum_and_aliases():
+    """SchemaField enum_symbols/aliases flow into the generated Avro
+    reader schema (enum branch was missing through round 2 —
+    PageDatumReader.java:137-138)."""
+    from presto_rakam_kafka_spark.metastore import fields_to_struct
+    from presto_rakam_kafka_spark.sources.kafka import _struct_to_avro_json
+
+    struct = fields_to_struct(
+        [
+            SchemaField(
+                "color", FieldType.STRING, enum_symbols=("RED", "GREEN", "BLUE")
+            ),
+            SchemaField("event_type", FieldType.STRING, aliases=("event_name",)),
+        ]
+    )
+    avro = json.loads(_struct_to_avro_json(struct, name="t"))
+    color, event_type = avro["fields"]
+    assert color["type"][1] == {
+        "type": "enum", "name": "color_enum", "symbols": ["RED", "GREEN", "BLUE"],
+    }
+    assert event_type["aliases"] == ["event_name"]
+
+
+# ---------------------------------------------------------------------
+# Partition discovery (A3)
+# ---------------------------------------------------------------------
+
+
+def test_partition_discovery_explicit_list(spark):
+    src = KafkaEventSource(bootstrap_servers="none:9092", partitions=[0, 1, 2])
+    assert src._discover_partitions(spark, "web_pageview") == [0, 1, 2]
+
+
+def test_partition_discovery_failure_raises(spark):
+    """No explicit list + no Kafka client importable must RAISE, not
+    silently scan partition 0 of a multi-partition topic (the reference
+    enumerates real metadata or fails, KafkaSplitManager.java:84-138)."""
+    from presto_rakam_kafka_spark.sources.kafka import PartitionDiscoveryError
+
+    src = KafkaEventSource(bootstrap_servers="unreachable:9092")
+    with pytest.raises(PartitionDiscoveryError, match="partitions"):
+        src._discover_partitions(spark, "web_pageview")
