@@ -319,6 +319,12 @@ def _lsh_rep_pairs(
             f"row_number() OVER (PARTITION BY band, key ORDER BY {id_col}) AS __rn",
         ).filter(F.col("__rn") <= max_bucket_size).drop("__rn")
 
+    # distinct() BEFORE the verify join: a hostile-corpus pair collides
+    # in ~1.6 bands on average, so skipping the dedup exchange inflates
+    # the (wide, shingle-carrying) verify join input by ~60% — measured
+    # 80.6 s vs 63.8 s at the 500k-doc adversarial shape. One slim
+    # exchange of (doc_a, doc_b) longs is the cheaper side of that
+    # trade at every scale where the flood exists at all.
     left = melted.select(F.col(id_col).alias("doc_a"), "band", "key")
     right = melted.select(F.col(id_col).alias("doc_b"), "band", "key")
     candidates = (
@@ -511,22 +517,22 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """
     # Same rationale as minhash_signatures: repartition docs (cheap),
     # not exploded tokens; partial agg then collapses per doc locally.
+    # All wide expression lists cross the Python↔JVM bridge as single
+    # strings (see _signatures_from_shingles for the measured py4j
+    # round-trip cost of per-Column construction).
     df = _ensure_min_parallelism(df)
-    tokens = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
-    )
-    hashed = tokens.select(F.col(id_col), F.expr(base_hash_spark("t")).alias("h"))
-    bit_sums = [
-        F.sum(
-            F.expr(f"if(((h div shiftleft(1L, {j})) % 2) = 1, 1L, -1L)")
-        ).alias(f"b{j}")
+    hashed = df.selectExpr(
+        id_col, f"explode(split({text_col}, ' ')) AS t"
+    ).selectExpr(id_col, f"{base_hash_spark('t')} AS h")
+    sums = ", ".join(
+        f"sum(if(((h div shiftleft(1L, {j})) % 2) = 1, 1L, -1L))"
         for j in range(SIMHASH_BITS)
-    ]
-    per_doc = hashed.groupBy(id_col).agg(*bit_sums)
-    assemble = " + ".join(
-        f"if(b{j} > 0, shiftleft(1L, {j}), 0L)" for j in range(SIMHASH_BITS)
     )
-    return per_doc.select(F.col(id_col), F.expr(assemble).alias("simhash"))
+    per_doc = hashed.groupBy(id_col).agg(F.expr(f"array({sums})").alias("bits"))
+    assemble = " + ".join(
+        f"if(bits[{j}] > 0, shiftleft(1L, {j}), 0L)" for j in range(SIMHASH_BITS)
+    )
+    return per_doc.selectExpr(id_col, f"{assemble} AS simhash")
 
 
 def simhash_signatures_oracle_cte(table: str, text_col: str, id_col: str) -> str:
@@ -563,26 +569,13 @@ def simhash_pairs(
     widths = [base + (1 if c < extra else 0) for c in range(n_chunks)]
     starts = [sum(widths[:c]) for c in range(n_chunks)]
     sh = simhash_signatures(df, text_col, id_col)
-    chunks = sh.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.expr(
-                            f"(simhash div shiftleft(1L, {starts[c]}))"
-                            f" % shiftleft(1L, {widths[c]})"
-                        ).alias("val"),
-                    )
-                    for c in range(n_chunks)
-                ]
-            )
-        ).alias("cv"),
-    ).select(
-        F.col(id_col), F.col("simhash"), F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val")
+    chunk_structs = ", ".join(
+        f"named_struct('chunk', {c}, 'val',"
+        f" (simhash div shiftleft(1L, {starts[c]}))"
+        f" % shiftleft(1L, {widths[c]}))"
+        for c in range(n_chunks)
     )
+    chunks = sh.selectExpr(id_col, "simhash", f"inline(array({chunk_structs}))")
     a = chunks.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk", "val"
     )
