@@ -96,8 +96,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
+    dtypes = dict(df.dtypes)
     for c in nanos_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        # Rebuild only when the file really holds TIMESTAMP(NANOS) (read
+        # as long under the legacy conf); µs-precision files arrive as
+        # native timestamps. Either way normalize to TIMESTAMP (not NTZ):
+        # the session is pinned UTC so the cast is value-preserving, and
+        # the engine's time functions (unix_millis etc.) take TIMESTAMP.
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif dtypes.get(c) == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -56,8 +56,15 @@ class ParquetEventSource:
         if self.nanos_ts_columns:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(self.path)
+        dtypes = dict(df.dtypes)
         for c in self.nanos_ts_columns:
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+            # Rebuild only TIMESTAMP(NANOS) columns (long under the legacy
+            # conf); µs files arrive as native timestamps. Normalize NTZ
+            # to TIMESTAMP (session pinned UTC → value-preserving).
+            if dtypes.get(c) == "bigint":
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+            elif dtypes.get(c) == "timestamp_ntz":
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
         if self.offset_column is not None:
             offset = F.col(self.offset_column).cast("long")
         else:

@@ -161,3 +161,42 @@ def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
             assert "day" not in body, f"{section} contains partition column: {body}"
     n = df.count()
     assert n == ev.filter(F.col("day") == "2024-01-05").count()
+
+
+def test_q21_exists_not_exists_plan(spark, sf_dir):
+    # Q21 shape: the EXISTS must plan as LeftSemi and the NOT EXISTS as
+    # LeftAnti — each with the non-equi supplier-inequality as a join
+    # residual, never as a cartesian expansion.
+    plan = _plan(Q.QUERIES["q21_waiting_suppliers"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_not_in_plans_as_anti_join(spark, sf_dir):
+    # NOT IN over a non-null key must become a broadcast anti join, not
+    # a per-row subquery evaluation.
+    plan = _plan(Q.QUERIES["q16_supplier_part_count"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q2_q8_q9_broadcast_dims(spark, sf_dir):
+    # The multi-join TPC-H shapes keep every dim side broadcast — the
+    # fact table shuffles at most on its own join keys.
+    for name in ("q2_min_cost_supplier", "q8_market_share", "q9_product_type_profit"):
+        plan = _plan(Q.QUERIES[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, f"{name}: {plan[:2000]}"
+        assert "CartesianProduct" not in plan, name
+
+
+def test_scalar_thresholds_broadcast_not_shuffle(spark, sf_dir):
+    # Q11/Q15/Q22's single-row scalar aggregates join via
+    # BroadcastNestedLoopJoin (1-row side) — never a shuffled join of
+    # the full frame against a scalar.
+    for name in ("q11_important_parts", "q15_top_supplier", "q22_dormant_customers"):
+        plan = _plan(Q.QUERIES[name](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+            f"{name}: {plan[:2000]}"
+        )
+        assert "CartesianProduct" not in plan, name
