@@ -504,11 +504,30 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------
 
 
+#: Packed sign-sum layout: 3 bit-counters per 64-bit aggregate, 21-bit
+#: lanes. Each token contributes 0/1 to each lane; lane sums stay exact
+#: (no cross-lane carry) while every doc has < 2^21 ≈ 2M tokens —
+#: orders of magnitude above real pretraining docs, and 63 of 64 bits
+#: used so the sign bit never flips.
+_SIMHASH_LANE_BITS = 21
+_SIMHASH_LANES = 3
+
+
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """One 60-bit SimHash per doc via explode + 60 sign-sum aggregates.
+    """One 60-bit SimHash per doc via explode + PACKED sign-sum
+    aggregates: 20 lane-packed ``sum()``s + one ``count()`` instead of
+    the round-2 shape's 60 independent sign-sums.
 
     bit_j(doc) = sign of Σ_tokens (±1 by bit j of the token hash) —
     classic frequency-weighted SimHash (tokens are NOT de-duplicated).
+    The ±1 sign-sum is recovered from packed 0/1 counts:
+    ``sum(±1) > 0  ⇔  2·count_ones > n_tokens`` (exactly, ties
+    included), so the output is bit-identical to the unpacked form and
+    to the oracle CTE. Packing cuts the aggregation buffer from 60
+    longs to 21 and the generated update/merge methods ~3× — the
+    per-doc agg is the whole cost of this operator, and round 2's
+    60-wide buffer was the largest consumer of
+    ``spark.sql.codegen.maxFields`` headroom.
 
     Same shape rationale as :func:`minhash_signatures`: explode keeps
     the md5 and all bit tests inside whole-stage codegen with map-side
@@ -524,13 +543,26 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     hashed = df.selectExpr(
         id_col, f"explode(split({text_col}, ' ')) AS t"
     ).selectExpr(id_col, f"{base_hash_spark('t')} AS h")
-    sums = ", ".join(
-        f"sum(if(((h div shiftleft(1L, {j})) % 2) = 1, 1L, -1L))"
-        for j in range(SIMHASH_BITS)
+    lanes, lane_bits = _SIMHASH_LANES, _SIMHASH_LANE_BITS
+    n_groups = -(-SIMHASH_BITS // lanes)
+    packed_sums = ", ".join(
+        "sum("
+        + " + ".join(
+            f"shiftleft((h div shiftleft(1L, {g * lanes + k})) % 2, {lane_bits * k})"
+            for k in range(lanes)
+            if g * lanes + k < SIMHASH_BITS
+        )
+        + ")"
+        for g in range(n_groups)
     )
-    per_doc = hashed.groupBy(id_col).agg(F.expr(f"array({sums})").alias("bits"))
+    per_doc = hashed.groupBy(id_col).agg(
+        F.expr(f"array({packed_sums})").alias("pk"),
+        F.expr("count(1)").alias("n_tok"),
+    )
     assemble = " + ".join(
-        f"if(bits[{j}] > 0, shiftleft(1L, {j}), 0L)" for j in range(SIMHASH_BITS)
+        f"if(2 * ((pk[{j // lanes}] div shiftleft(1L, {lane_bits * (j % lanes)}))"
+        f" % shiftleft(1L, {lane_bits})) > n_tok, shiftleft(1L, {j}), 0L)"
+        for j in range(SIMHASH_BITS)
     )
     return per_doc.selectExpr(id_col, f"{assemble} AS simhash")
 
