@@ -88,6 +88,20 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Second pass over the same queries: every generated class is now
+    # JIT-compiled, so this measures steady-state executor throughput —
+    # what a long-lived cluster sees after the first run of a recurring
+    # pipeline. Reported alongside (not instead of) the cold pass: the
+    # cold number stays the primary metric for round-over-round
+    # comparability; the warm number separates one-time driver/JIT cost
+    # from per-byte work that actually scales with data volume.
+    warm: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = Q.QUERIES[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -97,6 +111,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
+                "warm_value": round(sum(warm.values()), 3),
+                "queries_warm": warm,
             }
         )
     )

@@ -1,0 +1,99 @@
+"""Driver-gated query over the ``kafka_segments`` Python DataSource.
+
+End-to-end path: events rows → JSON raw frames laid out as a
+partitioned segment log (:func:`sources.kafka_datasource.write_segments`)
+→ ``spark.read.format("kafka_segments")`` with an offset predicate that
+Catalyst hands to ``pushFilters`` (segment pruning + range clamp,
+``KafkaSplitManager.java:153-178`` behavior) → ``KafkaEventSource._decode``
+(hidden columns, corrupt-drop) → aggregate. The oracle is plain SQL over
+the original parquet — the whole source+decode chain is provably
+lossless.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_rakam_kafka_spark.queries import _t, query
+
+#: Offset window scanned by the query (pushed into split planning).
+_LO, _HI = 500, 2500
+
+
+def _segment_log_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per sf) the segment log for the events
+    table: 3 partitions, 500-row segments → multiple prunable segments
+    per partition. Content is deterministic in sf_dir, so reuse is safe."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import write_segments
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    d = os.path.join(
+        tempfile.gettempdir(), f"kafka_segments_{tag}_{os.getpid()}"
+    )
+    if os.path.isdir(os.path.join(d, "partition=0")):
+        return d
+    raw = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("offset"),
+        F.lit(None).cast("binary").alias("key"),
+        F.to_json(F.struct("event_id", "user_id", "event_type", "value"))
+        .cast("binary")
+        .alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    write_segments(raw, d, num_partitions=3, segment_rows=500)
+    return d
+
+
+@query(
+    "dsv2_offset_scan",
+    oracle=f"""
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           min(event_id) AS first_offset, max(event_id) AS last_offset
+    FROM events
+    WHERE event_id >= {_LO} AND event_id < {_HI}
+    GROUP BY event_type
+    """,
+)
+def dsv2_offset_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A4 through the Python DataSource: partition discovery from the
+    log layout (strict), per-segment splits, offset pushdown consumed at
+    plan time (``pushFilters``), Arrow-batch scan, JSON decode with
+    hidden columns."""
+    from presto_rakam_kafka_spark.metastore import SchemaField
+    from presto_rakam_kafka_spark.sources.kafka import KafkaEventSource
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        KafkaSegmentDataSource,
+    )
+    from presto_rakam_kafka_spark.types import FieldType
+
+    # Registration is idempotent; the pushdown conf is runtime-settable
+    # and may be absent from a foreign (driver) session.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(KafkaSegmentDataSource)
+
+    log_dir = _segment_log_dir(spark, sf_dir)
+    raw = (
+        spark.read.format("kafka_segments")
+        .option("path", log_dir)
+        .load()
+        .filter((F.col("offset") >= _LO) & (F.col("offset") < _HI))
+    )
+    fields = [
+        SchemaField("event_id", FieldType.LONG),
+        SchemaField("user_id", FieldType.LONG),
+        SchemaField("event_type", FieldType.STRING),
+        SchemaField("value", FieldType.DOUBLE),
+    ]
+    src = KafkaEventSource(bootstrap_servers="none:9092", value_format="json")
+    decoded = src._decode(spark, raw, "tpch", "events", fields)
+    return decoded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("_offset").alias("first_offset"),
+        F.max("_offset").alias("last_offset"),
+    )

@@ -53,6 +53,10 @@ def get_spark(
         # mins); default maxFields=100 silently drops them out of
         # whole-stage codegen — a ~2-4× slowdown.
         .config("spark.sql.codegen.maxFields", "300")
+        # The kafka_segments Python DataSource consumes offset
+        # conjuncts in pushFilters() (split pruning, A4); off by
+        # default in Spark 4.1.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

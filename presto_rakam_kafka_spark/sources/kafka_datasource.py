@@ -1,0 +1,313 @@
+"""Kafka-log-shaped Python DataSource — the reference's split planner as
+a first-class Spark (DSv2/Python) source.
+
+``spark.read.format("kafka_segments")`` over a directory laid out like a
+Kafka log::
+
+    <path>/partition=<id>/segment-<first_offset>.parquet
+
+Each segment parquet holds contiguous raw frames (``partition, offset,
+key, value, topic, timestamp``). The reader re-implements, natively in
+Spark's source API, the three planner behaviors the reference implements
+in ``KafkaSplitManager``:
+
+* **Partition discovery (A3)** — partitions are enumerated from the log
+  directory; an empty/malformed layout **raises**
+  (mirrors this engine's strict `KafkaEventSource._discover_partitions`;
+  the reference enumerates broker metadata,
+  ``KafkaSplitManager.java:84-138``).
+* **Per-segment splits (A2)** — one :class:`InputPartition` per segment
+  file (the reference: one split per log segment so "a topic can be
+  processed by more workers than partitions", ``KafkaSplit.java:28-34``),
+  optionally subdivided to satisfy ``minSplits`` using the segment's
+  offset span (the analog of Spark-Kafka's ``minPartitions``).
+* **Offset pushdown (A4)** — Catalyst hands ``offset`` conjuncts to
+  :meth:`KafkaSegmentReader.pushFilters`; consumed bounds clamp every
+  split's range and *prune whole segments* via parquet min/max offset
+  stats, before any executor starts (``KafkaSplitManager.java:153-178``).
+  Non-offset filters are returned to Spark and evaluated post-scan.
+
+Scale notes: ``partitions()`` runs driver-side and reads only directory
+listings + one parquet footer per segment (the same metadata a Kafka
+admin-client offset lookup costs the reference). ``read()`` streams
+Arrow record batches — zero row-at-a-time Python. At 100 TB the split
+count is segments × ceil(span/rows-per-split): scheduling granularity is
+controlled by the log layout, not by file count heuristics.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+RAW_FRAME_SCHEMA = StructType(
+    [
+        StructField("partition", IntegerType()),
+        StructField("offset", LongType()),
+        StructField("key", BinaryType()),
+        StructField("value", BinaryType()),
+        StructField("topic", StringType()),
+        StructField("timestamp", TimestampType()),
+    ]
+)
+
+_PARTITION_DIR = re.compile(r"^partition=(\d+)$")
+_SEGMENT_FILE = re.compile(r"^segment-(\d+)\.parquet$")
+
+
+def _arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("partition", pa.int32()),
+            pa.field("offset", pa.int64()),
+            pa.field("key", pa.binary()),
+            pa.field("value", pa.binary()),
+            pa.field("topic", pa.string()),
+            pa.field("timestamp", pa.timestamp("us")),
+        ]
+    )
+
+
+class KafkaLogLayoutError(Exception):
+    """The log directory has no ``partition=N`` dirs / no segments —
+    scanning it silently as empty would be the under-scan failure mode
+    the strict A3 discovery exists to prevent."""
+
+
+@dataclass(frozen=True)
+class OffsetSplit(InputPartition):
+    """One scan task: a segment file clamped to [start, end)."""
+
+    path: str
+    partition_id: int
+    start: int  # inclusive
+    end: int  # exclusive
+
+
+class KafkaSegmentDataSource(DataSource):
+    """Register with ``spark.dataSource.register(KafkaSegmentDataSource)``
+    then ``spark.read.format("kafka_segments").option("path", dir)``.
+
+    Options: ``path`` (required), ``minSplits`` (A2 sub-segment
+    parallelism floor, default 0 = one split per segment).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "kafka_segments"
+
+    def schema(self) -> StructType:
+        return RAW_FRAME_SCHEMA
+
+    def reader(self, schema: StructType) -> "KafkaSegmentReader":
+        return KafkaSegmentReader(dict(self.options))
+
+
+class KafkaSegmentReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise KafkaLogLayoutError("kafka_segments requires option 'path'")
+        self._path = path
+        self._min_splits = int(options.get("minsplits", options.get("minSplits", 0)))
+        # offset bounds accumulated from pushed filters; None = unbounded
+        self._start: int | None = None  # inclusive
+        self._end: int | None = None  # exclusive
+
+    # -- A4: offset conjuncts clamp the scan; everything else returns --
+    def pushFilters(self, filters: list[Filter]) -> list[Filter]:
+        remaining: list[Filter] = []
+        for f in filters:
+            col = getattr(f, "attribute", None)
+            if col == ("offset",) or col == ["offset"] or col == "offset":
+                col = ("offset",)
+            if col != ("offset",):
+                remaining.append(f)
+                continue
+            if isinstance(f, GreaterThanOrEqual):
+                self._clamp_start(f.value)
+            elif isinstance(f, GreaterThan):
+                self._clamp_start(f.value + 1)
+            elif isinstance(f, LessThan):
+                self._clamp_end(f.value)
+            elif isinstance(f, LessThanOrEqual):
+                self._clamp_end(f.value + 1)
+            elif isinstance(f, EqualTo):
+                self._clamp_start(f.value)
+                self._clamp_end(f.value + 1)
+            else:
+                remaining.append(f)
+        return remaining
+
+    def _clamp_start(self, v: int) -> None:
+        self._start = v if self._start is None else max(self._start, v)
+
+    def _clamp_end(self, v: int) -> None:
+        self._end = v if self._end is None else min(self._end, v)
+
+    # -- A2/A3: segment enumeration → splits ---------------------------
+    def partitions(self) -> list[OffsetSplit]:
+        import pyarrow.parquet as pq
+
+        part_dirs: list[tuple[int, str]] = []
+        try:
+            entries = os.listdir(self._path)
+        except OSError as exc:
+            raise KafkaLogLayoutError(f"cannot list log dir {self._path}") from exc
+        for e in entries:
+            m = _PARTITION_DIR.match(e)
+            if m:
+                part_dirs.append((int(m.group(1)), os.path.join(self._path, e)))
+        if not part_dirs:
+            raise KafkaLogLayoutError(
+                f"no partition=N directories under {self._path} — refusing to "
+                "scan an empty/foreign layout as zero rows (A3 strictness)"
+            )
+
+        segments: list[tuple[int, str, int, int]] = []  # (pid, file, lo, hi+1)
+        for pid, pdir in sorted(part_dirs):
+            for fname in sorted(os.listdir(pdir)):
+                if not _SEGMENT_FILE.match(fname):
+                    continue
+                fpath = os.path.join(pdir, fname)
+                # Parquet footer stats give the segment's offset span —
+                # the planner's analog of a segment index lookup. One
+                # footer read per segment, driver-side only.
+                meta = pq.read_metadata(fpath)
+                idx = meta.schema.to_arrow_schema().get_field_index("offset")
+                lo, hi = None, None
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(idx).statistics
+                    if st is None:  # no stats → conservative full span
+                        lo, hi = None, None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if lo is None:
+                    segments.append((pid, fpath, 0, 2**62))
+                else:
+                    segments.append((pid, fpath, int(lo), int(hi) + 1))
+
+        if not segments:
+            raise KafkaLogLayoutError(f"no segment files under {self._path}")
+
+        # Clamp by pushed offset bounds; prune non-overlapping segments.
+        clamped: list[tuple[int, str, int, int]] = []
+        for pid, fpath, lo, hi in segments:
+            if self._start is not None:
+                lo = max(lo, self._start)
+            if self._end is not None:
+                hi = min(hi, self._end)
+            if lo < hi:
+                clamped.append((pid, fpath, lo, hi))
+        if not clamped:
+            # Fully pruned scan still needs ≥1 (empty) split.
+            pid, fpath, _, _ = segments[0]
+            return [OffsetSplit(fpath, pid, 0, 0)]
+
+        # A2: subdivide segment offset spans until the split count
+        # reaches minSplits (the reference's more-workers-than-partitions
+        # property; Spark-Kafka's minPartitions).
+        per_split = 0
+        if self._min_splits > len(clamped):
+            total_span = sum(hi - lo for _, _, lo, hi in clamped)
+            per_split = max(1, math.ceil(total_span / self._min_splits))
+        splits: list[OffsetSplit] = []
+        for pid, fpath, lo, hi in clamped:
+            if per_split and hi - lo > per_split:
+                for s in range(lo, hi, per_split):
+                    splits.append(OffsetSplit(fpath, pid, s, min(s + per_split, hi)))
+            else:
+                splits.append(OffsetSplit(fpath, pid, lo, hi))
+        return splits
+
+    # -- executor-side scan: Arrow batches, no per-row Python ----------
+    def read(self, partition: OffsetSplit):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        if partition.start >= partition.end:
+            return
+        table = pq.read_table(partition.path)
+        mask = pc.and_(
+            pc.greater_equal(table["offset"], partition.start),
+            pc.less(table["offset"], partition.end),
+        )
+        table = table.filter(mask)
+        # Align column order AND arrow types with the declared schema
+        # (Spark's Arrow bridge rejects e.g. ns timestamps).
+        table = table.select([f.name for f in RAW_FRAME_SCHEMA.fields]).cast(
+            _arrow_schema()
+        )
+        yield from table.to_batches()
+
+
+def write_segments(
+    df,
+    path: str,
+    num_partitions: int = 2,
+    segment_rows: int = 0,
+    topic: str = "tpch_events",
+) -> None:
+    """Lay a raw-frame DataFrame (offset long, key/value binary, …) out
+    as a ``partition=N/segment-<first>.parquet`` log under ``path``.
+
+    Frames are routed to partitions by ``pmod(offset, num_partitions)``
+    and offsets stay globally unique (the fixture analog of a keyed
+    producer). ``segment_rows`` > 0 rolls segments like a size-bounded
+    log; 0 writes one segment per partition. Test/fixture helper —
+    production logs are written by Kafka itself.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = df.toPandas()
+    os.makedirs(path, exist_ok=True)
+    for pid in range(num_partitions):
+        sub = pdf[pdf["offset"] % num_partitions == pid].sort_values("offset")
+        pdir = os.path.join(path, f"partition={pid}")
+        os.makedirs(pdir, exist_ok=True)
+        chunks = (
+            [sub]
+            if not segment_rows
+            else [
+                sub.iloc[i : i + segment_rows]
+                for i in range(0, len(sub), segment_rows)
+            ]
+        )
+        for chunk in chunks:
+            if chunk.empty:
+                continue
+            first = int(chunk["offset"].iloc[0])
+            chunk = chunk.assign(
+                partition=pid, topic=topic
+            )[[f.name for f in RAW_FRAME_SCHEMA.fields]]
+            table = pa.Table.from_pandas(chunk, preserve_index=False).cast(
+                _arrow_schema()
+            )
+            pq.write_table(table, os.path.join(pdir, f"segment-{first}.parquet"))

@@ -1,0 +1,137 @@
+"""kafka_segments Python DataSource: split planning, offset pushdown,
+strict layout discovery (SURVEY §2.A A1-A4 as a native Spark source)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+from presto_rakam_kafka_spark.fixtures import read_table
+from presto_rakam_kafka_spark.sources.kafka_datasource import (
+    KafkaLogLayoutError,
+    KafkaSegmentDataSource,
+    KafkaSegmentReader,
+    write_segments,
+)
+
+
+@pytest.fixture(scope="module")
+def log_dir(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("kafka_log"))
+    raw = read_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("offset"),
+        F.lit(None).cast("binary").alias("key"),
+        F.to_json(F.struct("event_id", "user_id", "event_type", "value"))
+        .cast("binary")
+        .alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    write_segments(raw, d, num_partitions=3, segment_rows=200)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(KafkaSegmentDataSource)
+    return d
+
+
+def test_scan_is_complete_and_exact(spark, sf_dir, log_dir):
+    df = spark.read.format("kafka_segments").option("path", log_dir).load()
+    n_events = read_table(spark, sf_dir, "events").count()
+    assert df.count() == n_events
+    # offsets survive the round trip exactly (no double-count, no gap —
+    # the reference's TestManySegments invariant)
+    assert (
+        df.agg(F.count_distinct("offset")).collect()[0][0] == n_events
+    )
+
+
+def test_partitions_one_split_per_segment(log_dir):
+    rdr = KafkaSegmentReader({"path": log_dir})
+    splits = rdr.partitions()
+    n_segments = sum(
+        1
+        for p in os.listdir(log_dir)
+        for s in os.listdir(os.path.join(log_dir, p))
+        if s.endswith(".parquet")
+    )
+    assert len(splits) == n_segments
+
+
+def test_pushdown_consumes_offset_conjuncts_and_prunes(log_dir):
+    rdr = KafkaSegmentReader({"path": log_dir})
+    all_splits = rdr.partitions()
+    rdr2 = KafkaSegmentReader({"path": log_dir})
+    remaining = list(
+        rdr2.pushFilters(
+            [GreaterThanOrEqual(("offset",), 100), LessThan(("offset",), 300)]
+        )
+    )
+    assert remaining == []  # fully consumed → no post-scan Filter needed
+    pruned = rdr2.partitions()
+    assert len(pruned) < len(all_splits)  # whole segments pruned by stats
+    for s in pruned:
+        assert s.start >= 100 and s.end <= 300
+
+
+def test_pushdown_equality_and_foreign_filters(log_dir):
+    rdr = KafkaSegmentReader({"path": log_dir})
+    foreign = EqualTo(("topic",), "tpch_events")
+    remaining = list(rdr.pushFilters([EqualTo(("offset",), 42), foreign]))
+    assert remaining == [foreign]  # non-offset filters stay with Spark
+    splits = [s for s in rdr.partitions() if s.end > s.start]
+    # min/max stats keep one candidate segment per partition (their spans
+    # all overlap offset 42); every surviving split is clamped to the
+    # single-offset range and the actual row lives in exactly one.
+    assert 1 <= len(splits) <= 3
+    for s in splits:
+        assert (s.start, s.end) == (42, 43)
+    rows = [row for s in splits for batch in rdr.read(s) for row in batch.to_pylist()]
+    assert len(rows) == 1 and rows[0]["offset"] == 42
+
+
+def test_filtered_scan_matches_source_of_truth(spark, sf_dir, log_dir):
+    df = (
+        spark.read.format("kafka_segments")
+        .option("path", log_dir)
+        .load()
+        .filter((F.col("offset") >= 100) & (F.col("offset") < 300))
+    )
+    exp = (
+        read_table(spark, sf_dir, "events")
+        .filter((F.col("event_id") >= 100) & (F.col("event_id") < 300))
+        .count()
+    )
+    assert df.count() == exp
+
+
+def test_min_splits_subdivides_segments(log_dir):
+    base = len(KafkaSegmentReader({"path": log_dir}).partitions())
+    rdr = KafkaSegmentReader({"path": log_dir, "minsplits": str(base * 3)})
+    splits = rdr.partitions()
+    assert len(splits) >= base * 3
+    # sub-splits of one segment tile its range without overlap
+    by_file: dict[str, list] = {}
+    for s in splits:
+        by_file.setdefault(s.path, []).append(s)
+    for file_splits in by_file.values():
+        file_splits.sort(key=lambda s: s.start)
+        for a, b in zip(file_splits, file_splits[1:]):
+            assert a.end == b.start
+
+
+def test_strict_layout_discovery_raises(tmp_path):
+    with pytest.raises(KafkaLogLayoutError):
+        KafkaSegmentReader({"path": str(tmp_path)}).partitions()  # empty dir
+    with pytest.raises(KafkaLogLayoutError):
+        KafkaSegmentReader({}).pushFilters([])  # no path at all
+
+
+def test_fully_pruned_scan_returns_zero_rows(spark, log_dir):
+    df = (
+        spark.read.format("kafka_segments")
+        .option("path", log_dir)
+        .load()
+        .filter(F.col("offset") >= 10_000_000)
+    )
+    assert df.count() == 0
