@@ -12,6 +12,7 @@ lossless.
 
 from __future__ import annotations
 
+import itertools
 import os
 import tempfile
 
@@ -19,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from presto_rakam_kafka_spark.queries import _t, query
+
+_STREAM_SEQ = itertools.count()
 
 #: Offset window scanned by the query (pushed into split planning).
 _LO, _HI = 500, 2500
@@ -97,3 +100,44 @@ def dsv2_offset_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("_offset").alias("first_offset"),
         F.max("_offset").alias("last_offset"),
     )
+
+
+@query(
+    "stream_kafka_segments_source",
+    oracle="""
+    SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_kafka_segments_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kafka_segments STREAMING reader end-to-end: readStream over
+    the segment log (per-partition offset maps as streaming progress —
+    the Kafka consumer-position model, ``SimpleDataSourceStreamReader``),
+    JSON decode, complete-mode aggregate drained with AvailableNow. The
+    bounded replay of the whole log must equal batch SQL over the
+    original events — the streaming twin of ``dsv2_offset_scan``."""
+    from presto_rakam_kafka_spark.metastore import SchemaField
+    from presto_rakam_kafka_spark.sources.kafka import KafkaEventSource
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        KafkaSegmentDataSource,
+    )
+    from presto_rakam_kafka_spark.streaming.runner import run_available_now
+    from presto_rakam_kafka_spark.types import FieldType
+
+    spark.dataSource.register(KafkaSegmentDataSource)
+    log_dir = _segment_log_dir(spark, sf_dir)
+    raw = spark.readStream.format("kafka_segments").option("path", log_dir).load()
+    fields = [
+        SchemaField("event_id", FieldType.LONG),
+        SchemaField("user_id", FieldType.LONG),
+        SchemaField("event_type", FieldType.STRING),
+        SchemaField("value", FieldType.DOUBLE),
+    ]
+    src = KafkaEventSource(bootstrap_servers="none:9092", value_format="json")
+    decoded = src._decode(spark, raw, "tpch", "events", fields)
+    agg = decoded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    name = f"kafka_seg_stream_{next(_STREAM_SEQ)}"
+    return run_available_now(agg, name, "complete")

@@ -52,6 +52,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
     BinaryType,
@@ -126,6 +127,9 @@ class KafkaSegmentDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "KafkaSegmentReader":
         return KafkaSegmentReader(dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType) -> "KafkaSegmentStreamReader":
+        return KafkaSegmentStreamReader(dict(self.options))
 
 
 class KafkaSegmentReader(DataSourceReader):
@@ -265,6 +269,134 @@ class KafkaSegmentReader(DataSourceReader):
             _arrow_schema()
         )
         yield from table.to_batches()
+
+
+class KafkaSegmentStreamReader(SimpleDataSourceStreamReader):
+    """Incremental consumption over a growing segment log — the Kafka
+    consumer model as a native Spark streaming source.
+
+    Streaming offsets are per-partition next-offset maps
+    (``{"0": 500, "1": 512}``), exactly Kafka's consumer-position model:
+    :meth:`read` scans each partition from its position to the current
+    log end and advances the map; :meth:`readBetweenOffsets` replays a
+    committed range deterministically for failure recovery (the replay
+    contract Kafka's seekable log provides the reference's engine);
+    :meth:`commit` is a no-op because retention is the log's concern,
+    not the consumer's.
+
+    Options: ``path`` (required); ``startingOffsets`` = ``earliest``
+    (default) | ``latest`` — the same knob as the batch scan's
+    earliest/latest sentinels (``KafkaSplitManager.java:163-167``).
+    """
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise KafkaLogLayoutError("kafka_segments requires option 'path'")
+        self._path = path
+        start = options.get(
+            "startingoffsets", options.get("startingOffsets", "earliest")
+        ).lower()
+        if start not in ("earliest", "latest"):
+            raise ValueError(f"startingOffsets must be earliest|latest, got {start}")
+        self._starting = start
+
+    # -- log introspection (driver-side, metadata only) ----------------
+    def _segments(self) -> dict[int, list[tuple[str, int, int]]]:
+        """{partition_id: [(file, lo, hi_exclusive), …]} from footer stats."""
+        import pyarrow.parquet as pq
+
+        out: dict[int, list[tuple[str, int, int]]] = {}
+        try:
+            entries = os.listdir(self._path)
+        except OSError as exc:
+            raise KafkaLogLayoutError(f"cannot list log dir {self._path}") from exc
+        for e in entries:
+            m = _PARTITION_DIR.match(e)
+            if not m:
+                continue
+            pid = int(m.group(1))
+            pdir = os.path.join(self._path, e)
+            segs = []
+            for fname in sorted(os.listdir(pdir)):
+                if not _SEGMENT_FILE.match(fname):
+                    continue
+                fpath = os.path.join(pdir, fname)
+                meta = pq.read_metadata(fpath)
+                idx = meta.schema.to_arrow_schema().get_field_index("offset")
+                lo = min(
+                    meta.row_group(rg).column(idx).statistics.min
+                    for rg in range(meta.num_row_groups)
+                )
+                hi = max(
+                    meta.row_group(rg).column(idx).statistics.max
+                    for rg in range(meta.num_row_groups)
+                )
+                segs.append((fpath, int(lo), int(hi) + 1))
+            out[pid] = segs
+        if not out:
+            raise KafkaLogLayoutError(
+                f"no partition=N directories under {self._path} (A3 strictness)"
+            )
+        return out
+
+    def initialOffset(self) -> dict:
+        segs = self._segments()
+        if self._starting == "latest":
+            return {
+                str(pid): max((hi for _, _, hi in s), default=0)
+                for pid, s in segs.items()
+            }
+        return {
+            str(pid): min((lo for _, lo, _ in s), default=0)
+            for pid, s in segs.items()
+        }
+
+    def _rows_between(self, start: dict, end: dict):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        for pid, segs in sorted(self._segments().items()):
+            lo = int(start.get(str(pid), 0))
+            hi = end.get(str(pid))
+            hi = int(hi) if hi is not None else None
+            for fpath, slo, shi in segs:
+                if shi <= lo or (hi is not None and slo >= hi):
+                    continue  # segment outside the consumed range
+                table = pq.read_table(fpath)
+                mask = pc.greater_equal(table["offset"], lo)
+                if hi is not None:
+                    mask = pc.and_(mask, pc.less(table["offset"], hi))
+                table = table.filter(mask).select(
+                    [f.name for f in RAW_FRAME_SCHEMA.fields]
+                )
+                yield from (tuple(r.values()) for r in table.to_pylist())
+
+    def read(self, start: dict):
+        segs = self._segments()
+        end = {
+            str(pid): max(
+                (hi for _, _, hi in s), default=int(start.get(str(pid), 0))
+            )
+            for pid, s in segs.items()
+        }
+        # partitions may appear mid-stream; keep any position the log no
+        # longer covers (retention) so the offset map only moves forward
+        for k, v in start.items():
+            end[k] = max(int(end.get(k, 0)), int(v))
+        # Materialized list, not a generator: the simple-reader contract
+        # prefetches the micro-batch on the driver and pickles it out to
+        # executors (that driver-side hop is the documented trade of
+        # SimpleDataSourceStreamReader; a partition-parallel
+        # DataSourceStreamReader is the upgrade path if per-batch volume
+        # ever warrants it).
+        return list(self._rows_between(start, end)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(self._rows_between(start, end))
+
+    def commit(self, end: dict) -> None:
+        pass  # retention is the log's concern (Kafka model)
 
 
 def write_segments(

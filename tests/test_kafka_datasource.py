@@ -135,3 +135,68 @@ def test_fully_pruned_scan_returns_zero_rows(spark, log_dir):
         .filter(F.col("offset") >= 10_000_000)
     )
     assert df.count() == 0
+
+
+def test_stream_reader_incremental_exactly_once(spark, sf_dir, tmp_path):
+    """Growing log consumed across two AvailableNow runs sharing one
+    checkpoint: batch 2 reads ONLY the new offsets (consumer-position
+    semantics), union is complete and duplicate-free."""
+    ev = read_table(spark, sf_dir, "events")
+
+    def frames(lo, hi):
+        return ev.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        ).select(
+            F.col("event_id").alias("offset"),
+            F.lit(None).cast("binary").alias("key"),
+            F.to_json(F.struct("event_id", "user_id", "event_type", "value"))
+            .cast("binary")
+            .alias("value"),
+            F.col("ts").alias("timestamp"),
+        )
+
+    log = str(tmp_path / "log")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_segments(frames(0, 600), log, num_partitions=2, segment_rows=200)
+    spark.dataSource.register(KafkaSegmentDataSource)
+    sdf = spark.readStream.format("kafka_segments").option("path", log).load()
+
+    def drain():
+        q = (
+            sdf.selectExpr("offset", "partition")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 600
+    write_segments(frames(600, 1000), log, num_partitions=2, segment_rows=200)
+    drain()
+    result = spark.read.parquet(out)
+    assert result.count() == 1000
+    assert result.select("offset").distinct().count() == 1000
+
+
+def test_stream_reader_latest_starting_offsets(spark, sf_dir, tmp_path):
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        KafkaSegmentStreamReader,
+    )
+
+    ev = read_table(spark, sf_dir, "events").limit(100)
+    raw = ev.select(
+        F.col("event_id").alias("offset"),
+        F.lit(None).cast("binary").alias("key"),
+        F.col("event_type").cast("binary").alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    log = str(tmp_path / "log")
+    write_segments(raw, log, num_partitions=2)
+    rdr = KafkaSegmentStreamReader({"path": log, "startingoffsets": "latest"})
+    init = rdr.initialOffset()
+    rows, nxt = rdr.read(init)
+    assert rows == [] and nxt == init  # nothing beyond the log end yet
