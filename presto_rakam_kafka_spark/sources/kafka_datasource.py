@@ -45,6 +45,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -53,6 +54,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     BinaryType,
@@ -130,6 +132,9 @@ class KafkaSegmentDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> "KafkaSegmentStreamReader":
         return KafkaSegmentStreamReader(dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> "KafkaSegmentWriter":
+        return KafkaSegmentWriter(dict(self.options), overwrite)
 
 
 class KafkaSegmentReader(DataSourceReader):
@@ -269,6 +274,97 @@ class KafkaSegmentReader(DataSourceReader):
             _arrow_schema()
         )
         yield from table.to_batches()
+
+
+@dataclass(frozen=True)
+class _StagedFiles(WriterCommitMessage):
+    """One task's staged segment files: [(staged_path, partition_id,
+    first_offset), …]."""
+
+    files: tuple  # of (str, int, int)
+
+
+class KafkaSegmentWriter(DataSourceWriter):
+    """Producer/sink analog (A15): ``df.write.format("kafka_segments")``
+    appends a DataFrame of raw frames to a segment log with a TWO-PHASE
+    publish — tasks stage parquet segments under ``.staging-<job>/``,
+    the driver's :meth:`commit` renames them into ``partition=N/`` in
+    one pass, and :meth:`abort` discards the staging dir. A failed or
+    speculative task can never leave a half-visible segment, which is
+    the reference's missing sink made exactly-once (same guarantee as
+    ``streaming/sinks.py`` foreachBatch, here as a native source API).
+
+    Frames route to partitions by ``pmod(offset, numPartitions)`` (the
+    keyed-producer fixture convention of :func:`write_segments`).
+    Offsets are producer-supplied and globally unique, so
+    ``segment-<first_offset>`` names cannot collide across tasks.
+    """
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        import uuid
+
+        path = options.get("path")
+        if not path:
+            raise KafkaLogLayoutError("kafka_segments requires option 'path'")
+        self._path = path
+        self._num_partitions = int(
+            options.get("numpartitions", options.get("numPartitions", 2))
+        )
+        self._topic = options.get("topic", "tpch_events")
+        self._overwrite = overwrite
+        self._staging = os.path.join(self._path, f".staging-{uuid.uuid4().hex[:12]}")
+
+    def write(self, iterator) -> _StagedFiles:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows_by_pid: dict[int, list] = {}
+        for row in iterator:
+            d = row.asDict()
+            pid = int(d["offset"]) % self._num_partitions
+            rows_by_pid.setdefault(pid, []).append(d)
+        os.makedirs(self._staging, exist_ok=True)
+        task_tag = uuid.uuid4().hex[:8]
+        staged = []
+        for pid, rows in rows_by_pid.items():
+            rows.sort(key=lambda d: d["offset"])
+            first = int(rows[0]["offset"])
+            cols = {
+                "partition": [pid] * len(rows),
+                "offset": [int(d["offset"]) for d in rows],
+                "key": [d.get("key") for d in rows],
+                "value": [d.get("value") for d in rows],
+                "topic": [d.get("topic") or self._topic for d in rows],
+                "timestamp": [d.get("timestamp") for d in rows],
+            }
+            table = pa.Table.from_pydict(cols).cast(_arrow_schema())
+            fpath = os.path.join(self._staging, f"{task_tag}-{pid}-{first}.parquet")
+            pq.write_table(table, fpath)
+            staged.append((fpath, pid, first))
+        return _StagedFiles(files=tuple(staged))
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        if self._overwrite:
+            for e in os.listdir(self._path):
+                if _PARTITION_DIR.match(e):
+                    shutil.rmtree(os.path.join(self._path, e))
+        for msg in messages:
+            if msg is None:
+                continue
+            for fpath, pid, first in msg.files:
+                pdir = os.path.join(self._path, f"partition={pid}")
+                os.makedirs(pdir, exist_ok=True)
+                os.replace(fpath, os.path.join(pdir, f"segment-{first}.parquet"))
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self._staging, ignore_errors=True)
 
 
 class KafkaSegmentStreamReader(SimpleDataSourceStreamReader):

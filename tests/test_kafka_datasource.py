@@ -200,3 +200,44 @@ def test_stream_reader_latest_starting_offsets(spark, sf_dir, tmp_path):
     init = rdr.initialOffset()
     rows, nxt = rdr.read(init)
     assert rows == [] and nxt == init  # nothing beyond the log end yet
+
+
+def test_writer_roundtrip_append_overwrite(spark, sf_dir, tmp_path):
+    """Two-phase writer (A15 sink analog): staged segments publish
+    atomically at commit; append accumulates, overwrite replaces."""
+    log = str(tmp_path / "wlog")
+    ev = read_table(spark, sf_dir, "events")
+    raw = ev.select(
+        F.col("event_id").alias("offset"),
+        F.lit(None).cast("binary").alias("key"),
+        F.to_json(F.struct("event_id", "user_id", "event_type"))
+        .cast("binary")
+        .alias("value"),
+        F.lit("tpch_events").alias("topic"),
+        F.col("ts").alias("timestamp"),
+    )
+    n = raw.count()
+    spark.dataSource.register(KafkaSegmentDataSource)
+    w = raw.write.format("kafka_segments").option("path", log)
+    w.option("numPartitions", "3").mode("append").save()
+
+    back = spark.read.format("kafka_segments").option("path", log).load()
+    assert back.count() == n
+    assert back.select("offset").distinct().count() == n
+    # no staging residue after commit
+    assert not [e for e in os.listdir(log) if e.startswith(".staging-")]
+
+    raw.withColumn("offset", F.col("offset") + 1_000_000).write.format(
+        "kafka_segments"
+    ).option("path", log).option("numPartitions", "3").mode("append").save()
+    assert (
+        spark.read.format("kafka_segments").option("path", log).load().count()
+        == 2 * n
+    )
+
+    raw.limit(7).write.format("kafka_segments").option("path", log).option(
+        "numPartitions", "2"
+    ).mode("overwrite").save()
+    assert (
+        spark.read.format("kafka_segments").option("path", log).load().count() == 7
+    )
