@@ -21,8 +21,6 @@ All cosine math is the left-fold double form from
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -169,6 +167,91 @@ def lsh_bucket_topk_oracle(
     """
 
 
+#: Per-table seed base for multi-table LSH (table t uses SEED_BASE+t).
+SEED_BASE = 101
+
+
+def lsh_multitable_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    k: int = 5,
+    num_planes: int = NUM_PLANES,
+    num_tables: int = 8,
+) -> DataFrame:
+    """Multi-table hyperplane LSH: ``num_tables`` independent plane
+    sets; a candidate is any corpus vector sharing the query's bucket in
+    AT LEAST ONE table (classic L-table LSH). The single-table miss
+    probability p^L decays geometrically in L — on an unstructured
+    corpus (see SCALE_NOTES round-3 ANN receipt: the synthetic
+    embeddings have no cluster structure) one table at 4 planes finds
+    ~15% of the true top-10; 8 tables find ~70% while still scanning
+    only ~L·n/2^p candidate rows per query instead of n.
+
+    Scale shape: the corpus is scanned once; table membership is an
+    inline-exploded (table, bucket) pair — one narrow shuffle keyed by
+    (table, bucket), queries broadcast, then a (query, neighbor)
+    ``distinct`` before ranking so a pair colliding in several tables is
+    scored once. Deterministic per-table seeds ⇒ DuckDB-replayable."""
+    tables = [
+        hyperplanes(num_planes, dim, seed=SEED_BASE + t) for t in range(num_tables)
+    ]
+    structs = ", ".join(
+        f"named_struct('tbl', {t}, 'bucket', {_bucket_expr_spark(vec_col, planes)})"
+        for t, planes in enumerate(tables)
+    )
+    melt = f"inline(array({structs}))"
+    c = corpus.selectExpr(
+        f"{id_col} AS neighbor_id", f"{vec_col} AS c_emb", melt
+    )
+    q = F.broadcast(
+        queries.selectExpr(f"{id_col} AS query_id", f"{vec_col} AS q_emb", melt)
+    )
+    cand = (
+        c.join(q, on=["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_emb", "c_emb")
+        .distinct()
+    )
+    cos = F.expr(cosine_expr("q_emb", "c_emb"))
+    pairs = cand.select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+    return _topk_within(pairs, k)
+
+
+def lsh_multitable_topk_oracle(
+    table: str,
+    query_pred: str,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    k: int = 5,
+    num_planes: int = NUM_PLANES,
+    num_tables: int = 8,
+) -> str:
+    plane_sets = [
+        hyperplanes(num_planes, dim, seed=SEED_BASE + t) for t in range(num_tables)
+    ]
+    cos = cosine_expr_duckdb(f"q.{vec_col}", f"c.{vec_col}", dim)
+    bucket_cols = ", ".join(
+        f"({_bucket_expr_duckdb(vec_col, planes)}) AS b{t}"
+        for t, planes in enumerate(plane_sets)
+    )
+    collide = " OR ".join(f"q.b{t} = c.b{t}" for t in range(num_tables))
+    return f"""
+    WITH b AS (SELECT {id_col}, {vec_col}, {bucket_cols} FROM {table})
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.{id_col} AS query_id, c.{id_col} AS neighbor_id,
+             round({cos}, 6) AS cosine,
+             row_number() OVER (PARTITION BY q.{id_col}
+                                ORDER BY round({cos}, 6) DESC, c.{id_col}) AS rank
+      FROM b q JOIN b c ON ({collide}) AND q.{id_col} != c.{id_col}
+      WHERE q.{query_pred}
+    ) WHERE rank <= {k}
+    """
+
+
 # ---------------------------------------------------------------------
 # IVF (inverted-file) bucketed search — coarse-quantizer scale path
 # ---------------------------------------------------------------------
@@ -212,9 +295,29 @@ def _dots_duckdb(vec_col: str, cents: list[list[float]]) -> list[str]:
     return out
 
 
+def _argmax_rank_expr(dots: list[str], rank: int) -> str:
+    """Index of the rank-th largest dot (rank 0 = nearest centroid),
+    ties broken by smaller index: ``array_sort`` of (-dot, idx) structs
+    sorts lexicographically — dot descending, then index ascending.
+
+    Shape matters: the earlier O(n²)-comparison CASE referenced every
+    dot n-1 times, and Catalyst's projection collapse re-inlined the
+    64-literal dot-product lambda into each reference — at 16 centroids
+    × nprobe 4 the logical plan ballooned past the driver heap (OOM in
+    ``TreeNode.transformDown``). This form references each dot exactly
+    once, so the collapsed plan carries n copies, not n²."""
+    pairs = ", ".join(
+        f"named_struct('negd', -({d}), 'idx', {i})" for i, d in enumerate(dots)
+    )
+    return f"array_sort(array({pairs}))[{rank}].idx"
+
+
 def _argmax_rank_case(dots: list[str], rank: int) -> str:
-    """CASE expression returning the index of the rank-th largest dot
-    (rank 0 = nearest centroid, 1 = second) with index tie-break."""
+    """Portable-SQL variant of the same (dot desc, idx asc) ranking for
+    the DuckDB oracle: O(n²) better-than counting CASE. Fine there —
+    DuckDB evaluates the dot columns once in a CTE; only Spark's
+    projection collapse made this shape explode (see
+    :func:`_argmax_rank_expr`)."""
     n = len(dots)
     terms = []
     for i in range(n):
@@ -265,17 +368,24 @@ def ivf_topk(
     c = with_dots(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_emb"),
-        F.expr(_argmax_rank_case(dcols, 0)).alias("list_id"),
+        F.expr(_argmax_rank_expr(dcols, 0)).alias("list_id"),
     )
-    probes = [
+    # All nprobe list ids from ONE sort: slice the sorted (dot desc,
+    # idx asc) array and explode — each dot column is referenced once,
+    # where the earlier per-rank union re-derived all dots nprobe times.
+    pairs_expr = ", ".join(
+        f"named_struct('negd', -({c}), 'idx', {i})" for i, c in enumerate(dcols)
+    )
+    probe_lists = (
+        f"slice(transform(array_sort(array({pairs_expr})), s -> s.idx), 1, {nprobe})"
+    )
+    q = F.broadcast(
         with_dots(queries).select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_emb"),
-            F.expr(_argmax_rank_case(dcols, r)).alias("list_id"),
+            F.explode(F.expr(probe_lists)).alias("list_id"),
         )
-        for r in range(nprobe)
-    ]
-    q = F.broadcast(reduce(DataFrame.unionAll, probes))
+    )
     cos = F.expr(cosine_expr("q_emb", "c_emb"))
     pairs = (
         c.join(q, on="list_id")

@@ -1051,6 +1051,24 @@ def _register_llm_queries() -> None:
             emb, emb.filter("vec_id % 100 = 0"), "embedding", "vec_id", dim=EMB_DIM, k=5
         )
 
+    @query(
+        "sim_topk_lsh_multi",
+        oracle=similarity.lsh_multitable_topk_oracle(
+            "embeddings", "vec_id % 100 = 0", "embedding", "vec_id",
+            dim=EMB_DIM, k=5, num_tables=8,
+        ),
+    )
+    def sim_topk_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """8-table hyperplane LSH top-5 — the recall lever over the
+        single-table path (measured recall@10 0.15 → ~0.7 on the
+        unstructured fixture embeddings, SCALE_NOTES r3 ANN receipt)
+        at ~L·n/2^p candidates per query."""
+        emb = _embeddings(spark, sf_dir)
+        return similarity.lsh_multitable_topk(
+            emb, emb.filter("vec_id % 100 = 0"), "embedding", "vec_id",
+            dim=EMB_DIM, k=5, num_tables=8,
+        )
+
     @query("text_stats", oracle=text.text_stats_oracle("documents", "text", "doc_id"))
     def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Token counting + quality scoring, single scan, no shuffle."""
