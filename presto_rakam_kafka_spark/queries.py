@@ -2122,6 +2122,40 @@ def date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "date_funcs3",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           strftime(to_timestamp(CAST(epoch(o_orderdate) AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S') AS rt,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+           strftime(make_date(CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER),
+                              1, 1), '%Y-%m-%d') AS year_start
+    FROM orders
+    """,
+)
+def date_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third date batch — Presto 0.123's ``to_unixtime``/``from_unixtime``
+    (SURVEY §2.B scalar date fns) as unix_timestamp → from_unixtime
+    round-trip, plus datediff and make_date. Session pinned UTC keeps
+    both engines' epoch math identical."""
+    o = _t(spark, sf_dir, "orders")
+    epoch = F.unix_timestamp("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        epoch.alias("epoch_s"),
+        F.from_unixtime(epoch, "yyyy-MM-dd HH:mm:ss").alias("rt"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since"),
+        F.date_format(
+            F.make_date(F.year("o_orderdate"), F.lit(1), F.lit(1)), "yyyy-MM-dd"
+        ).alias("year_start"),
+    )
+
+
 # =====================================================================
 # TPC-H-shaped suite, second batch (adapted to the fixture columns):
 # q4 EXISTS-agg, q7 nation-pair volume, q12 CASE agg, q14 conditional

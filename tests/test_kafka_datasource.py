@@ -241,3 +241,45 @@ def test_writer_roundtrip_append_overwrite(spark, sf_dir, tmp_path):
     assert (
         spark.read.format("kafka_segments").option("path", log).load().count() == 7
     )
+
+
+def test_compact_segments_preserves_data(spark, sf_dir, tmp_path):
+    """Compaction changes file boundaries only: same rows, same offsets,
+    fewer segments; the streaming consumer position survives it."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import compact_segments
+
+    log = str(tmp_path / "clog")
+    ev = read_table(spark, sf_dir, "events")
+    raw = ev.select(
+        F.col("event_id").alias("offset"),
+        F.lit(None).cast("binary").alias("key"),
+        F.col("event_type").cast("binary").alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    # tiny segments → many files
+    write_segments(raw, log, num_partitions=2, segment_rows=50)
+    spark.dataSource.register(KafkaSegmentDataSource)
+    before = spark.read.format("kafka_segments").option("path", log).load()
+    rows_before = sorted(r["offset"] for r in before.select("offset").collect())
+    n_files_before = sum(
+        1 for p in os.listdir(log) if p.startswith("partition=")
+        for f in os.listdir(os.path.join(log, p)) if f.endswith(".parquet")
+    )
+
+    report = compact_segments(log, target_rows=10_000)
+    n_files_after = sum(
+        1 for p in os.listdir(log) if p.startswith("partition=")
+        for f in os.listdir(os.path.join(log, p)) if f.endswith(".parquet")
+    )
+    assert n_files_after < n_files_before
+    assert n_files_after == 2  # one compacted segment per partition
+    assert all(b > a for b, a in report.values())
+
+    after = spark.read.format("kafka_segments").option("path", log).load()
+    rows_after = sorted(r["offset"] for r in after.select("offset").collect())
+    assert rows_after == rows_before
+    # offset pushdown still prunes on the compacted layout
+    assert (
+        after.filter((F.col("offset") >= 100) & (F.col("offset") < 200)).count()
+        == before.filter((F.col("offset") >= 100) & (F.col("offset") < 200)).count()
+    )
