@@ -283,3 +283,22 @@ def test_compact_segments_preserves_data(spark, sf_dir, tmp_path):
         after.filter((F.col("offset") >= 100) & (F.col("offset") < 200)).count()
         == before.filter((F.col("offset") >= 100) & (F.col("offset") < 200)).count()
     )
+
+
+def test_pushed_offset_range_leaves_no_post_scan_range_filter(spark, log_dir):
+    """Catalyst plan check: after pushFilters consumes the offset range,
+    the executed plan's post-scan Filter holds only the residual
+    isnotnull guard — the range itself never re-evaluates per row."""
+    df = (
+        spark.read.format("kafka_segments")
+        .option("path", log_dir)
+        .load()
+        .filter((F.col("offset") >= 100) & (F.col("offset") < 300))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan kafka_segments" in plan
+    post_scan_filter = [
+        ln for ln in plan.splitlines() if "Filter" in ln and "Runtime" not in ln
+    ]
+    for ln in post_scan_filter:
+        assert ">= 100" not in ln and "< 300" not in ln, plan
