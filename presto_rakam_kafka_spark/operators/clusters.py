@@ -1,0 +1,154 @@
+"""Near-duplicate clustering + canonical selection — the decision step
+of a dedup pipeline.
+
+Pair-finding operators (:mod:`.dedup`) emit (doc_a, doc_b) near-dup
+PAIRS; a training-data pipeline must then pick which docs to KEEP. That
+requires the transitive closure (A≈B, B≈C ⇒ {A,B,C} are one cluster
+even if A and C never collided) and a deterministic keep rule. This
+module provides both as DataFrame-only operators:
+
+* :func:`connected_components` — min-label propagation to fixpoint.
+  Each iteration is one join + one aggregate (both shuffle on the node
+  id, so co-partitioning is reused across iterations); lineage is cut
+  with ``localCheckpoint`` each round, the classic iterative-DataFrame
+  trap. Iterations needed = graph diameter, which for near-dup clusters
+  is small (dup clusters are dense — versions of one document), and a
+  ``max_iter`` cap turns a pathological chain corpus into an explicit
+  error, not a hang. At 1000-executor scale the same loop holds: the
+  per-round state is (node, label) longs, and the alternating-star
+  optimization (Kiveris et al., "Connected Components in MapReduce")
+  is the documented upgrade if diameter ever dominates.
+* :func:`keep_canonical` — per cluster keep the doc maximizing
+  (quality, -doc_id): one aggregate with ``max_by`` semantics via
+  struct-max (codegen, no window shuffle).
+
+The DuckDB oracle replays the same closure with a recursive CTE, so the
+whole pipeline (pairs → components → keep set) is hash-checked, not
+just the pair stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class ComponentsNotConverged(Exception):
+    """Label propagation hit max_iter with labels still changing —
+    the pair graph has a longer path than expected; raise rather than
+    silently emit a non-transitive clustering."""
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """(node, cluster_id) for every doc appearing in ``pairs``;
+    cluster_id = min doc id reachable through the pair graph."""
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)  # cut lineage every round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter("n.label != o.label")
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("cluster_id"))
+    raise ComponentsNotConverged(f"still changing after {max_iter} iterations")
+
+
+def keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    quality_col: str,
+    max_iter: int = 25,
+) -> DataFrame:
+    """One row per near-dup cluster: (cluster_id, kept_doc, cluster_size).
+
+    Keep rule: highest ``quality_col``, ties to the LOWER doc id —
+    expressed as a struct max (quality asc, negated id) so it is one
+    map-side-combined aggregate, not a window sort. Docs in no pair are
+    implicitly kept and not listed (they form no cluster)."""
+    comp = connected_components(pairs, max_iter=max_iter)
+    member = comp.join(
+        docs.select(F.col(id_col).alias("node"), F.col(quality_col).alias("q")),
+        "node",
+    )
+    best = F.max(F.struct(F.col("q"), (-F.col("node")).alias("neg_id")))
+    return (
+        member.groupBy("cluster_id")
+        .agg(
+            (-best.getField("neg_id")).alias("kept_doc"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .select("cluster_id", "kept_doc", "cluster_size")
+    )
+
+
+def keep_canonical_oracle(
+    table: str,
+    text_col: str,
+    id_col: str,
+    quality_expr: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB twin: exact n-gram Jaccard pairs (the verified contract of
+    the LSH path), recursive-CTE transitive closure, same keep rule."""
+    from presto_rakam_kafka_spark.functions.hashing import (
+        jaccard_duckdb,
+        shingles_duckdb,
+    )
+
+    return f"""
+    WITH RECURSIVE
+      s AS (SELECT {id_col}, {shingles_duckdb(text_col, n)} AS sh FROM {table}),
+      pairs AS (
+        SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+        FROM s a JOIN s b ON a.{id_col} < b.{id_col}
+        WHERE round({jaccard_duckdb('a.sh', 'b.sh')}, 4) >= {threshold}
+      ),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+      ),
+      reach(node, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+      ),
+      comp AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+      member AS (
+        SELECT c.cluster_id, c.node, ({quality_expr}) AS q
+        FROM comp c JOIN {table} d ON d.{id_col} = c.node
+      )
+    SELECT cluster_id,
+           (SELECT m2.node FROM member m2 WHERE m2.cluster_id = m.cluster_id
+            ORDER BY m2.q DESC, m2.node ASC LIMIT 1) AS kept_doc,
+           count(*) AS cluster_size
+    FROM member m GROUP BY cluster_id
+    """

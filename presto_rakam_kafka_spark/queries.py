@@ -952,7 +952,13 @@ def _register_llm_queries() -> None:
     Oracles are generated from the same constants as the Spark plans
     (see functions.hashing), so both sides express one algorithm.
     """
-    from presto_rakam_kafka_spark.operators import dedup, multimodal, similarity, text
+    from presto_rakam_kafka_spark.operators import (
+        clusters,
+        dedup,
+        multimodal,
+        similarity,
+        text,
+    )
 
     EMB_DIM = 64
 
@@ -979,6 +985,24 @@ def _register_llm_queries() -> None:
         return dedup.ngram_jaccard_pairs(
             _documents(spark, sf_dir), "text", "doc_id", n=3, threshold=0.5
         )
+
+    @query(
+        "dedup_cluster_canonical",
+        oracle=clusters.keep_canonical_oracle(
+            "documents", "text", "doc_id", "d.n_chars", n=3, threshold=0.8
+        ),
+    )
+    def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The dedup DECISION step: LSH near-dup pairs → transitive
+        closure (min-label propagation, `operators/clusters.py`) → one
+        kept doc per cluster (max n_chars, ties to lower id). Oracle
+        replays the closure with a recursive CTE over the exact pair
+        set — the full pipeline is hash-checked end-to-end."""
+        docs = _documents(spark, sf_dir)
+        pairs = dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.8
+        ).select("doc_a", "doc_b")
+        return clusters.keep_canonical(docs, pairs, "doc_id", "n_chars")
 
     @query(
         "dedup_minhash_lsh",

@@ -226,3 +226,54 @@ def test_fingerprints_keep_zero_shingle_docs(spark):
     assert rows[1].min_shingle_md5 is None
     assert rows[2].min_shingle_md5 is None and rows[2].content_md5 is None
     assert rows[3].min_shingle_md5 is not None
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """Transitive closure: a 5-node chain (A-B, B-C, C-D, D-E) is ONE
+    cluster even though its ends never pair directly; two disjoint
+    cliques stay separate."""
+    from presto_rakam_kafka_spark.operators import clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
+        "doc_a long, doc_b long",
+    )
+    comp = {
+        r["node"]: r["cluster_id"]
+        for r in clusters.connected_components(pairs).collect()
+    }
+    assert {comp[i] for i in (1, 2, 3, 4, 5)} == {1}
+    assert {comp[i] for i in (10, 11, 12)} == {10}
+
+
+def test_connected_components_max_iter_raises(spark):
+    from presto_rakam_kafka_spark.operators import clusters
+
+    # a 6-node chain needs ~5 propagation rounds for node 6 to learn
+    # label 1; max_iter=1 must raise, not return a partial clustering
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "doc_a long, doc_b long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(clusters.ComponentsNotConverged):
+        clusters.connected_components(pairs, max_iter=1)
+
+
+def test_keep_canonical_rule(spark):
+    """Keep = max quality, ties to lower id; cluster_size counts all
+    members; singletons (docs in no pair) are absent."""
+    from presto_rakam_kafka_spark.operators import clusters
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 99)],
+        "doc_id long, quality long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    out = clusters.keep_canonical(docs, pairs, "doc_id", "quality").collect()
+    assert len(out) == 1
+    row = out[0]
+    # quality 30 tie between docs 2 and 3 → lower id 2 wins
+    assert (row["cluster_id"], row["kept_doc"], row["cluster_size"]) == (1, 2, 4)
