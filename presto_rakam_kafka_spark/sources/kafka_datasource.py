@@ -396,6 +396,12 @@ class KafkaSegmentStreamReader(SimpleDataSourceStreamReader):
         if start not in ("earliest", "latest"):
             raise ValueError(f"startingOffsets must be earliest|latest, got {start}")
         self._starting = start
+        # A8: size-bounded micro-batches — the analog of the Kafka
+        # source's maxOffsetsPerTrigger (and of the reference's
+        # KAFKA_MAX_FETCH_SIZE batch bounding). 0 = unbounded.
+        self._max_rows = int(
+            options.get("maxrowsperbatch", options.get("maxRowsPerBatch", 0))
+        )
 
     # -- log introspection (driver-side, metadata only) ----------------
     def _segments(self) -> dict[int, list[tuple[str, int, int]]]:
@@ -480,16 +486,30 @@ class KafkaSegmentStreamReader(SimpleDataSourceStreamReader):
         # longer covers (retention) so the offset map only moves forward
         for k, v in start.items():
             end[k] = max(int(end.get(k, 0)), int(v))
-        # Materialized list, not a generator: the simple-reader contract
-        # prefetches the micro-batch on the driver and pickles it out to
-        # executors (that driver-side hop is the documented trade of
+        if self._max_rows > 0:
+            # Bound the batch by offset SPAN, split evenly across the
+            # partitions that have lag (offsets are dense in the fixture
+            # log, so span ≈ rows; a sparse log just under-fills — the
+            # safe direction). Remaining lag arrives in later batches.
+            lagging = [
+                k for k in end if int(end[k]) > int(start.get(k, 0))
+            ]
+            if lagging:
+                per_part = max(1, self._max_rows // len(lagging))
+                for k in lagging:
+                    end[k] = min(int(end[k]), int(start.get(k, 0)) + per_part)
+        # iter(list(...)), deliberately: the simple-reader harness both
+        # PICKLES the prefetched batch (a generator can't pickle) and
+        # calls next() on it in its prefetch cache (a bare list isn't an
+        # iterator) — a list_iterator satisfies both. The driver-side
+        # prefetch hop is the documented trade of
         # SimpleDataSourceStreamReader; a partition-parallel
         # DataSourceStreamReader is the upgrade path if per-batch volume
-        # ever warrants it).
-        return list(self._rows_between(start, end)), end
+        # ever warrants it.
+        return iter(list(self._rows_between(start, end))), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return list(self._rows_between(start, end))
+        return iter(list(self._rows_between(start, end)))
 
     def commit(self, end: dict) -> None:
         pass  # retention is the log's concern (Kafka model)

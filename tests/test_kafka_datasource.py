@@ -199,7 +199,7 @@ def test_stream_reader_latest_starting_offsets(spark, sf_dir, tmp_path):
     rdr = KafkaSegmentStreamReader({"path": log, "startingoffsets": "latest"})
     init = rdr.initialOffset()
     rows, nxt = rdr.read(init)
-    assert rows == [] and nxt == init  # nothing beyond the log end yet
+    assert list(rows) == [] and nxt == init  # nothing beyond the log end yet
 
 
 def test_writer_roundtrip_append_overwrite(spark, sf_dir, tmp_path):
@@ -302,3 +302,72 @@ def test_pushed_offset_range_leaves_no_post_scan_range_filter(spark, log_dir):
     ]
     for ln in post_scan_filter:
         assert ">= 100" not in ln and "< 300" not in ln, plan
+
+
+def test_stream_reader_max_rows_per_batch(spark, sf_dir, tmp_path):
+    """A8 size-bounded micro-batches: maxRowsPerBatch splits the backlog
+    into multiple batches instead of one giant catch-up read; the union
+    is still complete and exactly-once."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        KafkaSegmentStreamReader,
+    )
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 600)
+    raw = ev.select(
+        F.col("event_id").alias("offset"),
+        F.lit(None).cast("binary").alias("key"),
+        F.col("event_type").cast("binary").alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    log = str(tmp_path / "log")
+    write_segments(raw, log, num_partitions=2, segment_rows=200)
+
+    # reader-level check: each read() advances by ≤ maxRows total span
+    rdr = KafkaSegmentStreamReader({"path": log, "maxRowsPerBatch": "100"})
+    pos = rdr.initialOffset()
+    batches = 0
+    total = 0
+    while batches < 50:
+        rows, nxt = rdr.read(pos)
+        rows = list(rows)
+        if nxt == pos:
+            break
+        assert len(rows) <= 100
+        total += len(rows)
+        pos = nxt
+        batches += 1
+    assert total == 600
+    assert batches >= 6  # 600 rows / 100-cap → at least 6 micro-batches
+
+    # End-to-end: each AvailableNow trigger takes ONE capped batch from
+    # the checkpointed position (the simple-reader snapshot semantics);
+    # repeated triggers drain the backlog with no duplicates — the
+    # consumer-position model under a fetch bound.
+    spark.dataSource.register(KafkaSegmentDataSource)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sdf = (
+        spark.readStream.format("kafka_segments")
+        .option("path", log)
+        .option("maxRowsPerBatch", "100")
+        .load()
+        .selectExpr("offset")
+    )
+    counts = []
+    for _ in range(20):
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        n = spark.read.parquet(out).count()
+        if counts and n == counts[-1]:
+            break
+        counts.append(n)
+    result = spark.read.parquet(out)
+    assert result.count() == 600
+    assert result.distinct().count() == 600
+    assert len(counts) >= 6  # the cap forced multiple bounded triggers
