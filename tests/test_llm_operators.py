@@ -277,3 +277,35 @@ def test_keep_canonical_rule(spark):
     row = out[0]
     # quality 30 tie between docs 2 and 3 → lower id 2 wins
     assert (row["cluster_id"], row["kept_doc"], row["cluster_size"]) == (1, 2, 4)
+
+
+def test_derived_rows_per_band_bound_property():
+    """Property (hypothesis): for any threshold/band-count in the useful
+    range, the derived r keeps the banding miss (1 - t^r)^b within
+    max_pair_miss, and r is maximal (r+1 would violate the cap or the
+    8-row ceiling) — the ADVICE-r2 bound, pinned for all inputs rather
+    than three examples."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from presto_rakam_kafka_spark.operators import dedup
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        t=st.floats(min_value=0.2, max_value=0.98),
+        b=st.integers(min_value=4, max_value=64),
+    )
+    def check(t, b):
+        miss_cap = dedup.MAX_PAIR_MISS
+        r = dedup.derived_rows_per_band(t, b, miss_cap)
+        assert 1 <= r <= 8
+        miss = (1.0 - t**r) ** b
+        # r=1 is the floor even when its miss exceeds the cap (the
+        # function warns in that regime); any r>1 must satisfy the cap.
+        if r > 1:
+            assert miss <= miss_cap
+        # maximality: the next r either breaks the cap or the ceiling
+        if r < 8:
+            assert (1.0 - t ** (r + 1)) ** b > miss_cap
+
+    check()
