@@ -120,6 +120,29 @@ class EventCatalog:
             ),
         )
 
+    def register_kafka_segments(
+        self,
+        project: str,
+        collection: str,
+        path: str,
+        value_format: str = "json",
+        min_splits: int = 0,
+    ) -> None:
+        """Register a table backed by the native ``kafka_segments``
+        DataSource: ``table(..., offset_ranges=...)`` then routes through
+        Catalyst ``pushFilters`` segment pruning end-to-end."""
+        from presto_rakam_kafka_spark.sources.kafka_datasource import (
+            KafkaSegmentsEventSource,
+        )
+
+        self.register_source(
+            project,
+            collection,
+            KafkaSegmentsEventSource(
+                path, value_format=value_format, min_splits=min_splits
+            ),
+        )
+
     # -- metadata surface (KafkaMetadata analogs) ----------------------
 
     def user_fields(self, project: str, collection: str) -> list[SchemaField]:

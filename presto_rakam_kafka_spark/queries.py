@@ -78,7 +78,7 @@ def flagship_offset_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CASE WHEN value > 10 THEN 'HIGH' ELSE 'LOW' END AS priority,
-           count(*) AS n, sum(user_id) AS sum_users,
+           count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_users,
            round(sum(value), 2) AS sum_value
     FROM events WHERE event_id < 2000
     GROUP BY event_type, CASE WHEN value > 10 THEN 'HIGH' ELSE 'LOW' END
@@ -2279,8 +2279,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_by_status",
     oracle="""
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
     GROUP BY l_linestatus
@@ -2389,7 +2389,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     )
     SELECT strftime(date_trunc('day', h), '%Y-%m-%d') AS day, event_type,
-           sum(n) AS n_events, round(sum(sv), 2) AS sum_value
+           CAST(sum(n) AS BIGINT) AS n_events, round(sum(sv), 2) AS sum_value
     FROM hourly GROUP BY 1, 2
     """,
 )

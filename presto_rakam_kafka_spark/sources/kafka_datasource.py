@@ -30,7 +30,10 @@ in ``KafkaSplitManager``:
 Scale notes: ``partitions()`` runs driver-side and reads only directory
 listings + one parquet footer per segment (the same metadata a Kafka
 admin-client offset lookup costs the reference). ``read()`` streams
-Arrow record batches — zero row-at-a-time Python. At 100 TB the split
+Arrow record batches — zero row-at-a-time Python — and prunes row
+groups by offset stats, so sub-splits divide per-task IO. The streaming
+reader shares both: the driver plans per-segment splits per micro-batch
+and EXECUTORS scan them (no driver-side data hop). At 100 TB the split
 count is segments × ceil(span/rows-per-split): scheduling granularity is
 controlled by the log layout, not by file count heuristics.
 """
@@ -45,6 +48,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -53,7 +57,6 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
-    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
@@ -79,6 +82,122 @@ RAW_FRAME_SCHEMA = StructType(
 
 _PARTITION_DIR = re.compile(r"^partition=(\d+)$")
 _SEGMENT_FILE = re.compile(r"^segment-(\d+)\.parquet$")
+_GEN_DIR = re.compile(r"^gen-(\d+)$")
+
+#: Per-partition generation pointer (compaction atomicity). When present
+#: in ``partition=N/``, it names the ``gen-NNNNNN`` subdirectory holding
+#: the partition's CURRENT segment files; the flat layout (segments
+#: directly in ``partition=N/``) is generation 0. Compaction publishes a
+#: new generation and flips this pointer with one atomic ``os.replace``,
+#: so a concurrent planner always enumerates exactly one generation —
+#: never a mix of halves (the silent under-scan ADVICE r3 flagged).
+_GEN_POINTER = "_CURRENT"
+
+
+def _resolve_partition_dir(pdir: str) -> str:
+    """Directory whose segment files are CURRENT for this partition:
+    the generation named by ``_CURRENT`` if present, else ``pdir``."""
+    ptr = os.path.join(pdir, _GEN_POINTER)
+    try:
+        with open(ptr) as fh:
+            gen = fh.read().strip()
+    except OSError:
+        return pdir
+    if not _GEN_DIR.match(gen):
+        raise KafkaLogLayoutError(f"{ptr} names invalid generation {gen!r}")
+    gdir = os.path.join(pdir, gen)
+    if not os.path.isdir(gdir):
+        raise KafkaLogLayoutError(f"{ptr} points at missing generation {gdir}")
+    return gdir
+
+
+def _segment_meta(fpath: str) -> tuple[int | None, int | None, int]:
+    """(lo, hi_exclusive, num_rows) from the parquet footer; (None, None,
+    n) when any row group lacks offset statistics — the caller chooses
+    the conservative full span (batch) or a loud error (streaming)."""
+    import pyarrow.parquet as pq
+
+    meta = pq.read_metadata(fpath)
+    idx = meta.schema.to_arrow_schema().get_field_index("offset")
+    lo, hi = None, None
+    for rg in range(meta.num_row_groups):
+        st = meta.row_group(rg).column(idx).statistics
+        if st is None or st.min is None or st.max is None:
+            return None, None, meta.num_rows
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:  # zero row groups
+        return None, None, 0
+    return int(lo), int(hi) + 1, meta.num_rows
+
+
+def _enumerate_segments(path: str) -> dict[int, list[tuple[str, int | None, int | None, int]]]:
+    """{partition_id: [(file, lo, hi_exclusive, num_rows), …]} for the
+    CURRENT generation of every partition. Driver-side metadata only:
+    directory listings plus one footer read per segment. Raises on a
+    missing/foreign layout (A3 strictness)."""
+    out: dict[int, list[tuple[str, int | None, int | None, int]]] = {}
+    try:
+        entries = os.listdir(path)
+    except OSError as exc:
+        raise KafkaLogLayoutError(f"cannot list log dir {path}") from exc
+    for e in entries:
+        m = _PARTITION_DIR.match(e)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        pdir = _resolve_partition_dir(os.path.join(path, e))
+        segs = []
+        for fname in sorted(os.listdir(pdir)):
+            if not _SEGMENT_FILE.match(fname):
+                continue
+            fpath = os.path.join(pdir, fname)
+            lo, hi, nrows = _segment_meta(fpath)
+            segs.append((fpath, lo, hi, nrows))
+        out[pid] = segs
+    if not out:
+        raise KafkaLogLayoutError(
+            f"no partition=N directories under {path} — refusing to "
+            "scan an empty/foreign layout as zero rows (A3 strictness)"
+        )
+    return out
+
+
+def _read_split_batches(partition: "OffsetSplit"):
+    """Executor-side scan of one split: row groups whose offset stats
+    overlap [start, end) are read (so sub-splits of one segment DIVIDE
+    per-task IO instead of each re-reading the whole file — ADVICE r3),
+    then the exact range filter applies within the surviving groups.
+    Yields Arrow record batches cast to the declared schema."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    if partition.start >= partition.end:
+        return
+    pf = pq.ParquetFile(partition.path)
+    meta = pf.metadata
+    idx = meta.schema.to_arrow_schema().get_field_index("offset")
+    groups = []
+    for rg in range(meta.num_row_groups):
+        st = meta.row_group(rg).column(idx).statistics
+        if st is None or st.min is None or st.max is None:
+            groups.append(rg)  # no stats → conservative include
+        elif int(st.max) >= partition.start and int(st.min) < partition.end:
+            groups.append(rg)
+    if not groups:
+        return
+    table = pf.read_row_groups(groups)
+    mask = pc.and_(
+        pc.greater_equal(table["offset"], partition.start),
+        pc.less(table["offset"], partition.end),
+    )
+    table = table.filter(mask)
+    # Align column order AND arrow types with the declared schema
+    # (Spark's Arrow bridge rejects e.g. ns timestamps).
+    table = table.select([f.name for f in RAW_FRAME_SCHEMA.fields]).cast(
+        _arrow_schema()
+    )
+    yield from table.to_batches()
 
 
 def _arrow_schema():
@@ -130,7 +249,7 @@ class KafkaSegmentDataSource(DataSource):
     def reader(self, schema: StructType) -> "KafkaSegmentReader":
         return KafkaSegmentReader(dict(self.options))
 
-    def simpleStreamReader(self, schema: StructType) -> "KafkaSegmentStreamReader":
+    def streamReader(self, schema: StructType) -> "KafkaSegmentStreamReader":
         return KafkaSegmentStreamReader(dict(self.options))
 
     def writer(self, schema: StructType, overwrite: bool) -> "KafkaSegmentWriter":
@@ -181,46 +300,18 @@ class KafkaSegmentReader(DataSourceReader):
 
     # -- A2/A3: segment enumeration → splits ---------------------------
     def partitions(self) -> list[OffsetSplit]:
-        import pyarrow.parquet as pq
-
-        part_dirs: list[tuple[int, str]] = []
-        try:
-            entries = os.listdir(self._path)
-        except OSError as exc:
-            raise KafkaLogLayoutError(f"cannot list log dir {self._path}") from exc
-        for e in entries:
-            m = _PARTITION_DIR.match(e)
-            if m:
-                part_dirs.append((int(m.group(1)), os.path.join(self._path, e)))
-        if not part_dirs:
-            raise KafkaLogLayoutError(
-                f"no partition=N directories under {self._path} — refusing to "
-                "scan an empty/foreign layout as zero rows (A3 strictness)"
-            )
-
+        # Parquet footer stats give each segment's offset span — the
+        # planner's analog of a segment index lookup. One footer read
+        # per segment, driver-side only. Stats-less segments scan the
+        # conservative full span (never silently pruned).
+        by_pid = _enumerate_segments(self._path)
         segments: list[tuple[int, str, int, int]] = []  # (pid, file, lo, hi+1)
-        for pid, pdir in sorted(part_dirs):
-            for fname in sorted(os.listdir(pdir)):
-                if not _SEGMENT_FILE.match(fname):
-                    continue
-                fpath = os.path.join(pdir, fname)
-                # Parquet footer stats give the segment's offset span —
-                # the planner's analog of a segment index lookup. One
-                # footer read per segment, driver-side only.
-                meta = pq.read_metadata(fpath)
-                idx = meta.schema.to_arrow_schema().get_field_index("offset")
-                lo, hi = None, None
-                for rg in range(meta.num_row_groups):
-                    st = meta.row_group(rg).column(idx).statistics
-                    if st is None:  # no stats → conservative full span
-                        lo, hi = None, None
-                        break
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
+        for pid in sorted(by_pid):
+            for fpath, lo, hi, _nrows in by_pid[pid]:
                 if lo is None:
                     segments.append((pid, fpath, 0, 2**62))
                 else:
-                    segments.append((pid, fpath, int(lo), int(hi) + 1))
+                    segments.append((pid, fpath, lo, hi))
 
         if not segments:
             raise KafkaLogLayoutError(f"no segment files under {self._path}")
@@ -257,23 +348,7 @@ class KafkaSegmentReader(DataSourceReader):
 
     # -- executor-side scan: Arrow batches, no per-row Python ----------
     def read(self, partition: OffsetSplit):
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        if partition.start >= partition.end:
-            return
-        table = pq.read_table(partition.path)
-        mask = pc.and_(
-            pc.greater_equal(table["offset"], partition.start),
-            pc.less(table["offset"], partition.end),
-        )
-        table = table.filter(mask)
-        # Align column order AND arrow types with the declared schema
-        # (Spark's Arrow bridge rejects e.g. ns timestamps).
-        table = table.select([f.name for f in RAW_FRAME_SCHEMA.fields]).cast(
-            _arrow_schema()
-        )
-        yield from table.to_batches()
+        yield from _read_split_batches(partition)
 
 
 @dataclass(frozen=True)
@@ -352,13 +427,33 @@ class KafkaSegmentWriter(DataSourceWriter):
             for e in os.listdir(self._path):
                 if _PARTITION_DIR.match(e):
                     shutil.rmtree(os.path.join(self._path, e))
+        # Resolve every rename target FIRST so a first-offset collision
+        # (documented-unique, but documentation is not enforcement —
+        # ADVICE r3) aborts the whole commit before any segment becomes
+        # visible, instead of silently overwriting committed data or
+        # publishing half a batch.
+        renames: list[tuple[str, str]] = []
         for msg in messages:
             if msg is None:
                 continue
             for fpath, pid, first in msg.files:
                 pdir = os.path.join(self._path, f"partition={pid}")
                 os.makedirs(pdir, exist_ok=True)
-                os.replace(fpath, os.path.join(pdir, f"segment-{first}.parquet"))
+                target = os.path.join(
+                    _resolve_partition_dir(pdir), f"segment-{first}.parquet"
+                )
+                renames.append((fpath, target))
+        targets = [t for _, t in renames]
+        clash = [t for t in targets if os.path.exists(t)]
+        dup = len(targets) != len(set(targets))
+        if clash or dup:
+            shutil.rmtree(self._staging, ignore_errors=True)
+            raise KafkaLogLayoutError(
+                "append would overwrite an existing segment (first offsets "
+                f"must be unique per partition): {clash or 'duplicate within batch'}"
+            )
+        for fpath, target in renames:
+            os.replace(fpath, target)
         shutil.rmtree(self._staging, ignore_errors=True)
 
     def abort(self, messages) -> None:
@@ -367,22 +462,39 @@ class KafkaSegmentWriter(DataSourceWriter):
         shutil.rmtree(self._staging, ignore_errors=True)
 
 
-class KafkaSegmentStreamReader(SimpleDataSourceStreamReader):
+class KafkaSegmentStreamReader(DataSourceStreamReader):
     """Incremental consumption over a growing segment log — the Kafka
-    consumer model as a native Spark streaming source.
+    consumer model as a native Spark streaming source, with EXECUTOR-side
+    scans: the driver only plans (footer metadata), and each micro-batch
+    fans out one :class:`OffsetSplit` per overlapping segment through the
+    same row-group-pruned Arrow read as the batch reader (the round-3
+    driver-side ``SimpleDataSourceStreamReader`` prefetch hop is gone).
 
     Streaming offsets are per-partition next-offset maps
     (``{"0": 500, "1": 512}``), exactly Kafka's consumer-position model:
-    :meth:`read` scans each partition from its position to the current
-    log end and advances the map; :meth:`readBetweenOffsets` replays a
-    committed range deterministically for failure recovery (the replay
-    contract Kafka's seekable log provides the reference's engine);
-    :meth:`commit` is a no-op because retention is the log's concern,
-    not the consumer's.
+    :meth:`latestOffset` advances each position to the current log end,
+    :meth:`partitions` plans the committed ``[start, end)`` range
+    deterministically for replay (the contract Kafka's seekable log
+    provides the reference's engine); :meth:`commit` is a no-op because
+    retention is the log's concern, not the consumer's.
 
     Options: ``path`` (required); ``startingOffsets`` = ``earliest``
     (default) | ``latest`` — the same knob as the batch scan's
-    earliest/latest sentinels (``KafkaSplitManager.java:163-167``).
+    earliest/latest sentinels (``KafkaSplitManager.java:163-167``);
+    ``maxRowsPerBatch`` — A8 size-bounded micro-batches, the analog of
+    the Kafka source's ``maxOffsetsPerTrigger`` (and of the reference's
+    ``KAFKA_MAX_FETCH_SIZE`` batch bounding), 0 = unbounded. The row
+    budget converts to an offset span via the MEASURED rows-per-offset
+    density from segment footers (modulo-routed fixture logs stride
+    offsets by the partition count, so a raw span bound would under-fill
+    by that factor — ADVICE r3). The bound relies on the same engine
+    contract as pyspark's own ``_SimpleStreamReaderWrapper``: a fresh
+    query's first ``latestOffset`` seeds the position ratchet from
+    ``startingOffsets``, and on restart the engine replays the last
+    write-ahead-logged batch through :meth:`partitions` FIRST, which
+    re-seeds the ratchet from the checkpointed range — so the bound can
+    never regress offsets below a committed position (which would
+    silently re-deliver rows).
     """
 
     def __init__(self, options: dict) -> None:
@@ -396,123 +508,182 @@ class KafkaSegmentStreamReader(SimpleDataSourceStreamReader):
         if start not in ("earliest", "latest"):
             raise ValueError(f"startingOffsets must be earliest|latest, got {start}")
         self._starting = start
-        # A8: size-bounded micro-batches — the analog of the Kafka
-        # source's maxOffsetsPerTrigger (and of the reference's
-        # KAFKA_MAX_FETCH_SIZE batch bounding). 0 = unbounded.
         self._max_rows = int(
             options.get("maxrowsperbatch", options.get("maxRowsPerBatch", 0))
         )
+        #: Driver-side rate-limit ratchet: the last end-offset map this
+        #: reader returned (or saw in a replayed batch). None until the
+        #: first initialOffset/latestOffset/partitions call.
+        self._pos: dict[str, int] | None = None
 
     # -- log introspection (driver-side, metadata only) ----------------
-    def _segments(self) -> dict[int, list[tuple[str, int, int]]]:
-        """{partition_id: [(file, lo, hi_exclusive), …]} from footer stats."""
-        import pyarrow.parquet as pq
+    def _segments(self) -> dict[int, list[tuple[str, int, int, int]]]:
+        """{partition_id: [(file, lo, hi_exclusive, num_rows), …]}.
 
-        out: dict[int, list[tuple[str, int, int]]] = {}
-        try:
-            entries = os.listdir(self._path)
-        except OSError as exc:
-            raise KafkaLogLayoutError(f"cannot list log dir {self._path}") from exc
-        for e in entries:
-            m = _PARTITION_DIR.match(e)
-            if not m:
-                continue
-            pid = int(m.group(1))
-            pdir = os.path.join(self._path, e)
-            segs = []
-            for fname in sorted(os.listdir(pdir)):
-                if not _SEGMENT_FILE.match(fname):
-                    continue
-                fpath = os.path.join(pdir, fname)
-                meta = pq.read_metadata(fpath)
-                idx = meta.schema.to_arrow_schema().get_field_index("offset")
-                lo = min(
-                    meta.row_group(rg).column(idx).statistics.min
-                    for rg in range(meta.num_row_groups)
-                )
-                hi = max(
-                    meta.row_group(rg).column(idx).statistics.max
-                    for rg in range(meta.num_row_groups)
-                )
-                segs.append((fpath, int(lo), int(hi) + 1))
-            out[pid] = segs
-        if not out:
-            raise KafkaLogLayoutError(
-                f"no partition=N directories under {self._path} (A3 strictness)"
-            )
+        A segment without offset statistics cannot support positioned
+        consumption (its rows have no place in the offset order), so it
+        raises loudly instead of the batch reader's conservative
+        full-span fallback."""
+        out: dict[int, list[tuple[str, int, int, int]]] = {}
+        for pid, segs in _enumerate_segments(self._path).items():
+            checked = []
+            for fpath, lo, hi, nrows in segs:
+                if lo is None and nrows > 0:
+                    raise KafkaLogLayoutError(
+                        f"segment {fpath} has no offset statistics; positioned "
+                        "streaming requires offset min/max per row group "
+                        "(rewrite the segment with stats or compact the log)"
+                    )
+                if nrows > 0:
+                    checked.append((fpath, lo, hi, nrows))
+            out[pid] = checked
         return out
 
     def initialOffset(self) -> dict:
         segs = self._segments()
         if self._starting == "latest":
-            return {
-                str(pid): max((hi for _, _, hi in s), default=0)
+            off = {
+                str(pid): max((hi for _, _, hi, _ in s), default=0)
                 for pid, s in segs.items()
             }
-        return {
-            str(pid): min((lo for _, lo, _ in s), default=0)
-            for pid, s in segs.items()
-        }
+        else:
+            off = {
+                str(pid): min((lo for _, lo, _, _ in s), default=0)
+                for pid, s in segs.items()
+            }
+        self._pos = {k: int(v) for k, v in off.items()}
+        return off
 
-    def _rows_between(self, start: dict, end: dict):
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        for pid, segs in sorted(self._segments().items()):
-            lo = int(start.get(str(pid), 0))
-            hi = end.get(str(pid))
-            hi = int(hi) if hi is not None else None
-            for fpath, slo, shi in segs:
-                if shi <= lo or (hi is not None and slo >= hi):
-                    continue  # segment outside the consumed range
-                table = pq.read_table(fpath)
-                mask = pc.greater_equal(table["offset"], lo)
-                if hi is not None:
-                    mask = pc.and_(mask, pc.less(table["offset"], hi))
-                table = table.filter(mask).select(
-                    [f.name for f in RAW_FRAME_SCHEMA.fields]
-                )
-                yield from (tuple(r.values()) for r in table.to_pylist())
-
-    def read(self, start: dict):
+    def latestOffset(self) -> dict:
+        if self._pos is None:
+            # The engine calls latestOffset BEFORE initialOffset on a
+            # fresh query (observed; same ordering pyspark's
+            # _SimpleStreamReaderWrapper handles). pos=None therefore
+            # means FRESH START — on restart, the WAL-batch replay
+            # through partitions() has already re-seeded the ratchet —
+            # so seeding from startingOffsets here cannot regress a
+            # committed position.
+            self.initialOffset()
         segs = self._segments()
         end = {
-            str(pid): max(
-                (hi for _, _, hi in s), default=int(start.get(str(pid), 0))
-            )
+            str(pid): max((hi for _, _, hi, _ in s), default=0)
             for pid, s in segs.items()
         }
-        # partitions may appear mid-stream; keep any position the log no
-        # longer covers (retention) so the offset map only moves forward
-        for k, v in start.items():
+        pos = self._pos
+        # positions only move forward (retention may drop segments)
+        for k, v in pos.items():
             end[k] = max(int(end.get(k, 0)), int(v))
         if self._max_rows > 0:
-            # Bound the batch by offset SPAN, split evenly across the
-            # partitions that have lag (offsets are dense in the fixture
-            # log, so span ≈ rows; a sparse log just under-fills — the
-            # safe direction). Remaining lag arrives in later batches.
-            lagging = [
-                k for k in end if int(end[k]) > int(start.get(k, 0))
-            ]
+            lagging = [k for k in end if int(end[k]) > pos.get(k, 0)]
             if lagging:
-                per_part = max(1, self._max_rows // len(lagging))
+                budget = max(1, self._max_rows // len(lagging))
                 for k in lagging:
-                    end[k] = min(int(end[k]), int(start.get(k, 0)) + per_part)
-        # iter(list(...)), deliberately: the simple-reader harness both
-        # PICKLES the prefetched batch (a generator can't pickle) and
-        # calls next() on it in its prefetch cache (a bare list isn't an
-        # iterator) — a list_iterator satisfies both. The driver-side
-        # prefetch hop is the documented trade of
-        # SimpleDataSourceStreamReader; a partition-parallel
-        # DataSourceStreamReader is the upgrade path if per-batch volume
-        # ever warrants it.
-        return iter(list(self._rows_between(start, end))), end
+                    p = pos.get(k, 0)
+                    psegs = segs.get(int(k), [])
+                    rows = sum(n for _, _, _, n in psegs)
+                    span = sum(hi - lo for _, lo, hi, _ in psegs)
+                    density = (rows / span) if span > 0 else 1.0
+                    span_budget = max(1, math.ceil(budget / max(density, 1e-9)))
+                    cap = p + span_budget
+                    if not any(lo < cap and hi > p for _, lo, hi, _ in psegs):
+                        # The bounded window lands in an offset gap
+                        # (retention / sparse producers): snap to the
+                        # next segment start so progress isn't
+                        # O(gap / budget) empty micro-batches.
+                        nxt = min(
+                            (lo for _, lo, _, _ in psegs if lo >= p),
+                            default=None,
+                        )
+                        if nxt is not None:
+                            cap = nxt + span_budget
+                    end[k] = min(int(end[k]), cap)
+        self._pos = {k: int(v) for k, v in end.items()}
+        return end
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(list(self._rows_between(start, end)))
+    def partitions(self, start: dict, end: dict) -> list[OffsetSplit]:
+        # Ratchet from the real (checkpointed) range: a replayed
+        # write-ahead-logged batch is the one restart path that tells a
+        # fresh reader where the query actually is.
+        if self._pos is None:
+            self._pos = {}
+        for k, v in end.items():
+            self._pos[k] = max(self._pos.get(k, 0), int(v))
+        splits: list[OffsetSplit] = []
+        for pid, segs in sorted(self._segments().items()):
+            lo_b = int(start.get(str(pid), 0))
+            hi_b = int(end.get(str(pid), lo_b))
+            for fpath, slo, shi, _nrows in segs:
+                s, e = max(slo, lo_b), min(shi, hi_b)
+                if s < e:
+                    splits.append(OffsetSplit(fpath, pid, s, e))
+        if not splits:
+            return [OffsetSplit("", 0, 0, 0)]  # planned-empty micro-batch
+        return splits
+
+    # -- executor-side scan (same pruned Arrow read as the batch path) --
+    def read(self, partition: OffsetSplit):
+        yield from _read_split_batches(partition)
 
     def commit(self, end: dict) -> None:
         pass  # retention is the log's concern (Kafka model)
+
+
+@dataclass
+class KafkaSegmentsEventSource:
+    """Catalog :class:`~presto_rakam_kafka_spark.catalog.EventSource`
+    backed by the native ``kafka_segments`` DataSource — routes
+    ``catalog.table(project, collection, offset_ranges=...)`` through
+    Catalyst ``pushFilters`` segment pruning, so the flagship path
+    (catalog → hidden columns → offset pushdown → agg) runs end-to-end
+    on the engine's own source instead of the planning-layer rewrite
+    (the reference's equivalent full path:
+    ``KafkaMetadata`` → ``KafkaSplitManager.java:153-178`` →
+    ``KafkaConnectorPageSource``).
+
+    The pushed ranges become plain ``offset`` conjuncts on the raw
+    frame scan; Catalyst hands them to
+    :meth:`KafkaSegmentReader.pushFilters`, which clamps split bounds
+    and prunes whole segments by footer stats BEFORE task launch —
+    declarative pushdown, not a post-scan filter.
+    """
+
+    path: str
+    value_format: str = "json"
+    min_splits: int = 0
+
+    def scan(
+        self,
+        spark,
+        project: str,
+        collection: str,
+        fields,
+        offset_ranges=None,
+    ):
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        from presto_rakam_kafka_spark.sources.kafka import KafkaEventSource
+
+        # Registration is idempotent; the pushdown conf is runtime-settable.
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        spark.dataSource.register(KafkaSegmentDataSource)
+        reader = spark.read.format("kafka_segments").option("path", self.path)
+        if self.min_splits:
+            reader = reader.option("minSplits", str(self.min_splits))
+        raw = reader.load()
+        if offset_ranges:
+            preds = []
+            for r in offset_ranges:
+                p = F.col("offset") >= F.lit(r.start)
+                if r.end is not None:
+                    p = p & (F.col("offset") < F.lit(r.end))
+                preds.append(p)
+            raw = raw.filter(reduce(lambda a, b: a | b, preds))
+        codec = KafkaEventSource(
+            bootstrap_servers="none:9092", value_format=self.value_format
+        )
+        return codec._decode(spark, raw, project, collection, fields)
 
 
 def compact_segments(
@@ -527,20 +698,26 @@ def compact_segments(
     thousands of tiny files each costing a footer read + task).
 
     Offsets, frame bytes, and ordering are preserved exactly; only the
-    file boundaries change. Publication is two-phase like
-    :class:`KafkaSegmentWriter`: new segments are staged, then one
-    rename pass swaps them in and removes the old files, so a reader
-    planning concurrently sees either the old or the new layout, never
-    a mix of halves. Returns {partition_id: (files_before, files_after)}.
+    file boundaries change. Publication is **observable-atomic per
+    partition** (the round-3 swap deleted old files before renaming new
+    ones in, leaving a window where a concurrent planner saw an empty
+    dir and silently under-scanned — ADVICE r3): the compacted segments
+    are written into a fresh ``gen-NNNNNN/`` generation directory, then
+    the partition's ``_CURRENT`` pointer file is flipped with one atomic
+    ``os.replace``, then the superseded generation is removed. A planner
+    (:func:`_enumerate_segments`) always resolves the pointer first and
+    enumerates exactly one generation — never a mix of halves, never an
+    empty window. A scan already in flight across the flip may fail
+    loudly on a deleted file (Spark retries the task / fails the query);
+    it can never silently drop rows. Returns
+    {partition_id: (files_before, files_after)}.
     """
     import shutil
-    import uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     report: dict[int, tuple[int, int]] = {}
-    staging = os.path.join(path, f".staging-compact-{uuid.uuid4().hex[:12]}")
     try:
         entries = os.listdir(path)
     except OSError as exc:
@@ -553,33 +730,38 @@ def compact_segments(
         if partitions is not None and pid not in partitions:
             continue
         pdir = os.path.join(path, e)
-        old_files = sorted(
-            f for f in os.listdir(pdir) if _SEGMENT_FILE.match(f)
-        )
+        cur = _resolve_partition_dir(pdir)
+        old_files = sorted(f for f in os.listdir(cur) if _SEGMENT_FILE.match(f))
         if len(old_files) <= 1:
             report[pid] = (len(old_files), len(old_files))
             continue
         table = pa.concat_tables(
-            [pq.read_table(os.path.join(pdir, f)) for f in old_files]
+            [pq.read_table(os.path.join(cur, f)) for f in old_files]
         ).sort_by("offset")
-        os.makedirs(staging, exist_ok=True)
-        staged = []
+        cur_gen = 0
+        if cur != pdir:
+            cur_gen = int(_GEN_DIR.match(os.path.basename(cur)).group(1))
+        gen_name = f"gen-{cur_gen + 1:06d}"
+        gdir = os.path.join(pdir, gen_name)
+        os.makedirs(gdir)
+        n_new = 0
         for start in range(0, table.num_rows, target_rows):
             chunk = table.slice(start, target_rows)
             first = chunk["offset"][0].as_py()
-            fpath = os.path.join(staging, f"{pid}-{first}.parquet")
-            pq.write_table(chunk, fpath)
-            staged.append((fpath, first))
-        # publish: new files in, old files out (rename is atomic per
-        # file; a concurrent planner sees a consistent superset/subset,
-        # and offsets never duplicate across old/new within one read
-        # because the swap below removes old files first per partition)
-        for f in old_files:
-            os.remove(os.path.join(pdir, f))
-        for fpath, first in staged:
-            os.replace(fpath, os.path.join(pdir, f"segment-{first}.parquet"))
-        report[pid] = (len(old_files), len(staged))
-    shutil.rmtree(staging, ignore_errors=True)
+            pq.write_table(chunk, os.path.join(gdir, f"segment-{first}.parquet"))
+            n_new += 1
+        # atomic publish: flip the generation pointer
+        tmp = os.path.join(pdir, f".{_GEN_POINTER}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(gen_name)
+        os.replace(tmp, os.path.join(pdir, _GEN_POINTER))
+        # retire the superseded generation (no new planner can reach it)
+        if cur == pdir:
+            for f in old_files:
+                os.remove(os.path.join(pdir, f))
+        else:
+            shutil.rmtree(cur, ignore_errors=True)
+        report[pid] = (len(old_files), n_new)
     return report
 
 

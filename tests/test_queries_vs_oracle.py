@@ -41,6 +41,34 @@ def test_gate_is_type_strict(spark, duck):
     assert ok, msg
 
 
+def test_gate_rejects_hugeint_widening(spark, duck):
+    """DuckDB sum(BIGINT) widens to HUGEINT, which `fetchall` renders as
+    a plain Python int (passing an untyped gate) but Arrow renders as
+    Decimal — the driver-side hash then mismatches (round 3's
+    avro_decode_roundtrip). The gate must reject the oracle by TYPE."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(3).select(F.sum("id").alias("s"))
+    ok, msg = compare_query(df, duck, "SELECT sum(x) AS s FROM (VALUES (0),(1),(2)) t(x)")
+    assert not ok and "HUGEINT" in msg, f"gate accepted HUGEINT oracle: {msg}"
+    ok, msg = compare_query(
+        df, duck, "SELECT CAST(sum(x) AS BIGINT) AS s FROM (VALUES (0),(1),(2)) t(x)"
+    )
+    assert ok, msg
+
+
+def test_no_oracle_widens_to_hugeint(duck):
+    """Sweep EVERY registered oracle's DuckDB result types: none may
+    contain HUGEINT (the audit VERDICT r3 asked for, kept as a gate)."""
+    hits = []
+    for name, sql in sorted(Q.ORACLES.items()):
+        res = duck.sql(sql)
+        for cname, typ in zip(res.columns, res.types):
+            if "HUGEINT" in str(typ).upper():
+                hits.append(f"{name}.{cname}")
+    assert not hits, f"oracles widen to HUGEINT (add explicit CASTs): {hits}"
+
+
 def test_gate_is_decimal_strict(spark, duck):
     import pyspark.sql.functions as F
 
