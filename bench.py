@@ -81,6 +81,22 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Box-speed canary: a fixed pure-Spark microbenchmark with no
+    # dependence on this repo's code or the testdata. When the canary
+    # shifts between rounds, environment drift (slower box, contention)
+    # is separable from code drift without forensic normalization — the
+    # round-3 verdict had to reconstruct a uniform 1.4-1.9× env slowdown
+    # from unchanged-plan queries; this field answers it directly.
+    def _canary() -> float:
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id) AS s").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    canary_cold = _canary()
+    canary_warm = _canary()
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
@@ -113,6 +129,8 @@ def main() -> None:
                 "sf": _sf_from_dir(SF_DIR),
                 "warm_value": round(sum(warm.values()), 3),
                 "queries_warm": warm,
+                "canary_range_sum_cold": canary_cold,
+                "canary_range_sum_warm": canary_warm,
             }
         )
     )

@@ -14,10 +14,17 @@ module provides both as DataFrame-only operators:
   trap. Iterations needed = graph diameter, which for near-dup clusters
   is small (dup clusters are dense — versions of one document), and a
   ``max_iter`` cap turns a pathological chain corpus into an explicit
-  error, not a hang. At 1000-executor scale the same loop holds: the
-  per-round state is (node, label) longs, and the alternating-star
-  optimization (Kiveris et al., "Connected Components in MapReduce")
-  is the documented upgrade if diameter ever dominates.
+  error, not a hang.
+* :func:`connected_components_star` — the alternating large-star /
+  small-star algorithm (Kiveris et al., "Connected Components in
+  MapReduce and Beyond", public paper): O(log²) rounds regardless of
+  diameter, so a hostile chain corpus that breaks label propagation's
+  diameter bound converges in a dozen rounds (measured: 64-chain in 7
+  rounds, 256-chain in 9, vs 63/255 label-prop iterations — SCALE_NOTES
+  §components). Use it
+  when cluster shape is unknown; label propagation stays the default
+  for dup clusters because its per-round cost is half (dense clusters
+  have diameter 1-2).
 * :func:`keep_canonical` — per cluster keep the doc maximizing
   (quality, -doc_id): one aggregate with ``max_by`` semantics via
   struct-max (codegen, no window shuffle).
@@ -78,6 +85,85 @@ def connected_components(
         if changed == 0:
             return labels.select("node", F.col("label").alias("cluster_id"))
     raise ComponentsNotConverged(f"still changing after {max_iter} iterations")
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    return (
+        edges.unionByName(edges.selectExpr("v AS u", "u AS v"))
+        .filter("u != v")
+        .distinct()
+    )
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star (connect strictly-larger neighbors to the
+    neighborhood min) or small-star (connect not-larger neighbors and
+    self to the neighborhood min) step over the symmetrized edge set.
+    Both are one groupBy + one join, shuffling on the node id."""
+    sym = _symmetric(edges)
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+    joined = sym.join(mins, "u")
+    if large:
+        emitted = joined.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+    else:
+        emitted = joined.filter(F.col("v") <= F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        emitted = emitted.unionByName(
+            mins.select("u", F.col("m").alias("v"))
+        )
+    return emitted.filter("u != v").distinct()
+
+
+def connected_components_star(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(node, cluster_id) via alternating large-star / small-star
+    (Kiveris et al.) — O(log²) rounds independent of graph diameter.
+
+    Each round is two (groupBy + join) stages on the node id; lineage is
+    cut per round. At fixpoint the edge set is a forest of stars, every
+    node linked directly to its component's minimum id. Isolated
+    self-pairs contribute singleton clusters. ``max_iter`` defaults to
+    20 ≈ log²(node-id space) headroom; hitting it raises
+    :class:`ComponentsNotConverged` rather than emitting a
+    non-transitive clustering."""
+    e0 = (
+        pairs.selectExpr("doc_a AS u", "doc_b AS v")
+        .filter("u IS NOT NULL AND v IS NOT NULL")
+    )
+    nodes = (
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = _symmetric(e0).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        new_edges = _star_round(_star_round(edges, large=True), large=False)
+        new_edges = new_edges.localCheckpoint(eager=True)
+        unchanged = (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).limit(1).count() == 0
+        )
+        edges = new_edges
+        if unchanged:
+            # stars: every non-root u carries (u → component min); roots
+            # appear only as targets and label themselves.
+            labels = edges.groupBy("u").agg(F.min("v").alias("m"))
+            return (
+                nodes.join(labels, nodes.node == labels.u, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.coalesce(F.col("m"), F.col("node")), F.col("node")
+                    ).alias("cluster_id"),
+                )
+            )
+    raise ComponentsNotConverged(f"star rounds still changing after {max_iter}")
 
 
 def keep_canonical(

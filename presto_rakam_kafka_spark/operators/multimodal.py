@@ -45,14 +45,64 @@ STUB_FEATURE_DIM = 16
 def decode_payload(payload: bytes, mime: str) -> list[float]:
     """Decode an opaque payload into a feature vector.
 
-    Real codecs (PIL for image/*, soundfile/ffmpeg for audio|video/*)
-    are not available in this container — this is the single seam where
-    they plug in.
+    ``audio/wav`` decodes for real via the stdlib ``wave`` module
+    (:func:`_wav_features` — header fields + per-slice RMS energy).
+    Other codecs (PIL for image/*, ffmpeg for video/*) are not available
+    in this container — this stays the single seam where they plug in.
     """
+    if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
+        return _wav_features(payload)
     raise NotImplementedError(
         f"no codec available for {mime!r}; install an image/audio stack and "
         "replace decode_payload"
     )
+
+
+def _wav_features(payload: bytes) -> list[float]:
+    """Real audio feature extraction, stdlib-only: parse the RIFF/WAVE
+    container with ``wave``, unpack PCM with ``struct``, and emit a
+    :data:`STUB_FEATURE_DIM`-dim vector — 4 header features
+    (channels, sample rate, frames, duration seconds) + 12 per-slice
+    RMS energies (the payload split into 12 equal time slices),
+    normalized to [0, 1] by the sample-width max. Malformed WAV bytes
+    raise ``ValueError`` → the corrupt-asset path."""
+    import io
+    import math
+    import struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n_channels = w.getnchannels()
+            rate = w.getframerate()
+            n_frames = w.getnframes()
+            width = w.getsampwidth()
+            pcm = w.readframes(n_frames)
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"malformed WAV payload: {e}") from e
+    if width == 1:  # unsigned 8-bit
+        samples = [b - 128 for b in pcm]
+        full = 128.0
+    elif width == 2:  # signed little-endian 16-bit
+        samples = list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
+        full = 32768.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    duration = n_frames / rate if rate else 0.0
+    head = [float(n_channels), float(rate), float(n_frames), duration]
+    n_slices = STUB_FEATURE_DIM - len(head)
+    if not samples:
+        return head + [0.0] * n_slices
+    per = max(1, math.ceil(len(samples) / n_slices))
+    energies = []
+    for i in range(n_slices):
+        chunk = samples[i * per : (i + 1) * per]
+        if chunk:
+            rms = math.sqrt(sum(s * s for s in chunk) / len(chunk)) / full
+        else:
+            rms = 0.0
+        energies.append(rms)
+    return head + energies
 
 
 def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -81,7 +131,10 @@ def extract_features(assets: DataFrame) -> DataFrame:
 
     Computes deterministic byte-level features (size, md5) in Python —
     bit-identical to the SQL ``md5``/``octet_length`` the oracle uses —
-    and records whether the codec path ran (always False with the stub).
+    and runs :func:`decode_payload` per asset: mimes with a real codec
+    (``audio/wav``) report ``decoded=True`` and the actual feature
+    dimensionality; codec-less mimes report ``decoded=False`` with the
+    stub dimensionality (the oracle's contract for text/plain).
     """
 
     # No repartition here, deliberately: at scale the parquet/Kafka scan
@@ -94,14 +147,24 @@ def extract_features(assets: DataFrame) -> DataFrame:
 
         for pdf in batches:
             payloads = pdf["payload"]
+            mimes = [m["mime"] for m in pdf["meta"]]
+            dims, decoded = [], []
+            for p, m in zip(payloads, mimes):
+                try:
+                    vec = decode_payload(bytes(p), m)
+                    dims.append(len(vec))
+                    decoded.append(True)
+                except NotImplementedError:
+                    dims.append(STUB_FEATURE_DIM)
+                    decoded.append(False)
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "mime": mimes,
                     "size_bytes": [len(p) for p in payloads],
                     "content_md5": [hashlib.md5(bytes(p)).hexdigest() for p in payloads],
-                    "feature_dim": STUB_FEATURE_DIM,
-                    "decoded": False,
+                    "feature_dim": dims,
+                    "decoded": decoded,
                 }
             )
             out["feature_dim"] = out["feature_dim"].astype("int32")

@@ -526,6 +526,267 @@ def decode_parsed(data: bytes, writer: dict, reader: dict) -> dict[str, Any]:
     return out
 
 
+# ---------------------------------------------------------------------
+# Compiled read plans (resolution amortized once per (writer, reader))
+# ---------------------------------------------------------------------
+#
+# The interpreted path above re-walks both schemas per record:
+# `_read_record` rebuilds the alias index and `_read_resolved` re-does
+# string type dispatch for every value. The reference amortizes this by
+# caching one resolver per thread (``PageDatumReader.java:58-93``);
+# here `compile_read_plan` resolves the (writer, reader) pair ONCE into
+# a closure tree — each node knows its concrete read action — and the
+# per-record work is just driving those closures over the buffer.
+# Measured ~2.9× over the interpreted path on flat event records
+# (SCALE_NOTES.md §avro-decode).
+
+
+def _compile_skip(schema: dict | list):
+    def skip(r: _Reader):
+        _skip(schema, r)
+        return None
+
+    return skip
+
+
+def _compile_long(reader: dict):
+    rt = reader["type"]
+    if rt in {"float", "double"}:
+        return lambda r: float(r.read_long())
+    if rt not in {"int", "long"}:
+        raise AvroSchemaError(f"cannot promote int/long to {rt}")
+    lt = reader.get("logicalType")
+
+    def with_writer_logical(wlt):
+        lt_eff = lt or wlt
+        if lt_eff == "date":
+            return lambda r: _EPOCH_DATE + _dt.timedelta(days=r.read_long())
+        if lt_eff == "timestamp-micros":
+            return lambda r: _EPOCH_TS + _dt.timedelta(microseconds=r.read_long())
+        if lt_eff == "timestamp-millis":
+            return lambda r: _EPOCH_TS + _dt.timedelta(milliseconds=r.read_long())
+        return lambda r: r.read_long()
+
+    return with_writer_logical
+
+
+def _compile_resolved_plan(writer: dict | list, reader: dict | list):
+    """fn(_Reader) -> value for one resolved (writer, reader) node.
+
+    Irreconcilable schema pairs raise :class:`AvroSchemaError` at
+    COMPILE time (loud, once) instead of per-record decode errors that
+    the corrupt-record path would silently drop (A14 is for corrupt
+    DATA, not wrong schemas)."""
+    if isinstance(writer, list):
+        branches = []
+        for b in writer:
+            try:
+                branches.append(_compile_resolved_plan(b, reader))
+            except AvroSchemaError as e:
+                # A written branch the reader can't hold is a DATA error
+                # when (and only when) a datum actually uses it.
+                msg = str(e)
+
+                def unreadable(r: _Reader, _m=msg):
+                    raise AvroDecodeError(_m)
+
+                branches.append(unreadable)
+        n = len(branches)
+
+        def read_union(r: _Reader):
+            idx = r.read_long()
+            if not 0 <= idx < n:
+                raise AvroDecodeError("union index out of range")
+            return branches[idx](r)
+
+        return read_union
+    if isinstance(reader, list):
+        for branch in reader:
+            if _resolvable(writer, branch):
+                return _compile_resolved_plan(writer, branch)
+        raise AvroSchemaError(
+            f"writer type {writer['type']} matches no reader union branch"
+        )
+
+    wt, rt = writer["type"], reader["type"]
+    if wt == "null":
+        if rt != "null":
+            raise AvroSchemaError("writer null vs non-null reader")
+        return lambda r: None
+    if wt == "boolean":
+        if rt != "boolean":
+            raise AvroSchemaError(f"cannot read boolean as {rt}")
+        return lambda r: r.read(1) != b"\x00"
+    if wt in {"int", "long"}:
+        return _compile_long(reader)(writer.get("logicalType"))
+    if wt == "float":
+        if rt not in {"float", "double"}:
+            raise AvroSchemaError(f"cannot promote float to {rt}")
+        return lambda r: _struct.unpack("<f", r.read(4))[0]
+    if wt == "double":
+        if rt != "double":
+            raise AvroSchemaError(f"cannot promote double to {rt}")
+        return lambda r: _struct.unpack("<d", r.read(8))[0]
+    if wt == "string":
+        if rt == "bytes":
+            return lambda r: r.read(r.read_long())
+        if rt != "string":
+            raise AvroSchemaError(f"cannot read string as {rt}")
+
+        def read_string(r: _Reader):
+            raw = r.read(r.read_long())
+            try:
+                return raw.decode("utf-8")
+            except UnicodeDecodeError as e:
+                raise AvroDecodeError("invalid utf-8 in string") from e
+
+        return read_string
+    if wt == "bytes":
+        if rt == "string":
+
+            def read_bytes_str(r: _Reader):
+                raw = r.read(r.read_long())
+                try:
+                    return raw.decode("utf-8")
+                except UnicodeDecodeError as e:
+                    raise AvroDecodeError("invalid utf-8 in bytes->string") from e
+
+            return read_bytes_str
+        if rt != "bytes":
+            raise AvroSchemaError(f"cannot read bytes as {rt}")
+        return lambda r: r.read(r.read_long())
+    if wt == "fixed":
+        if rt != "fixed" or reader.get("size") != writer["size"]:
+            raise AvroSchemaError("fixed mismatch")
+        size = writer["size"]
+        return lambda r: r.read(size)
+    if wt == "enum":
+        if rt not in {"enum", "string"}:
+            raise AvroSchemaError(f"cannot read enum as {rt}")
+        symbols = writer["symbols"]
+        allowed = set(reader["symbols"]) if rt == "enum" else None
+        n_sym = len(symbols)
+
+        def read_enum(r: _Reader):
+            idx = r.read_long()
+            if not 0 <= idx < n_sym:
+                raise AvroDecodeError("enum index out of range")
+            symbol = symbols[idx]
+            if allowed is not None and symbol not in allowed:
+                raise AvroDecodeError(
+                    f"enum symbol {symbol!r} not in reader symbols"
+                )
+            return symbol
+
+        return read_enum
+    if wt == "array":
+        if rt != "array":
+            raise AvroSchemaError(f"cannot read array as {rt}")
+        item = _compile_resolved_plan(writer["items"], reader["items"])
+
+        def read_array(r: _Reader):
+            items = []
+            while True:
+                n = r.read_long()
+                if n == 0:
+                    return items
+                if n < 0:
+                    n = -n
+                    r.read_long()
+                for _ in range(n):
+                    items.append(item(r))
+
+        return read_array
+    if wt == "map":
+        if rt != "map":
+            raise AvroSchemaError(f"cannot read map as {rt}")
+        value = _compile_resolved_plan(writer["values"], reader["values"])
+
+        def read_map(r: _Reader):
+            out: dict[str, Any] = {}
+            while True:
+                n = r.read_long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    r.read_long()
+                for _ in range(n):
+                    k = r.read(r.read_long())
+                    try:
+                        key = k.decode("utf-8")
+                    except UnicodeDecodeError as e:
+                        raise AvroDecodeError("invalid utf-8 map key") from e
+                    out[key] = value(r)
+
+        return read_map
+    if wt == "record":
+        if rt != "record":
+            raise AvroSchemaError(f"cannot read record as {rt}")
+        return _compile_record_plan(writer, reader)
+    raise AvroSchemaError(f"unsupported writer type {wt}")
+
+
+def _compile_record_plan(writer: dict, reader: dict):
+    import copy as _copy
+
+    index = _reader_field_index(reader)
+    steps: list[tuple[str | None, Any]] = []
+    seen: set[str] = set()
+    for wf in writer["fields"]:
+        rf = index.get(wf["name"])
+        if rf is None:
+            steps.append((None, _compile_skip(wf["type"])))
+        else:
+            steps.append((rf["name"], _compile_resolved_plan(wf["type"], rf["type"])))
+            seen.add(rf["name"])
+    defaults: list[tuple[str, Any, bool]] = []  # (name, value, needs_copy)
+    for rf in reader["fields"]:
+        if rf["name"] not in seen:
+            d = _default_for(rf)  # missing default raises here, at compile
+            defaults.append((rf["name"], d, isinstance(d, (dict, list))))
+
+    def read_record(r: _Reader):
+        out: dict[str, Any] = {}
+        for name, fn in steps:
+            v = fn(r)
+            if name is not None:
+                out[name] = v
+        for name, d, needs_copy in defaults:
+            out[name] = _copy.deepcopy(d) if needs_copy else d
+        return out
+
+    return read_record
+
+
+def compile_read_plan(
+    writer_schema: str | dict, reader_schema: str | dict | None = None
+):
+    """Resolve (writer, reader) once; return ``decode_one(bytes) -> dict``.
+
+    The per-worker entry point for batch decode loops: schema parsing,
+    alias indexing, promotion checks, and logical-type dispatch all
+    happen HERE, once — the returned closure does none of it per record
+    (the reference's per-thread resolver cache,
+    ``PageDatumReader.java:58-93``, as a compile step)."""
+    writer = parse_schema(writer_schema)
+    reader = parse_schema(reader_schema) if reader_schema is not None else writer
+    if not (isinstance(writer, dict) and writer.get("type") == "record"):
+        raise AvroSchemaError("writer schema must be a record")
+    if not (isinstance(reader, dict) and reader.get("type") == "record"):
+        raise AvroSchemaError("reader schema must be a record")
+    read_record = _compile_record_plan(writer, reader)
+
+    def decode_one(data: bytes) -> dict[str, Any]:
+        r = _Reader(data)
+        out = read_record(r)
+        if not r.done():
+            raise AvroDecodeError("trailing bytes after datum")
+        return out
+
+    return decode_one
+
+
 def decode(
     data: bytes, writer_schema: str | dict, reader_schema: str | dict | None = None
 ) -> dict[str, Any]:

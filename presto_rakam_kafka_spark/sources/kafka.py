@@ -199,22 +199,29 @@ class KafkaEventSource:
         )
 
         def decode_batches(batches):
-            # Parse schema JSON once per task, not once per record.
-            writer = avro_codec.parse_schema(writer_json)
-            reader = avro_codec.parse_schema(reader_json)
+            # Resolve (writer, reader) ONCE per task into a compiled
+            # read plan (alias index, promotion checks, logical-type
+            # dispatch all amortized — the reference's per-thread
+            # resolver cache, PageDatumReader.java:58-93). The per-record
+            # loop only drives the compiled closures. ~2.9× over the
+            # interpreted decode (SCALE_NOTES.md §avro-decode).
+            decode_one = avro_codec.compile_read_plan(writer_json, reader_json)
             for pdf in batches:
-                recs = []
+                # Columnar assembly (dict-of-lists): one pandas column
+                # per field beats a DataFrame built from per-record
+                # dicts by ~2× at the batch sizes Arrow hands us.
+                cols: dict[str, list] = {n: [] for n in ("_offset", *names)}
                 for off, val in zip(pdf["offset"], pdf["value"]):
                     if val is None:
                         continue
                     try:
-                        rec = avro_codec.decode_parsed(bytes(val), writer, reader)
-                    except (avro_codec.AvroDecodeError, avro_codec.AvroSchemaError):
+                        rec = decode_one(bytes(val))
+                    except avro_codec.AvroDecodeError:
                         continue  # A14: drop the message, keep scanning
-                    recs.append(
-                        {"_offset": int(off), **{n: rec.get(n) for n in names}}
-                    )
-                yield pd.DataFrame(recs, columns=["_offset", *names])
+                    cols["_offset"].append(int(off))
+                    for n in names:
+                        cols[n].append(rec.get(n))
+                yield pd.DataFrame(cols, columns=["_offset", *names])
 
         decoded = raw.select("offset", "value").mapInPandas(
             decode_batches, schema=out_schema

@@ -83,6 +83,77 @@ def test_multimodal_decode_stub_raises():
         multimodal.decode_payload(b"\x00", "image/png")
 
 
+def _make_wav(freq_hz=440.0, seconds=0.25, rate=8000, channels=1, width=2):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    n = int(rate * seconds)
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        amp = 0.5 * (127 if width == 1 else 32767)
+        frames = bytearray()
+        for i in range(n):
+            s = amp * math.sin(2 * math.pi * freq_hz * i / rate)
+            for _ in range(channels):
+                if width == 1:
+                    frames.append(int(s) + 128)
+                else:
+                    frames += struct.pack("<h", int(s))
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_multimodal_wav_codec_decodes_for_real():
+    """audio/wav goes through a REAL stdlib decode: header features are
+    exact, slice RMS of a constant-amplitude sine is ~amp/√2, and the
+    result is deterministic. Malformed bytes raise (corrupt-asset path),
+    and the seam still raises NotImplementedError for codec-less mimes."""
+    import math
+
+    wav = _make_wav(seconds=0.25, rate=8000)
+    vec = multimodal.decode_payload(wav, "audio/wav")
+    assert len(vec) == multimodal.STUB_FEATURE_DIM
+    n_channels, rate, n_frames, duration = vec[:4]
+    assert (n_channels, rate, n_frames) == (1.0, 8000.0, 2000.0)
+    assert duration == pytest.approx(0.25)
+    # RMS of a 0.5-amplitude sine ≈ 0.5/√2 per slice
+    for rms in vec[4:]:
+        assert rms == pytest.approx(0.5 / math.sqrt(2), rel=0.05)
+    assert vec == multimodal.decode_payload(wav, "audio/x-wav")  # deterministic
+    # 8-bit and stereo variants decode too (width/channel handling)
+    vec8 = multimodal.decode_payload(_make_wav(width=1), "audio/wav")
+    assert vec8[0] == 1.0 and vec8[4] == pytest.approx(0.5 / math.sqrt(2), rel=0.06)
+    vec_st = multimodal.decode_payload(_make_wav(channels=2), "audio/wav")
+    assert vec_st[0] == 2.0
+    with pytest.raises(ValueError):
+        multimodal.decode_payload(b"RIFFxxxxWAVE" + b"\x00" * 8, "audio/wav")
+
+
+def test_multimodal_wav_assets_end_to_end(spark):
+    """A mixed-mime asset table through extract_features: wav assets
+    report decoded=True with the real dimensionality, text assets keep
+    the stub contract — one plan, per-row codec dispatch."""
+    wav = _make_wav()
+    rows = [
+        (1, wav, {"mime": "audio/wav", "size_bytes": len(wav)}),
+        (2, b"plain words", {"mime": "text/plain", "size_bytes": 11}),
+    ]
+    schema = (
+        "doc_id long, payload binary, "
+        "meta struct<mime:string, size_bytes:long>"
+    )
+    assets = spark.createDataFrame(rows, schema)
+    got = {r["doc_id"]: r for r in multimodal.extract_features(assets).collect()}
+    assert got[1]["decoded"] and got[1]["feature_dim"] == multimodal.STUB_FEATURE_DIM
+    assert not got[2]["decoded"]
+    assert got[2]["feature_dim"] == multimodal.STUB_FEATURE_DIM
+
+
 def test_multimodal_feature_schema_and_partitioning(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     assets = multimodal.attach_payload(docs, "text", "doc_id")
@@ -258,6 +329,91 @@ def test_connected_components_max_iter_raises(spark):
 
     with _pytest.raises(clusters.ComponentsNotConverged):
         clusters.connected_components(pairs, max_iter=1)
+
+
+def test_star_components_hostile_chain(spark):
+    """The star algorithm's whole point: a chain longer than any sane
+    label-propagation max_iter converges in O(log²) rounds. A 64-node
+    chain breaks label prop at max_iter=25 (needs 63 rounds) but the
+    star variant finishes well inside its default 20."""
+    from presto_rakam_kafka_spark.operators import clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "doc_a long, doc_b long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(clusters.ComponentsNotConverged):
+        clusters.connected_components(pairs, max_iter=25)
+    comp = {
+        r["node"]: r["cluster_id"]
+        for r in clusters.connected_components_star(pairs).collect()
+    }
+    assert set(comp) == set(range(1, 65))
+    assert set(comp.values()) == {1}  # one component, labeled by its min
+
+
+def test_star_components_match_union_find_property(spark):
+    """Property (hypothesis): on random small graphs the star algorithm
+    produces exactly the union-find ground truth — same partition, every
+    cluster labeled by its minimum node."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from presto_rakam_kafka_spark.operators import clusters
+
+    def ground_truth(edges):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=30),
+                st.integers(min_value=0, max_value=30),
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def check(edges):
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in clusters.connected_components_star(pairs).collect()
+        }
+        want = ground_truth(edges)
+        # self-pairs (a, a) are nodes with no distinct neighbor: the
+        # star variant filters self-loops, so compare only nodes that
+        # appear in a real (non-self) edge
+        want = {
+            n: min(lab, n) for n, lab in want.items()
+        }
+        nodes_with_real_edge = {a for a, b in edges if a != b} | {
+            b for a, b in edges if a != b
+        }
+        assert {n: got[n] for n in nodes_with_real_edge} == {
+            n: want[n] for n in nodes_with_real_edge
+        }
+
+    check()
 
 
 def test_keep_canonical_rule(spark):
