@@ -1005,6 +1005,38 @@ def _register_llm_queries() -> None:
         return clusters.keep_canonical(docs, pairs, "doc_id", "n_chars")
 
     @query(
+        "dedup_cluster_canonical_star",
+        oracle=clusters.keep_canonical_oracle(
+            "documents", "text", "doc_id", "d.n_chars", n=3, threshold=0.8
+        ),
+    )
+    def dedup_cluster_canonical_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Same decision step as ``dedup_cluster_canonical`` but with
+        the transitive closure computed by the alternating
+        large-star/small-star algorithm (O(log²) rounds independent of
+        cluster diameter — the hostile-graph scale path, SCALE_NOTES
+        §components). Identical oracle: both closures must produce the
+        same partition."""
+        docs = _documents(spark, sf_dir)
+        pairs = dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.8
+        ).select("doc_a", "doc_b")
+        comp = clusters.connected_components_star(pairs)
+        member = comp.join(
+            docs.select(F.col("doc_id").alias("node"), F.col("n_chars").alias("q")),
+            "node",
+        )
+        best = F.max(F.struct(F.col("q"), (-F.col("node")).alias("neg_id")))
+        return (
+            member.groupBy("cluster_id")
+            .agg(
+                (-best.getField("neg_id")).alias("kept_doc"),
+                F.count(F.lit(1)).alias("cluster_size"),
+            )
+            .select("cluster_id", "kept_doc", "cluster_size")
+        )
+
+    @query(
         "dedup_minhash_lsh",
         oracle=dedup.ngram_jaccard_pairs_oracle(
             "documents", "text", "doc_id", n=3, threshold=0.8

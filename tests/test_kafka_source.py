@@ -358,6 +358,56 @@ def test_compiled_plan_amortizes_resolution(monkeypatch):
     assert calls["n"] == 10
 
 
+def test_avro_codec_roundtrip_property():
+    """Property (hypothesis): for random flat records over the engine's
+    type lattice, encode → decode is the identity AND the compiled plan
+    agrees with the interpreted decoder byte-for-byte."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    field_types = {
+        "long": st.integers(min_value=-(2**62), max_value=2**62),
+        "string": st.text(max_size=40),
+        "double": st.floats(allow_nan=False, allow_infinity=False, width=64),
+        "boolean": st.booleans(),
+        "bytes": st.binary(max_size=32),
+    }
+
+    @given(
+        st.lists(
+            st.sampled_from(sorted(field_types)), min_size=1, max_size=6
+        ).flatmap(
+            lambda types: st.tuples(
+                st.just(types),
+                st.tuples(*(field_types[t] for t in types)),
+            )
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def check(case):
+        types, values = case
+        schema = {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": f"f{i}", "type": t} for i, t in enumerate(types)
+            ],
+        }
+        value = {f"f{i}": v for i, v in enumerate(values)}
+        data = avro_codec.encode(value, schema)
+        interpreted = avro_codec.decode(data, schema)
+        compiled = avro_codec.compile_read_plan(schema)(data)
+        assert interpreted == compiled
+        for i, t in enumerate(types):
+            got, want = interpreted[f"f{i}"], value[f"f{i}"]
+            if t == "double":
+                assert got == want or (got != got and want != want)
+            else:
+                assert got == want
+
+    check()
+
+
 def test_avro_decode_end_to_end(spark):
     """Real Avro bytes through KafkaEventSource._decode — executes the
     value_format='avro' branch (the reference's production format,
