@@ -201,6 +201,38 @@ class EventCatalog:
             return df.select(*ordered)
         return df.select(*[f.name.lower() for f in fields])
 
+    def stream(
+        self,
+        project: str,
+        collection: str,
+        include_hidden: bool = False,
+        **stream_options,
+    ) -> DataFrame:
+        """Resolve a table to a STREAMING DataFrame (readStream), for
+        sources that support it (``KafkaEventSource.stream``,
+        ``KafkaSegmentsEventSource.stream``). Same hidden-column
+        contract as :meth:`table`; ``stream_options`` pass through to
+        the source (e.g. ``starting_offsets``, ``max_rows_per_batch``).
+        """
+        fields = self.user_fields(project, collection)
+        key = (project.lower(), collection.lower())
+        source = self._sources.get(key)
+        if source is None:
+            raise TableNotFoundError(
+                f"{project}.{collection} has a schema but no registered source"
+            )
+        stream_fn = getattr(source, "stream", None)
+        if stream_fn is None:
+            raise TableNotFoundError(
+                f"{project}.{collection} source {type(source).__name__} "
+                "does not support streaming"
+            )
+        df = stream_fn(self.spark, project, collection, fields, **stream_options)
+        if include_hidden:
+            ordered = list(HIDDEN_COLUMNS) + [f.name.lower() for f in fields]
+            return df.select(*ordered)
+        return df.select(*[f.name.lower() for f in fields])
+
     def sql_view(self, project: str, collection: str, view_name: str | None = None) -> str:
         """Register the table (with hidden columns) as a temp view for
         ``spark.sql`` access; returns the view name."""

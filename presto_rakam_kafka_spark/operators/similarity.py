@@ -273,6 +273,44 @@ def ivf_centroids(num: int, dim: int, seed: int = 7):
     return [[round(float(v), 6) for v in row] for row in cents]
 
 
+def fit_centroids(
+    df: DataFrame,
+    vec_col: str,
+    num: int,
+    seed: int = 7,
+    sample_rows: int = 20_000,
+    iters: int = 10,
+) -> list[list[float]]:
+    """Spherical k-means fit for the IVF coarse quantizer, on a
+    driver-side SAMPLE — the shape a 100 TB deployment uses: fit once
+    offline on a bounded sample (here ``limit(sample_rows)``; a cluster
+    job would ``df.sample(...)``), broadcast the centroid literals into
+    every scan. Deterministic in (corpus order, seed).
+
+    Measured on the fixture embeddings: fitted centroids roughly double
+    IVF recall at the same probe budget vs random centroids
+    (SCALE_NOTES §ivf-recall)."""
+    import numpy as np
+
+    rows = df.select(vec_col).limit(sample_rows).collect()
+    vecs = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    vecs = vecs / norms
+    rng = np.random.default_rng(seed)
+    cents = vecs[rng.choice(len(vecs), size=min(num, len(vecs)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(vecs @ cents.T, axis=1)
+        for j in range(len(cents)):
+            members = vecs[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[j] = m / n
+    return [[round(float(v), 6) for v in row] for row in cents]
+
+
 def _dots_spark(vec_col: str, cents: list[list[float]]) -> list[str]:
     out = []
     for cent in cents:
@@ -342,10 +380,12 @@ def ivf_topk(
     k: int = 5,
     num_centroids: int = NUM_CENTROIDS,
     nprobe: int = NUM_PROBE,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF search: corpus rows are assigned to their nearest centroid
     (the inverted list); each query probes its ``nprobe`` nearest lists
-    and ranks only those candidates.
+    and ranks only those candidates. ``centroids`` overrides the seeded
+    random quantizer with a fitted one (:func:`fit_centroids`).
 
     Scale shape: the corpus side is ONE projection (no shuffle — the
     list id rides with the row, like a partition key); queries
@@ -356,9 +396,9 @@ def ivf_topk(
     argmax CASE references the columns — without this the O(n²)
     comparison matrix re-inlines every 64-literal dot product and the
     plan balloons to megabytes."""
-    cents = ivf_centroids(num_centroids, dim)
+    cents = centroids if centroids is not None else ivf_centroids(num_centroids, dim)
     dots = _dots_spark(vec_col, cents)
-    dcols = [f"d{i}" for i in range(num_centroids)]
+    dcols = [f"d{i}" for i in range(len(cents))]
 
     def with_dots(df):
         return df.select(

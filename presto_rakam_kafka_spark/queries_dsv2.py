@@ -152,6 +152,45 @@ def catalog_native_offset_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "catalog_native_stream_agg",
+    oracle="""
+    SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def catalog_native_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``catalog.stream("tpch", "events")`` routed through the native
+    ``kafka_segments`` streaming source: catalog → readStream →
+    executor-side per-segment splits → decode + hidden columns →
+    complete-mode aggregate drained with AvailableNow. The bounded
+    replay of the whole log must equal batch SQL over the original
+    events — the streaming twin of ``catalog_native_offset_agg``."""
+    from presto_rakam_kafka_spark.catalog import EventCatalog
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.metastore import InMemoryMetastore
+    from presto_rakam_kafka_spark.streaming.runner import run_available_now
+
+    log_dir = _segment_log_dir(spark, sf_dir)
+    ms = InMemoryMetastore()
+    catalog = EventCatalog(spark, ms)
+    ms.register_struct(
+        "tpch",
+        "events",
+        read_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        ).schema,
+    )
+    catalog.register_kafka_segments("tpch", "events", log_dir)
+    sdf = catalog.stream("tpch", "events")
+    agg = sdf.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    name = f"catalog_stream_{next(_STREAM_SEQ)}"
+    return run_available_now(agg, name, "complete")
+
+
+@query(
     "stream_kafka_segments_source",
     oracle="""
     SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value

@@ -685,6 +685,34 @@ class KafkaSegmentsEventSource:
         )
         return codec._decode(spark, raw, project, collection, fields)
 
+    def stream(
+        self,
+        spark,
+        project: str,
+        collection: str,
+        fields,
+        starting_offsets: str = "earliest",
+        max_rows_per_batch: int | None = None,
+    ):
+        """Streaming scan of the segment log through the catalog — the
+        streaming twin of :meth:`scan`: per-partition offset-map
+        progress, executor-side per-segment splits, decode + hidden
+        columns, with the A8 ``maxRowsPerBatch`` bound exposed."""
+        from presto_rakam_kafka_spark.sources.kafka import KafkaEventSource
+
+        spark.dataSource.register(KafkaSegmentDataSource)
+        reader = (
+            spark.readStream.format("kafka_segments")
+            .option("path", self.path)
+            .option("startingOffsets", starting_offsets)
+        )
+        if max_rows_per_batch is not None:
+            reader = reader.option("maxRowsPerBatch", str(max_rows_per_batch))
+        codec = KafkaEventSource(
+            bootstrap_servers="none:9092", value_format=self.value_format
+        )
+        return codec._decode(spark, reader.load(), project, collection, fields)
+
 
 def compact_segments(
     path: str,
@@ -762,6 +790,60 @@ def compact_segments(
         else:
             shutil.rmtree(cur, ignore_errors=True)
         report[pid] = (len(old_files), n_new)
+    return report
+
+
+def expire_segments(
+    path: str,
+    min_offset: int,
+    partitions: list[int] | None = None,
+) -> dict[int, int]:
+    """Retention: delete every segment whose ENTIRE offset span lies
+    below ``min_offset`` — the Kafka broker's size/time retention model
+    (whole closed segments are deleted, never split; a segment
+    straddling the watermark survives intact, exactly like Kafka keeps
+    the active/straddling segment).
+
+    Deletion is per-file and never changes surviving files, so a
+    concurrent planner sees a subset of the old layout at worst — rows
+    ≥ ``min_offset`` are always complete (no silent under-scan of live
+    data); a scan already holding a deleted file's split fails loudly.
+    Streaming consumers are unaffected: positions only move forward and
+    the stream reader treats missing low segments as retention
+    (``latestOffset`` never regresses). Returns
+    {partition_id: segments_deleted}.
+    """
+    report: dict[int, int] = {}
+    try:
+        entries = os.listdir(path)
+    except OSError as exc:
+        raise KafkaLogLayoutError(f"cannot list log dir {path}") from exc
+    found = False
+    for e in sorted(entries):
+        m = _PARTITION_DIR.match(e)
+        if not m:
+            continue
+        found = True
+        pid = int(m.group(1))
+        if partitions is not None and pid not in partitions:
+            continue
+        pdir = _resolve_partition_dir(os.path.join(path, e))
+        deleted = 0
+        for fname in sorted(os.listdir(pdir)):
+            if not _SEGMENT_FILE.match(fname):
+                continue
+            fpath = os.path.join(pdir, fname)
+            lo, hi, nrows = _segment_meta(fpath)
+            if lo is None and nrows > 0:
+                continue  # no stats → cannot prove it's expired; keep
+            if hi is not None and hi <= min_offset:
+                os.remove(fpath)
+                deleted += 1
+        report[pid] = deleted
+    if not found:
+        raise KafkaLogLayoutError(
+            f"no partition=N directories under {path} (A3 strictness)"
+        )
     return report
 
 

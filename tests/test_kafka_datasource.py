@@ -447,6 +447,90 @@ def test_catalog_routes_native_source_with_pushdown(spark, sf_dir, log_dir):
             assert ">= 100" not in ln and "< 300" not in ln, plan
 
 
+def test_expire_segments_retention(spark, sf_dir, tmp_path):
+    """Kafka-style retention: whole segments below the watermark are
+    deleted, the straddling segment survives intact, and a streaming
+    consumer whose position is above the watermark is unaffected."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        KafkaSegmentStreamReader,
+        compact_segments,
+        expire_segments,
+    )
+
+    log = str(tmp_path / "rlog")
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 600)
+    raw = ev.select(
+        F.col("event_id").alias("offset"),
+        F.lit(None).cast("binary").alias("key"),
+        F.col("event_type").cast("binary").alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    write_segments(raw, log, num_partitions=2, segment_rows=100)
+    spark.dataSource.register(KafkaSegmentDataSource)
+    report = expire_segments(log, min_offset=250)
+    assert sum(report.values()) >= 2  # whole low segments deleted
+    remaining = spark.read.format("kafka_segments").option("path", log).load()
+    offsets = sorted(r["offset"] for r in remaining.select("offset").collect())
+    # every live (≥ watermark) offset survives — no silent under-scan
+    assert [o for o in offsets if o >= 250] == list(range(250, 600))
+    # the straddling segment keeps its below-watermark rows (Kafka model)
+    assert min(offsets) < 250
+    # consumer position beyond the watermark: stream plans only live rows
+    rdr = KafkaSegmentStreamReader({"path": log})
+    start = {"0": 300, "1": 300}
+    end = rdr.latestOffset()
+    n = sum(b.num_rows for s in rdr.partitions(start, end) for b in rdr.read(s))
+    assert n == 300  # offsets 300..599
+    # retention after compaction works on the live generation; an
+    # everything-expired log has no segments and scans LOUDLY (A3), not
+    # as silent zero rows
+    compact_segments(log, target_rows=10_000)
+    report2 = expire_segments(log, min_offset=10_000)
+    assert all(n == 1 for n in report2.values())  # one compacted segment each
+    with pytest.raises(Exception, match="no segment files"):
+        spark.read.format("kafka_segments").option("path", log).load().count()
+
+
+def test_catalog_stream_routes_native_source(spark, sf_dir, log_dir):
+    """catalog.stream(...) over a kafka_segments-backed table: the
+    streaming decode path end-to-end, AvailableNow-drained, equals the
+    batch ground truth."""
+    from presto_rakam_kafka_spark.catalog import EventCatalog, TableNotFoundError
+    from presto_rakam_kafka_spark.metastore import InMemoryMetastore
+
+    ms = InMemoryMetastore()
+    catalog = EventCatalog(spark, ms)
+    ev = read_table(spark, sf_dir, "events")
+    ms.register_struct(
+        "tpch",
+        "events",
+        ev.select("event_id", "user_id", "event_type", "value").schema,
+    )
+    catalog.register_kafka_segments("tpch", "events", log_dir)
+    sdf = catalog.stream("tpch", "events", include_hidden=True)
+    assert sdf.isStreaming
+    assert {"_offset", "project", "collection"} <= set(sdf.columns)
+    from presto_rakam_kafka_spark.streaming.runner import run_available_now
+
+    agg = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    got = {
+        r["event_type"]: r["n"]
+        for r in run_available_now(agg, "catalog_stream_t", "complete").collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+    # a parquet-backed table has no stream(): loud error, not a hang
+    catalog.register_parquet("tpch", "orders", f"{sf_dir}/orders.parquet")
+    ms.register_struct("tpch", "orders", read_table(spark, sf_dir, "orders").schema)
+    import pytest as _pytest
+
+    with _pytest.raises(TableNotFoundError):
+        catalog.stream("tpch", "orders")
+
+
 def test_pushed_offset_range_leaves_no_post_scan_range_filter(spark, log_dir):
     """Catalyst plan check: after pushFilters consumes the offset range,
     the executed plan's post-scan Filter holds only the residual

@@ -78,6 +78,28 @@ def test_lsh_topk_subset_of_bucket(spark, sf_dir):
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
 
 
+def test_ivf_fitted_centroids_deterministic_and_normalized(spark, sf_dir):
+    """fit_centroids: deterministic in (corpus, seed), unit-norm rows,
+    and pluggable into ivf_topk (k results per query, cosine-ranked)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    c1 = similarity.fit_centroids(emb, "embedding", 4, seed=7)
+    c2 = similarity.fit_centroids(emb, "embedding", 4, seed=7)
+    assert c1 == c2 and len(c1) == 4
+    for row in c1:
+        assert abs(sum(v * v for v in row) - 1.0) < 1e-3  # unit norm
+    queries = emb.limit(2)
+    out = similarity.ivf_topk(
+        emb, queries, "embedding", "vec_id", dim=64, k=3,
+        num_centroids=4, nprobe=2, centroids=c1,
+    ).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["cosine"])
+    for q, cosines in by_q.items():
+        assert len(cosines) <= 3
+        assert cosines == sorted(cosines, reverse=True)
+
+
 def test_multimodal_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_payload(b"\x00", "image/png")
