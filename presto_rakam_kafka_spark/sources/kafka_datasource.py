@@ -375,6 +375,12 @@ class KafkaSegmentWriter(DataSourceWriter):
     ``segment-<first_offset>`` names cannot collide across tasks.
     """
 
+    #: Rows buffered per partition before a row group is flushed to the
+    #: staged file — bounds task memory at O(bufferRows × partitions)
+    #: instead of O(task rows) (a 100 TB task writing one giant batch
+    #: must not hold it in Python lists).
+    DEFAULT_BUFFER_ROWS = 65_536
+
     def __init__(self, options: dict, overwrite: bool) -> None:
         import uuid
 
@@ -386,6 +392,11 @@ class KafkaSegmentWriter(DataSourceWriter):
             options.get("numpartitions", options.get("numPartitions", 2))
         )
         self._topic = options.get("topic", "tpch_events")
+        self._buffer_rows = int(
+            options.get(
+                "bufferrows", options.get("bufferRows", self.DEFAULT_BUFFER_ROWS)
+            )
+        )
         self._overwrite = overwrite
         self._staging = os.path.join(self._path, f".staging-{uuid.uuid4().hex[:12]}")
 
@@ -395,17 +406,23 @@ class KafkaSegmentWriter(DataSourceWriter):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        rows_by_pid: dict[int, list] = {}
-        for row in iterator:
-            d = row.asDict()
-            pid = int(d["offset"]) % self._num_partitions
-            rows_by_pid.setdefault(pid, []).append(d)
         os.makedirs(self._staging, exist_ok=True)
         task_tag = uuid.uuid4().hex[:8]
-        staged = []
-        for pid, rows in rows_by_pid.items():
+        writers: dict[int, tuple] = {}  # pid -> (ParquetWriter, path)
+        buffers: dict[int, list] = {}
+        first: dict[int, int] = {}
+
+        def flush(pid: int) -> None:
+            rows = buffers.get(pid)
+            if not rows:
+                return
+            buffers[pid] = []
+            # Sorted per row group (not globally — rows stream through
+            # bounded memory): stats stay exact, pruning stays correct;
+            # overlapping group spans just prune slightly less tightly
+            # than a fully-sorted segment. compact_segments restores the
+            # global order.
             rows.sort(key=lambda d: d["offset"])
-            first = int(rows[0]["offset"])
             cols = {
                 "partition": [pid] * len(rows),
                 "offset": [int(d["offset"]) for d in rows],
@@ -415,9 +432,27 @@ class KafkaSegmentWriter(DataSourceWriter):
                 "timestamp": [d.get("timestamp") for d in rows],
             }
             table = pa.Table.from_pydict(cols).cast(_arrow_schema())
-            fpath = os.path.join(self._staging, f"{task_tag}-{pid}-{first}.parquet")
-            pq.write_table(table, fpath)
-            staged.append((fpath, pid, first))
+            entry = writers.get(pid)
+            if entry is None:
+                fpath = os.path.join(self._staging, f"{task_tag}-{pid}.parquet")
+                entry = (pq.ParquetWriter(fpath, _arrow_schema()), fpath)
+                writers[pid] = entry
+            entry[0].write_table(table)
+
+        for row in iterator:
+            d = row.asDict()
+            off = int(d["offset"])
+            pid = off % self._num_partitions
+            first[pid] = min(first.get(pid, off), off)
+            buffers.setdefault(pid, []).append(d)
+            if len(buffers[pid]) >= self._buffer_rows:
+                flush(pid)
+        staged = []
+        for pid in list(buffers):
+            flush(pid)
+        for pid, (writer, fpath) in writers.items():
+            writer.close()
+            staged.append((fpath, pid, first[pid]))
         return _StagedFiles(files=tuple(staged))
 
     def commit(self, messages) -> None:

@@ -280,6 +280,47 @@ def test_writer_roundtrip_append_overwrite(spark, sf_dir, tmp_path):
     )
 
 
+def test_writer_bounded_buffer_rolls_row_groups(spark, sf_dir, tmp_path):
+    """bufferRows bounds task memory: a small buffer produces multiple
+    row groups per staged segment, the committed name still carries the
+    partition's true MIN offset (even when it arrives late), and the
+    round trip stays exact."""
+    import pyarrow.parquet as pq
+
+    log = str(tmp_path / "blog")
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    # reverse offset order within the task so the min arrives LAST
+    raw = ev.select(
+        F.col("event_id").alias("offset"),
+        F.lit(None).cast("binary").alias("key"),
+        F.col("event_type").cast("binary").alias("value"),
+        F.lit("tpch_events").alias("topic"),
+        F.col("ts").alias("timestamp"),
+    ).coalesce(1).sortWithinPartitions(F.col("offset").desc())
+    spark.dataSource.register(KafkaSegmentDataSource)
+    raw.write.format("kafka_segments").option("path", log).option(
+        "numPartitions", "2"
+    ).option("bufferRows", "50").mode("append").save()
+    back = spark.read.format("kafka_segments").option("path", log).load()
+    assert back.count() == 500
+    assert back.select("offset").distinct().count() == 500
+    for p in os.listdir(log):
+        if not p.startswith("partition="):
+            continue
+        pdir = os.path.join(log, p)
+        (fname,) = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        pid = int(p.split("=")[1])
+        # committed name = true min offset for the partition (0 or 1)
+        assert fname == f"segment-{pid}.parquet"
+        meta = pq.read_metadata(os.path.join(pdir, fname))
+        assert meta.num_row_groups >= 4  # 250 rows / 50-buffer
+    # offset pushdown still prunes correctly on multi-row-group segments
+    assert (
+        back.filter((F.col("offset") >= 100) & (F.col("offset") < 200)).count()
+        == 100
+    )
+
+
 def test_compact_segments_preserves_data(spark, sf_dir, tmp_path):
     """Compaction changes file boundaries only: same rows, same offsets,
     fewer segments; the streaming consumer position survives it."""
@@ -445,6 +486,52 @@ def test_catalog_routes_native_source_with_pushdown(spark, sf_dir, log_dir):
     for ln in plan.splitlines():
         if "Filter" in ln and "Runtime" not in ln:
             assert ">= 100" not in ln and "< 300" not in ln, plan
+
+
+def test_sub_split_reads_only_overlapping_row_groups(tmp_path, monkeypatch):
+    """minSplits sub-splits must DIVIDE per-task IO: a split covering a
+    slice of a segment reads only the row groups whose offset stats
+    overlap its range, not the whole file (ADVICE r3)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        OffsetSplit,
+        _arrow_schema,
+        _read_split_batches,
+    )
+
+    fpath = str(tmp_path / "segment-0.parquet")
+    n = 1000
+    table = pa.Table.from_pydict(
+        {
+            "partition": [0] * n,
+            "offset": list(range(n)),
+            "key": [None] * n,
+            "value": [b"x"] * n,
+            "topic": ["t"] * n,
+            "timestamp": [None] * n,
+        }
+    ).cast(_arrow_schema())
+    pq.write_table(table, fpath, row_group_size=100)  # 10 row groups
+    assert pq.ParquetFile(fpath).metadata.num_row_groups == 10
+
+    requested: list[list[int]] = []
+    orig = pq.ParquetFile.read_row_groups
+
+    def spy(self, row_groups, **kw):
+        requested.append(list(row_groups))
+        return orig(self, row_groups, **kw)
+
+    monkeypatch.setattr(pq.ParquetFile, "read_row_groups", spy)
+    rows = [
+        r
+        for b in _read_split_batches(OffsetSplit(fpath, 0, 250, 450))
+        for r in b.to_pylist()
+    ]
+    assert sorted(r["offset"] for r in rows) == list(range(250, 450))
+    # offsets 250-449 live in row groups 2, 3, 4 — nothing else was read
+    assert requested == [[2, 3, 4]]
 
 
 def test_expire_segments_retention(spark, sf_dir, tmp_path):
