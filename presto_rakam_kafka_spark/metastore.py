@@ -153,6 +153,128 @@ class JsonFileMetastore:
         return sorted(self._load().get(project.lower(), {}).keys())
 
 
+class SqlMetastore:
+    """SQL-database-backed metastore — the faithful twin of the
+    reference's ``JDBCMetastore`` (``MetastoreModule.java:34-44``, a
+    PostgreSQL registry consulted via
+    ``metastore.getCollection(schemaName, tableName)`` at
+    ``KafkaMetadata.java:157``), on stdlib ``sqlite3`` so it carries no
+    driver dependency. One row per column::
+
+        schema_fields(project, collection, ordinal, name, type,
+                      nullable, enum_symbols, aliases)
+
+    Concurrency model matches the reference's usage: the DRIVER reads
+    schemas at plan time (wrap in :class:`CachingMetastore` — the
+    catalog does this automatically); executors never touch the
+    database. Dynamic schema evolution is first-class like Rakam's
+    metastore: :meth:`add_fields` appends columns (new fields read as
+    NULL from old payloads via the Avro default path, A6), and
+    re-registering a collection replaces it transactionally.
+    """
+
+    def __init__(self, path: str | Path = ":memory:"):
+        import sqlite3
+
+        self._con = sqlite3.connect(str(path), check_same_thread=False)
+        self._con.execute(
+            """CREATE TABLE IF NOT EXISTS schema_fields (
+                 project TEXT NOT NULL,
+                 collection TEXT NOT NULL,
+                 ordinal INTEGER NOT NULL,
+                 name TEXT NOT NULL,
+                 type TEXT NOT NULL,
+                 nullable INTEGER NOT NULL DEFAULT 1,
+                 enum_symbols TEXT,
+                 aliases TEXT,
+                 PRIMARY KEY (project, collection, ordinal)
+               )"""
+        )
+        self._con.commit()
+
+    def register(self, project: str, collection: str, fields: list[SchemaField]) -> None:
+        p, c = project.lower(), collection.lower()
+        with self._con:  # one transaction: replace is atomic
+            self._con.execute(
+                "DELETE FROM schema_fields WHERE project=? AND collection=?", (p, c)
+            )
+            self._con.executemany(
+                "INSERT INTO schema_fields VALUES (?,?,?,?,?,?,?,?)",
+                [
+                    (
+                        p,
+                        c,
+                        i,
+                        f.name,
+                        f.type.value,
+                        int(f.nullable),
+                        json.dumps(list(f.enum_symbols)) if f.enum_symbols else None,
+                        json.dumps(list(f.aliases)) if f.aliases else None,
+                    )
+                    for i, f in enumerate(fields)
+                ],
+            )
+
+    def register_struct(self, project: str, collection: str, schema: T.StructType) -> None:
+        self.register(
+            project,
+            collection,
+            [
+                SchemaField(f.name, spark_to_field(f.dataType), f.nullable)
+                for f in schema.fields
+            ],
+        )
+
+    def add_fields(self, project: str, collection: str, fields: list[SchemaField]) -> None:
+        """Append columns (Rakam-style dynamic evolution). Existing
+        names are rejected — evolution renames go through Avro aliases,
+        not silent replacement."""
+        current = self.get_collection(project, collection)
+        names = {f.name.lower() for f in current}
+        clash = [f.name for f in fields if f.name.lower() in names]
+        if clash:
+            raise ValueError(f"fields already exist: {clash}")
+        self.register(project, collection, current + list(fields))
+
+    def get_collection(self, project: str, collection: str) -> list[SchemaField]:
+        rows = self._con.execute(
+            """SELECT name, type, nullable, enum_symbols, aliases
+               FROM schema_fields WHERE project=? AND collection=?
+               ORDER BY ordinal""",
+            (project.lower(), collection.lower()),
+        ).fetchall()
+        if not rows:
+            raise CollectionNotFoundError(project, collection)
+        return [
+            SchemaField(
+                name,
+                FieldType(t),
+                bool(nullable),
+                tuple(json.loads(enum)) if enum else None,
+                tuple(json.loads(aliases)) if aliases else (),
+            )
+            for name, t, nullable, enum, aliases in rows
+        ]
+
+    def list_projects(self) -> list[str]:
+        return [
+            r[0]
+            for r in self._con.execute(
+                "SELECT DISTINCT project FROM schema_fields ORDER BY project"
+            )
+        ]
+
+    def list_collections(self, project: str) -> list[str]:
+        return [
+            r[0]
+            for r in self._con.execute(
+                "SELECT DISTINCT collection FROM schema_fields"
+                " WHERE project=? ORDER BY collection",
+                (project.lower(),),
+            )
+        ]
+
+
 @dataclass
 class CachingMetastore:
     """TTL cache in front of any metastore (fixes reference O11: per-query

@@ -17,6 +17,7 @@ from presto_rakam_kafka_spark.metastore import (
     InMemoryMetastore,
     JsonFileMetastore,
     SchemaField,
+    SqlMetastore,
     fields_to_struct,
 )
 from presto_rakam_kafka_spark.types import FieldType, field_to_spark
@@ -86,6 +87,61 @@ def test_json_file_metastore(tmp_path):
     assert [f.name for f in fields] == ["event_id", "value"]
     assert ms.list_projects() == ["tpch"]
     assert ms.list_collections("tpch") == ["events"]
+
+
+def test_sql_metastore_jdbc_twin(tmp_path):
+    """SqlMetastore mirrors the reference's JDBCMetastore contract
+    (MetastoreModule.java:34-44): schemas by (project, collection),
+    ordinal-stable columns, enum/alias metadata round-trip, missing
+    table raises, persistence across connections, and Rakam-style
+    dynamic field addition."""
+    db = str(tmp_path / "meta.db")
+    ms = SqlMetastore(db)
+    fields = [
+        SchemaField("user_id", FieldType.LONG, nullable=False),
+        SchemaField(
+            "color",
+            FieldType.STRING,
+            enum_symbols=("RED", "GREEN"),
+            aliases=("colour",),
+        ),
+        SchemaField("value", FieldType.DOUBLE),
+    ]
+    ms.register("Web", "PageView", fields)
+    got = ms.get_collection("web", "pageview")  # case-insensitive lookup
+    assert [f.name for f in got] == ["user_id", "color", "value"]  # ordinal order
+    assert got[0].nullable is False
+    assert got[1].enum_symbols == ("RED", "GREEN")
+    assert got[1].aliases == ("colour",)
+    assert ms.list_projects() == ["web"]
+    assert ms.list_collections("web") == ["pageview"]
+    with pytest.raises(CollectionNotFoundError):
+        ms.get_collection("web", "nope")
+    # dynamic evolution: append-only, name clashes rejected
+    ms.add_fields("web", "pageview", [SchemaField("country", FieldType.STRING)])
+    assert [f.name for f in ms.get_collection("web", "pageview")] == [
+        "user_id", "color", "value", "country",
+    ]
+    with pytest.raises(ValueError):
+        ms.add_fields("web", "pageview", [SchemaField("VALUE", FieldType.LONG)])
+    # persistence: a fresh connection sees the committed registry
+    ms2 = SqlMetastore(db)
+    assert [f.name for f in ms2.get_collection("web", "pageview")][-1] == "country"
+
+
+def test_sql_metastore_drives_catalog(spark, sf_dir):
+    """An EventCatalog over SqlMetastore resolves tables end-to-end
+    (schema from SQL → parquet scan → hidden columns)."""
+    from presto_rakam_kafka_spark.fixtures import read_table
+
+    ms = SqlMetastore()
+    cat = EventCatalog(spark, ms)
+    ev = read_table(spark, sf_dir, "events")
+    ms.register_struct("tpch", "events", ev.select("event_id", "event_type").schema)
+    cat.register_parquet("tpch", "events", f"{sf_dir}/events.parquet", offset_column="event_id")
+    df = cat.table("tpch", "events", include_hidden=True)
+    assert df.columns == ["_offset", "project", "collection", "event_id", "event_type"]
+    assert df.count() == ev.count()
 
 
 def test_catalog_hidden_vs_user_schema(catalog):
