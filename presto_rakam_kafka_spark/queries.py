@@ -2511,4 +2511,8 @@ def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries_tpch2 (this module is already ~2.4k lines). Import must stay
 # at the bottom — queries_tpch2 imports `query`/`_t` back from here.
 # ---------------------------------------------------------------------
-from presto_rakam_kafka_spark import queries_dsv2, queries_tpch2  # noqa: E402,F401
+from presto_rakam_kafka_spark import (  # noqa: E402,F401
+    queries_curation,
+    queries_dsv2,
+    queries_tpch2,
+)

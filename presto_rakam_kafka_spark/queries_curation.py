@@ -1,0 +1,144 @@
+"""Training-data curation queries — the round-4 widening of the
+LLM-pipeline surface (SURVEY §7 step 6 / the north-star brief's
+"operations a large-scale training-data pipeline would need").
+
+One driver-gated query per operator in :mod:`.operators.quality`:
+
+* ``quality_gopher_rules`` — Gopher/MassiveText-style document filter
+* ``text_repetition``     — duplicate n-gram fraction (boilerplate/spam signal)
+* ``doc_chunking``        — overlapping token-window chunks (RAG/context prep)
+* ``pack_token_budget``   — GPT-style concat-then-chunk sequence packing
+* ``sample_stratified``   — exact per-stratum deterministic sampling
+* ``text_tfidf_topk``     — top-k salient terms per doc (tf·idf)
+* ``decontaminate_ngram`` — n-gram-overlap test-set decontamination
+* ``pii_redact``          — regex PII scrub with hit counts
+* ``embedding_quantize_int8`` — int8 ANN-storage quantization receipt
+
+All plans stay in whole-stage codegen (no UDFs); shuffles only on
+uniform keys; small sides broadcast (see module docstring of
+``operators/quality.py`` for the 100 TB argument per operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_rakam_kafka_spark.operators import quality
+from presto_rakam_kafka_spark.queries import _t, query
+
+EMBED_DIM = 64  # fixture embeddings.embedding dimension (TESTDATA.md)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents")
+
+
+@query(
+    "quality_gopher_rules",
+    oracle=quality.quality_rules_oracle("documents", "text", "doc_id"),
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-quality rule filter (min words / word-length band /
+    stopword presence / repetition cap) + keep verdict."""
+    return quality.quality_rules(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@query(
+    "text_repetition",
+    oracle=quality.repetition_stats_oracle("documents", "text", "doc_id", n=3),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate 3-gram fraction per doc — the MassiveText repetition
+    signal; single-pass projection."""
+    return quality.repetition_stats(_docs(spark, sf_dir), "text", "doc_id", n=3)
+
+
+@query(
+    "doc_chunking",
+    oracle=quality.chunk_documents_oracle("documents", "text", "doc_id", chunk=32, overlap=8),
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-token chunks, stride 24 — context-window prep;
+    explode fan-out, chunks stay in the doc's partition (no shuffle)."""
+    return quality.chunk_documents(_docs(spark, sf_dir), "text", "doc_id", chunk=32, overlap=8)
+
+
+@query(
+    "pack_token_budget",
+    oracle=quality.pack_sequences_oracle("documents", "text", "doc_id", budget=256),
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing into 256-token packs over a
+    deterministic md5 order; one window pass + one agg."""
+    return quality.pack_sequences(_docs(spark, sf_dir), "text", "doc_id", budget=256)
+
+
+@query(
+    "sample_stratified",
+    oracle=quality.stratified_sample_oracle("documents", "lang", "doc_id", frac=0.2),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly ceil(20% × |stratum|) docs per language, hash-ordered —
+    deterministic where sampleBy is only proportional in expectation."""
+    return quality.stratified_sample(_docs(spark, sf_dir), "lang", "doc_id", frac=0.2)
+
+
+@query(
+    "text_tfidf_topk",
+    oracle=quality.tfidf_top_terms_oracle("documents", "text", "doc_id", k=3),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf·idf terms per doc; document-frequency table is
+    vocabulary-sized and broadcast."""
+    return quality.tfidf_top_terms(_docs(spark, sf_dir), "text", "doc_id", k=3)
+
+
+@query(
+    "decontaminate_ngram",
+    oracle=quality.decontaminate_oracle(
+        "documents", "text", "doc_id", "source", "src0", n=5
+    ),
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: drop training docs (source != src0)
+    sharing any distinct 5-gram with the benchmark slice (source =
+    src0); benchmark shingles broadcast, training side anti-joins."""
+    return quality.decontaminate(
+        _docs(spark, sf_dir), "text", "doc_id", "source", "src0", n=5
+    )
+
+
+@query(
+    "pii_redact",
+    oracle=quality.pii_redact_oracle(
+        f"(SELECT doc_id, {quality.pii_augmented_text_duckdb('text', 'doc_id')} AS text"
+        " FROM documents) aug",
+        "text",
+        "doc_id",
+    ),
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub (emails, phone numbers) with per-doc hit counts
+    and the scrubbed-text md5. The fixture corpus carries no PII, so
+    both engines first synthesize the same deterministic PII-bearing
+    projection — the redactor is exercised on real hits."""
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(quality.pii_augmented_text_spark("text", "doc_id")).alias("text"),
+    )
+    return quality.pii_redact(aug, "text", "doc_id")
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle=quality.quantize_int8_oracle("embeddings", "embedding", "vec_id", dim=EMBED_DIM),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization receipt: scale, max abs
+    reconstruction error, cosine(original, dequantized). Single-pass
+    HOF projection; the receipt that justifies a 4× smaller ANN
+    candidate store at 100 TB."""
+    return quality.quantize_int8(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", dim=EMBED_DIM
+    )

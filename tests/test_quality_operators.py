@@ -1,0 +1,160 @@
+"""Invariant tests for the curation operators (operators/quality.py),
+beyond the oracle hash-match the parametrized gate already gives them:
+each test pins a *semantic* property a hash compare can't articulate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from presto_rakam_kafka_spark.fixtures import read_table
+from presto_rakam_kafka_spark.operators import quality
+
+
+def _docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents")
+
+
+def test_chunks_reconstruct_document(spark, sf_dir):
+    """Dropping each chunk's leading `overlap` tokens (except chunk 0)
+    and concatenating in chunk order must reproduce the original text —
+    i.e. the windows tile the doc exactly, no token lost or doubled."""
+    chunk, overlap = 32, 8
+    docs = _docs(spark, sf_dir)
+    chunks = quality.chunk_documents(docs, "text", "doc_id", chunk=chunk, overlap=overlap)
+    # collect_list has no order guarantee: rebuild via array_sort on the struct
+    rebuilt = (
+        chunks.withColumn(
+            "piece",
+            F.when(F.col("chunk_id") == 0, F.col("chunk_text")).otherwise(
+                F.expr(f"concat_ws(' ', slice(split(chunk_text, ' '), {overlap + 1}, {chunk}))")
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "concat_ws(' ', transform(array_sort(collect_list(struct(chunk_id, piece))), s -> s.piece))"
+            ).alias("rebuilt")
+        )
+    )
+    joined = docs.select("doc_id", "text").join(rebuilt, "doc_id")
+    bad = joined.filter(F.col("text") != F.col("rebuilt")).count()
+    assert bad == 0
+
+
+def test_pack_sequences_conserves_tokens_and_bounds_packs(spark, sf_dir):
+    budget = 256
+    docs = _docs(spark, sf_dir)
+    packs = quality.pack_sequences(docs, "text", "doc_id", budget=budget).collect()
+    total_tokens = docs.select(
+        F.sum(F.expr("size(split(text, ' '))")).alias("t")
+    ).collect()[0]["t"]
+    assert sum(r["pack_tokens"] for r in packs) == total_tokens
+    assert sum(r["n_docs"] for r in packs) == docs.count()
+    # pack ids are dense 0..n-1 (concat-then-chunk can't skip a pack)
+    ids = sorted(r["pack_id"] for r in packs)
+    assert ids == list(range(len(ids)))
+    # a pack holds docs *starting* within one budget window, so its token
+    # sum is < budget + the longest doc that starts inside it
+    max_doc = docs.select(F.max(F.expr("size(split(text, ' '))"))).collect()[0][0]
+    assert all(r["pack_tokens"] < budget + max_doc for r in packs)
+
+
+def test_stratified_sample_exact_per_stratum(spark, sf_dir):
+    import math
+
+    frac = 0.2
+    docs = _docs(spark, sf_dir)
+    kept = quality.stratified_sample(docs, "lang", "doc_id", frac=frac)
+    got = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    want = {
+        r["lang"]: math.ceil(r["n"] * frac)
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_decontaminate_partitions_training_set(spark, sf_dir):
+    """kept ∪ contaminated == all training docs, and every removed doc
+    really shares a distinct 5-gram with some benchmark doc."""
+    from presto_rakam_kafka_spark.functions.hashing import shingles_spark
+
+    docs = _docs(spark, sf_dir)
+    kept = quality.decontaminate(docs, "text", "doc_id", "source", "src0", n=5)
+    train_ids = {r[0] for r in docs.filter("source <> 'src0'").select("doc_id").collect()}
+    kept_ids = {r[0] for r in kept.collect()}
+    removed = train_ids - kept_ids
+    assert kept_ids <= train_ids
+    sh = shingles_spark("text", 5)
+    bench = {
+        s
+        for r in docs.filter("source = 'src0'").select(F.explode(F.expr(sh))).collect()
+        for s in [r[0]]
+    }
+    if removed:
+        rem_docs = docs.filter(F.col("doc_id").isin([int(x) for x in removed]))
+        for r in rem_docs.select(F.expr(sh).alias("s")).collect():
+            assert bench & set(r["s"])
+
+
+def test_quantize_error_bounded_by_half_step(spark, sf_dir):
+    """Symmetric int8: |v - deq(v)| ≤ scale/2, modulo the 6-decimal
+    rounding both output columns carry (slack = half an output ulp)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = quality.quantize_int8(emb, "embedding", "vec_id", dim=64).collect()
+    assert out
+    for r in out:
+        assert r["max_abs_err"] <= r["scale"] / 2 + 5e-7
+        assert r["cos_reconstruction"] > 0.999
+
+
+def test_quality_rules_keep_is_conjunction(spark, sf_dir):
+    rules = quality.quality_rules(_docs(spark, sf_dir), "text", "doc_id")
+    bad = rules.filter(
+        F.col("keep")
+        != (
+            F.col("rule_min_words")
+            & F.col("rule_word_len")
+            & F.col("rule_stopwords")
+            & F.col("rule_repetition")
+        )
+    ).count()
+    assert bad == 0
+    # the calibrated rules must discriminate on this corpus
+    n = rules.count()
+    n_keep = rules.filter("keep").count()
+    assert 0 < n_keep < n
+
+
+def test_pii_redact_counts_and_scrubs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob@example.com or 555-123-4567 ok"),
+            (2, "no pii here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in quality.pii_redact(df, "text", "doc_id").collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 1
+    assert out[2]["n_emails"] == 0 and out[2]["n_phones"] == 0
+    # scrubbed text contains no residual match
+    red = spark.createDataFrame([(1, "mail me at <EMAIL> or <PHONE> ok")], ["doc_id", "text"])
+    assert (
+        quality.pii_redact(red, "text", "doc_id").collect()[0]["redacted_md5"]
+        == out[1]["redacted_md5"]
+    )
+
+
+def test_tfidf_rare_term_outscores_common(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "common common common rare"),
+            (2, "common common filler filler"),
+            (3, "common filler other other"),
+        ],
+        ["doc_id", "text"],
+    )
+    top = quality.tfidf_top_terms(df, "text", "doc_id", k=1).collect()
+    by_doc = {r["doc_id"]: r["term"] for r in top}
+    # 'common' appears in every doc → idf 0 → can never win
+    assert by_doc[1] == "rare"
+    assert "common" not in by_doc.values()
