@@ -48,6 +48,15 @@ HEADLINE = [
     "text_stats",
     "text_fingerprint",
     "multimodal_features",
+    # round 4: training-data curation scale paths (quality filter,
+    # chunking, packing, tf-idf w/ broadcast df, n-gram decontamination,
+    # int8 quantization receipt)
+    "quality_gopher_rules",
+    "doc_chunking",
+    "pack_token_budget",
+    "text_tfidf_topk",
+    "decontaminate_ngram",
+    "embedding_quantize_int8",
 ]
 
 

@@ -30,6 +30,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from presto_rakam_kafka_spark.operators.text import STOPWORDS, _sql_list_duckdb, _sql_list_spark
+from presto_rakam_kafka_spark.parallelism import (
+    ensure_min_parallelism as _ensure_min_parallelism,
+)
 
 # ---------------------------------------------------------------------
 # Repetition stats (duplicate n-gram fraction — the MassiveText
@@ -60,15 +63,27 @@ def _raw_shingles_duckdb(text_col: str, n: int) -> str:
 def repetition_stats(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Per-doc duplicate n-gram fraction: 1 - distinct/total shingles.
     A doc that repeats itself has a high fraction; boilerplate and
-    template spam light up on this signal. Single-pass projection."""
-    sh = _raw_shingles_spark(text_col, n)
-    return df.select(
+    template spam light up on this signal. Single-pass projection.
+
+    Staged selects, not one expression: higher-order-function lambdas
+    evaluate interpreted (outside codegen), and CollapseProject keeps a
+    projection boundary when a non-cheap alias is referenced more than
+    once — so the shingle array and its distinct count are each
+    materialized exactly once instead of re-evaluated per output column
+    (the round-3 IVF plan-blowup lesson, applied at authoring time)."""
+    arrays = _ensure_min_parallelism(df).select(
+        F.col(id_col), F.expr(_raw_shingles_spark(text_col, n)).alias("_sh")
+    )
+    counts = arrays.select(
         F.col(id_col),
-        F.expr(f"size({sh})").cast("long").alias("n_shingles"),
-        F.expr(f"size(array_distinct({sh}))").cast("long").alias("n_distinct"),
-        F.expr(
-            f"round(1.0 - size(array_distinct({sh})) * 1.0 / size({sh}), 4)"
-        )
+        F.expr("size(_sh)").cast("long").alias("n_shingles"),
+        F.expr("size(array_distinct(_sh))").cast("long").alias("n_distinct"),
+    )
+    return counts.select(
+        id_col,
+        "n_shingles",
+        "n_distinct",
+        F.expr("round(1.0 - n_distinct * 1.0 / n_shingles, 4)")
         .cast("double")
         .alias("dup_fraction"),
     )
@@ -100,26 +115,48 @@ MAX_DUP3_FRACTION = 0.02
 
 def quality_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Gopher/MassiveText-shaped document filter: each rule a boolean
-    column, plus the conjunction ``keep``. All rules are codegen'd
-    expressions over one pass of the text."""
-    toks = f"split({text_col}, ' ')"
-    n = f"size({toks})"
-    mean_len = f"((length({text_col}) - {n} + 1) * 1.0 / {n})"
+    column, plus the conjunction ``keep``.
+
+    Two staged projections (see :func:`repetition_stats` for why): the
+    token/shingle arrays are built once, the four scalar metrics once,
+    and the rules + keep are cheap comparisons over the metric columns —
+    not five re-evaluations of interpreted HOF lambdas."""
     sw = _sql_list_spark(STOPWORDS)
-    n_sw = f"size(array_distinct(filter({toks}, t -> array_contains({sw}, t))))"
-    sh = _raw_shingles_spark(text_col, 3)
-    dup3 = f"(1.0 - size(array_distinct({sh})) * 1.0 / size({sh}))"
-    return df.select(
+    arrays = _ensure_min_parallelism(df).select(
         F.col(id_col),
-        F.expr(f"{n} >= {MIN_WORDS}").alias("rule_min_words"),
-        F.expr(f"{mean_len} BETWEEN {WORD_LEN_LO} AND {WORD_LEN_HI}").alias(
-            "rule_word_len"
+        F.length(text_col).alias("_len"),
+        F.expr(f"split({text_col}, ' ')").alias("_toks"),
+        F.expr(_raw_shingles_spark(text_col, 3)).alias("_sh"),
+    )
+    metrics = arrays.select(
+        F.col(id_col),
+        F.expr("size(_toks)").alias("_n"),
+        F.col("_len"),
+        F.expr(f"size(array_distinct(filter(_toks, t -> array_contains({sw}, t))))").alias(
+            "_n_sw"
         ),
-        F.expr(f"{n_sw} >= {MIN_DISTINCT_STOPWORDS}").alias("rule_stopwords"),
-        F.expr(f"{dup3} <= {MAX_DUP3_FRACTION}").alias("rule_repetition"),
+        F.expr("1.0 - size(array_distinct(_sh)) * 1.0 / size(_sh)").alias("_dup3"),
+    )
+    rules = metrics.select(
+        F.col(id_col),
+        F.expr(f"_n >= {MIN_WORDS}").alias("rule_min_words"),
         F.expr(
-            f"{n} >= {MIN_WORDS} AND {mean_len} BETWEEN {WORD_LEN_LO} AND {WORD_LEN_HI}"
-            f" AND {n_sw} >= {MIN_DISTINCT_STOPWORDS} AND {dup3} <= {MAX_DUP3_FRACTION}"
+            f"((_len - _n + 1) * 1.0 / _n) BETWEEN {WORD_LEN_LO} AND {WORD_LEN_HI}"
+        ).alias("rule_word_len"),
+        F.expr(f"_n_sw >= {MIN_DISTINCT_STOPWORDS}").alias("rule_stopwords"),
+        F.expr(f"_dup3 <= {MAX_DUP3_FRACTION}").alias("rule_repetition"),
+    )
+    return rules.select(
+        id_col,
+        "rule_min_words",
+        "rule_word_len",
+        "rule_stopwords",
+        "rule_repetition",
+        (
+            F.col("rule_min_words")
+            & F.col("rule_word_len")
+            & F.col("rule_stopwords")
+            & F.col("rule_repetition")
         ).alias("keep"),
     )
 
@@ -480,17 +517,36 @@ def quantize_int8(df: DataFrame, vec_col: str, id_col: str, dim: int) -> DataFra
 
     floor(x+0.5) instead of round(): Spark rounds half-away-from-zero,
     DuckDB half-even — floor is bit-identical in both. All math in
-    doubles, left-to-right folds (same discipline as cosine_expr)."""
-    mx = f"array_max(transform({vec_col}, x -> abs(cast(x as double))))"
-    qv = f"transform({vec_col}, x -> floor(cast(x as double) * 127.0 / ({mx}) + 0.5))"
-    deq = f"transform({qv}, qi -> qi * ({mx}) / 127.0)"
-    err = f"array_max(zip_with({vec_col}, {deq}, (x, y) -> abs(cast(x as double) - y)))"
-    dot = f"aggregate(zip_with({vec_col}, {deq}, (x, y) -> cast(x as double) * y), 0D, (a, v) -> a + v)"
-    na = f"sqrt(aggregate(transform({vec_col}, x -> cast(x as double) * cast(x as double)), 0D, (a, v) -> a + v))"
-    nb = f"sqrt(aggregate(transform({deq}, y -> y * y), 0D, (a, v) -> a + v))"
-    return df.select(
+    doubles, left-to-right folds (same discipline as cosine_expr).
+
+    Staged selects: naively nesting deq→qv→mx re-evaluates the max-abs
+    transform once per reference (the round-3 IVF CollapseProject
+    blowup); materializing ``_mx`` then ``_deq`` pins each to a single
+    evaluation — CollapseProject never inlines a non-cheap alias that
+    is referenced more than once."""
+    with_mx = _ensure_min_parallelism(df).select(
         F.col(id_col),
-        F.expr(f"round({mx} / 127.0, 8)").alias("scale"),
+        F.col(vec_col).alias("_v"),
+        F.expr(f"array_max(transform({vec_col}, x -> abs(cast(x as double))))").alias(
+            "_mx"
+        ),
+    )
+    # quantize + dequantize fused in one lambda: deq_i = ⌊v·127/mx + ½⌋·mx/127
+    with_deq = with_mx.select(
+        F.col(id_col),
+        "_v",
+        "_mx",
+        F.expr(
+            "transform(_v, x -> floor(cast(x as double) * 127.0 / _mx + 0.5) * _mx / 127.0)"
+        ).alias("_deq"),
+    )
+    err = "array_max(zip_with(_v, _deq, (x, y) -> abs(cast(x as double) - y)))"
+    dot = "aggregate(zip_with(_v, _deq, (x, y) -> cast(x as double) * y), 0D, (a, v) -> a + v)"
+    na = "sqrt(aggregate(transform(_v, x -> cast(x as double) * cast(x as double)), 0D, (a, v) -> a + v))"
+    nb = "sqrt(aggregate(transform(_deq, y -> y * y), 0D, (a, v) -> a + v))"
+    return with_deq.select(
+        F.col(id_col),
+        F.expr("round(_mx / 127.0, 8)").alias("scale"),
         F.expr(f"round({err}, 6)").alias("max_abs_err"),
         F.expr(f"round(({dot}) / (({na}) * ({nb})), 6)").alias("cos_reconstruction"),
     )
