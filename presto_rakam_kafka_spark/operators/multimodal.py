@@ -3,12 +3,15 @@ metadata, processed by Arrow-batched ``mapInPandas`` feature extractors.
 
 The Spark-side machinery here — schema contract, batch iteration,
 partition-preserving mapInPandas, deterministic metadata features — is
-real and tested. The *codec* step (image decode / resize, audio
-feature extraction, video frame sampling) requires libraries this
-container does not ship, so it is stubbed behind
-:func:`decode_payload`, which raises ``NotImplementedError`` unless a
-deterministic fake is requested. Swapping in PIL/ffmpeg later changes
-only that function; the distributed plumbing is already load-bearing.
+real and tested. Two codecs are REAL and stdlib-only: ``audio/wav``
+(RIFF parse + per-slice RMS, :func:`_wav_features`) and ``image/ppm``
+P6 (header+pixel parse, grid luminance features, vectorized
+nearest-neighbor resize with re-encode — :func:`_ppm_features` /
+:func:`_ppm_resize`). Remaining codecs (compressed image formats,
+video) need libraries this container does not ship and stay stubbed
+behind :func:`decode_payload` (``NotImplementedError`` or a
+deterministic fake). Swapping in PIL/ffmpeg later changes only that
+function; the distributed plumbing is already load-bearing.
 
 Scale notes: mapInPandas streams Arrow batches (no per-row pickling,
 no driver round-trip); the extractor is stateless per batch so Spark is
@@ -46,16 +49,103 @@ def decode_payload(payload: bytes, mime: str) -> list[float]:
     """Decode an opaque payload into a feature vector.
 
     ``audio/wav`` decodes for real via the stdlib ``wave`` module
-    (:func:`_wav_features` — header fields + per-slice RMS energy).
-    Other codecs (PIL for image/*, ffmpeg for video/*) are not available
-    in this container — this stays the single seam where they plug in.
+    (:func:`_wav_features` — header fields + per-slice RMS energy), and
+    ``image/ppm`` (P6) via :func:`_ppm_features` (header dims + 4×3
+    grid luminances). Other codecs (PIL for compressed image/*, ffmpeg
+    for video/*) are not available in this container — this stays the
+    single seam where they plug in.
     """
     if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
         return _wav_features(payload)
+    if mime in ("image/x-portable-pixmap", "image/ppm"):
+        return _ppm_features(payload)
     raise NotImplementedError(
         f"no codec available for {mime!r}; install an image/audio stack and "
         "replace decode_payload"
     )
+
+
+# ---------------------------------------------------------------------
+# Real image codec: PPM (P6), stdlib-only
+# ---------------------------------------------------------------------
+
+
+def _ppm_decode(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary PPM (P6) image: ``P6 <w> <h> <maxval>\\n`` header
+    (whitespace/comment tolerant, per the netpbm spec) followed by
+    w×h×3 raw RGB bytes. Returns (w, h, pixels). Malformed payloads
+    raise ``ValueError`` → the corrupt-asset path, mirroring the WAV
+    codec and the reference's drop-and-log decode contract
+    (KafkaConnectorPageSource.java:300-308)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":  # comment
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("unterminated PPM comment")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        try:
+            fields.append(int(payload[start:pos]))
+        except ValueError as e:
+            raise ValueError(f"bad PPM header field {payload[start:pos]!r}") from e
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    pos += 1  # single whitespace after maxval
+    pixels = payload[pos : pos + w * h * 3]
+    if len(pixels) != w * h * 3:
+        raise ValueError(f"PPM pixel data truncated: want {w * h * 3}, got {len(pixels)}")
+    return w, h, pixels
+
+
+def _ppm_encode(w: int, h: int, pixels: bytes) -> bytes:
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels
+
+
+def _ppm_resize(payload: bytes, dst_w: int, dst_h: int) -> tuple[int, int, bytes]:
+    """Real nearest-neighbor resize of a P6 image (numpy index
+    gather — vectorized, no per-pixel Python loop). Returns
+    (src_w, src_h, resized-P6 bytes)."""
+    import numpy as np
+
+    w, h, pixels = _ppm_decode(payload)
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+    ys = (np.arange(dst_h) * h) // dst_h
+    xs = (np.arange(dst_w) * w) // dst_w
+    out = img[ys][:, xs]
+    return w, h, _ppm_encode(dst_w, dst_h, out.tobytes())
+
+
+def _ppm_features(payload: bytes) -> list[float]:
+    """Real image features, stdlib+numpy: 4 header features (w, h,
+    aspect, mean luminance/255) + mean luminance of a 4×3 cell grid —
+    :data:`STUB_FEATURE_DIM` dims total, same contract as the WAV
+    codec."""
+    import numpy as np
+
+    w, h, pixels = _ppm_decode(payload)
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
+    lum = img @ np.array([0.299, 0.587, 0.114])
+    head = [float(w), float(h), w / h, float(lum.mean() / 255.0)]
+    cells = []
+    for gy in range(3):
+        for gx in range(4):
+            cell = lum[
+                gy * h // 3 : max(gy * h // 3 + 1, (gy + 1) * h // 3),
+                gx * w // 4 : max(gx * w // 4 + 1, (gx + 1) * w // 4),
+            ]
+            cells.append(float(cell.mean() / 255.0))
+    return head + cells
 
 
 def _wav_features(payload: bytes) -> list[float]:
@@ -189,32 +279,36 @@ RESIZE_SCHEMA = T.StructType(
 def resize_images(assets: DataFrame, dst_w: int = 224, dst_h: int = 224) -> DataFrame:
     """Image-resize stage over (payload, meta) assets via mapInPandas.
 
-    The codec seam is :func:`decode_payload`; without a real image
-    stack the *source* dimensions come from a deterministic fake
-    (derived from payload length, replayable in SQL so the oracle can
-    check the plumbing), and ``resized`` carries the first 64 payload
-    bytes as a stand-in for re-encoded pixels. Swapping in PIL changes
-    only the inside of the batch loop — batch shape, schema, and
-    partitioning behavior (narrow, no shuffle) are the real contract.
+    PPM (P6) assets resize for REAL — :func:`_ppm_resize` does a
+    vectorized nearest-neighbor gather and re-encodes P6 bytes, so
+    ``src_w``/``src_h`` are the decoded header dims and ``resized`` is a
+    valid image. Mimes without a codec keep the deterministic fake
+    (dims derived from payload length, replayable in SQL so the oracle
+    can check the plumbing; ``resized`` = first 64 payload bytes).
+    Either way the distributed contract is identical: narrow
+    mapInPandas, no shuffle, payload bytes never leave their partition.
     """
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            sizes = pdf["payload"].map(len)
-            out = pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "src_w": (sizes % 640 + 32).astype("int32"),
-                    "src_h": (sizes % 480 + 32).astype("int32"),
-                    "dst_w": dst_w,
-                    "dst_h": dst_h,
-                    "resized": [bytes(p)[:64] for p in pdf["payload"]],
-                }
-            )
-            out["dst_w"] = out["dst_w"].astype("int32")
-            out["dst_h"] = out["dst_h"].astype("int32")
+            rows = {"doc_id": [], "src_w": [], "src_h": [], "dst_w": [], "dst_h": [], "resized": []}
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                p = bytes(payload)
+                if meta["mime"] in ("image/x-portable-pixmap", "image/ppm"):
+                    sw, sh, resized = _ppm_resize(p, dst_w, dst_h)
+                else:
+                    sw, sh, resized = len(p) % 640 + 32, len(p) % 480 + 32, p[:64]
+                rows["doc_id"].append(doc_id)
+                rows["src_w"].append(sw)
+                rows["src_h"].append(sh)
+                rows["dst_w"].append(dst_w)
+                rows["dst_h"].append(dst_h)
+                rows["resized"].append(resized)
+            out = pd.DataFrame(rows)
+            for c in ("src_w", "src_h", "dst_w", "dst_h"):
+                out[c] = out[c].astype("int32")
             yield out
 
     return assets.mapInPandas(run, schema=RESIZE_SCHEMA)

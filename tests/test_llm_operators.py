@@ -487,3 +487,51 @@ def test_derived_rows_per_band_bound_property():
             assert (1.0 - t ** (r + 1)) ** b > miss_cap
 
     check()
+
+
+def _make_ppm(w=8, h=6):
+    """Gradient P6 image: R = x*255//(w-1), G = y*255//(h-1), B = 7."""
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes([x * 255 // (w - 1), y * 255 // (h - 1), 7])
+    return b"P6\n# gradient\n%d %d\n255\n" % (w, h) + bytes(px)
+
+
+def test_multimodal_ppm_codec_decodes_for_real():
+    """image/ppm goes through a REAL stdlib+numpy decode: header dims
+    and grid luminances are properties of the pixels, not a fake."""
+    ppm = _make_ppm(w=8, h=6)
+    vec = multimodal.decode_payload(ppm, "image/x-portable-pixmap")
+    assert len(vec) == multimodal.STUB_FEATURE_DIM
+    assert vec[0] == 8.0 and vec[1] == 6.0
+    assert abs(vec[2] - 8 / 6) < 1e-12
+    # left grid cells darker than right (R ramps with x)
+    cells = vec[4:]
+    assert cells[0] < cells[3] and cells[8] < cells[11]
+    with pytest.raises(ValueError):
+        multimodal.decode_payload(b"P6\n8 6\n255\n" + b"\x00" * 10, "image/ppm")
+    with pytest.raises(ValueError):
+        multimodal.decode_payload(b"P5\n8 6\n255\n", "image/ppm")
+
+
+def test_multimodal_ppm_resize_real_pixels(spark):
+    """resize_images on a PPM asset: output is a valid P6 of the target
+    size whose corner pixels equal the nearest-neighbor source pixels;
+    non-image assets in the same batch keep the fake path."""
+    ppm = _make_ppm(w=8, h=6)
+    rows = [
+        (1, ppm, {"mime": "image/x-portable-pixmap", "size_bytes": len(ppm)}),
+        (2, b"plain words", {"mime": "text/plain", "size_bytes": 11}),
+    ]
+    schema = "doc_id long, payload binary, meta struct<mime:string, size_bytes:long>"
+    assets = spark.createDataFrame(rows, schema)
+    got = {r["doc_id"]: r for r in multimodal.resize_images(assets, 4, 2).collect()}
+    img = got[1]
+    assert (img["src_w"], img["src_h"], img["dst_w"], img["dst_h"]) == (8, 6, 4, 2)
+    w2, h2, px = multimodal._ppm_decode(bytes(img["resized"]))
+    assert (w2, h2) == (4, 2)
+    # nearest-neighbor: out[y,x] = src[y*6//2, x*8//4]; top-left = src[0,0]
+    assert px[0:3] == ppm[-8 * 6 * 3 :][0:3]
+    # fake path untouched
+    assert got[2]["src_w"] == 11 % 640 + 32 and bytes(got[2]["resized"]) == b"plain words"
