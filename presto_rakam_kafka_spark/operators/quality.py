@@ -569,3 +569,85 @@ def quantize_int8_oracle(table: str, vec_col: str, id_col: str, dim: int) -> str
            round(({dot}) / (({na}) * ({nb})), 6) AS cos_reconstruction
     FROM {table}
     """
+
+
+# ---------------------------------------------------------------------
+# Exact greedy sequence packing (grouped-map, per-bucket)
+# ---------------------------------------------------------------------
+
+
+def pack_greedy(
+    df: DataFrame, text_col: str, id_col: str, budget: int = 256, num_buckets: int = 8
+) -> DataFrame:
+    """EXACT greedy first-fit-sequential packing, per hash bucket: docs
+    are split into ``num_buckets`` groups (id mod buckets), ordered
+    deterministically within each (md5 of the id), and packed greedily —
+    a new pack starts when the running fill would exceed ``budget``, so
+    every pack holds ≤ budget tokens (an oversized doc gets its own
+    pack). Returns (bucket, pack_id, n_docs, pack_tokens).
+
+    This is the production shape of sequence packing at 100 TB: packing
+    is a sequential fold, so it runs *within* partitions (bucket =
+    partition) with no global order — Spark's one shuffle here is the
+    groupBy(bucket), and the fold itself is an Arrow-batched grouped-map
+    over each bucket's rows. Complements :func:`pack_sequences` (the
+    window-based concat-then-chunk variant, which allows straddling).
+    The oracle replays the same fold as a recursive CTE."""
+    base = df.select(
+        (F.col(id_col) % num_buckets).alias("bucket"),
+        F.md5(F.col(id_col).cast("string")).alias("_okey"),
+        F.col(id_col).alias("_id"),
+        F.expr(f"size(split({text_col}, ' '))").cast("long").alias("n_tokens"),
+    )
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["_okey", "_id"]).reset_index(drop=True)
+        packs, fill, pack_id = [], 0, 0
+        first = True
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if not first and fill + t > budget:
+                pack_id += 1
+                fill = t
+            else:
+                fill += t
+            first = False
+            packs.append(pack_id)
+        out = pd.DataFrame(
+            {"bucket": pdf["bucket"], "pack_id": packs, "n_tokens": pdf["n_tokens"]}
+        )
+        return (
+            out.groupby(["bucket", "pack_id"], as_index=False)
+            .agg(n_docs=("n_tokens", "size"), pack_tokens=("n_tokens", "sum"))
+        )
+
+    return base.groupBy("bucket").applyInPandas(
+        fold, schema="bucket bigint, pack_id bigint, n_docs bigint, pack_tokens bigint"
+    )
+
+
+def pack_greedy_oracle(
+    table: str, text_col: str, id_col: str, budget: int = 256, num_buckets: int = 8
+) -> str:
+    return f"""
+    WITH RECURSIVE t AS (
+      SELECT {id_col} % {num_buckets} AS bucket, {id_col},
+             len(string_split({text_col}, ' ')) AS n_tokens,
+             md5(CAST({id_col} AS VARCHAR)) AS okey FROM {table}),
+    o AS (SELECT bucket, {id_col}, n_tokens,
+            row_number() OVER (PARTITION BY bucket ORDER BY okey, {id_col}) AS rn
+          FROM t),
+    s AS (
+      SELECT bucket, rn, n_tokens, 0 AS pack_id, n_tokens AS fill
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.bucket, o.rn, o.n_tokens,
+             CASE WHEN s.fill + o.n_tokens > {budget} THEN s.pack_id + 1 ELSE s.pack_id END,
+             CASE WHEN s.fill + o.n_tokens > {budget} THEN o.n_tokens ELSE s.fill + o.n_tokens END
+      FROM s JOIN o ON o.bucket = s.bucket AND o.rn = s.rn + 1)
+    SELECT bucket, CAST(pack_id AS BIGINT) AS pack_id,
+           count(*) AS n_docs, sum(n_tokens)::BIGINT AS pack_tokens
+    FROM s GROUP BY 1, 2
+    """

@@ -8,6 +8,8 @@ One driver-gated query per operator in :mod:`.operators.quality`:
 * ``text_repetition``     — duplicate n-gram fraction (boilerplate/spam signal)
 * ``doc_chunking``        — overlapping token-window chunks (RAG/context prep)
 * ``pack_token_budget``   — GPT-style concat-then-chunk sequence packing
+* ``pack_greedy_exact``   — exact per-bucket greedy packing (grouped-map
+  fold; recursive-CTE oracle)
 * ``sample_stratified``   — exact per-stratum deterministic sampling
 * ``text_tfidf_topk``     — top-k salient terms per doc (tf·idf)
 * ``decontaminate_ngram`` — n-gram-overlap test-set decontamination
@@ -142,3 +144,14 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.quantize_int8(
         _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", dim=EMBED_DIM
     )
+
+
+@query(
+    "pack_greedy_exact",
+    oracle=quality.pack_greedy_oracle("documents", "text", "doc_id", budget=256, num_buckets=8),
+)
+def pack_greedy_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-bucket greedy packing (every pack ≤ 256 tokens) via an
+    Arrow grouped-map fold — the sequential algorithm a window can't
+    express; oracle replays it as a recursive CTE."""
+    return quality.pack_greedy(_docs(spark, sf_dir), "text", "doc_id", budget=256, num_buckets=8)

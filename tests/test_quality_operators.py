@@ -158,3 +158,28 @@ def test_tfidf_rare_term_outscores_common(spark):
     # 'common' appears in every doc → idf 0 → can never win
     assert by_doc[1] == "rare"
     assert "common" not in by_doc.values()
+
+
+def test_pack_greedy_budget_bound_and_partition_invariance(spark, sf_dir):
+    """Exact greedy packing: every pack ≤ budget (no oversized docs in
+    the fixture), tokens conserved, and the result is identical however
+    the input was partitioned (the fold orders within each bucket)."""
+    budget = 256
+    docs = _docs(spark, sf_dir)
+    packs = quality.pack_greedy(docs, "text", "doc_id", budget=budget, num_buckets=8)
+    rows = packs.collect()
+    assert rows and all(r["pack_tokens"] <= budget for r in rows)
+    total = docs.select(F.sum(F.expr("size(split(text,' '))"))).collect()[0][0]
+    assert sum(r["pack_tokens"] for r in rows) == total
+    again = quality.pack_greedy(
+        docs.repartition(13), "text", "doc_id", budget=budget, num_buckets=8
+    ).collect()
+    key = lambda r: (r["bucket"], r["pack_id"])
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # pack ids dense per bucket
+    from collections import defaultdict
+    by_bucket = defaultdict(list)
+    for r in rows:
+        by_bucket[r["bucket"]].append(r["pack_id"])
+    for ids in by_bucket.values():
+        assert sorted(ids) == list(range(len(ids)))
