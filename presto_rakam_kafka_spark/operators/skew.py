@@ -72,3 +72,43 @@ def salted_agg(
     drop = [c for n in needs_avg for c in (f"__{n}_s", f"__{n}_c")]
     out = combined.select(*keys, *post)
     return out.drop(*drop)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    row_col: str,
+    salt_buckets: int = 16,
+    join_hint: str | None = None,
+) -> DataFrame:
+    """Equi join with the fact-side shuffle salted — the hot-key join
+    fix for when AQE's skew split isn't available (non-AQE plans,
+    stream-batch joins) or the dim side is too big to broadcast but
+    small enough to replicate ``salt_buckets``×.
+
+    Each fact row gets a deterministic salt from a row-unique column
+    (``row_col`` — NOT the join key: a hot key must spread over all
+    buckets), and the dim side is replicated once per salt, so the join
+    runs on ``(key, salt)`` and one hot key occupies ``salt_buckets``
+    reducers instead of one. Exactly the plain join's rows, including
+    many-to-many keys (every dim row for a key exists under every
+    salt). ``join_hint`` ("merge" / "shuffle_hash") pins the strategy
+    so plans are assertable; production lets AQE choose.
+    """
+    sf = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(row_col)), F.lit(salt_buckets)).cast("int")
+    )
+    sd = dim.select(
+        "*",
+        F.explode(F.expr(f"sequence(0, {salt_buckets - 1})")).alias("__salt"),
+    )
+    if join_hint:
+        sd = sd.hint(join_hint)
+    joined = sf.join(
+        sd,
+        (sf[fact_key] == sd[dim_key]) & (sf["__salt"] == sd["__salt"]),
+        "inner",
+    )
+    return joined.drop(sf["__salt"]).drop(sd["__salt"])

@@ -15,6 +15,7 @@ One driver-gated query per operator in :mod:`.operators.quality`:
 * ``decontaminate_ngram`` — n-gram-overlap test-set decontamination
 * ``pii_redact``          — regex PII scrub with hit counts
 * ``embedding_quantize_int8`` — int8 ANN-storage quantization receipt
+* ``join_salted_skew``    — hot-key-safe salted equi join (skew discipline)
 
 All plans stay in whole-stage codegen (no UDFs); shuffles only on
 uniform keys; small sides broadcast (see module docstring of
@@ -155,3 +156,31 @@ def pack_greedy_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow grouped-map fold — the sequential algorithm a window can't
     express; oracle replays it as a recursive CTE."""
     return quality.pack_greedy(_docs(spark, sf_dir), "text", "doc_id", budget=256, num_buckets=8)
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe equi join: fact rows salted by event_id, customer
+    dim replicated 16×, joined on (key, salt) under a pinned sort-merge
+    strategy — one hot user_id lands on 16 reducers instead of one.
+    Result provably identical to the plain join (the oracle IS the
+    plain join)."""
+    from presto_rakam_kafka_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    joined = salted_join(
+        ev, cust, "user_id", "c_custkey", "event_id", salt_buckets=16, join_hint="merge"
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

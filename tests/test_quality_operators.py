@@ -183,3 +183,27 @@ def test_pack_greedy_budget_bound_and_partition_invariance(spark, sf_dir):
         by_bucket[r["bucket"]].append(r["pack_id"])
     for ids in by_bucket.values():
         assert sorted(ids) == list(range(len(ids)))
+
+
+def test_salted_join_equals_plain_join_and_salts_the_shuffle(spark, sf_dir):
+    """salted_join returns exactly the plain join's aggregate, and its
+    physical plan is a salted SortMergeJoin (salt in the join keys, no
+    broadcast of the replicated dim)."""
+    from presto_rakam_kafka_spark.operators.skew import salted_join
+
+    ev = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer")
+    salted = salted_join(
+        ev, cust, "user_id", "c_custkey", "event_id", salt_buckets=8, join_hint="merge"
+    )
+    plain = ev.join(cust, ev["user_id"] == cust["c_custkey"])
+    agg = lambda df: sorted(
+        (r["c_mktsegment"], r["n"], round(r["s"], 2))
+        for r in df.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    assert agg(salted) == agg(plain)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "__salt" in plan
+    assert "BroadcastHashJoin" not in plan
