@@ -2506,6 +2506,92 @@ def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_percentiles",
+    oracle="""
+    SELECT event_id,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           round(lag(value, 2, 0.0) OVER w, 2) AS lag2,
+           round(lead(value, 1, -1.0) OVER w, 2) AS lead1
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions (percent_rank / cume_dist) plus
+    lag/lead with explicit defaults — the §2.B window families not yet
+    in the inventory. Tie-break on event_id keeps lag/lead
+    deterministic under value ties."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.lag("value", 2, 0.0).over(w), 2).alias("lag2"),
+        F.round(F.lead("value", 1, -1.0).over(w), 2).alias("lead1"),
+    )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT n.n_name,
+           array_to_string(list_sort(list(c.c_name)), ',') AS customers,
+           count(*) AS n_customers
+    FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (LISTAGG / string_agg): per-nation sorted
+    customer-name roster. Expressed portably as
+    array_join(array_sort(collect_list(...))) — deterministic where
+    bare listagg is order-undefined; nation side broadcast."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        cust.join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.expr("array_join(array_sort(collect_list(c_name)), ',')").alias(
+                "customers"
+            ),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "url_funcs",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'lang=([a-z]+)', 1) AS lang_param
+    FROM (SELECT doc_id,
+                 concat('https://', source, '.example.com/d/',
+                        CAST(doc_id AS VARCHAR), '?lang=', lang) AS url
+          FROM documents) t
+    """,
+)
+def url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction via engine-portable regexes (host,
+    path, query param) over a synthesized URL column — the
+    parse_url-family surface without Java-vs-RE2 divergence."""
+    docs = _t(spark, sf_dir, "documents")
+    url = "concat('https://', source, '.example.com/d/', cast(doc_id as string), '?lang=', lang)"
+    t = docs.select("doc_id", F.expr(url).alias("url"))
+    return t.select(
+        "doc_id",
+        F.regexp_extract("url", "^[a-z]+://([^/]+)", 1).alias("host"),
+        F.regexp_extract("url", "^[a-z]+://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract("url", "lang=([a-z]+)", 1).alias("lang_param"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Registration side-effect import: the remaining TPC-H shapes live in
 # queries_tpch2 (this module is already ~2.4k lines). Import must stay
