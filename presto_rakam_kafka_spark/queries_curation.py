@@ -184,3 +184,54 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "layout_partition_pruned_agg",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket, count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id % 10
+    """,
+)
+def layout_partition_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan: events re-laid-out hive-partitioned by
+    event_type, then filtered on the partition column — the scan opens
+    ONLY the purchase directory (PartitionFilters, plan-asserted in
+    tests); results provably equal the plain-layout filter."""
+    from presto_rakam_kafka_spark.operators import layout
+
+    ev = _t(spark, sf_dir, "events")
+    path = layout.stage_partitioned(spark, ev, sf_dir, "event_type")
+    pruned = layout.read_pruned(spark, path, "event_type", "purchase")
+    return pruned.select((F.col("user_id") % 10).alias("user_bucket"), "value").groupBy(
+        "user_bucket"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+
+
+@query(
+    "layout_bucketed_join_agg",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def layout_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join: events and customer bucketed
+    identically on the join key at write time, so the join plans with
+    NO exchange on either side (asserted in tests) — the repeated-join
+    shuffle paid once at ingest. Results equal the plain join."""
+    from presto_rakam_kafka_spark.operators import layout
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    lt = layout.stage_bucketed(spark, ev, sf_dir, "events_bkt", "user_id", 8)
+    rt = layout.stage_bucketed(spark, cust, sf_dir, "customer_bkt", "c_custkey", 8)
+    joined = layout.bucketed_join(spark, lt, rt, "user_id", "c_custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

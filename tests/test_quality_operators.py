@@ -207,3 +207,31 @@ def test_salted_join_equals_plain_join_and_salts_the_shuffle(spark, sf_dir):
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan and "__salt" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_partition_pruned_scan_has_partition_filters(spark, sf_dir):
+    from presto_rakam_kafka_spark.operators import layout
+
+    ev = read_table(spark, sf_dir, "events")
+    path = layout.stage_partitioned(spark, ev, sf_dir, "event_type")
+    pruned = layout.read_pruned(spark, path, "event_type", "purchase")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+    # pruning is real: only the matching directory's rows are scanned
+    assert pruned.count() == ev.filter("event_type = 'purchase'").count()
+
+
+def test_bucketed_join_has_no_shuffle_exchange(spark, sf_dir):
+    from presto_rakam_kafka_spark.operators import layout
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    lt = layout.stage_bucketed(spark, ev, sf_dir, "events_bkt_t", "user_id", 8)
+    rt = layout.stage_bucketed(spark, cust, sf_dir, "customer_bkt_t", "c_custkey", 8)
+    joined = layout.bucketed_join(spark, lt, rt, "user_id", "c_custkey")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    # and identical rows to the plain join
+    plain = ev.join(cust, ev["user_id"] == cust["c_custkey"]).count()
+    assert joined.count() == plain
