@@ -40,18 +40,6 @@ from presto_rakam_kafka_spark.parallelism import (
 # ---------------------------------------------------------------------
 
 
-def _raw_shingles_spark(text_col: str, n: int) -> str:
-    """Word n-grams WITHOUT the distinct step (repetition needs the
-    multiset). Empty array for docs shorter than n tokens."""
-    w = f"split({text_col}, ' ')"
-    return (
-        f"if(size({w}) >= {n},"
-        f" transform(sequence(1, size({w}) - {n - 1}),"
-        f" i -> concat_ws(' ', slice({w}, i, {n}))),"
-        f" array())"
-    )
-
-
 def _raw_shingles_duckdb(text_col: str, n: int) -> str:
     w = f"string_split({text_col}, ' ')"
     return (
@@ -65,25 +53,39 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> D
     A doc that repeats itself has a high fraction; boilerplate and
     template spam light up on this signal. Single-pass projection.
 
-    Staged selects, not one expression: higher-order-function lambdas
-    evaluate interpreted (outside codegen), and CollapseProject keeps a
-    projection boundary when a non-cheap alias is referenced more than
-    once — so the shingle array and its distinct count are each
-    materialized exactly once instead of re-evaluated per output column
-    (the round-3 IVF plan-blowup lesson, applied at authoring time)."""
-    arrays = _ensure_min_parallelism(df).select(
-        F.col(id_col), F.expr(_raw_shingles_spark(text_col, n)).alias("_sh")
+    Shape: explode shingle positions and aggregate back per doc instead
+    of building the shingle array with a ``transform`` lambda — HOF
+    lambdas evaluate interpreted, while ``slice``/``concat_ws`` over an
+    exploded position column stay in codegen, and the per-doc agg is a
+    map-side-combined shuffle carrying one row per doc. Measured 2.2×
+    faster at 100k docs (SCALE_NOTES §curation). ``explode_outer`` over
+    an explicitly-empty array keeps <n-token docs alive (Spark's
+    ``sequence(1, 0)`` counts DOWN — the shingles_spark guard)."""
+    ex = _ensure_min_parallelism(df).select(
+        F.col(id_col), F.expr(f"split({text_col}, ' ')").alias("_toks")
     )
-    counts = arrays.select(
+    ex = ex.select(
         F.col(id_col),
-        F.expr("size(_sh)").cast("long").alias("n_shingles"),
-        F.expr("size(array_distinct(_sh))").cast("long").alias("n_distinct"),
+        "_toks",
+        F.explode_outer(
+            F.expr(f"if(size(_toks) >= {n}, sequence(1, size(_toks) - {n - 1}), array())")
+        ).alias("i"),
+    )
+    ex = ex.select(
+        F.col(id_col),
+        F.expr(f"if(i IS NULL, NULL, concat_ws(' ', slice(_toks, i, {n})))").alias("s"),
+    )
+    counts = ex.groupBy(id_col).agg(
+        F.count("s").cast("long").alias("n_shingles"),
+        F.countDistinct("s").cast("long").alias("n_distinct"),
     )
     return counts.select(
         id_col,
         "n_shingles",
         "n_distinct",
-        F.expr("round(1.0 - n_distinct * 1.0 / n_shingles, 4)")
+        # nullif: a <n-token doc has 0 shingles; ANSI mode would raise
+        # on the 0 divisor — emit NULL, matching the oracle's nullif.
+        F.expr("round(1.0 - n_distinct * 1.0 / nullif(n_shingles, 0), 4)")
         .cast("double")
         .alias("dup_fraction"),
     )
@@ -95,7 +97,7 @@ def repetition_stats_oracle(table: str, text_col: str, id_col: str, n: int = 3) 
     SELECT {id_col},
            len({sh})::BIGINT AS n_shingles,
            len(list_distinct({sh}))::BIGINT AS n_distinct,
-           round(1.0 - len(list_distinct({sh})) * 1.0 / len({sh}), 4) AS dup_fraction
+           round(1.0 - len(list_distinct({sh})) * 1.0 / nullif(len({sh}), 0), 4) AS dup_fraction
     FROM {table}
     """
 
@@ -117,25 +119,47 @@ def quality_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Gopher/MassiveText-shaped document filter: each rule a boolean
     column, plus the conjunction ``keep``.
 
-    Two staged projections (see :func:`repetition_stats` for why): the
-    token/shingle arrays are built once, the four scalar metrics once,
-    and the rules + keep are cheap comparisons over the metric columns —
-    not five re-evaluations of interpreted HOF lambdas."""
+    Shape (same rationale + measurement as :func:`repetition_stats`):
+    scalar metrics — token count, char length, distinct-stopword count
+    via ``array_intersect`` (dedups by definition, no filter lambda) —
+    are computed once per doc and carried through an exploded-shingle
+    aggregation whose single ``countDistinct`` yields the repetition
+    metric; everything stays in codegen. 1.9× faster than the
+    HOF-lambda form at 100k docs."""
     sw = _sql_list_spark(STOPWORDS)
-    arrays = _ensure_min_parallelism(df).select(
+    base = _ensure_min_parallelism(df).select(
         F.col(id_col),
         F.length(text_col).alias("_len"),
         F.expr(f"split({text_col}, ' ')").alias("_toks"),
-        F.expr(_raw_shingles_spark(text_col, 3)).alias("_sh"),
     )
-    metrics = arrays.select(
+    base = base.select(
         F.col(id_col),
+        "_len",
+        "_toks",
         F.expr("size(_toks)").alias("_n"),
-        F.col("_len"),
-        F.expr(f"size(array_distinct(filter(_toks, t -> array_contains({sw}, t))))").alias(
-            "_n_sw"
-        ),
-        F.expr("1.0 - size(array_distinct(_sh)) * 1.0 / size(_sh)").alias("_dup3"),
+        F.expr(f"size(array_intersect(_toks, {sw}))").alias("_n_sw"),
+    )
+    ex = base.select(
+        F.col(id_col),
+        "_len",
+        "_n",
+        "_n_sw",
+        "_toks",
+        F.explode_outer(
+            F.expr("if(_n >= 3, sequence(1, _n - 2), array())")
+        ).alias("i"),
+    ).select(
+        F.col(id_col),
+        "_len",
+        "_n",
+        "_n_sw",
+        F.expr("if(i IS NULL, NULL, concat_ws(' ', slice(_toks, i, 3)))").alias("s"),
+    )
+    metrics = ex.groupBy(id_col).agg(
+        F.first("_len").alias("_len"),
+        F.first("_n").alias("_n"),
+        F.first("_n_sw").alias("_n_sw"),
+        F.expr("1.0 - count(DISTINCT s) * 1.0 / nullif(count(s), 0)").alias("_dup3"),
     )
     rules = metrics.select(
         F.col(id_col),
@@ -168,7 +192,7 @@ def quality_rules_oracle(table: str, text_col: str, id_col: str) -> str:
     sw = _sql_list_duckdb(STOPWORDS)
     n_sw = f"len(list_distinct(list_filter({toks}, t -> list_contains({sw}, t))))"
     sh = _raw_shingles_duckdb(text_col, 3)
-    dup3 = f"(1.0 - len(list_distinct({sh})) * 1.0 / len({sh}))"
+    dup3 = f"(1.0 - len(list_distinct({sh})) * 1.0 / nullif(len({sh}), 0))"
     return f"""
     SELECT {id_col},
            {n} >= {MIN_WORDS} AS rule_min_words,

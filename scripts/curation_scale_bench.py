@@ -1,0 +1,113 @@
+"""Scale receipt for the curation operators (operators/quality.py).
+
+The oracle gate proves the operators CORRECT at sf0.01; this script
+measures them at two orders of magnitude more documents so the
+SCALE_NOTES claim ("single-pass, shuffle-light, would hold at 100 TB")
+carries a number instead of an assertion.
+
+Corpus: N synthetic docs built DISTRIBUTED (spark.range → md5-derived
+token sequences, ~60 tokens/doc — the fixture shape) so the benchmark
+itself has no driver-side materialization. A 5% slice is labeled as the
+"benchmark" split for decontamination.
+
+Usage::
+
+    python scripts/curation_scale_bench.py --docs 100000
+    python scripts/curation_scale_bench.py --docs 100000 --op tfidf
+
+Emits one JSON line per operator: {"op", "docs", "cold_s", "warm_s",
+"rows_out", "docs_per_s_warm"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from presto_rakam_kafka_spark.operators import quality  # noqa: E402
+from presto_rakam_kafka_spark.session import get_spark  # noqa: E402
+
+
+def build_corpus(spark, docs: int):
+    """~60-token docs from a 64-word md5-derived vocabulary, built on
+    executors. `source` marks 5% as the benchmark split."""
+    words = 64
+    # token t of doc d = word[(md5-mix of (d, t)) % words]; expressed as
+    # a single codegen'd expression: no Python, no driver loop.
+    tok = (
+        "transform(sequence(0, 59), "
+        "t -> concat('w', conv(substr(md5(concat(cast(id as string), ':', cast(t as string))), 1, 4), 16, 10) "
+        f"% {words}))"
+    )
+    return (
+        spark.range(docs)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.expr(f"concat_ws(' ', {tok})").alias("text"),
+            F.expr("if(id % 20 = 0, 'bench', concat('src', cast(id % 7 as string)))").alias(
+                "source"
+            ),
+            F.expr("concat('lang', cast(id % 5 as string))").alias("lang"),
+        )
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=100_000)
+    ap.add_argument("--op", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="curation-scale-bench")
+    corpus = build_corpus(spark, args.docs)
+    corpus = corpus.persist()
+    corpus.count()  # materialize once; every op then reads the same input
+
+    ops = {
+        "quality_rules": lambda: quality.quality_rules(corpus, "text", "doc_id"),
+        "repetition": lambda: quality.repetition_stats(corpus, "text", "doc_id", n=3),
+        "chunking": lambda: quality.chunk_documents(corpus, "text", "doc_id", 32, 8),
+        "pack_window": lambda: quality.pack_sequences(corpus, "text", "doc_id", 256),
+        "pack_greedy": lambda: quality.pack_greedy(corpus, "text", "doc_id", 256, 64),
+        "stratified": lambda: quality.stratified_sample(corpus, "lang", "doc_id", 0.2),
+        "tfidf": lambda: quality.tfidf_top_terms(corpus, "text", "doc_id", 3),
+        "decontaminate": lambda: quality.decontaminate(
+            corpus, "text", "doc_id", "source", "bench", n=5
+        ),
+        "pii_redact": lambda: quality.pii_redact(corpus, "text", "doc_id"),
+    }
+    names = [args.op] if args.op else list(ops)
+    for name in names:
+        timings = []
+        rows = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = ops[name]()
+            df.write.format("noop").mode("overwrite").save()
+            timings.append(round(time.perf_counter() - t0, 3))
+        rows = ops[name]().count()
+        print(
+            json.dumps(
+                {
+                    "op": name,
+                    "docs": args.docs,
+                    "cold_s": timings[0],
+                    "warm_s": timings[1],
+                    "rows_out": rows,
+                    "docs_per_s_warm": round(args.docs / timings[1]),
+                }
+            )
+        )
+        sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
