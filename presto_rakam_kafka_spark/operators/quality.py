@@ -428,24 +428,31 @@ def decontaminate(
     through an exploded LEFT ANTI join — no O(n²) pairs, no shuffle of
     the corpus (the anti join is broadcast). The reference approach in
     pretraining pipelines (e.g. 13-gram decontamination) is exactly
-    this shape with a larger n."""
-    from presto_rakam_kafka_spark.functions.hashing import shingles_spark
+    this shape with a larger n.
 
-    sh = shingles_spark(text_col, n)
-    bench_shingles = (
-        df.filter(F.col(split_col) == bench_value)
-        .select(F.explode(F.expr(sh)).alias("s"))
-        .distinct()
+    Shingles come from the explode-positions codegen path (1.9× over
+    the transform-lambda form at 100k docs, SCALE_NOTES §curation); the
+    per-doc distinct step is skipped outright — join/semi semantics
+    dedup for free."""
+
+    def exploded(sub: DataFrame, keep_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if keep_id else []
+        ex = sub.select(*cols, F.expr(f"split({text_col}, ' ')").alias("_toks"))
+        ex = ex.select(
+            *cols,
+            "_toks",
+            F.explode(
+                F.expr(f"if(size(_toks) >= {n}, sequence(1, size(_toks) - {n - 1}), array())")
+            ).alias("i"),
+        )
+        return ex.select(*cols, F.expr(f"concat_ws(' ', slice(_toks, i, {n}))").alias("s"))
+
+    bench_shingles = exploded(df.filter(F.col(split_col) == bench_value), False).distinct()
+    train = df.filter(F.col(split_col) != bench_value)
+    contaminated = (
+        exploded(train, True).join(F.broadcast(bench_shingles), "s").select(id_col).distinct()
     )
-    train = df.filter(F.col(split_col) != bench_value).select(
-        F.col(id_col), F.explode_outer(F.expr(sh)).alias("s")
-    )
-    contaminated = train.join(F.broadcast(bench_shingles), "s").select(id_col).distinct()
-    return (
-        df.filter(F.col(split_col) != bench_value)
-        .join(contaminated, id_col, "left_anti")
-        .select(id_col)
-    )
+    return train.join(contaminated, id_col, "left_anti").select(id_col)
 
 
 def decontaminate_oracle(

@@ -16,10 +16,7 @@ from presto_rakam_kafka_spark.parallelism import (
     ensure_min_parallelism as _ensure_min_parallelism,
 )
 
-from presto_rakam_kafka_spark.functions.hashing import (
-    shingles_duckdb,
-    shingles_spark,
-)
+from presto_rakam_kafka_spark.functions.hashing import shingles_duckdb
 
 #: Tiny per-language marker lists for the heuristic language ID. The
 #: heuristic is the deliverable; on the synthetic fixture corpus (whose
@@ -190,24 +187,39 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
     and the minimum shingle-hash (a 1-hash MinHash — equal for docs
     sharing their 'rarest' shingle, the winnowing-style anchor).
 
-    Shape note: ``array_min(transform(sh, s -> md5(s)))`` evaluates the
-    lambda interpreted (outside whole-stage codegen) — explode keeps
-    every md5 in codegen, and the per-doc min comes back via a map-side
-    partial aggregate (shingles stay colocated with their doc, so the
-    shuffle carries one row per doc).
+    Shape note: the shingle strings are built by exploding positions
+    and slicing — plain functions inside whole-stage codegen, not a
+    ``transform`` lambda (interpreted; 6× slower at 100k docs,
+    SCALE_NOTES §curation). The per-doc distinct step the lambda form
+    carried is dropped outright: ``min`` over the shingle multiset
+    equals ``min`` over the distinct set. The per-doc min comes back
+    via a map-side partial aggregate (shingles stay colocated with
+    their doc, so the shuffle carries one row per doc).
 
-    ``explode_outer`` (not ``explode``) keeps zero-shingle docs (<n
-    tokens or NULL text) alive with a NULL min — matching the oracle's
-    ``list_min`` over an empty list."""
+    ``explode_outer`` over an explicitly-empty array keeps zero-shingle
+    docs (<n tokens or NULL text) alive with a NULL min — matching the
+    oracle's ``list_min`` over an empty list."""
     df = _ensure_min_parallelism(df)
-    sh = shingles_spark(text_col, n)
-    exploded = df.select(
+    ex = df.select(
         F.col(id_col),
         F.md5(F.col(text_col)).alias("content_md5"),
-        F.explode_outer(F.expr(sh)).alias("s"),
+        F.expr(f"split({text_col}, ' ')").alias("_toks"),
+    )
+    ex = ex.select(
+        F.col(id_col),
+        "content_md5",
+        "_toks",
+        F.explode_outer(
+            F.expr(f"if(size(_toks) >= {n}, sequence(1, size(_toks) - {n - 1}), array())")
+        ).alias("i"),
+    )
+    exploded = ex.select(
+        F.col(id_col),
+        "content_md5",
+        F.expr(f"if(i IS NULL, NULL, md5(concat_ws(' ', slice(_toks, i, {n}))))").alias("h"),
     )
     return exploded.groupBy(id_col, "content_md5").agg(
-        F.min(F.md5(F.col("s"))).alias("min_shingle_md5")
+        F.min("h").alias("min_shingle_md5")
     )
 
 
