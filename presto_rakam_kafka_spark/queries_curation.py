@@ -235,3 +235,22 @@ def layout_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+from presto_rakam_kafka_spark.operators.sketches import cms_heavy_hitters_oracle
+
+
+@query(
+    "sketch_cms_heavy_hitters",
+    oracle=cms_heavy_hitters_oracle("events", "user_id", k=10),
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch top-10 users by estimated event frequency with
+    the exact count alongside (est ≥ exact, the CMS one-sided bound).
+    Sketch is d×w counters (constant size at any input scale),
+    broadcast back for estimation; built from the engine-portable
+    seeded hash family so DuckDB replays it bit-identically."""
+    from presto_rakam_kafka_spark.operators.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(_t(spark, sf_dir, "events"), "user_id", k=10)
+

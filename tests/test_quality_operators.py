@@ -235,3 +235,21 @@ def test_bucketed_join_has_no_shuffle_exchange(spark, sf_dir):
     # and identical rows to the plain join
     plain = ev.join(cust, ev["user_id"] == cust["c_custkey"]).count()
     assert joined.count() == plain
+
+
+def test_cms_estimate_upper_bounds_exact_for_all_keys(spark, sf_dir):
+    """CMS one-sided guarantee: est >= exact for EVERY key (not just
+    top-k), and the error respects the eps*N bound comfortably."""
+    from presto_rakam_kafka_spark.operators.sketches import CMS_W, cms_heavy_hitters
+
+    ev = read_table(spark, sf_dir, "events")
+    n = ev.count()
+    allk = cms_heavy_hitters(ev, "user_id", k=10**9)
+    rows = allk.collect()
+    assert rows
+    assert all(r["est"] >= r["exact"] for r in rows)
+    import math
+    eps_n = math.e * n / CMS_W
+    # Markov gives P(err > eps*N) <= 1/e per row; with d=4 rows the min
+    # exceeds it with prob <= e^-4 — assert no row does at this scale.
+    assert all(r["est"] - r["exact"] <= eps_n for r in rows)
