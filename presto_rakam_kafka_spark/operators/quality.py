@@ -682,3 +682,109 @@ def pack_greedy_oracle(
            count(*) AS n_docs, sum(n_tokens)::BIGINT AS pack_tokens
     FROM s GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------
+# Weighted + temperature sampling (corpus mixture construction)
+# ---------------------------------------------------------------------
+
+
+def weighted_sample(
+    df: DataFrame, weight_expr: str, id_col: str, k: int
+) -> DataFrame:
+    """Weighted sampling without replacement, deterministic: the
+    Efraimidis–Spirakis A-ES scheme with the random uniform replaced by
+    a hash-derived one — key_i = u_i^(1/w_i) ⇔ rank by -ln(u)/w — so
+    the same k docs are chosen on every run, retry, and partitioning
+    (a `rand()`-based weighted sample is none of those). One top-k
+    sort; no shuffle before it.
+
+    ``weight_expr``: SQL expression for the per-row weight (> 0), e.g.
+    a quality score. Returns (id, weight, wkey) for the k winners.
+    """
+    h = (
+        f"(cast(conv(substr(md5(cast({id_col} as string)), 1, 15), 16, 10) as bigint)"
+        f" % 1000000007)"
+    )
+    u = f"(({h} + 1) / 1000000008.0)"  # uniform in (0, 1]
+    wkey = f"(-ln({u}) / ({weight_expr}))"
+    return (
+        df.select(
+            F.col(id_col),
+            # cast: Spark literal `1.0` arithmetic is DECIMAL, DuckDB's
+            # is DOUBLE — align the hash-compared output type.
+            F.expr(f"cast(round({weight_expr}, 6) as double)").alias("weight"),
+            F.expr(f"round({wkey}, 8)").alias("wkey"),
+        )
+        .orderBy(F.asc("wkey"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def weighted_sample_oracle(table: str, weight_expr: str, id_col: str, k: int) -> str:
+    h = f"(CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000007)"
+    u = f"(({h} + 1) / 1000000008.0)"
+    wkey = f"(-ln({u}) / ({weight_expr}))"
+    return f"""
+    SELECT {id_col}, round({weight_expr}, 6) AS weight, round({wkey}, 8) AS wkey
+    FROM {table}
+    ORDER BY wkey ASC, {id_col} ASC LIMIT {k}
+    """
+
+
+def temperature_mixture(
+    df: DataFrame, source_col: str, id_col: str, total: int, alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-based source mixture (the multilingual/multi-source
+    pretraining sampler): source s gets a share ∝ n_s^alpha of the
+    ``total`` budget — alpha < 1 upweights small sources, alpha = 1 is
+    proportional, alpha = 0 uniform-per-source. Within a source, docs
+    are chosen in deterministic md5-hash order. Returns
+    (source, n_source, target, id) for the selected docs.
+
+    Shape: one count agg (tiny, broadcast back), one window rank per
+    source — the same two shuffles as stratified sampling."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_source"))
+    tot_w = counts.select(
+        F.sum(F.expr(f"pow(n_source, {alpha})")).alias("_tw")
+    )
+    targets = counts.crossJoin(F.broadcast(tot_w)).select(
+        source_col,
+        "n_source",
+        F.expr(
+            f"least(n_source, cast(round({total} * pow(n_source, {alpha}) / _tw, 0) as bigint))"
+        ).alias("target"),
+    )
+    order = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = df.select(F.col(source_col), F.col(id_col)).withColumn(
+        "_rn", F.row_number().over(order)
+    )
+    return (
+        ranked.join(F.broadcast(targets), source_col)
+        .filter(F.col("_rn") <= F.col("target"))
+        .select(source_col, "n_source", "target", id_col)
+    )
+
+
+def temperature_mixture_oracle(
+    table: str, source_col: str, id_col: str, total: int, alpha: float = 0.5
+) -> str:
+    return f"""
+    WITH counts AS (
+      SELECT {source_col}, count(*) AS n_source FROM {table} GROUP BY {source_col}),
+    tw AS (SELECT sum(pow(n_source, {alpha})) AS _tw FROM counts),
+    targets AS (
+      SELECT {source_col}, n_source,
+             least(n_source, CAST(round({total} * pow(n_source, {alpha}) / _tw, 0) AS BIGINT)) AS target
+      FROM counts, tw),
+    ranked AS (
+      SELECT {source_col}, {id_col},
+             row_number() OVER (PARTITION BY {source_col}
+                 ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) AS _rn
+      FROM {table})
+    SELECT r.{source_col}, t.n_source, t.target, r.{id_col}
+    FROM ranked r JOIN targets t ON r.{source_col} = t.{source_col}
+    WHERE r._rn <= t.target
+    """

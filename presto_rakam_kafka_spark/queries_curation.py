@@ -254,3 +254,33 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return cms_heavy_hitters(_t(spark, sf_dir, "events"), "user_id", k=10)
 
+
+
+@query(
+    "sample_weighted_quality",
+    oracle=quality.weighted_sample_oracle(
+        "documents", "1.0 + n_chars / 1000.0", "doc_id", k=100
+    ),
+)
+def sample_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES with
+    hash-derived uniforms): longer docs proportionally likelier, same
+    100 winners on every run/retry/partitioning."""
+    return quality.weighted_sample(
+        _docs(spark, sf_dir), "1.0 + n_chars / 1000.0", "doc_id", k=100
+    )
+
+
+@query(
+    "sample_temperature_mixture",
+    oracle=quality.temperature_mixture_oracle(
+        "documents", "lang", "doc_id", total=200, alpha=0.5
+    ),
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixture (alpha = 0.5 upweights
+    low-resource languages): each lang's share of the 200-doc budget is
+    proportional to n^0.5, selections hash-deterministic within lang."""
+    return quality.temperature_mixture(
+        _docs(spark, sf_dir), "lang", "doc_id", total=200, alpha=0.5
+    )

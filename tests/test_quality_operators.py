@@ -253,3 +253,40 @@ def test_cms_estimate_upper_bounds_exact_for_all_keys(spark, sf_dir):
     # Markov gives P(err > eps*N) <= 1/e per row; with d=4 rows the min
     # exceeds it with prob <= e^-4 — assert no row does at this scale.
     assert all(r["est"] - r["exact"] <= eps_n for r in rows)
+
+
+def test_weighted_sample_deterministic_and_biased(spark, sf_dir):
+    """A-ES with hash uniforms: identical winners across partitionings,
+    and the weight actually biases — mean weight of winners exceeds the
+    corpus mean."""
+    docs = _docs(spark, sf_dir)
+    w = "1.0 + n_chars / 1000.0"
+    a = quality.weighted_sample(docs, w, "doc_id", k=100).collect()
+    b = quality.weighted_sample(docs.repartition(11), w, "doc_id", k=100).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    mean_w = docs.select(F.avg(F.expr(w))).collect()[0][0]
+    mean_sel = sum(r["weight"] for r in a) / len(a)
+    assert mean_sel > mean_w
+
+
+def test_temperature_mixture_flattens_shares(spark, sf_dir):
+    """alpha=0.5 gives small sources a larger share than proportional
+    sampling would, large sources a smaller one; never exceeds a
+    source's size; total ≈ budget (rounding)."""
+    docs = _docs(spark, sf_dir)
+    total = 200
+    out = quality.temperature_mixture(docs, "lang", "doc_id", total=total, alpha=0.5)
+    rows = out.collect()
+    n_corpus = docs.count()
+    by_lang = {
+        r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    from collections import Counter
+    picked = Counter(r["lang"] for r in rows)
+    assert abs(sum(picked.values()) - total) <= len(by_lang)  # rounding slack
+    biggest = max(by_lang, key=by_lang.get)
+    smallest = min(by_lang, key=by_lang.get)
+    prop = lambda lang: total * by_lang[lang] / n_corpus
+    assert picked[biggest] < prop(biggest)
+    assert picked[smallest] > prop(smallest)
+    assert all(picked[lang] <= by_lang[lang] for lang in picked)
