@@ -284,3 +284,53 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.temperature_mixture(
         _docs(spark, sf_dir), "lang", "doc_id", total=200, alpha=0.5
     )
+
+
+def _pipeline_oracle() -> str:
+    """Chained-CTE oracle for the end-to-end curation pipeline: each
+    stage's oracle builder feeds the next stage's table reference."""
+    rules = quality.quality_rules_oracle("documents", "text", "doc_id")
+    decon = quality.decontaminate_oracle("dedup", "text", "doc_id", "source", "src0", n=5)
+    return f"""
+    WITH rules AS ({rules}),
+    kept AS (
+      SELECT d.* FROM documents d JOIN rules r ON d.doc_id = r.doc_id WHERE r.keep),
+    dd AS (
+      SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+    dedup AS (
+      SELECT k.* FROM kept k JOIN dd ON k.doc_id = dd.doc_id),
+    decon AS ({decon}),
+    final AS (
+      SELECT d.* FROM dedup d JOIN decon x ON d.doc_id = x.doc_id),
+    t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS okey FROM final),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY okey, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT CAST(floor((cum - n_tokens) / 256) AS BIGINT) AS pack_id,
+           count(*) AS n_docs, sum(n_tokens)::BIGINT AS pack_tokens
+    FROM c GROUP BY 1
+    """
+
+
+@query("pipeline_curate_pack", oracle=_pipeline_oracle())
+def pipeline_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline end-to-end AS ONE CATALYST PLAN: Gopher
+    quality filter → exact dedup → 5-gram benchmark decontamination →
+    GPT-style sequence packing, composed from the individual operators
+    with no materialization between stages — Catalyst fuses the chain
+    (column pruning drops unused doc fields per stage, the semi-join
+    survivors pipeline into the next filter). The oracle replays the
+    same four stages as chained CTEs."""
+    from presto_rakam_kafka_spark.operators import dedup as dedup_ops
+
+    docs = _docs(spark, sf_dir)
+    keep_ids = quality.quality_rules(docs, "text", "doc_id").filter("keep").select("doc_id")
+    kept = docs.join(keep_ids, "doc_id")
+    deduped = dedup_ops.exact_dedup(kept, "text", "doc_id")
+    survivor_ids = quality.decontaminate(deduped, "text", "doc_id", "source", "src0", n=5)
+    final = deduped.join(survivor_ids, "doc_id")
+    return quality.pack_sequences(final, "text", "doc_id", budget=256)

@@ -290,3 +290,48 @@ def test_temperature_mixture_flattens_shares(spark, sf_dir):
     assert picked[biggest] < prop(biggest)
     assert picked[smallest] > prop(smallest)
     assert all(picked[lang] <= by_lang[lang] for lang in picked)
+
+
+def test_pack_greedy_matches_python_reference_property(spark):
+    """Property (hypothesis): for random token-count multisets, the
+    distributed grouped-map fold produces exactly the per-bucket packs
+    of a sequential Python reference greedy over the same md5 order."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=120), min_size=1, max_size=60),
+        st.integers(min_value=16, max_value=200),
+    )
+    def run(tokens, budget):
+        rows = [(i, "w " * (t - 1) + "w") for i, t in enumerate(tokens)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r["bucket"], r["pack_id"]): (r["n_docs"], r["pack_tokens"])
+            for r in quality.pack_greedy(df, "text", "doc_id", budget=budget, num_buckets=3).collect()
+        }
+        # reference fold
+        want = {}
+        for bucket in range(3):
+            docs = [
+                (hashlib.md5(str(i).encode()).hexdigest(), i, t)
+                for i, t in enumerate(tokens)
+                if i % 3 == bucket
+            ]
+            fill, pack = 0, 0
+            first = True
+            for _, i, t in sorted(docs):
+                if not first and fill + t > budget:
+                    pack += 1
+                    fill = t
+                else:
+                    fill += t
+                first = False
+                n, s = want.get((bucket, pack), (0, 0))
+                want[(bucket, pack)] = (n + 1, s + t)
+        assert got == want
+
+    run()
