@@ -469,3 +469,186 @@ def ivf_topk_oracle(
       FROM q JOIN c ON q.list_id = c.list_id AND q.{id_col} != c.{id_col}
     ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------
+# Product quantization (PQ) — asymmetric-distance ANN
+# ---------------------------------------------------------------------
+
+#: PQ geometry: m subspaces × ksub centroids. dim 64 → 8 × 8-dim
+#: subvectors, 16 centroids each ⇒ a 32-bit code per vector (vs 64
+#: floats — the 100 TB candidate-store compression), and queries score
+#: candidates via table lookups, never touching the original vectors
+#: (asymmetric distance computation, ADC). Recall scales with code
+#: bits — receipts in SCALE_NOTES §pq-recall.
+PQ_M = 8
+PQ_KSUB = 16
+
+
+#: Per-dimension scale of the seeded codebooks. PQ codewords must live
+#: at the DATA's scale or every vector snaps to the centroid nearest
+#: the origin (one code for the whole corpus — measured recall 0.0
+#: with unit-normal books on the fixture embeddings, whose per-dim
+#: std is 0.125). A production deployment k-means-fits the books so
+#: scale comes from the data; the seeded book bakes it in.
+PQ_SCALE = 0.125
+
+
+def pq_centroids(m: int, ksub: int, sub_dim: int, seed: int = 31415):
+    """Seeded per-subspace codebooks at :data:`PQ_SCALE`, rounded so
+    the literals embedded in Spark exprs and DuckDB SQL are the exact
+    same doubles. A production deployment fits these offline (k-means
+    per subspace, same shape as :func:`fit_centroids`) and broadcasts;
+    the seeded book keeps the oracle replayable."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [
+        [
+            [round(float(v) * PQ_SCALE, 6) for v in c]
+            for c in rng.standard_normal((ksub, sub_dim))
+        ]
+        for _ in range(m)
+    ]
+
+
+def _left_assoc_sum(terms: list[str]) -> str:
+    """Explicitly left-associated sum so Spark and DuckDB add the m
+    lookup doubles in the identical order (bare `a + b + c` parses
+    left-assoc in both, but pinning it keeps the hash contract safe
+    from formatter drift)."""
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+def _pq_sub_spark(vec_col: str, j: int, sub_dim: int) -> str:
+    return f"slice({vec_col}, {j * sub_dim + 1}, {sub_dim})"
+
+
+def _pq_sub_duckdb(vec_col: str, j: int, sub_dim: int) -> str:
+    return f"{vec_col}[{j * sub_dim + 1}:{(j + 1) * sub_dim}]"
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    k: int = 5,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> DataFrame:
+    """Top-k by PQ asymmetric distance: corpus vectors are encoded once
+    into m sub-codes (argmin L2 per subspace ⇔ argmax of dot − ½‖c‖²);
+    each query precomputes its m×ksub lookup table of subspace dots;
+    the approx inner product is m CASE lookups per (query, candidate).
+
+    Ranking is by APPROXIMATE score (that is the operator — documented,
+    not hidden); ``approx_dot`` is returned so callers can re-rank
+    survivors exactly, the standard IVF-PQ refinement. The argmax uses
+    the struct-sort form (each dot referenced once) — the round-3 IVF
+    CollapseProject-OOM lesson."""
+    sub_dim = dim // m
+    books = pq_centroids(m, ksub, sub_dim)
+
+    def dots_for(sub_expr: str, j: int) -> list[str]:
+        return _dots_spark(sub_expr, books[j])
+
+    code_exprs = []
+    for j in range(m):
+        adj = [
+            f"({d}) - {round(sum(v * v for v in books[j][c]) / 2.0, 6)}"
+            for c, d in enumerate(dots_for(_pq_sub_spark(vec_col, j, sub_dim), j))
+        ]
+        pairs = ", ".join(
+            f"named_struct('negd', -({d}), 'idx', {c})" for c, d in enumerate(adj)
+        )
+        code_exprs.append(f"array_sort(array({pairs}))[0].idx AS code{j}")
+    coded = corpus.selectExpr(f"{id_col} AS neighbor_id", *code_exprs)
+
+    qd_exprs = [
+        f"({d}) AS qd_{j}_{c}"
+        for j in range(m)
+        for c, d in enumerate(dots_for(_pq_sub_spark(vec_col, j, sub_dim), j))
+    ]
+    qtab = queries.selectExpr(f"{id_col} AS query_id", *qd_exprs)
+
+    lookups = [
+        "(CASE code" + str(j) + " "
+        + " ".join(f"WHEN {c} THEN qd_{j}_{c}" for c in range(ksub))
+        + " END)"
+        for j in range(m)
+    ]
+    score = _left_assoc_sum(lookups)
+    pairs = (
+        F.broadcast(qtab)
+        .crossJoin(coded)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .selectExpr("query_id", "neighbor_id", f"round({score}, 6) AS approx_dot")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_dot"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dot", "rank")
+    )
+
+
+def pq_topk_oracle(
+    table: str,
+    query_pred: str,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    k: int = 5,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> str:
+    """Oracle twin: adjusted subspace dots land in a CTE first (columns,
+    evaluated once) and the argmin CASE compares COLUMN REFS — the same
+    evaluate-once discipline the IVF oracle uses; inlining the dot
+    expressions into the O(n²) comparison CASE re-evaluates each ~2n
+    times and dominated the oracle's runtime."""
+    sub_dim = dim // m
+    books = pq_centroids(m, ksub, sub_dim)
+
+    adj_cols = []
+    for j in range(m):
+        dots = _dots_duckdb(_pq_sub_duckdb(vec_col, j, sub_dim), books[j])
+        for c, d in enumerate(dots):
+            half_norm = round(sum(v * v for v in books[j][c]) / 2.0, 6)
+            adj_cols.append(f"(({d}) - {half_norm}) AS a_{j}_{c}")
+    code_cols = [
+        f"({_argmax_rank_case([f'a_{j}_{c}' for c in range(ksub)], 0)}) AS code{j}"
+        for j in range(m)
+    ]
+    qd_cols = [
+        f"({d}) AS qd_{j}_{c}"
+        for j in range(m)
+        for c, d in enumerate(_dots_duckdb(_pq_sub_duckdb(vec_col, j, sub_dim), books[j]))
+    ]
+    lookups = [
+        "(CASE c.code" + str(j) + " "
+        + " ".join(f"WHEN {cc} THEN q.qd_{j}_{cc}" for cc in range(ksub))
+        + " END)"
+        for j in range(m)
+    ]
+    score = _left_assoc_sum(lookups)
+    return f"""
+    WITH cd AS (
+      SELECT {id_col}, {", ".join(adj_cols)} FROM {table}),
+    coded AS (
+      SELECT {id_col} AS neighbor_id, {", ".join(code_cols)} FROM cd),
+    qtab AS (
+      SELECT {id_col} AS query_id, {", ".join(qd_cols)} FROM {table} WHERE {query_pred})
+    SELECT query_id, neighbor_id, approx_dot, rank FROM (
+      SELECT q.query_id, c.neighbor_id,
+             round({score}, 6) AS approx_dot,
+             row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({score}, 6) DESC, c.neighbor_id) AS rank
+      FROM qtab q, coded c WHERE q.query_id != c.neighbor_id)
+    WHERE rank <= {k}
+    """

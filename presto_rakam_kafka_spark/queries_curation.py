@@ -334,3 +334,23 @@ def pipeline_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor_ids = quality.decontaminate(deduped, "text", "doc_id", "source", "src0", n=5)
     final = deduped.join(survivor_ids, "doc_id")
     return quality.pack_sequences(final, "text", "doc_id", budget=256)
+
+
+from presto_rakam_kafka_spark.operators.similarity import pq_topk_oracle
+
+
+@query(
+    "sim_topk_pq",
+    oracle=pq_topk_oracle("embeddings", "vec_id < 10", "embedding", "vec_id", dim=EMBED_DIM, k=5),
+)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the IVF-PQ scale architecture's other
+    half): corpus encoded to 4 sub-codes via seeded codebooks, queries
+    score candidates through m×ksub lookup tables (asymmetric distance)
+    — candidates never touch the raw vectors. Approx scores returned
+    for exact re-ranking downstream."""
+    from presto_rakam_kafka_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 10), "embedding", "vec_id", dim=EMBED_DIM, k=5)
+

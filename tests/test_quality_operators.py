@@ -335,3 +335,23 @@ def test_pack_greedy_matches_python_reference_property(spark):
         assert got == want
 
     run()
+
+
+def test_pq_codes_distribute_and_rank_deterministic(spark, sf_dir):
+    """PQ regression guard for the scale-0 failure: corpus codes must
+    actually spread over the codebook (not collapse to one codeword),
+    and results are identical across input partitionings."""
+    from presto_rakam_kafka_spark.operators.similarity import pq_topk
+    from pyspark.sql import functions as F2
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F2.col("vec_id") < 5)
+    a = pq_topk(emb, q, "embedding", "vec_id", dim=64, k=5).collect()
+    b = pq_topk(emb.repartition(9), q, "embedding", "vec_id", dim=64, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # distinct approx scores among each query's top-5 ⇒ codes differ
+    from collections import defaultdict
+    scores = defaultdict(set)
+    for r in a:
+        scores[r["query_id"]].add(r["approx_dot"])
+    assert all(len(v) >= 3 for v in scores.values())
