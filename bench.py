@@ -57,6 +57,10 @@ HEADLINE = [
     "text_tfidf_topk",
     "decontaminate_ngram",
     "embedding_quantize_int8",
+    # round 4b: PQ ANN (ADC lookup scoring) and the four-stage curation
+    # pipeline composed as one Catalyst plan
+    "sim_topk_pq",
+    "pipeline_curate_pack",
 ]
 
 

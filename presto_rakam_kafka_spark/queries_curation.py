@@ -354,3 +354,100 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return pq_topk(emb, emb.filter(F.col("vec_id") < 10), "embedding", "vec_id", dim=EMBED_DIM, k=5)
 
+
+
+def _hybrid_rrf_oracle() -> str:
+    from presto_rakam_kafka_spark.functions.hashing import jaccard_duckdb, shingles_duckdb
+    from presto_rakam_kafka_spark.operators.dedup import cosine_expr_duckdb
+
+    jac = jaccard_duckdb("q.sh", "c.sh")
+    cos = cosine_expr_duckdb("qe.embedding", "ce.embedding", EMBED_DIM)
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {shingles_duckdb('text', 3)} AS sh FROM documents),
+    lex AS (
+      SELECT c.doc_id,
+             row_number() OVER (ORDER BY round({jac}, 6) DESC, c.doc_id) AS r_lex
+      FROM sh c, (SELECT sh FROM sh WHERE doc_id = 0) q
+      WHERE c.doc_id != 0),
+    vec AS (
+      SELECT ce.vec_id AS doc_id,
+             row_number() OVER (ORDER BY round({cos}, 6) DESC, ce.vec_id) AS r_vec
+      FROM embeddings ce, (SELECT embedding FROM embeddings WHERE vec_id = 0) qe
+      WHERE ce.vec_id != 0)
+    SELECT doc_id, r_lex, r_vec, rrf, rank FROM (
+      SELECT l.doc_id, l.r_lex, v.r_vec,
+             round(1.0 / (60 + l.r_lex) + 1.0 / (60 + v.r_vec), 8) AS rrf,
+             row_number() OVER (
+               ORDER BY round(1.0 / (60 + l.r_lex) + 1.0 / (60 + v.r_vec), 8) DESC,
+                        l.doc_id) AS rank
+      FROM lex l JOIN vec v ON l.doc_id = v.doc_id)
+    WHERE rank <= 10
+    """
+
+
+@query("search_hybrid_rrf", oracle=_hybrid_rrf_oracle())
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: a lexical ranking
+    (3-shingle Jaccard to the query doc) and a vector ranking (cosine
+    to the query embedding) fuse as Σ 1/(60+rank) — the standard RRF
+    constant. Exact rankings at verification scale; at 100 TB each leg
+    is served by its index (MinHash-LSH / IVF-PQ from this package) and
+    RRF fuses the two candidate lists exactly as here."""
+    from pyspark.sql import Window
+
+    from presto_rakam_kafka_spark.functions.hashing import jaccard_spark, shingles_spark
+    from presto_rakam_kafka_spark.operators.dedup import cosine_expr
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(shingles_spark("text", 3)).alias("sh")
+    )
+    qdoc = F.broadcast(docs.filter("doc_id = 0").select(F.col("sh").alias("q_sh")))
+    lex = (
+        docs.filter("doc_id != 0")
+        .crossJoin(qdoc)
+        .select(
+            "doc_id",
+            F.expr(f"round({jaccard_spark('q_sh', 'sh')}, 6)").alias("_j"),
+        )
+        .withColumn(
+            "r_lex",
+            F.row_number().over(Window.orderBy(F.desc("_j"), F.asc("doc_id"))),
+        )
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = F.broadcast(
+        emb.filter("vec_id = 0").select(F.col("embedding").alias("q_emb"))
+    )
+    vec = (
+        emb.filter("vec_id != 0")
+        .crossJoin(qvec)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr(f"round({cosine_expr('q_emb', 'embedding')}, 6)").alias("_c"),
+        )
+        .withColumn(
+            "r_vec",
+            F.row_number().over(Window.orderBy(F.desc("_c"), F.asc("doc_id"))),
+        )
+    )
+    fused = (
+        lex.select("doc_id", "r_lex")
+        .join(vec.select("doc_id", "r_vec"), "doc_id")
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_vec",
+            # cast: Spark `1.0 / int` arithmetic is DECIMAL, DuckDB's
+            # is DOUBLE — align the hash-compared type.
+            F.expr("cast(round(1.0 / (60 + r_lex) + 1.0 / (60 + r_vec), 8) as double)").alias(
+                "rrf"
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "r_lex", "r_vec", "rrf", "rank")
+    )
