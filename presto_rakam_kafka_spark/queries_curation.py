@@ -16,10 +16,19 @@ One driver-gated query per operator in :mod:`.operators.quality`:
 * ``pii_redact``          — regex PII scrub with hit counts
 * ``embedding_quantize_int8`` — int8 ANN-storage quantization receipt
 * ``join_salted_skew``    — hot-key-safe salted equi join (skew discipline)
+* ``layout_partition_pruned_agg`` / ``layout_bucketed_join_agg`` —
+  storage-layout disciplines (directory pruning; shuffle-free bucketed join)
+* ``sketch_cms_heavy_hitters`` — count-min sketch frequency estimation
+* ``sample_weighted_quality`` / ``sample_temperature_mixture`` —
+  A-ES weighted sampling; n^α source-mixture sampling
+* ``pipeline_curate_pack`` — the four-stage curation pipeline as one plan
+* ``sim_topk_pq``         — product-quantization ANN (asymmetric distance)
+* ``search_hybrid_rrf``   — reciprocal-rank-fusion hybrid retrieval
 
-All plans stay in whole-stage codegen (no UDFs); shuffles only on
-uniform keys; small sides broadcast (see module docstring of
-``operators/quality.py`` for the 100 TB argument per operator).
+The per-doc operators stay in whole-stage codegen (no UDFs; the one
+grouped-map fold is ``pack_greedy``'s sequential algorithm); shuffles
+only on uniform keys; small sides broadcast (see the module docstring
+of ``operators/quality.py`` for the 100 TB argument per operator).
 """
 
 from __future__ import annotations
