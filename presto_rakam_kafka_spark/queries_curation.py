@@ -460,3 +460,30 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("doc_id", "r_lex", "r_vec", "rrf", "rank")
     )
+
+
+from presto_rakam_kafka_spark.streaming.neardup import incremental_neardup_oracle
+
+
+@query(
+    "stream_neardup_incremental",
+    oracle=incremental_neardup_oracle("documents", "text", "doc_id", n=3, threshold=0.8),
+)
+def stream_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup detection: documents replay in id order as
+    4 micro-batches; each batch sketches only itself and probes the
+    accumulated signature store (band-bucket index + shingle sets),
+    flagging any doc whose exact Jaccard to an earlier doc ≥ 0.8.
+    Exactly-once via epoch-keyed overwrite writes. The flagged set
+    equals the batch semantics "∃ a < b with J ≥ t ⇒ flag b"."""
+    from presto_rakam_kafka_spark.streaming import neardup, runner
+
+    staged = runner.stage_chunked_events(
+        spark, sf_dir, table="documents", num_chunks=4, order_col="doc_id"
+    )
+    schema = _docs(spark, sf_dir).schema
+    stream = runner.read_file_stream(spark, staged, schema)
+    return neardup.incremental_neardup(
+        spark, stream, "text", "doc_id", n=3, threshold=0.8
+    )
+

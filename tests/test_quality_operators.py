@@ -355,3 +355,55 @@ def test_pq_codes_distribute_and_rank_deterministic(spark, sf_dir):
     for r in a:
         scores[r["query_id"]].add(r["approx_dot"])
     assert all(len(v) >= 3 for v in scores.values())
+
+
+def test_tfidf_and_decontaminate_broadcast_small_sides(spark, sf_dir):
+    """The 100 TB claims in the docstrings are plan-asserted: tf·idf's
+    vocabulary-sized df table joins as a broadcast, and decontamination
+    probes/removes via broadcast joins of the benchmark shingle set —
+    no full-corpus shuffle join in either plan."""
+    docs = _docs(spark, sf_dir)
+    tfidf_plan = (
+        quality.tfidf_top_terms(docs, "text", "doc_id", k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in tfidf_plan
+    decon_plan = (
+        quality.decontaminate(docs, "text", "doc_id", "source", "src0", n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in decon_plan
+    # the contaminated-ids anti join is also broadcast (ids ≪ corpus)
+    assert "LeftAnti, BuildRight" in decon_plan or "BroadcastHashJoin" in decon_plan
+
+
+def test_incremental_neardup_idempotent_replay(spark, sf_dir):
+    """Re-running the whole stream against the SAME store (fresh
+    checkpoint ⇒ every epoch replays) must produce the identical
+    flagged set: epoch-keyed overwrite writes + epoch<N history reads
+    make each batch idempotent and self-exclusive."""
+    import tempfile
+
+    from presto_rakam_kafka_spark.streaming import neardup, runner
+
+    staged = runner.stage_chunked_events(
+        spark, sf_dir, table="documents", num_chunks=3, order_col="doc_id"
+    )
+    schema = _docs(spark, sf_dir).schema
+    store = tempfile.mkdtemp(prefix="neardup_store_t_")
+    out = tempfile.mkdtemp(prefix="neardup_out_t_")
+
+    def run():
+        stream = runner.read_file_stream(spark, staged, schema)
+        return {
+            r["doc_id"]
+            for r in neardup.incremental_neardup(
+                spark, stream, "text", "doc_id", n=3, threshold=0.8,
+                store_dir=store, out_dir=out,
+            ).collect()
+        }
+
+    first = run()
+    second = run()  # full replay against the already-populated store
+    assert first == second
+    assert first  # fixture has near-dup families; the set is non-empty
