@@ -238,3 +238,53 @@ def keep_canonical_oracle(
            count(*) AS cluster_size
     FROM member m GROUP BY cluster_id
     """
+
+
+def pagerank(
+    edges: "DataFrame",
+    src: str,
+    dst: str,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> "DataFrame":
+    """Fixed-iteration PageRank over a directed edge list (symmetrize
+    before calling for undirected graphs). Returns (node, r) after
+    ``iterations`` power steps of
+    r(v) ← (1-d)/N + d · Σ_{u→v} r(u)/outdeg(u).
+
+    Dataflow per iteration: one shuffle join of edges×ranks on src
+    (uniform key: the edge list), one groupBy dst with map-side combine
+    — the canonical distributed PageRank step. Ranks are node-sized;
+    at 100 TB they shuffle rather than broadcast, which is exactly what
+    the join does. The edges⋈outdeg frame is computed once and
+    persisted across iterations. Fixed iteration count keeps the
+    result (and the unrolled-CTE oracle) deterministic — convergence
+    looping belongs to the caller, same stance as
+    :func:`connected_components`' explicit max_iter.
+
+    No dangling-mass redistribution: every node of a symmetrized graph
+    has outdeg ≥ 1, and the simplified update is documented so the
+    oracle replays it exactly."""
+    nodes = edges.select(F.col(src).alias("node")).distinct()
+    n = nodes.count()  # plan-time scalar (not a driver loop)
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, src).select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), "outdeg"
+    ).persist()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib = (
+            ed.join(ranks, ed["e_src"] == ranks["node"])
+            .groupBy("e_dst")
+            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("c"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["e_dst"], "left"
+        ).select(
+            "node",
+            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))).alias(
+                "r"
+            ),
+        )
+    return ranks

@@ -487,3 +487,58 @@ def stream_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, stream, "text", "doc_id", n=3, threshold=0.8
     )
 
+
+
+def _pagerank_oracle(iterations: int = 3, k: int = 20) -> str:
+    iters, prev = "", "r0"
+    for t in range(1, iterations + 1):
+        iters += f""",
+    contrib{t} AS (
+      SELECT e.dst AS node, sum({prev}.r / d.outdeg) AS c
+      FROM edges e JOIN deg d ON e.src = d.src JOIN {prev} ON e.src = {prev}.node
+      GROUP BY e.dst),
+    r{t} AS (
+      SELECT nd.node, 0.15 / (SELECT n_nodes FROM n) + 0.85 * coalesce(c.c, 0) AS r
+      FROM nodes nd LEFT JOIN contrib{t} c ON nd.node = c.node)"""
+        prev = f"r{t}"
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem),
+    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    n AS (SELECT count(*) AS n_nodes FROM nodes),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / (SELECT n_nodes FROM n) AS r FROM nodes){iters}
+    SELECT node, rank_score, rk FROM (
+      SELECT node, round(r, 10) AS rank_score,
+             row_number() OVER (ORDER BY round(r, 10) DESC, node) AS rk
+      FROM r{iterations})
+    WHERE rk <= {k}
+    """
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the symmetrized part↔supplier graph
+    (distinct lineitem edges): per iteration one edges⋈ranks shuffle
+    join + one dst aggregation — the canonical distributed power step,
+    oracle-replayed as unrolled CTEs. Top-20 by rank."""
+    from pyspark.sql import Window
+
+    from presto_rakam_kafka_spark.operators.clusters import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.expr("concat('p', cast(l_partkey as string))").alias("src"),
+        F.expr("concat('s', cast(l_suppkey as string))").alias("dst"),
+    ).distinct()
+    edges = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, "src", "dst", iterations=3)
+    w = Window.orderBy(F.desc("rank_score"), F.asc("node"))
+    return (
+        ranks.select("node", F.round("r", 10).alias("rank_score"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+    )

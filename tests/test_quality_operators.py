@@ -407,3 +407,20 @@ def test_incremental_neardup_idempotent_replay(spark, sf_dir):
     second = run()  # full replay against the already-populated store
     assert first == second
     assert first  # fixture has near-dup families; the set is non-empty
+
+
+def test_pagerank_star_center_wins_and_mass_conserved(spark):
+    """On a symmetric star (hub ↔ 4 spokes) the hub out-ranks every
+    spoke, spokes tie, and total rank mass stays 1 (no dangling loss on
+    a symmetrized graph)."""
+    from presto_rakam_kafka_spark.operators.clusters import pagerank
+
+    e0 = [("h", s) for s in ["a", "b", "c", "d"]]
+    edges = spark.createDataFrame(
+        e0 + [(d, s) for s, d in e0], ["src", "dst"]
+    )
+    ranks = {r["node"]: r["r"] for r in pagerank(edges, "src", "dst", iterations=5).collect()}
+    assert ranks["h"] > max(ranks[s] for s in "abcd")
+    spoke_vals = [round(ranks[s], 12) for s in "abcd"]
+    assert len(set(spoke_vals)) == 1
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
