@@ -540,6 +540,7 @@ def pq_topk(
     k: int = 5,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
+    books=None,
 ) -> DataFrame:
     """Top-k by PQ asymmetric distance: corpus vectors are encoded once
     into m sub-codes (argmin L2 per subspace ⇔ argmax of dot − ½‖c‖²);
@@ -552,7 +553,8 @@ def pq_topk(
     the struct-sort form (each dot referenced once) — the round-3 IVF
     CollapseProject-OOM lesson."""
     sub_dim = dim // m
-    books = pq_centroids(m, ksub, sub_dim)
+    if books is None:
+        books = pq_centroids(m, ksub, sub_dim)
 
     def dots_for(sub_expr: str, j: int) -> list[str]:
         return _dots_spark(sub_expr, books[j])
@@ -652,3 +654,43 @@ def pq_topk_oracle(
       FROM qtab q, coded c WHERE q.query_id != c.neighbor_id)
     WHERE rank <= {k}
     """
+
+
+def fit_pq_books(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    seed: int = 7,
+    sample_rows: int = 20_000,
+    iters: int = 25,
+):
+    """Per-subspace k-means fit of the PQ codebooks, on a driver-side
+    SAMPLE — same production shape as :func:`fit_centroids`: fit once
+    offline on a bounded sample, broadcast the codebook literals into
+    the encode scan. Deterministic in (corpus order, seed). Returns
+    the same ``books[m][ksub][sub_dim]`` structure as
+    :func:`pq_centroids`, so :func:`pq_topk` accepts either via its
+    geometry params — the gate query keeps the seeded book (the oracle
+    must replay literal centroids); fitted books lift recall 0.62→0.76
+    at top-50 on the fixture (SCALE_NOTES §pq-recall)."""
+    import numpy as np
+
+    rows = df.select(vec_col).limit(sample_rows).collect()
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    sub_dim = dim // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        P = X[:, j * sub_dim : (j + 1) * sub_dim]
+        C = P[rng.choice(len(P), size=min(ksub, len(P)), replace=False)].copy()
+        for _ in range(iters):
+            d = ((P[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for c in range(len(C)):
+                members = P[assign == c]
+                if len(members):
+                    C[c] = members.mean(0)
+        books.append([[round(float(v), 6) for v in c] for c in C])
+    return books

@@ -424,3 +424,38 @@ def test_pagerank_star_center_wins_and_mass_conserved(spark):
     spoke_vals = [round(ranks[s], 12) for s in "abcd"]
     assert len(set(spoke_vals)) == 1
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_fitted_pq_books_beat_seeded_recall(spark, sf_dir):
+    """fit_pq_books (the production path): recall of exact top-5 within
+    the top-25 PQ candidates must be at least the seeded codebook's —
+    the SCALE_NOTES receipt as a regression test."""
+    from pyspark.sql import functions as F2
+
+    from presto_rakam_kafka_spark.operators.similarity import (
+        cosine_topk,
+        fit_pq_books,
+        pq_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F2.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, "embedding", "vec_id", k=5).collect()
+    }
+
+    def recall(books):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in pq_topk(
+                emb, q, "embedding", "vec_id", dim=64, k=25, books=books
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    fitted = fit_pq_books(emb, "embedding", dim=64)
+    r_seeded = recall(None)
+    r_fitted = recall(fitted)
+    assert r_fitted >= r_seeded
+    assert r_fitted >= 0.3
