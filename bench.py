@@ -61,6 +61,12 @@ HEADLINE = [
     # pipeline composed as one Catalyst plan
     "sim_topk_pq",
     "pipeline_curate_pack",
+    # round 4c: the Rakam event-analytics shapes the reference serves
+    # (sessionize = window chain; funnel = sorted-fold, one corpus
+    # shuffle; retention = single-pass cohort matrix)
+    "events_sessionize",
+    "events_funnel",
+    "events_retention",
 ]
 
 

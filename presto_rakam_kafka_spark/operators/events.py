@@ -1,0 +1,259 @@
+"""Event-analytics operators — the queries Rakam itself runs through
+the reference connector.
+
+The reference (`pom.xml:12-13` "Presto - Kafka Connector for Rakam";
+`KafkaConnectorPageSource.java:88-89,136-138` per-(project, collection)
+event streams) exists to feed Rakam's event-analytics product: funnels,
+retention cohorts, sessionization, and event segmentation issued as
+Presto SQL over the Kafka tables. SURVEY §2.B covers the *generic* host
+surface; this module adds the four analytics shapes a Rakam user
+actually runs every day, re-expressed Spark-first over the `events`
+table (`user_id`, `ts`, `event_type`, `value`, `props`).
+
+100 TB design notes (per operator):
+
+* Every operator's only wide dependency is a hash partition on
+  ``user_id`` — the canonical uniform key of an event store (150 users
+  in the fixture; millions in production, no hot key by construction).
+  Window functions and group-bys over the same key chain without
+  re-shuffling pain: the first exchange dominates, later per-user aggs
+  are partial-agg'd map-side.
+* ``funnel`` is ONE shuffle total: a per-user sorted-fold
+  (`array_sort` + `aggregate` HOF, whole-stage codegen) replaces the
+  textbook K-step chain of self-joins (K shuffles). Per-user event
+  lists are bounded by per-user activity, not corpus size — skew-safe
+  unless a single user exceeds executor memory, which the Gopher-style
+  per-user event cap upstream should prevent.
+* ``retention_cohorts`` and ``segmentation`` produce
+  cohort×offset / type×day cells — output cardinality is calendar-
+  bounded, never corpus-bounded.
+* No Python UDFs anywhere; every expression is JVM codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_MINUTES = 30
+
+# The canonical Rakam funnel over the fixture's event vocabulary.
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _event_order() -> list[Column]:
+    # (ts, event_id) is verified collision-free at every fixture SF;
+    # event_id breaks any future tie deterministically.
+    return [F.col("ts"), F.col("event_id")]
+
+
+def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """Assign a per-user ``session_seq`` (1-based) to every event: a new
+    session starts when the gap to the previous event exceeds
+    ``gap_minutes``. Classic lag-flag-cumsum; both window passes share
+    one hash partition on ``user_id``."""
+    # Microsecond integers on both engines (`unix_micros` / `epoch_us`):
+    # second-floor casts diverge (Spark floors, DuckDB CAST rounds).
+    w = Window.partitionBy("user_id").orderBy(*_event_order())
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), 1
+    ).otherwise(0)
+    running = Window.partitionBy("user_id").orderBy(*_event_order()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn("_new_sess", new_sess).withColumn(
+        "session_seq", F.sum("_new_sess").over(running)
+    ).drop("_new_sess")
+
+
+def user_session_stats(
+    events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES
+) -> DataFrame:
+    """Per-user session summary: session count, event count, largest
+    session, total active seconds (sum of per-session last−first).
+    Integer-only output keeps the oracle hash exact. Two aggregation
+    levels, both keyed by a ``user_id`` prefix → one real shuffle plus
+    a cheap session-level re-agg."""
+    sess = sessionize(events, gap_minutes)
+    per_session = sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("active_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("active_us").alias("total_active_us"),
+    )
+
+
+def funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
+    """Ordered funnel: for each prefix of ``steps``, how many users
+    completed it in order (later steps strictly after earlier ones;
+    unrelated events in between allowed — Rakam funnel semantics).
+
+    ONE corpus-sized shuffle: filter to step events, per-user
+    ``array_sort`` of (ts, event_id, step_idx) structs, then an
+    `aggregate` fold that advances a depth counter whenever the next
+    needed step is seen (the later step-level agg shuffles ≤ n_users
+    rows). Equivalent to the chained min-timestamp construction
+    (`t2 = min ts of step2 with ts > t1`, …) whenever (ts, event_id)
+    is unique, which the fixture guarantees and event stores provide
+    via offsets."""
+    step_idx = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
+    )
+    evs = events.filter(F.col("event_type").isin(list(steps))).select(
+        "user_id",
+        F.struct(
+            F.col("ts"), F.col("event_id"), step_idx[F.col("event_type")].alias("idx")
+        ).alias("ev"),
+    )
+    depth = F.aggregate(
+        F.array_sort(F.collect_list("ev")),
+        F.lit(0),
+        lambda acc, ev: F.when(ev["idx"] == acc, acc + 1).otherwise(acc),
+    )
+    depths = evs.groupBy("user_id").agg(depth.alias("depth"))
+    # One row per funnel step: users whose depth reaches that step.
+    steps_df = depths.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step INT, step_name STRING"
+    )
+    return (
+        depths.join(F.broadcast(steps_df), F.col("depth") >= F.col("step"))
+        .groupBy("step", "step_name")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def funnel_windowed(
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    window_hours: int = 72,
+) -> DataFrame:
+    """Funnel with a per-step conversion window: each step must occur
+    strictly after the previous matched step and within
+    ``window_hours`` of it (Rakam's "converted within N" funnels).
+
+    Same one-corpus-shuffle sorted-fold as :func:`funnel`, but the
+    accumulator is a (depth, last_ts) struct: a step advances only if
+    it is the next needed one AND inside the window from the last
+    match. Greedy-first-match semantics — identical to the chained
+    ``min ts > prev AND ts <= prev + window`` oracle construction
+    under unique (ts, event_id)."""
+    step_idx = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
+    )
+    evs = events.filter(F.col("event_type").isin(list(steps))).select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("us"),
+            F.col("event_id"),
+            step_idx[F.col("event_type")].alias("idx"),
+        ).alias("ev"),
+    )
+    window_us = window_hours * 3600 * 1_000_000
+    zero = F.struct(
+        F.lit(0).alias("depth"), F.lit(None).cast("long").alias("last_us")
+    )
+    advance = lambda acc, e: F.when(  # noqa: E731
+        (e["idx"] == acc["depth"])
+        & (acc["last_us"].isNull() | (e["us"] - acc["last_us"] <= window_us)),
+        F.struct((acc["depth"] + 1).alias("depth"), e["us"].alias("last_us")),
+    ).otherwise(acc)
+    depth = F.aggregate(
+        F.array_sort(F.collect_list("ev")), zero, advance
+    )["depth"]
+    depths = evs.groupBy("user_id").agg(depth.alias("depth"))
+    steps_df = depths.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step INT, step_name STRING"
+    )
+    return (
+        depths.join(F.broadcast(steps_df), F.col("depth") >= F.col("step"))
+        .groupBy("step", "step_name")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: cohort = week of a user's first event;
+    cell (cohort_week, week_offset) counts distinct users from that
+    cohort active ``week_offset`` weeks later.
+
+    Single pass: ONE ``user_id`` groupBy computes the cohort week AND
+    the distinct active weeks (``collect_set``, bounded by weeks of
+    history — ~52/year — never by event volume), then explode + a
+    cell-level agg over ≤ users×weeks rows. The textbook
+    firsts⋈activity formulation costs two scans and four exchanges;
+    this is one scan and two."""
+    per_user = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_wk"),
+        F.collect_set(F.date_trunc("week", F.col("ts"))).alias("wks"),
+    )
+    return (
+        per_user.select(
+            "cohort_wk", F.explode("wks").alias("wk")
+        )
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff(F.col("wk"), F.col("cohort_wk")) / 7).alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def segmentation(events: DataFrame) -> DataFrame:
+    """Rakam event segmentation: events per (event_type, day,
+    JSON-prop bucket) with distinct-user and value measures. The
+    dynamic-schema prop (`props` JSON, Rakam's schemaless columns —
+    SURVEY §1.3) is extracted and bucketed JVM-side."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy(
+        F.col("event_type"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.floor(k / 25).alias("k_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def top_transitions(events: DataFrame, k: int | None = 10) -> DataFrame:
+    """Top-k event-type bigrams (user paths): per-user ``lead`` over
+    the deterministic event order, then a global count. One user
+    shuffle + one bigram agg; top-k is a TakeOrdered, not a sort.
+    ``k=None`` returns all transitions (unordered set semantics)."""
+    w = Window.partitionBy("user_id").orderBy(*_event_order())
+    pairs = events.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    if k is None:
+        return counts
+    return counts.orderBy(F.desc("n"), "src", "dst").limit(k)
+
+
+def user_rfm(events: DataFrame) -> DataFrame:
+    """Recency / frequency / monetary per user, relative to the
+    corpus's last purchase timestamp (a broadcast scalar): days since
+    last purchase, purchase count, total purchase value."""
+    purchases = events.filter(F.col("event_type") == "purchase")
+    per_user = purchases.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("value"), 2).alias("monetary"),
+    )
+    anchor = purchases.agg(F.max(F.date_trunc("day", "ts")).alias("anchor"))
+    return per_user.join(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff(F.col("anchor"), F.date_trunc("day", "last_ts")).alias(
+            "recency_days"
+        ),
+        "frequency",
+        "monetary",
+    )

@@ -2598,6 +2598,7 @@ def url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at the bottom — queries_tpch2 imports `query`/`_t` back from here.
 # ---------------------------------------------------------------------
 from presto_rakam_kafka_spark import (  # noqa: E402,F401
+    queries_analytics,
     queries_curation,
     queries_dsv2,
     queries_tpch2,

@@ -1,0 +1,187 @@
+"""Rakam event-analytics queries — funnels, retention, sessions,
+segmentation, paths, RFM — over the `events` table.
+
+These are the query shapes the reference connector exists to serve
+(`pom.xml:12-13`; Rakam issues funnel/retention/segmentation SQL to
+Presto over the per-(project, collection) Kafka tables, SURVEY §0/§1.3).
+Implementations live in :mod:`.operators.events` (docstrings carry the
+100 TB shuffle budget per operator); every query here has an exact
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from presto_rakam_kafka_spark.operators import events as ev
+from presto_rakam_kafka_spark.queries import _t, query
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, session_seq, count(*) AS n_events,
+             max(epoch_us(ts)) - min(epoch_us(ts)) AS active_us
+      FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           max(n_events) AS max_session_events,
+           CAST(sum(active_us) AS BIGINT) AS total_active_us
+    FROM per_session GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) + per-user session stats:
+    the lag-flag-cumsum idiom, one ``user_id`` shuffle end-to-end."""
+    return ev.user_session_stats(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT * FROM (
+      SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM s1) AS n_users
+      UNION ALL
+      SELECT 2, 'click', (SELECT count(*) FROM s2)
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    ) WHERE n_users > 0
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel. Spark side is the one-shuffle
+    sorted-fold (`operators/events.py:funnel`); the oracle is the
+    textbook chained min-timestamp construction — equivalence holds
+    because (ts, event_id) is collision-free."""
+    return ev.funnel(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "events_funnel_windowed",
+    oracle="""
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+             AND e.ts <= s1.t1 + INTERVAL 72 HOUR GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             AND e.ts <= s2.t2 + INTERVAL 72 HOUR GROUP BY e.user_id)
+    SELECT * FROM (
+      SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM s1) AS n_users
+      UNION ALL
+      SELECT 2, 'click', (SELECT count(*) FROM s2)
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    ) WHERE n_users > 0
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel (each step within 72 h of the previous
+    match — Rakam's "converted within N" variant). Spark side is the
+    struct-accumulator fold (`operators/events.py:funnel_windowed`,
+    greedy first-match); oracle is the window-bounded chained-min
+    construction."""
+    return ev.funnel_windowed(_t(spark, sf_dir, "events"), window_hours=72)
+
+
+@query(
+    "events_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_wk
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT strftime(f.cohort_wk, '%Y-%m-%d') AS cohort_week,
+           date_diff('day', f.cohort_wk, a.wk) // 7 AS week_offset,
+           count(*) AS n_users
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (cohort week × week offset →
+    distinct active users)."""
+    return ev.retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "events_segmentation",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS k_bucket,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def events_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rakam segmentation: measures per (event_type, day, dynamic
+    JSON-prop bucket) — the schemaless-column path (SURVEY §1.3)
+    exercised through `get_json_object` in codegen."""
+    return ev.segmentation(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "events_top_transitions",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    )
+    SELECT src, dst, count(*) AS n FROM pairs WHERE dst IS NOT NULL
+    GROUP BY src, dst ORDER BY n DESC, src, dst LIMIT 10
+    """,
+)
+def events_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 event-type bigrams across user paths (deterministic
+    count-desc/src/dst order; TakeOrdered top-k on the Spark side)."""
+    return ev.top_transitions(_t(spark, sf_dir, "events"), k=10)
+
+
+@query(
+    "events_user_rfm",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT user_id,
+           date_diff('day', date_trunc('day', max(ts)),
+                     (SELECT max(date_trunc('day', ts)) FROM p)) AS recency_days,
+           count(*) AS frequency,
+           round(sum(value), 2) AS monetary
+    FROM p GROUP BY user_id
+    """,
+)
+def events_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/frequency/monetary user attributes from purchase events
+    (broadcast scalar anchor, one shuffle)."""
+    return ev.user_rfm(_t(spark, sf_dir, "events"))

@@ -1,0 +1,137 @@
+"""Semantic properties of the Rakam event-analytics operators —
+invariants the value-hash oracle can't state (monotonicity, gap
+boundaries, conservation), on the sf0.001 fixture plus small
+synthetic frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from presto_rakam_kafka_spark.fixtures import read_table
+from presto_rakam_kafka_spark.operators import events as ev
+
+
+def _events(spark, sf_dir):
+    return read_table(spark, sf_dir, "events")
+
+
+def test_funnel_counts_monotone_nonincreasing(spark, sf_dir):
+    rows = {r["step"]: r["n_users"] for r in ev.funnel(_events(spark, sf_dir)).collect()}
+    steps = sorted(rows)
+    assert steps and steps[0] == 1
+    for a, b in zip(steps, steps[1:]):
+        assert rows[a] >= rows[b]
+
+
+def test_funnel_requires_order_not_just_presence(spark):
+    """A user who purchases BEFORE viewing must not count past step 1."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: purchase, then view, then click — completes only view→click
+        (1, base, 1, "purchase", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=1), 1, "view", 1.0, "{}"),
+        (3, base + dt.timedelta(minutes=2), 1, "click", 1.0, "{}"),
+        # user 2: full ordered funnel
+        (4, base, 2, "view", 1.0, "{}"),
+        (5, base + dt.timedelta(minutes=1), 2, "click", 1.0, "{}"),
+        (6, base + dt.timedelta(minutes=2), 2, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    )
+    got = {r["step_name"]: r["n_users"] for r in ev.funnel(df).collect()}
+    assert got == {"view": 2, "click": 2, "purchase": 1}
+
+
+def test_funnel_window_boundary(spark):
+    """A step exactly AT the window edge converts; one microsecond past
+    does not — and the windowed funnel can never exceed the unwindowed
+    one."""
+    base = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        # user 1: click exactly 72h after view → converts step 2
+        (1, base, 1, "view", 0.0, "{}"),
+        (2, base + 72 * h, 1, "click", 0.0, "{}"),
+        # user 2: click 72h + 1us after view → step 1 only
+        (3, base, 2, "view", 0.0, "{}"),
+        (4, base + 72 * h + us, 2, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    )
+    got = {r["step_name"]: r["n_users"] for r in ev.funnel_windowed(df, window_hours=72).collect()}
+    assert got == {"view": 2, "click": 1}
+
+
+def test_windowed_funnel_bounded_by_unwindowed(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    plain = {r["step"]: r["n_users"] for r in ev.funnel(e).collect()}
+    windowed = {
+        r["step"]: r["n_users"] for r in ev.funnel_windowed(e, window_hours=72).collect()
+    }
+    for step, n in windowed.items():
+        assert n <= plain[step]
+    assert windowed.get(1) == plain.get(1)  # step 1 has no window constraint
+
+
+def test_sessionize_gap_boundary_is_strict(spark):
+    """Gap exactly == threshold stays ONE session; one microsecond
+    more starts a new one."""
+    base = dt.datetime(2024, 1, 1)
+    gap = dt.timedelta(minutes=30)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        (1, base, 7, "view", 0.0, "{}"),
+        (2, base + gap, 7, "view", 0.0, "{}"),          # exactly 30 min: same
+        (3, base + gap + gap + us, 7, "view", 0.0, "{}"),  # 30 min + 1 us: new
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    )
+    seqs = [r["session_seq"] for r in ev.sessionize(df).orderBy("event_id").collect()]
+    assert seqs == [1, 1, 2]
+
+
+def test_session_stats_conserve_events(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    stats = ev.user_session_stats(e)
+    assert stats.agg(F.sum("n_events")).first()[0] == e.count()
+    bad = stats.filter(
+        (F.col("max_session_events") > F.col("n_events"))
+        | (F.col("n_sessions") < 1)
+        | (F.col("total_active_us") < 0)
+    )
+    assert bad.count() == 0
+
+
+def test_retention_week0_covers_every_user(spark, sf_dir):
+    """Every user is active in their own cohort week, so the
+    week_offset=0 cells must sum to the distinct-user count, and no
+    offset can be negative."""
+    e = _events(spark, sf_dir)
+    ret = ev.retention_cohorts(e)
+    n_users = e.select("user_id").distinct().count()
+    wk0 = ret.filter(F.col("week_offset") == 0).agg(F.sum("n_users")).first()[0]
+    assert wk0 == n_users
+    assert ret.filter(F.col("week_offset") < 0).count() == 0
+
+
+def test_top_transitions_conserve_pair_count(spark, sf_dir):
+    """Total bigrams across ALL transitions == n_events − n_users
+    (each user contributes len−1 pairs)."""
+    e = _events(spark, sf_dir)
+    all_pairs = ev.top_transitions(e, k=None)
+    total = all_pairs.agg(F.sum("n")).first()[0]
+    assert total == e.count() - e.select("user_id").distinct().count()
+
+
+def test_rfm_recency_nonnegative_and_frequency_matches(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    rfm = ev.user_rfm(e)
+    assert rfm.filter(F.col("recency_days") < 0).count() == 0
+    n_purchases = e.filter(F.col("event_type") == "purchase").count()
+    assert rfm.agg(F.sum("frequency")).first()[0] == n_purchases
