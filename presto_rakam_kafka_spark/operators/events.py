@@ -238,6 +238,60 @@ def top_transitions(events: DataFrame, k: int | None = 10) -> DataFrame:
     return counts.orderBy(F.desc("n"), "src", "dst").limit(k)
 
 
+def active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Rolling distinct active users (DAU + WAU-style trailing window)
+    per day.
+
+    Rolling COUNT(DISTINCT) can't be a window function (neither engine
+    supports it); the scalable shape is: dedup to (user, day) — the
+    only corpus-sized shuffle — then a *calendar range join* against
+    the distinct day list (broadcast, |days| rows) and a cell agg over
+    ≤ users×days rows. Output is calendar-bounded."""
+    user_days = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    days = user_days.select(F.col("day").alias("anchor")).distinct()
+    span = F.datediff(F.col("anchor"), F.col("day"))
+    return (
+        user_days.join(
+            F.broadcast(days), (span >= 0) & (span < window_days)
+        )
+        .groupBy(F.date_format("anchor", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count_distinct(
+                F.when(F.col("day") == F.col("anchor"), F.col("user_id"))
+            ).alias("dau"),
+            F.count_distinct("user_id").alias("wau"),
+        )
+    )
+
+
+def daily_anomaly(events: DataFrame, trailing_days: int = 7) -> DataFrame:
+    """Per-(event_type, day) volume with a trailing-window z-score —
+    the alerting query of an event-analytics product. Daily counts
+    are calendar-bounded, so the window pass is over tiny data; the
+    one corpus-sized operation is the initial day×type agg."""
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").cast("long"))
+        .rangeBetween(-trailing_days * 86400, -86400)
+    )
+    mean = F.avg("n").over(w)
+    sd = F.stddev_samp("n").over(w)
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.round(mean, 2).alias("trailing_mean"),
+        F.round(
+            F.when(sd > 0, (F.col("n") - mean) / sd), 2
+        ).alias("z_score"),
+    )
+
+
 def user_rfm(events: DataFrame) -> DataFrame:
     """Recency / frequency / monetary per user, relative to the
     corpus's last purchase timestamp (a broadcast scalar): days since

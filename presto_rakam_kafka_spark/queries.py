@@ -1478,6 +1478,20 @@ def _register_streaming_queries() -> None:
             "append",
         )
 
+    from presto_rakam_kafka_spark.streaming import funnel as sfunnel
+
+    @query("stream_funnel_stateful", oracle=sfunnel.funnel_stream_oracle("events"))
+    def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Rakam's funnel as a continuous query: per-user (depth,
+        last_ts) state advanced per micro-batch, conversion events
+        emitted on each step advance; drained set == the batch greedy
+        chained-min funnel (`streaming/funnel.py`)."""
+        return _drain(
+            sfunnel.funnel_stream(_events_stream(spark, sf_dir)),
+            "funnel",
+            "append",
+        )
+
 
 _register_streaming_queries()
 

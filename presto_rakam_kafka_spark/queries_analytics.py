@@ -170,6 +170,52 @@ def events_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_active_users",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                FROM events),
+    days AS (SELECT DISTINCT day AS anchor FROM ud)
+    SELECT strftime(d.anchor, '%Y-%m-%d') AS day,
+           count(DISTINCT CASE WHEN ud.day = d.anchor THEN user_id END) AS dau,
+           count(DISTINCT user_id) AS wau
+    FROM ud JOIN days d ON date_diff('day', ud.day, d.anchor) BETWEEN 0 AND 6
+    GROUP BY 1
+    """,
+)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day WAU per day. Rolling COUNT(DISTINCT) isn't
+    a window function on either engine; the scale shape is dedup to
+    (user, day) then a broadcast calendar range join
+    (`operators/events.py:active_users`)."""
+    return ev.active_users(_t(spark, sf_dir, "events"), window_days=7)
+
+
+@query(
+    "events_daily_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+           round(avg(n) OVER w, 2) AS trailing_mean,
+           round(CASE WHEN stddev_samp(n) OVER w > 0
+                      THEN (n - avg(n) OVER w) / (stddev_samp(n) OVER w)
+                 END, 2) AS z_score
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 RANGE BETWEEN INTERVAL 7 DAY PRECEDING
+                           AND INTERVAL 1 DAY PRECEDING)
+    """,
+)
+def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) volume vs a trailing-7-day mean/z-score —
+    the alerting shape. Range-frame window over calendar-bounded daily
+    cells; the only corpus-sized op is the initial agg."""
+    return ev.daily_anomaly(_t(spark, sf_dir, "events"), trailing_days=7)
+
+
+@query(
     "events_user_rfm",
     oracle="""
     WITH p AS (SELECT * FROM events WHERE event_type = 'purchase')

@@ -1,0 +1,138 @@
+"""Scale receipt for the event-analytics operators (operators/events.py).
+
+The oracle gate proves them correct at sf0.01 (10k events); this script
+measures them on a synthetic corpus 100-1000× larger, and directly
+races the funnel's one-shuffle sorted-fold against the textbook K-step
+chained-join funnel so the SCALE_NOTES claim carries a number.
+
+Corpus: N events over U users built DISTRIBUTED (spark.range →
+md5-derived type/timestamp; no driver materialization). Timestamps are
+spread over 90 days; user activity is Zipf-ish (user = id % U weighted
+by a squared mix) to keep a realistic skew without a pathological key.
+
+Usage::
+
+    python scripts/events_scale_bench.py --events 1000000 --users 20000
+
+Emits one JSON line per op: {"op", "events", "cold_s", "warm_s",
+"rows_out"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from presto_rakam_kafka_spark.operators import events as ev  # noqa: E402
+from presto_rakam_kafka_spark.session import get_spark  # noqa: E402
+
+TYPES = "('view','click','purchase','signup','error')"
+
+
+def build_events(spark, n: int, users: int):
+    """Distributed synthetic event log: md5-mixed type/user/ts, 90-day
+    span, mild quadratic skew on user activity."""
+    mix = "conv(substr(md5(cast(id as string)), 1, 8), 16, 10)"
+    return (
+        spark.range(n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col("id").alias("event_id"),
+            F.expr(
+                f"timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, {mix} % 7776000)"
+            ).alias("ts"),
+            F.expr(f"cast(pow({mix} % {users}, 2) / {users} as long)").alias("user_id"),
+            F.expr(f"element_at(array{TYPES}, cast({mix} % 5 as int) + 1)").alias(
+                "event_type"
+            ),
+            (F.col("id") % 97 / 10.0).alias("value"),
+            F.lit('{"k": 1}').alias("props"),
+        )
+    )
+
+
+def chained_join_funnel(events, steps=ev.FUNNEL_STEPS):
+    """The textbook funnel: one groupBy + join per step — K corpus
+    shuffles. Benchmark-only contrast for the fold."""
+    cur = (
+        events.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    counts = [(1, steps[0], cur)]
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col("event_type") == s)
+            .join(cur.withColumnRenamed("t", "prev_t"), "user_id")
+            .filter(F.col("ts") > F.col("prev_t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        counts.append((i, s, nxt))
+        cur = nxt
+    rows = [
+        df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("step"), F.lit(s).alias("step_name"), "n_users"
+        )
+        for i, s, df in counts
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def timed(label, build, events_df, n):
+    for phase in ("cold", "warm"):
+        t0 = time.time()
+        rows = build(events_df).count()
+        took = time.time() - t0
+        if phase == "warm":
+            print(
+                json.dumps(
+                    {
+                        "op": label,
+                        "events": n,
+                        "cold_s": round(cold, 2),
+                        "warm_s": round(took, 2),
+                        "rows_out": rows,
+                    }
+                )
+            )
+        cold = took
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=1_000_000)
+    ap.add_argument("--users", type=int, default=20_000)
+    ap.add_argument("--op", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="events_scale_bench")
+    events = build_events(spark, args.events, args.users)
+    events.persist().count()  # one materialization; ops race from cache
+
+    ops = {
+        "funnel_fold": ev.funnel,
+        "funnel_chained_joins": chained_join_funnel,
+        "funnel_windowed_fold": lambda e: ev.funnel_windowed(e, window_hours=72),
+        "session_stats": ev.user_session_stats,
+        "retention": ev.retention_cohorts,
+        "active_users": ev.active_users,
+        "segmentation": ev.segmentation,
+    }
+    for name, fn in ops.items():
+        if args.op and args.op != name:
+            continue
+        timed(name, fn, events, args.events)
+
+
+if __name__ == "__main__":
+    main()

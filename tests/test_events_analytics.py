@@ -129,6 +129,27 @@ def test_top_transitions_conserve_pair_count(spark, sf_dir):
     assert total == e.count() - e.select("user_id").distinct().count()
 
 
+def test_active_users_dau_bounded_by_wau(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    au = ev.active_users(e, window_days=7)
+    assert au.filter(F.col("dau") > F.col("wau")).count() == 0
+    n_users = e.select("user_id").distinct().count()
+    assert au.filter(F.col("wau") > n_users).count() == 0
+    # every active day appears exactly once
+    n_days = e.select(F.date_trunc("day", "ts")).distinct().count()
+    assert au.count() == n_days
+
+
+def test_daily_anomaly_first_day_has_no_baseline(spark, sf_dir):
+    """The first day of each event_type has an empty trailing window →
+    null mean and null z; z is null whenever the window has < 2 points."""
+    an = ev.daily_anomaly(_events(spark, sf_dir), trailing_days=7)
+    per_type_first = an.groupBy("event_type").agg(F.min("day").alias("day"))
+    firsts = an.join(per_type_first, ["event_type", "day"])
+    assert firsts.filter(F.col("trailing_mean").isNotNull()).count() == 0
+    assert an.filter(F.col("z_score").isNotNull() & F.col("trailing_mean").isNull()).count() == 0
+
+
 def test_rfm_recency_nonnegative_and_frequency_matches(spark, sf_dir):
     e = _events(spark, sf_dir)
     rfm = ev.user_rfm(e)

@@ -233,3 +233,42 @@ def test_update_mode_emits_revisions_converging_to_batch(spark):
     for r in out:  # memory sink appends in emission order
         final[r.ws] = r.n
     assert final == {_ts("10:00"): 3, _ts("11:00"): 1}
+
+
+def test_stream_funnel_state_advances_across_batches(spark):
+    """Funnel state must persist across micro-batches: steps split over
+    different triggers still convert, and a step seen BEFORE its
+    predecessor (even in an earlier batch) does not count."""
+    from presto_rakam_kafka_spark.streaming import funnel as sfunnel
+
+    batches = [
+        [(_ts("10:00"), 1, "view"), (_ts("10:00"), 2, "click")],
+        [(_ts("10:05"), 1, "click"), (_ts("10:05"), 2, "view")],
+        [(_ts("10:10"), 1, "purchase")],
+    ]
+    d = _stage_batches(spark, batches)
+    out = _run(spark, d, lambda src: sfunnel.funnel_stream(src), "append")
+    got = {(r["user_id"], r["step"], r["step_name"]) for r in out.collect()}
+    assert got == {
+        (1, 1, "view"),
+        (1, 2, "click"),
+        (1, 3, "purchase"),
+        (2, 1, "view"),
+    }
+
+
+def test_stream_funnel_window_blocks_slow_conversion(spark):
+    """With a 1h conversion window, a click 2h after the view (arriving
+    in a later batch) must not advance the funnel."""
+    from presto_rakam_kafka_spark.streaming import funnel as sfunnel
+
+    batches = [
+        [(_ts("08:00"), 7, "view"), (_ts("08:00"), 8, "view")],
+        [(_ts("10:30"), 7, "click"), (_ts("08:30"), 8, "click")],
+    ]
+    d = _stage_batches(spark, batches)
+    out = _run(
+        spark, d, lambda src: sfunnel.funnel_stream(src, window_hours=1), "append"
+    )
+    got = {(r["user_id"], r["step"]) for r in out.collect()}
+    assert got == {(7, 1), (8, 1), (8, 2)}
