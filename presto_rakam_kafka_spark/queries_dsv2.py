@@ -230,3 +230,57 @@ def stream_kafka_segments_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"kafka_seg_stream_{next(_STREAM_SEQ)}"
     return run_available_now(agg, name, "complete")
+
+
+def _tpch_topic_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Load (once per process per sf) the orders table into a 3-partition
+    JSON topic with 500-row segments via the KafkaLoader twin."""
+    from presto_rakam_kafka_spark.sources import loader
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    d = os.path.join(tempfile.gettempdir(), f"tpch_topic_{tag}_{os.getpid()}")
+    if not os.path.isdir(os.path.join(d, "partition=0")):
+        loader.load_tpch_topic(
+            spark, sf_dir, "orders", d, num_partitions=3, segment_rows=500
+        )
+    return d
+
+
+@query(
+    "loader_tpch_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price,
+           max(o_orderdate) AS last_order
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def loader_tpch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.C harness path, driver-gated: the KafkaLoader twin
+    pumps `SELECT * FROM orders` into a keyed many-segment JSON topic
+    (`util/KafkaLoader.java:50-150`, `util/TestUtils.java:48-54`), the
+    `kafka_segments` source scans it back, `from_json` restores the
+    typed rows (ISO8601 temporals, `KafkaLoader.java:120-148`), and the
+    aggregate must equal plain SQL over the source parquet — the
+    loader → log → scan → decode chain is provably lossless."""
+    from presto_rakam_kafka_spark.sources import loader
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        KafkaSegmentDataSource,
+    )
+
+    spark.dataSource.register(KafkaSegmentDataSource)
+    d = _tpch_topic_dir(spark, sf_dir)
+    schema = _t(spark, sf_dir, "orders").schema
+    back = spark.read.format("kafka_segments").option("path", d).load()
+    decoded = back.select(
+        F.from_json(
+            F.col("value").cast("string"),
+            schema,
+            {"timestampFormat": loader.ISO_TS, "dateFormat": loader.ISO_DATE},
+        ).alias("r")
+    ).select("r.*")
+    return decoded.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.max("o_orderdate").alias("last_order"),
+    )

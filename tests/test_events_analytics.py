@@ -156,3 +156,63 @@ def test_rfm_recency_nonnegative_and_frequency_matches(spark, sf_dir):
     assert rfm.filter(F.col("recency_days") < 0).count() == 0
     n_purchases = e.filter(F.col("event_type") == "purchase").count()
     assert rfm.agg(F.sum("frequency")).first()[0] == n_purchases
+
+
+def test_funnel_fold_equals_chained_joins_on_random_corpus(spark):
+    """Cross-implementation equivalence on a seeded random corpus:
+    the one-shuffle sorted-fold must equal the textbook chained
+    min-timestamp join construction (the oracle's shape) for both the
+    plain and the windowed funnel — including users with shuffled,
+    repeated, and missing steps."""
+    import random
+
+    rng = random.Random(1234)
+    base = dt.datetime(2024, 3, 1)
+    types = ["view", "click", "purchase", "signup", "error"]
+    rows = []
+    # Unique timestamps by construction (distinct minute offsets).
+    offsets = rng.sample(range(2_000_000), 3000)
+    for eid, off in enumerate(offsets):
+        rows.append(
+            (
+                eid,
+                base + dt.timedelta(minutes=off),
+                rng.randrange(200),
+                rng.choice(types),
+                0.0,
+                "{}",
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+
+    def chained(events, steps, window_hours=None):
+        cur = (
+            events.filter(F.col("event_type") == steps[0])
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        out = {1: cur.count()}
+        for i, s in enumerate(steps[1:], start=2):
+            nxt = events.filter(F.col("event_type") == s).join(
+                cur.withColumnRenamed("t", "prev_t"), "user_id"
+            ).filter(F.col("ts") > F.col("prev_t"))
+            if window_hours is not None:
+                nxt = nxt.filter(
+                    F.col("ts").cast("long") - F.col("prev_t").cast("long")
+                    <= window_hours * 3600
+                )
+            cur = nxt.groupBy("user_id").agg(F.min("ts").alias("t"))
+            out[i] = cur.count()
+        return {k: v for k, v in out.items() if v > 0}
+
+    steps = ("view", "click", "purchase")
+    got = {r["step"]: r["n_users"] for r in ev.funnel(df, steps).collect()}
+    assert got == chained(df, steps)
+    got_w = {
+        r["step"]: r["n_users"]
+        for r in ev.funnel_windowed(df, steps, window_hours=48).collect()
+    }
+    assert got_w == chained(df, steps, window_hours=48)

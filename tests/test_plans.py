@@ -200,3 +200,39 @@ def test_scalar_thresholds_broadcast_not_shuffle(spark, sf_dir):
             f"{name}: {plan[:2000]}"
         )
         assert "CartesianProduct" not in plan, name
+
+
+def test_funnel_is_one_corpus_shuffle(spark, sf_dir):
+    # The sorted-fold funnel must shuffle the (filtered) corpus exactly
+    # once — the per-user collect_list agg. The step-level join uses a
+    # broadcast of the 3-row steps frame, and the later exchanges move
+    # only user-depth / step-count rows.
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.operators import events as ev
+
+    plan = _plan(ev.funnel(read_table(spark, sf_dir, "events")))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # the steps join must not shuffle
+
+
+def test_active_users_calendar_join_is_broadcast(spark, sf_dir):
+    # The day-window fan-out joins against the |days| frame — it must
+    # broadcast, never shuffle the (user, day) frame onto a range key.
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.operators import events as ev
+
+    plan = _plan(ev.active_users(read_table(spark, sf_dir, "events")))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_segmentation_prunes_scan_columns(spark, sf_dir):
+    # Segmentation touches 4 of the 6 event columns; the parquet scan
+    # must not read the rest (column pruning reaches the source).
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.operators import events as ev
+
+    plan = _plan(ev.segmentation(read_table(spark, sf_dir, "events")))
+    scan = plan[plan.index("ReadSchema") :][:400]
+    assert "event_id" not in scan and "value" in scan, scan
