@@ -292,6 +292,62 @@ def daily_anomaly(events: DataFrame, trailing_days: int = 7) -> DataFrame:
     )
 
 
+def ab_test(
+    events: DataFrame, goal: str = "purchase", min_value: float = 150.0
+) -> DataFrame:
+    """Two-variant experiment readout: users are hash-assigned
+    (``user_id % 2`` — the deterministic assignment an event pipeline
+    uses), conversion = reached the goal event above ``min_value``;
+    output is one row with per-variant exposure/conversion counts,
+    rates, and the pooled two-proportion z statistic (NULL when pooled
+    conversion is degenerate 0/1).
+
+    Cross-engine determinism: counts are integers; every float step
+    (rates, pooled p, the z formula) is a chain of IEEE exactly-rounded
+    ops (+,−,×,÷,sqrt) over identical inputs in the identical
+    expression shape, so the oracle replays it bit-for-bit. One
+    corpus-sized shuffle (per-user agg); the variant rollup is 2 rows."""
+    per_user = events.groupBy("user_id").agg(
+        F.max(
+            ((F.col("event_type") == goal) & (F.col("value") > min_value)).cast("int")
+        ).alias("converted")
+    )
+    v = per_user.select(
+        (F.col("user_id") % 2).alias("variant"), "converted"
+    )
+    wide = v.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    z = F.when(
+        (pooled > 0) & (pooled < 1),
+        (p_a - p_b)
+        / F.sqrt(
+            pooled
+            * (F.lit(1.0) - pooled)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        ),
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(p_a, 4).alias("rate_a"),
+        F.round(p_b, 4).alias("rate_b"),
+        F.round(z, 4).alias("z_stat"),
+    )
+
+
 def user_rfm(events: DataFrame) -> DataFrame:
     """Recency / frequency / monetary per user, relative to the
     corpus's last purchase timestamp (a broadcast scalar): days since

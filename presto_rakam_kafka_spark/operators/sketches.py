@@ -123,3 +123,155 @@ def cms_heavy_hitters_oracle(
       SELECT *, row_number() OVER (ORDER BY est DESC, {key} ASC) AS rank FROM est)
     WHERE rank <= {k}
     """
+
+
+# =====================================================================
+# Mergeable HyperLogLog — the re-aggregatable distinct sketch
+# =====================================================================
+#
+# Spark's approx_count_distinct is HLL++ but its sketch state is opaque:
+# you cannot persist per-day sketches and re-aggregate them to weeks —
+# which is exactly Rakam's continuous pre-aggregation model (and every
+# OLAP rollup store's: distinct users per day, merged to any coarser
+# period WITHOUT re-scanning raw events). This HLL is built from the
+# same engine-portable base hash as the other sketches, so the whole
+# pipeline — register assignment, per-period max, register-wise merge,
+# estimation — replays exactly in DuckDB for the gate.
+#
+# Determinism across engines: all sketch state is INTEGER (register
+# index = h mod m; rho = trailing-zero rank of h div m, capped at
+# RHO_CAP; per-register max; sum of 2^(RHO_CAP - M_j) as BIGINT — order
+# free), and the estimate is ONE IEEE-exactly-rounded division of two
+# identical doubles, so there is no summation-order or libm drift. The
+# small-range (linear-counting) correction uses ln and is replayed in
+# both engines' CASE; it is inactive at the gated geometry (see
+# ALPHA literal note below).
+
+#: Register-count exponent for the GATED query (m = 2^4 = 16): chosen
+#: so distinct-users-per-week (~150) sits far above the 2.5·m = 40
+#: linear-counting threshold — the ln branch (1-ulp libm risk) stays
+#: cold on both engines. Accuracy-grade geometry (p=9) is
+#: property-tested in pytest, where no cross-engine replay is needed.
+HLL_P = 4
+#: rho values above this are astronomically rare (P = 2^-40 per key);
+#: capping keeps the scaled sum within BIGINT on both engines.
+RHO_CAP = 40
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def _hll_exprs_spark(key_expr: str, m: int) -> tuple[str, str]:
+    """(register, rho) Spark SQL expressions over one key."""
+    h = base_hash_spark(key_expr)
+    w = f"({h} div {m})"
+    tz = f"cast(log2({w} & -{w}) as int)"
+    rho = f"least(if({w} = 0, {RHO_CAP}, {tz} + 1), {RHO_CAP})"
+    return f"cast({h} % {m} as int)", rho
+
+
+def _hll_exprs_duckdb(key_expr: str, m: int) -> tuple[str, str]:
+    h = base_hash_duckdb(key_expr)
+    w = f"({h} // {m})"
+    tz = f"CAST(log2({w} & -{w}) AS INT)"
+    rho = f"LEAST(CASE WHEN {w} = 0 THEN {RHO_CAP} ELSE {tz} + 1 END, {RHO_CAP})"
+    return f"CAST({h} % {m} AS INT)", rho
+
+
+def _hll_est_literals(m: int) -> tuple[str, float]:
+    """repr of alpha·m²·2^RHO_CAP — parsed to the identical double by
+    both engines, so est = C / sum is one exactly-rounded division."""
+    c = _hll_alpha(m) * m * m * float(2**RHO_CAP)
+    return repr(c), 2.5 * m
+
+
+def hll_weekly_users(events: DataFrame, p: int = HLL_P) -> DataFrame:
+    """Distinct users per week, estimated by MERGING per-day HLL
+    sketches register-wise — never re-touching raw events past the
+    day-level agg — with the exact count alongside.
+
+    Plan: one codegen projection computes (register, rho) per event;
+    groupBy(week, day, register) max(rho) is the only corpus-sized
+    shuffle (uniform key); the day→week merge and estimation run over
+    ≤ weeks·m rows. At 100 TB the day-level sketch table is the stored
+    rollup (days × m rows, bytes per day) and any coarser period is a
+    register-wise max away."""
+    m = 1 << p
+    reg, rho = _hll_exprs_spark("cast(user_id as string)", m)
+    c_lit, small = _hll_est_literals(m)
+    day_sketch = (
+        events.selectExpr(
+            "date_trunc('week', ts) as wk",
+            "date_trunc('day', ts) as day",
+            f"{reg} as reg",
+            f"{rho} as rho",
+        )
+        .groupBy("wk", "day", "reg")
+        .agg(F.max("rho").alias("m_day"))
+    )
+    week_sketch = day_sketch.groupBy("wk", "reg").agg(F.max("m_day").alias("m_wk"))
+    state = week_sketch.groupBy("wk").agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {RHO_CAP} - m_wk)")).alias(
+            "sum_present"
+        ),
+        F.count(F.lit(1)).alias("regs_used"),
+    )
+    est_raw = F.expr(
+        f"{c_lit} / (sum_present + ({m} - regs_used) * shiftleft(cast(1 as bigint), {RHO_CAP}))"
+    )
+    zeros = F.lit(m) - F.col("regs_used")
+    est = F.when(
+        (est_raw <= F.lit(small)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(est_raw)
+    exact = events.groupBy(F.date_trunc("week", "ts").alias("wk")).agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return (
+        state.join(exact, "wk")
+        .select(
+            F.date_format("wk", "yyyy-MM-dd").alias("week"),
+            "n_exact",
+            F.round(est, 2).alias("est"),
+            F.col("regs_used").cast("long").alias("regs_used"),
+        )
+    )
+
+
+def hll_weekly_users_oracle(table: str = "events", p: int = HLL_P) -> str:
+    m = 1 << p
+    reg, rho = _hll_exprs_duckdb("CAST(user_id AS VARCHAR)", m)
+    c_lit, small = _hll_est_literals(m)
+    return f"""
+    WITH probes AS (
+      SELECT date_trunc('week', ts) AS wk, date_trunc('day', ts) AS day,
+             {reg} AS reg, {rho} AS rho
+      FROM {table}),
+    day_sketch AS (
+      SELECT wk, day, reg, max(rho) AS m_day FROM probes GROUP BY wk, day, reg),
+    week_sketch AS (
+      SELECT wk, reg, max(m_day) AS m_wk FROM day_sketch GROUP BY wk, reg),
+    state AS (
+      SELECT wk,
+             CAST(sum(1::BIGINT << ({RHO_CAP} - m_wk)) AS BIGINT) AS sum_present,
+             count(*) AS regs_used
+      FROM week_sketch GROUP BY wk),
+    exact AS (
+      SELECT date_trunc('week', ts) AS wk, count(DISTINCT user_id) AS n_exact
+      FROM {table} GROUP BY wk)
+    SELECT strftime(s.wk, '%Y-%m-%d') AS week, e.n_exact,
+           round(CASE WHEN {c_lit} / (sum_present + ({m} - regs_used) * (1::BIGINT << {RHO_CAP})) <= {small}
+                       AND ({m} - regs_used) > 0
+                      THEN {m}.0 * ln({m}.0 / ({m} - regs_used))
+                      ELSE {c_lit} / (sum_present + ({m} - regs_used) * (1::BIGINT << {RHO_CAP}))
+                 END, 2) AS est,
+           regs_used
+    FROM state s JOIN exact e ON s.wk = e.wk
+    """

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from presto_rakam_kafka_spark.operators import events as ev
+from presto_rakam_kafka_spark.operators import sketches
 from presto_rakam_kafka_spark.queries import _t, query
 
 
@@ -213,6 +214,54 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the alerting shape. Range-frame window over calendar-bounded daily
     cells; the only corpus-sized op is the initial agg."""
     return ev.daily_anomaly(_t(spark, sf_dir, "events"), trailing_days=7)
+
+
+@query(
+    "events_ab_test",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' AND value > 150.0
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ), wide AS (
+      SELECT
+        CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN user_id % 2 = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+        CAST(sum(CASE WHEN user_id % 2 = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+      FROM per_user
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           round(conv_a / n_a, 4) AS rate_a,
+           round(conv_b / n_b, 4) AS rate_b,
+           round(CASE WHEN (conv_a + conv_b) / (n_a + n_b) > 0
+                       AND (conv_a + conv_b) / (n_a + n_b) < 1
+                      THEN (conv_a / n_a - conv_b / n_b) /
+                           sqrt(((conv_a + conv_b) / (n_a + n_b)) *
+                                (1.0 - (conv_a + conv_b) / (n_a + n_b)) *
+                                (1.0 / n_a + 1.0 / n_b))
+                 END, 4) AS z_stat
+    FROM wide
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: hash-assigned variants, goal-conversion
+    rates, pooled two-proportion z — every float step an IEEE
+    exactly-rounded op in the same expression shape as the oracle
+    (`operators/events.py:ab_test`)."""
+    return ev.ab_test(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "events_hll_weekly_users", oracle=sketches.hll_weekly_users_oracle("events")
+)
+def events_hll_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per week via MERGEABLE from-scratch HLL: per-day
+    sketches (the stored rollup) merged register-wise to weeks, exact
+    count alongside — Rakam's continuous pre-aggregation of distinct
+    counts, fully replayed in DuckDB (`operators/sketches.py`)."""
+    return sketches.hll_weekly_users(_t(spark, sf_dir, "events"))
 
 
 @query(

@@ -216,3 +216,26 @@ def test_funnel_fold_equals_chained_joins_on_random_corpus(spark):
         for r in ev.funnel_windowed(df, steps, window_hours=48).collect()
     }
     assert got_w == chained(df, steps, window_hours=48)
+
+
+def test_ab_test_degenerate_and_decisive_cases(spark):
+    """All-converted pool → z NULL (no variance); a decisive synthetic
+    experiment → large positive z and exact counts."""
+    base = dt.datetime(2024, 1, 1)
+    # 40 users: evens (variant A) all convert, odds never do.
+    rows = []
+    for u in range(40):
+        etype = "purchase" if u % 2 == 0 else "view"
+        rows.append((u, base, u, etype, 500.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    )
+    r = ev.ab_test(df).first()
+    assert (r["n_a"], r["n_b"], r["conv_a"], r["conv_b"]) == (20, 20, 20, 0)
+    assert r["z_stat"] is not None and r["z_stat"] > 5
+
+    all_conv = spark.createDataFrame(
+        [(u, base, u, "purchase", 500.0, "{}") for u in range(10)],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    assert ev.ab_test(all_conv).first()["z_stat"] is None

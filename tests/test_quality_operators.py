@@ -459,3 +459,45 @@ def test_fitted_pq_books_beat_seeded_recall(spark, sf_dir):
     r_fitted = recall(fitted)
     assert r_fitted >= r_seeded
     assert r_fitted >= 0.3
+
+
+def test_hll_merge_is_exact_register_max(spark):
+    """Mergeability is the point of the sketch: the register table of
+    A ∪ B must equal the register-wise max of A's and B's tables —
+    exactly, not approximately."""
+    from pyspark.sql import functions as F2
+
+    from presto_rakam_kafka_spark.operators.sketches import _hll_exprs_spark
+
+    m = 512
+    reg, rho = _hll_exprs_spark("cast(id as string)", m)
+
+    def regs(df):
+        tbl = df.selectExpr(f"{reg} as reg", f"{rho} as rho").groupBy("reg").agg(
+            F2.max("rho").alias("mx")
+        )
+        return {r["reg"]: r["mx"] for r in tbl.collect()}
+
+    a = spark.range(0, 6000)
+    b = spark.range(4000, 11000)  # overlapping
+    ra, rb, ru = regs(a), regs(b), regs(a.union(b))
+    merged = {k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)}
+    assert merged == ru
+
+
+def test_hll_estimate_accuracy_at_accuracy_geometry(spark):
+    """At p=9 (m=512, σ ≈ 4.6%) the estimate of a 20k-distinct corpus
+    (each key duplicated 3×: cardinality, not frequency) must land
+    within 3σ of truth."""
+    from presto_rakam_kafka_spark.operators import sketches
+
+    n = 20_000
+    df = (
+        spark.range(n * 3)
+        .selectExpr("id % 20000 as user_id", "timestamp'2024-01-03 12:00:00' as ts")
+    )
+    out = sketches.hll_weekly_users(df, p=9).collect()
+    assert len(out) == 1
+    est, exact = out[0]["est"], out[0]["n_exact"]
+    assert exact == n
+    assert abs(est - n) / n < 3 * 1.04 / (512 ** 0.5)
