@@ -275,3 +275,133 @@ def hll_weekly_users_oracle(table: str = "events", p: int = HLL_P) -> str:
            regs_used
     FROM state s JOIN exact e ON s.wk = e.wk
     """
+
+
+def hll_audience_overlap(
+    events: DataFrame,
+    type_a: str = "view",
+    type_b: str = "purchase",
+    p: int = HLL_P,
+) -> DataFrame:
+    """Audience-overlap estimate — |users(A) ∩ users(B)| — from HLL
+    sketches alone via inclusion–exclusion (|A| + |B| − |A∪B|, where
+    the union sketch is the register-wise max): the "did A and also B"
+    audience question answered from stored per-event-type rollups
+    without touching raw events. Exact counts computed alongside.
+
+    All three estimates come from the same per-(type, register) table;
+    the union merge and estimation reuse the integer-exact replay
+    machinery of :func:`hll_weekly_users`, so the oracle matches
+    bit-for-bit. One corpus-sized shuffle (the register agg)."""
+    m = 1 << p
+    reg, rho = _hll_exprs_spark("cast(user_id as string)", m)
+    c_lit, small = _hll_est_literals(m)
+    typed = events.filter(F.col("event_type").isin([type_a, type_b]))
+    regs = (
+        typed.selectExpr("event_type", f"{reg} as reg", f"{rho} as rho")
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+    union_regs = regs.groupBy("reg").agg(F.max("mx").alias("mx")).select(
+        F.lit("__union__").alias("event_type"), "reg", "mx"
+    )
+    all_regs = regs.unionByName(union_regs)
+
+    def est_col() -> F.Column:
+        raw = F.expr(
+            f"{c_lit} / (sum_present + ({m} - regs_used) * shiftleft(cast(1 as bigint), {RHO_CAP}))"
+        )
+        zeros = F.lit(m) - F.col("regs_used")
+        return F.when(
+            (raw <= F.lit(small)) & (zeros > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+        ).otherwise(raw)
+
+    ests = (
+        all_regs.groupBy("event_type")
+        .agg(
+            F.sum(
+                F.expr(f"shiftleft(cast(1 as bigint), {RHO_CAP} - mx)")
+            ).alias("sum_present"),
+            F.count(F.lit(1)).alias("regs_used"),
+        )
+        .select("event_type", est_col().alias("est"))
+    )
+    wide = ests.agg(
+        F.sum(F.when(F.col("event_type") == type_a, F.col("est"))).alias("est_a"),
+        F.sum(F.when(F.col("event_type") == type_b, F.col("est"))).alias("est_b"),
+        F.sum(F.when(F.col("event_type") == "__union__", F.col("est"))).alias(
+            "est_union"
+        ),
+    )
+    exact = typed.groupBy("user_id").agg(
+        F.max((F.col("event_type") == type_a).cast("int")).alias("a"),
+        F.max((F.col("event_type") == type_b).cast("int")).alias("b"),
+    ).agg(
+        F.sum("a").alias("exact_a"),
+        F.sum("b").alias("exact_b"),
+        F.sum(F.expr("a * b")).alias("exact_both"),
+    )
+    return wide.join(exact).select(
+        F.round("est_a", 2).alias("est_a"),
+        F.round("est_b", 2).alias("est_b"),
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 2).alias(
+            "est_overlap"
+        ),
+        "exact_a",
+        "exact_b",
+        "exact_both",
+    )
+
+
+def hll_audience_overlap_oracle(
+    table: str = "events",
+    type_a: str = "view",
+    type_b: str = "purchase",
+    p: int = HLL_P,
+) -> str:
+    m = 1 << p
+    reg, rho = _hll_exprs_duckdb("CAST(user_id AS VARCHAR)", m)
+    c_lit, small = _hll_est_literals(m)
+    est = (
+        f"CASE WHEN {c_lit} / (sum_present + ({m} - regs_used) * (1::BIGINT << {RHO_CAP})) <= {small}"
+        f"           AND ({m} - regs_used) > 0"
+        f"      THEN {m}.0 * ln({m}.0 / ({m} - regs_used))"
+        f"      ELSE {c_lit} / (sum_present + ({m} - regs_used) * (1::BIGINT << {RHO_CAP}))"
+        f" END"
+    )
+    return f"""
+    WITH typed AS (
+      SELECT * FROM {table} WHERE event_type IN ('{type_a}', '{type_b}')),
+    regs AS (
+      SELECT event_type, {reg} AS reg, max({rho}) AS mx
+      FROM typed GROUP BY event_type, {reg}),
+    union_regs AS (
+      SELECT '__union__' AS event_type, reg, max(mx) AS mx FROM regs GROUP BY reg),
+    all_regs AS (
+      SELECT * FROM regs UNION ALL SELECT * FROM union_regs),
+    states AS (
+      SELECT event_type,
+             CAST(sum(1::BIGINT << ({RHO_CAP} - mx)) AS BIGINT) AS sum_present,
+             count(*) AS regs_used
+      FROM all_regs GROUP BY event_type),
+    ests AS (SELECT event_type, {est} AS est FROM states),
+    wide AS (
+      SELECT sum(CASE WHEN event_type = '{type_a}' THEN est END) AS est_a,
+             sum(CASE WHEN event_type = '{type_b}' THEN est END) AS est_b,
+             sum(CASE WHEN event_type = '__union__' THEN est END) AS est_union
+      FROM ests),
+    per_user AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = '{type_a}' THEN 1 ELSE 0 END) AS a,
+             max(CASE WHEN event_type = '{type_b}' THEN 1 ELSE 0 END) AS b
+      FROM typed GROUP BY user_id),
+    exact AS (
+      SELECT CAST(sum(a) AS BIGINT) AS exact_a, CAST(sum(b) AS BIGINT) AS exact_b,
+             CAST(sum(a * b) AS BIGINT) AS exact_both
+      FROM per_user)
+    SELECT round(est_a, 2) AS est_a, round(est_b, 2) AS est_b,
+           round(est_a + est_b - est_union, 2) AS est_overlap,
+           exact_a, exact_b, exact_both
+    FROM wide, exact
+    """

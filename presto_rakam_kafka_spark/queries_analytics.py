@@ -265,6 +265,17 @@ def events_hll_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_hll_audience_overlap",
+    oracle=sketches.hll_audience_overlap_oracle("events"),
+)
+def events_hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap (|users(view) ∩ users(purchase)|) estimated
+    purely from per-event-type HLL rollups via inclusion–exclusion on
+    the register-wise-max union sketch; exact counts alongside."""
+    return sketches.hll_audience_overlap(_t(spark, sf_dir, "events"))
+
+
+@query(
     "events_user_rfm",
     oracle="""
     WITH p AS (SELECT * FROM events WHERE event_type = 'purchase')

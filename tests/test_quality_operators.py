@@ -501,3 +501,22 @@ def test_hll_estimate_accuracy_at_accuracy_geometry(spark):
     est, exact = out[0]["est"], out[0]["n_exact"]
     assert exact == n
     assert abs(est - n) / n < 3 * 1.04 / (512 ** 0.5)
+
+
+def test_hll_audience_overlap_tracks_truth_on_partial_overlap(spark):
+    """Synthetic partial overlap at accuracy geometry (p=9): 8k 'view'
+    users, 8k 'purchase' users, 4k shared — the inclusion–exclusion
+    estimate must land within ~3σ·(|A|+|B|+|A∪B|) of the true 4k."""
+    from presto_rakam_kafka_spark.operators import sketches
+
+    a = spark.range(0, 8000).selectExpr(
+        "id as user_id", "'view' as event_type", "timestamp'2024-01-01' as ts"
+    )
+    b = spark.range(4000, 12000).selectExpr(
+        "id as user_id", "'purchase' as event_type", "timestamp'2024-01-01' as ts"
+    )
+    r = sketches.hll_audience_overlap(a.union(b), p=9).first()
+    assert (r["exact_a"], r["exact_b"], r["exact_both"]) == (8000, 8000, 4000)
+    sigma = 1.04 / (512 ** 0.5)
+    # overlap error compounds three estimates; allow 3σ on their sum
+    assert abs(r["est_overlap"] - 4000) < 3 * sigma * (8000 + 8000 + 12000)
