@@ -127,6 +127,9 @@ def main():
         "retention": ev.retention_cohorts,
         "active_users": ev.active_users,
         "segmentation": ev.segmentation,
+        "hll_weekly_users_p9": lambda e: __import__(
+            "presto_rakam_kafka_spark.operators.sketches", fromlist=["sketches"]
+        ).hll_weekly_users(e, p=9),
     }
     for name, fn in ops.items():
         if args.op and args.op != name:
