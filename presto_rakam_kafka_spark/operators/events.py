@@ -176,6 +176,70 @@ def funnel_windowed(
     )
 
 
+def funnel_latency(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """Time-to-convert: for users completing the whole funnel, exact
+    interpolated median and p90 of (last-step ts − first-step ts), in
+    seconds — "how long does view→purchase take".
+
+    Same one-corpus-shuffle fold as :func:`funnel` with the
+    accumulator extended to (depth, first_us, last_us); the percentile
+    uses the explicit rank-interpolation formula (identical double
+    arithmetic to the oracle — the `agg_median_exact` pattern, since
+    built-in percentile functions disagree with DuckDB in the last
+    ulp). Converted users must meet for an exact global quantile; at
+    100 TB swap in the approx sketch path."""
+    step_idx = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
+    )
+    evs = events.filter(F.col("event_type").isin(list(steps))).select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("us"),
+            F.col("event_id"),
+            step_idx[F.col("event_type")].alias("idx"),
+        ).alias("ev"),
+    )
+    zero = F.struct(
+        F.lit(0).alias("depth"),
+        F.lit(None).cast("long").alias("first_us"),
+        F.lit(None).cast("long").alias("last_us"),
+    )
+    acc_fn = lambda acc, e: F.when(  # noqa: E731
+        e["idx"] == acc["depth"],
+        F.struct(
+            (acc["depth"] + 1).alias("depth"),
+            F.coalesce(acc["first_us"], e["us"]).alias("first_us"),
+            e["us"].alias("last_us"),
+        ),
+    ).otherwise(acc)
+    folded = evs.groupBy("user_id").agg(
+        F.aggregate(F.array_sort(F.collect_list("ev")), zero, acc_fn).alias("acc")
+    )
+    lat = folded.filter(F.col("acc.depth") == len(steps)).select(
+        ((F.col("acc.last_us") - F.col("acc.first_us")) / 1e6).alias("v")
+    )
+    w = Window.orderBy("v")
+    wn = Window.partitionBy()
+    ranked = lat.select(
+        "v",
+        (F.row_number().over(w) - 1).cast("double").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("double").alias("n"),
+    )
+
+    def interp(q: str) -> str:
+        h = f"(n-1)*{q}"
+        lo = f"max(CASE WHEN rn = floor({h}) THEN v END)"
+        hi = f"max(CASE WHEN rn = ceil({h}) THEN v END)"
+        return f"round({lo} + ({h} - floor({h})) * ({hi} - {lo}), 4)"
+
+    return ranked.groupBy("n").agg(
+        F.expr(interp("0.5")).alias("median_s"),
+        F.expr(interp("0.9")).alias("p90_s"),
+    ).select(F.col("n").cast("long").alias("n_converted"), "median_s", "p90_s")
+
+
 def retention_cohorts(events: DataFrame) -> DataFrame:
     """Weekly cohort retention: cohort = week of a user's first event;
     cell (cohort_week, week_offset) counts distinct users from that

@@ -111,6 +111,44 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_funnel_latency",
+    oracle="""
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+    lat AS (
+      SELECT (epoch_us(s3.t3) - epoch_us(s1.t1)) / 1e6 AS v
+      FROM s3 JOIN s1 ON s3.user_id = s1.user_id),
+    ranked AS (
+      SELECT v, CAST(row_number() OVER (ORDER BY v) - 1 AS DOUBLE) AS rn,
+             CAST(count(*) OVER () AS DOUBLE) AS n
+      FROM lat)
+    SELECT CAST(n AS BIGINT) AS n_converted,
+           round(max(CASE WHEN rn = floor((n-1)*0.5) THEN v END)
+             + ((n-1)*0.5 - floor((n-1)*0.5))
+             * (max(CASE WHEN rn = ceil((n-1)*0.5) THEN v END)
+                - max(CASE WHEN rn = floor((n-1)*0.5) THEN v END)), 4) AS median_s,
+           round(max(CASE WHEN rn = floor((n-1)*0.9) THEN v END)
+             + ((n-1)*0.9 - floor((n-1)*0.9))
+             * (max(CASE WHEN rn = ceil((n-1)*0.9) THEN v END)
+                - max(CASE WHEN rn = floor((n-1)*0.9) THEN v END)), 4) AS p90_s
+    FROM ranked GROUP BY n
+    """,
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert percentiles for full-funnel completers: fold
+    accumulator extended with (first, last) match times, exact
+    rank-interpolated median/p90 replayed against the chained-min
+    oracle (`operators/events.py:funnel_latency`)."""
+    return ev.funnel_latency(_t(spark, sf_dir, "events"))
+
+
+@query(
     "events_retention",
     oracle="""
     WITH firsts AS (

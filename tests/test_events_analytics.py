@@ -239,3 +239,13 @@ def test_ab_test_degenerate_and_decisive_cases(spark):
         "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING",
     )
     assert ev.ab_test(all_conv).first()["z_stat"] is None
+
+
+def test_funnel_latency_consistent_with_funnel(spark, sf_dir):
+    """n_converted must equal the funnel's final-step user count, and
+    the percentiles must be ordered and non-negative."""
+    e = _events(spark, sf_dir)
+    lat = ev.funnel_latency(e).first()
+    final_step = {r["step"]: r["n_users"] for r in ev.funnel(e).collect()}.get(3, 0)
+    assert lat["n_converted"] == final_step
+    assert 0 <= lat["median_s"] <= lat["p90_s"]
