@@ -53,7 +53,10 @@ HEADLINE = [
     # int8 quantization receipt)
     "quality_gopher_rules",
     "doc_chunking",
-    "pack_token_budget",
+    # round 5: packing benches the PARTITION-PARALLEL form (the global-
+    # window form stays registered for the oracle contract but is a
+    # deliberate single-task sort — not a scale path, not benched).
+    "pack_token_budget_partitioned",
     "text_tfidf_topk",
     "decontaminate_ngram",
     "embedding_quantize_int8",
@@ -67,6 +70,33 @@ HEADLINE = [
     "events_sessionize",
     "events_funnel",
     "events_retention",
+]
+
+#: The round-3-era query set, frozen: every round reports this subtotal
+#: unchanged so round-over-round comparisons never mix query-set drift
+#: with code/box drift (the canary separates box drift; this separates
+#: set drift — VERDICT r4 item 7).
+SHARED = [
+    "flagship_offset_agg",
+    "count_many_splits",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
+    "join_broadcast",
+    "join_semi",
+    "agg_distinct",
+    "window_rank",
+    "topk_parts",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_lsh",
+    "text_stats",
+    "text_fingerprint",
+    "multimodal_features",
 ]
 
 
@@ -148,6 +178,12 @@ def main() -> None:
                 "sf": _sf_from_dir(SF_DIR),
                 "warm_value": round(sum(warm.values()), 3),
                 "queries_warm": warm,
+                "shared_total": round(
+                    sum(timings[n] for n in SHARED if n in timings), 3
+                ),
+                "shared_warm": round(
+                    sum(warm[n] for n in SHARED if n in warm), 3
+                ),
                 "canary_range_sum_cold": canary_cold,
                 "canary_range_sum_warm": canary_warm,
             }

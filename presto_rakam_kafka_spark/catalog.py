@@ -127,10 +127,16 @@ class EventCatalog:
         path: str,
         value_format: str = "json",
         min_splits: int = 0,
+        avro_writer_schema: str | None = None,
     ) -> None:
         """Register a table backed by the native ``kafka_segments``
         DataSource: ``table(..., offset_ranges=...)`` then routes through
-        Catalyst ``pushFilters`` segment pruning end-to-end."""
+        Catalyst ``pushFilters`` segment pruning end-to-end.
+        ``avro_writer_schema`` (with ``value_format="avro"``) names the
+        OLD writer schema for payloads that predate the metastore's
+        current fields — schema evolution resolves in the decode
+        (``KafkaConnectorPageSource.java:82-123`` +
+        ``PageDatumReader.java:68-93`` in one scan)."""
         from presto_rakam_kafka_spark.sources.kafka_datasource import (
             KafkaSegmentsEventSource,
         )
@@ -139,7 +145,10 @@ class EventCatalog:
             project,
             collection,
             KafkaSegmentsEventSource(
-                path, value_format=value_format, min_splits=min_splits
+                path,
+                value_format=value_format,
+                min_splits=min_splits,
+                avro_writer_schema=avro_writer_schema,
             ),
         )
 

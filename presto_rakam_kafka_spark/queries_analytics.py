@@ -12,6 +12,7 @@ DuckDB oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from presto_rakam_kafka_spark.operators import events as ev
 from presto_rakam_kafka_spark.operators import sketches
@@ -108,6 +109,45 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy first-match); oracle is the window-bounded chained-min
     construction."""
     return ev.funnel_windowed(_t(spark, sf_dir, "events"), window_hours=72)
+
+
+@query(
+    "events_funnel_filtered",
+    oracle="""
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view'
+                  AND CAST(json_extract_string(props, '$.k') AS INTEGER) > 40
+                GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.value > 30 AND e.ts > s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT * FROM (
+      SELECT 1 AS step, 'view_bigk' AS step_name, (SELECT count(*) FROM s1) AS n_users
+      UNION ALL
+      SELECT 2, 'big_click', (SELECT count(*) FROM s2)
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    ) WHERE n_users > 0
+    """,
+)
+def events_funnel_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with per-step PROPERTY predicates — the Rakam funnel a
+    user actually configures (step 1: views whose ``props.k`` exceeds
+    40; step 2: clicks with ``value > 30``; step 3: any purchase).
+    Spark side is the match-array sorted fold
+    (`operators/events.py:funnel_filtered`, still ONE corpus shuffle);
+    oracle is the predicate-chained min-timestamp construction."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    steps = [
+        ("view_bigk", (F.col("event_type") == "view") & (k > 40)),
+        ("big_click", (F.col("event_type") == "click") & (F.col("value") > 30)),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+    return ev.funnel_filtered(_t(spark, sf_dir, "events"), steps)
 
 
 @query(

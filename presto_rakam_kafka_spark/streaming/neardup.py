@@ -79,8 +79,17 @@ def incremental_neardup(
     Flag semantics: a document is flagged iff some EARLIER document
     (previous micro-batch, or same batch with smaller id) has exact
     word-``n``-gram Jaccard ≥ ``threshold`` among its band-collision
-    candidates — so with id-ordered replay the flagged set equals the
-    batch oracle "∃ a < b with J(a,b) ≥ t ⇒ flag b"."""
+    candidates. This equals the batch MinHash-LSH semantics (band
+    collision, then exact-Jaccard verify) — NOT the unconditional
+    all-pairs semantics: a pair sitting exactly at the threshold only
+    band-collides with the S-curve probability (~50% at the derived
+    geometry's midpoint), so equality to the all-pairs oracle is
+    probabilistic by construction, exactly as for the batch
+    ``minhash_lsh_pairs`` operator. The fixture's near-duplicates are
+    far above the threshold (J ≈ 0.9+), where the per-pair miss
+    probability is ≤ ~4e-4, which is why the gate replays the simpler
+    all-pairs oracle (same stance, and same residual risk, as the
+    ``dedup_minhash_lsh`` gate)."""
     if rows_per_band is None:
         rows_per_band = derived_rows_per_band(threshold, num_bands)
     num_hashes = num_bands * rows_per_band
@@ -167,8 +176,13 @@ def incremental_neardup(
 def incremental_neardup_oracle(
     table: str, text_col: str, id_col: str, n: int = 3, threshold: float = 0.8
 ) -> str:
-    """Batch twin of the incremental flag semantics: flag b iff some
-    a < b has exact n-gram Jaccard ≥ threshold."""
+    """Batch ALL-PAIRS twin of the incremental flag semantics: flag b
+    iff some a < b has exact n-gram Jaccard ≥ threshold. The streaming
+    path additionally requires an LSH band collision before verifying,
+    so this oracle is an equality only up to LSH recall — acceptable
+    because every fixture near-dup pair sits far above the threshold
+    (see :func:`incremental_neardup`); a corpus engineered at the
+    threshold would need a banding-replay oracle instead."""
     from presto_rakam_kafka_spark.functions.hashing import jaccard_duckdb, shingles_duckdb
 
     jac = jaccard_duckdb("a.sh", "b.sh")

@@ -714,3 +714,53 @@ def test_stream_reader_max_rows_per_batch(spark, sf_dir, tmp_path):
     assert result.count() == 600
     assert result.distinct().count() == 600
     assert len(counts) >= 6  # the cap forced multiple bounded triggers
+
+
+def test_catalog_native_avro_scan_pushdown_and_evolution(spark, sf_dir):
+    """The reference's production scan shape (offset pruning + Avro
+    decode in ONE scan, `KafkaConnectorPageSource.java:82-123` +
+    `KafkaSplitManager.java:153-178`): the pushed range must be consumed
+    by the BatchScan (absent from every post-scan Filter), the v1→evolved
+    decode must resolve aliases/promotion/enum/default, and the result
+    must equal the parquet ground truth over the same range."""
+    from presto_rakam_kafka_spark import queries_dsv2 as qd
+    from presto_rakam_kafka_spark.catalog import EventCatalog
+    from presto_rakam_kafka_spark.metastore import InMemoryMetastore
+    from presto_rakam_kafka_spark.plans.offset_pushdown import OffsetRange
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    log_dir = qd._avro_segment_log_dir(spark, sf_dir)
+    ms = InMemoryMetastore()
+    catalog = EventCatalog(spark, ms)
+    ms.register("tpch", "events", qd._avro_reader_fields())
+    catalog.register_kafka_segments(
+        "tpch",
+        "events",
+        log_dir,
+        value_format="avro",
+        avro_writer_schema=qd._AVRO_WRITER_V1,
+    )
+    df = catalog.table(
+        "tpch", "events", include_hidden=True, offset_ranges=[OffsetRange(100, 300)]
+    )
+    ev = read_table(spark, sf_dir, "events")
+    exp = ev.filter((F.col("event_id") >= 100) & (F.col("event_id") < 300))
+    # evolution surface: renamed+promoted user_id, reader-only default
+    assert dict(df.dtypes)["user_id"] == "bigint"
+    assert "missing_col" in df.columns and "legacy" not in df.columns
+    rows = df.select("_offset", "user_id", "priority", "missing_col").collect()
+    assert sorted(r["_offset"] for r in rows) == sorted(
+        r["event_id"] for r in exp.select("event_id").collect()
+    )
+    assert all(r["missing_col"] is None for r in rows)
+    assert all(r["priority"] in ("LOW", "HIGH") for r in rows)
+    exp_users = {
+        r["event_id"]: r["user_id"] for r in exp.select("event_id", "user_id").collect()
+    }
+    assert all(exp_users[r["_offset"]] == r["user_id"] for r in rows)
+    # the pushed range is consumed at plan time, not re-filtered post-scan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan kafka_segments" in plan
+    for ln in plan.splitlines():
+        if "Filter" in ln and "Runtime" not in ln:
+            assert ">= 100" not in ln and "< 300" not in ln, plan
