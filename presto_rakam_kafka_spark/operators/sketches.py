@@ -197,21 +197,18 @@ def _hll_est_literals(m: int) -> tuple[str, float]:
     return repr(c), 2.5 * m
 
 
-def hll_weekly_users(events: DataFrame, p: int = HLL_P) -> DataFrame:
-    """Distinct users per week, estimated by MERGING per-day HLL
-    sketches register-wise — never re-touching raw events past the
-    day-level agg — with the exact count alongside.
-
-    Plan: one codegen projection computes (register, rho) per event;
-    groupBy(week, day, register) max(rho) is the only corpus-sized
-    shuffle (uniform key); the day→week merge and estimation run over
-    ≤ weeks·m rows. At 100 TB the day-level sketch table is the stored
-    rollup (days × m rows, bytes per day) and any coarser period is a
-    register-wise max away."""
+def hll_day_registers(events: DataFrame, p: int = HLL_P) -> DataFrame:
+    """The corpus-touching half of the weekly-users sketch: per
+    (week, day, register) max-rho — the stored mergeable rollup. The
+    ONLY corpus-sized shuffle; register-max is associative AND
+    commutative, so this same expression is a valid Structured
+    Streaming aggregation (state = the day-level sketch itself, rows
+    fold in micro-batch arrival order with identical results) —
+    :func:`hll_weekly_from_registers` turns either output into
+    estimates."""
     m = 1 << p
     reg, rho = _hll_exprs_spark("cast(user_id as string)", m)
-    c_lit, small = _hll_est_literals(m)
-    day_sketch = (
+    return (
         events.selectExpr(
             "date_trunc('week', ts) as wk",
             "date_trunc('day', ts) as day",
@@ -221,6 +218,17 @@ def hll_weekly_users(events: DataFrame, p: int = HLL_P) -> DataFrame:
         .groupBy("wk", "day", "reg")
         .agg(F.max("rho").alias("m_day"))
     )
+
+
+def hll_weekly_from_registers(
+    day_sketch: DataFrame, exact_events: DataFrame, p: int = HLL_P
+) -> DataFrame:
+    """Estimation half: day→week register-wise max merge + the HLL
+    estimator (with linear-counting small-range correction), exact
+    count joined alongside from ``exact_events``. Runs over ≤ weeks·m
+    rows — never the corpus."""
+    m = 1 << p
+    c_lit, small = _hll_est_literals(m)
     week_sketch = day_sketch.groupBy("wk", "reg").agg(F.max("m_day").alias("m_wk"))
     state = week_sketch.groupBy("wk").agg(
         F.sum(F.expr(f"shiftleft(cast(1 as bigint), {RHO_CAP} - m_wk)")).alias(
@@ -236,7 +244,7 @@ def hll_weekly_users(events: DataFrame, p: int = HLL_P) -> DataFrame:
         (est_raw <= F.lit(small)) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(est_raw)
-    exact = events.groupBy(F.date_trunc("week", "ts").alias("wk")).agg(
+    exact = exact_events.groupBy(F.date_trunc("week", "ts").alias("wk")).agg(
         F.count_distinct("user_id").alias("n_exact")
     )
     return (
@@ -248,6 +256,22 @@ def hll_weekly_users(events: DataFrame, p: int = HLL_P) -> DataFrame:
             F.col("regs_used").cast("long").alias("regs_used"),
         )
     )
+
+
+def hll_weekly_users(events: DataFrame, p: int = HLL_P) -> DataFrame:
+    """Distinct users per week, estimated by MERGING per-day HLL
+    sketches register-wise — never re-touching raw events past the
+    day-level agg — with the exact count alongside.
+
+    Plan: one codegen projection computes (register, rho) per event;
+    groupBy(week, day, register) max(rho) is the only corpus-sized
+    shuffle (uniform key); the day→week merge and estimation run over
+    ≤ weeks·m rows. At 100 TB the day-level sketch table is the stored
+    rollup (days × m rows, bytes per day) and any coarser period is a
+    register-wise max away. Composed from :func:`hll_day_registers` +
+    :func:`hll_weekly_from_registers`, which the streaming
+    ``stream_hll_users`` query shares verbatim."""
+    return hll_weekly_from_registers(hll_day_registers(events, p), events, p)
 
 
 def hll_weekly_users_oracle(table: str = "events", p: int = HLL_P) -> str:

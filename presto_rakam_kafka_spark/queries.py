@@ -1492,6 +1492,31 @@ def _register_streaming_queries() -> None:
             "append",
         )
 
+    from presto_rakam_kafka_spark.operators import sketches as _sk
+
+    @query("stream_hll_users", oracle=_sk.hll_weekly_users_oracle("events"))
+    def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Continuous DAU/WAU (r4 verdict item 4): the mergeable-HLL
+        register fold AS the streaming aggregation — register-max is
+        associative and commutative, so ``groupBy(wk, day, reg)
+        .max(rho)`` over micro-batches accumulates exactly the batch
+        day-level sketch (integer state, no float drift). The drained
+        register table then feeds the SAME estimation half as the
+        batch ``events_hll_weekly_users`` (`operators/sketches.py:
+        hll_weekly_from_registers`), so the stream equals the batch
+        sketch bit-for-bit. At 100 TB the streaming state is the
+        stored rollup itself: days × m registers per key — bytes per
+        day — and any coarser period (WAU/MAU) is a register-wise max
+        over it, never a raw-event replay."""
+        regs = _drain(
+            _sk.hll_day_registers(_events_stream(spark, sf_dir)),
+            "hll_regs",
+            "complete",
+        )
+        return _sk.hll_weekly_from_registers(
+            regs, read_table(spark, sf_dir, "events")
+        )
+
 
 _register_streaming_queries()
 

@@ -232,6 +232,62 @@ def stream_kafka_segments_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, name, "complete")
 
 
+#: Event-time cut for the ts-pushdown query: two thirds of the month
+#: (and so of every partition's segment chain) lies before it.
+_TS_CUT = "2024-01-20 00:00:00"
+
+
+@query(
+    "dsv2_ts_pruned_scan",
+    oracle=f"""
+    SELECT event_type, count(*) AS n_events,
+           min(event_id) AS first_offset, max(event_id) AS last_offset
+    FROM events
+    WHERE ts >= TIMESTAMP '{_TS_CUT}'
+    GROUP BY event_type
+    """,
+)
+def dsv2_ts_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp→offset pushdown (the ``offsetsForTimes`` analog the
+    reference lacks — it prunes only on `_offset`, but a Rakam user
+    filters on event TIME): ``WHERE timestamp >= X`` reaches
+    ``pushFilters``, segment footer ts stats prune whole segments
+    before any task launches, and the filter still evaluates exactly
+    on the surviving segments' rows. Pruning is plan-asserted in
+    ``tests/test_kafka_datasource.py`` (planner drops ~⅔ of splits at
+    this cut); here the aggregate must equal plain SQL over the
+    source parquet."""
+    from presto_rakam_kafka_spark.metastore import SchemaField
+    from presto_rakam_kafka_spark.sources.kafka import KafkaEventSource
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        KafkaSegmentDataSource,
+    )
+    from presto_rakam_kafka_spark.types import FieldType
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(KafkaSegmentDataSource)
+    log_dir = _segment_log_dir(spark, sf_dir)
+    raw = (
+        spark.read.format("kafka_segments")
+        .option("path", log_dir)
+        .load()
+        .filter(F.col("timestamp") >= F.lit(_TS_CUT).cast("timestamp"))
+    )
+    fields = [
+        SchemaField("event_id", FieldType.LONG),
+        SchemaField("user_id", FieldType.LONG),
+        SchemaField("event_type", FieldType.STRING),
+        SchemaField("value", FieldType.DOUBLE),
+    ]
+    src = KafkaEventSource(bootstrap_servers="none:9092", value_format="json")
+    decoded = src._decode(spark, raw, "tpch", "events", fields)
+    return decoded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("_offset").alias("first_offset"),
+        F.max("_offset").alias("last_offset"),
+    )
+
+
 #: v1 writer schema for the Avro-native path: old field names (`uid`,
 #: `etype`), int ids, an enum, and a writer-only `legacy` field — the
 #: same evolution surface as `avro_decode_roundtrip`, now travelling

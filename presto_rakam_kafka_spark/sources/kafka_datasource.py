@@ -131,6 +131,44 @@ def _segment_meta(fpath: str) -> tuple[int | None, int | None, int]:
     return int(lo), int(hi) + 1, meta.num_rows
 
 
+def _normalize_ts(v):
+    """Naive microsecond datetime for cross-comparison: Catalyst hands
+    timestamp literals to the Python DS as (possibly tz-aware) datetimes
+    while the segment footers store naive ``timestamp[us]`` stats."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v
+    return None
+
+
+def _segment_ts_meta(fpath: str):
+    """(ts_min, ts_max) over the segment's ``timestamp`` column footer
+    stats, or (None, None) when any row group lacks them — the caller
+    must then keep the segment (conservative, like offset stats). The
+    planner's ``offsetsForTimes`` substrate: one footer read, no data
+    IO."""
+    import pyarrow.parquet as pq
+
+    meta = pq.read_metadata(fpath)
+    try:
+        idx = meta.schema.to_arrow_schema().get_field_index("timestamp")
+    except KeyError:
+        return None, None
+    if idx < 0:
+        return None, None
+    lo = hi = None
+    for rg in range(meta.num_row_groups):
+        st = meta.row_group(rg).column(idx).statistics
+        if st is None or st.min is None or st.max is None:
+            return None, None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return lo, hi
+
+
 def _enumerate_segments(path: str) -> dict[int, list[tuple[str, int | None, int | None, int]]]:
     """{partition_id: [(file, lo, hi_exclusive, num_rows), …]} for the
     CURRENT generation of every partition. Driver-side metadata only:
@@ -266,30 +304,57 @@ class KafkaSegmentReader(DataSourceReader):
         # offset bounds accumulated from pushed filters; None = unbounded
         self._start: int | None = None  # inclusive
         self._end: int | None = None  # exclusive
+        # timestamp bounds (closed interval, naive µs datetimes) — used
+        # ONLY to prune whole segments by footer ts stats; the filter
+        # itself is returned to Spark for exact row evaluation.
+        self._ts_lo = None
+        self._ts_hi = None
 
-    # -- A4: offset conjuncts clamp the scan; everything else returns --
+    # -- A4: offset conjuncts clamp the scan; timestamp conjuncts prune
+    # segments by footer ts stats (the `offsetsForTimes` analog — a
+    # Rakam user filters on event TIME, not offsets: the reference only
+    # prunes on `_offset`, this source prunes on both); everything else
+    # returns to Spark.
     def pushFilters(self, filters: list[Filter]) -> list[Filter]:
         remaining: list[Filter] = []
         for f in filters:
             col = getattr(f, "attribute", None)
-            if col == ("offset",) or col == ["offset"] or col == "offset":
-                col = ("offset",)
-            if col != ("offset",):
+            if col in (("offset",), ["offset"], "offset"):
+                if isinstance(f, GreaterThanOrEqual):
+                    self._clamp_start(f.value)
+                elif isinstance(f, GreaterThan):
+                    self._clamp_start(f.value + 1)
+                elif isinstance(f, LessThan):
+                    self._clamp_end(f.value)
+                elif isinstance(f, LessThanOrEqual):
+                    self._clamp_end(f.value + 1)
+                elif isinstance(f, EqualTo):
+                    self._clamp_start(f.value)
+                    self._clamp_end(f.value + 1)
+                else:
+                    remaining.append(f)
+                continue
+            if col in (("timestamp",), ["timestamp"], "timestamp"):
+                v = _normalize_ts(getattr(f, "value", None))
+                # Closed bounds are conservative for > / < too: a
+                # boundary-equal segment survives pruning and the
+                # returned filter drops its rows exactly.
+                if v is not None and isinstance(
+                    f, (GreaterThanOrEqual, GreaterThan)
+                ):
+                    self._ts_lo = v if self._ts_lo is None else max(self._ts_lo, v)
+                elif v is not None and isinstance(
+                    f, (LessThanOrEqual, LessThan)
+                ):
+                    self._ts_hi = v if self._ts_hi is None else min(self._ts_hi, v)
+                elif v is not None and isinstance(f, EqualTo):
+                    self._ts_lo = v if self._ts_lo is None else max(self._ts_lo, v)
+                    self._ts_hi = v if self._ts_hi is None else min(self._ts_hi, v)
+                # ALWAYS hand the ts filter back: pruning is segment-
+                # granular, rows inside surviving segments still need it.
                 remaining.append(f)
                 continue
-            if isinstance(f, GreaterThanOrEqual):
-                self._clamp_start(f.value)
-            elif isinstance(f, GreaterThan):
-                self._clamp_start(f.value + 1)
-            elif isinstance(f, LessThan):
-                self._clamp_end(f.value)
-            elif isinstance(f, LessThanOrEqual):
-                self._clamp_end(f.value + 1)
-            elif isinstance(f, EqualTo):
-                self._clamp_start(f.value)
-                self._clamp_end(f.value + 1)
-            else:
-                remaining.append(f)
+            remaining.append(f)
         return remaining
 
     def _clamp_start(self, v: int) -> None:
@@ -297,6 +362,21 @@ class KafkaSegmentReader(DataSourceReader):
 
     def _clamp_end(self, v: int) -> None:
         self._end = v if self._end is None else min(self._end, v)
+
+    def _ts_overlaps(self, fpath: str) -> bool:
+        """False iff the segment's footer ts stats prove it disjoint
+        from the pushed timestamp bounds. Stats-less segments are kept
+        (never silently pruned, same stance as offset stats)."""
+        if self._ts_lo is None and self._ts_hi is None:
+            return True
+        lo, hi = _segment_ts_meta(fpath)
+        if lo is None or hi is None:
+            return True
+        if self._ts_lo is not None and hi < self._ts_lo:
+            return False
+        if self._ts_hi is not None and lo > self._ts_hi:
+            return False
+        return True
 
     # -- A2/A3: segment enumeration → splits ---------------------------
     def partitions(self) -> list[OffsetSplit]:
@@ -308,12 +388,29 @@ class KafkaSegmentReader(DataSourceReader):
         segments: list[tuple[int, str, int, int]] = []  # (pid, file, lo, hi+1)
         for pid in sorted(by_pid):
             for fpath, lo, hi, _nrows in by_pid[pid]:
+                # ts-stat pruning first (one extra footer read per
+                # segment, only when a ts bound was pushed): a segment
+                # whose whole ts span misses the bound never plans a
+                # split — WHERE ts >= X becomes segment pruning, the
+                # consumer `offsetsForTimes` analog.
+                if not self._ts_overlaps(fpath):
+                    continue
                 if lo is None:
                     segments.append((pid, fpath, 0, 2**62))
                 else:
                     segments.append((pid, fpath, lo, hi))
 
         if not segments:
+            all_files = [
+                (pid, f)
+                for pid in sorted(by_pid)
+                for f, _, _, _ in by_pid[pid]
+            ]
+            if all_files:
+                # Layout is fine; ts pruning removed every segment —
+                # a fully-pruned (empty) scan, like the offset path.
+                pid, fpath = all_files[0]
+                return [OffsetSplit(fpath, pid, 0, 0)]
             raise KafkaLogLayoutError(f"no segment files under {self._path}")
 
         # Clamp by pushed offset bounds; prune non-overlapping segments.
@@ -889,6 +986,48 @@ def expire_segments(
             f"no partition=N directories under {path} (A3 strictness)"
         )
     return report
+
+
+def offsets_for_times(path: str, ts, partitions: list[int] | None = None) -> dict[int, int | None]:
+    """Kafka ``Consumer.offsetsForTimes`` analog over a segment log:
+    for each partition, the EARLIEST offset whose frame timestamp is
+    ≥ ``ts`` (None when no such frame) — the resolution step that turns
+    "replay from Tuesday 14:00" into an offset seek.
+
+    Two-phase, driver-side, bounded: segment footer ts stats narrow the
+    candidates to segments whose span can contain the answer (every
+    segment with ts_max ≥ ts, the same stats :class:`KafkaSegmentReader`
+    prunes with); only candidates are then read — (offset, timestamp)
+    columns only — to compute the exact minimum. On a healthy log where
+    timestamps correlate with offsets this reads O(1) segments per
+    partition, exactly like a broker's time-index lookup.
+    """
+    import pyarrow.parquet as pq
+
+    target = _normalize_ts(ts)
+    if target is None:
+        raise TypeError(f"ts must be a datetime, got {type(ts).__name__}")
+    out: dict[int, int | None] = {}
+    for pid, segs in sorted(_enumerate_segments(path).items()):
+        if partitions is not None and pid not in partitions:
+            continue
+        best: int | None = None
+        for fpath, _lo, _hi, nrows in segs:
+            if nrows == 0:
+                continue
+            s_lo, s_hi = _segment_ts_meta(fpath)
+            if s_hi is not None and s_hi < target:
+                continue  # entire segment before the target time
+            t = pq.read_table(fpath, columns=["offset", "timestamp"])
+            for off, t_us in zip(
+                t["offset"].to_pylist(), t["timestamp"].to_pylist()
+            ):
+                if t_us is not None and t_us >= target and (
+                    best is None or off < best
+                ):
+                    best = off
+        out[pid] = best
+    return out
 
 
 def write_segments(

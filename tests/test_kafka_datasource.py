@@ -764,3 +764,70 @@ def test_catalog_native_avro_scan_pushdown_and_evolution(spark, sf_dir):
     for ln in plan.splitlines():
         if "Filter" in ln and "Runtime" not in ln:
             assert ">= 100" not in ln and "< 300" not in ln, plan
+
+
+def test_ts_pushdown_prunes_segments(spark, sf_dir, log_dir):
+    """A timestamp bound must prune whole segments at PLAN time via
+    footer ts stats (the `offsetsForTimes` analog), while the filter
+    itself returns to Spark for exact row evaluation."""
+    import datetime as dt
+
+    from pyspark.sql.datasource import GreaterThanOrEqual as GTE
+
+    full = KafkaSegmentReader({"path": log_dir})
+    n_all = len(full.partitions())
+
+    r = KafkaSegmentReader({"path": log_dir})
+    cut = dt.datetime(2024, 1, 20)
+    remaining = r.pushFilters([GTE(("timestamp",), cut)])
+    # ts filters are NOT consumed — rows in surviving segments still
+    # need exact evaluation.
+    assert len(remaining) == 1
+    pruned = r.partitions()
+    assert 0 < len(pruned) < n_all, (len(pruned), n_all)
+    # Every surviving segment really can contain qualifying rows.
+    from presto_rakam_kafka_spark.sources.kafka_datasource import _segment_ts_meta
+
+    for sp in pruned:
+        _, hi = _segment_ts_meta(sp.path)
+        assert hi is None or hi >= cut
+    # And no qualifying row was lost: scan both ways and compare.
+    df = spark.read.format("kafka_segments").option("path", log_dir).load()
+    n_exact = df.filter(F.col("timestamp") >= F.lit("2024-01-20").cast("timestamp")).count()
+    n_expected = read_table(spark, sf_dir, "events").filter(
+        F.col("ts") >= F.lit("2024-01-20").cast("timestamp")
+    ).count()
+    assert n_exact == n_expected
+
+
+def test_ts_pushdown_fully_pruned_is_empty_not_error(log_dir):
+    import datetime as dt
+
+    from pyspark.sql.datasource import GreaterThanOrEqual as GTE
+
+    r = KafkaSegmentReader({"path": log_dir})
+    r.pushFilters([GTE(("timestamp",), dt.datetime(2031, 1, 1))])
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].start == parts[0].end == 0
+
+
+def test_offsets_for_times_resolves_earliest_offset(spark, sf_dir, log_dir):
+    """offsets_for_times = the consumer API that turns an event time
+    into a per-partition seek offset; must equal the brute-force min
+    over the raw frames."""
+    import datetime as dt
+
+    from presto_rakam_kafka_spark.sources.kafka_datasource import offsets_for_times
+
+    cut = dt.datetime(2024, 1, 20)
+    got = offsets_for_times(log_dir, cut)
+    df = spark.read.format("kafka_segments").option("path", log_dir).load()
+    exp_rows = (
+        df.filter(F.col("timestamp") >= F.lit("2024-01-20").cast("timestamp"))
+        .groupBy("partition")
+        .agg(F.min("offset").alias("o"))
+        .collect()
+    )
+    exp = {r["partition"]: r["o"] for r in exp_rows}
+    for pid, off in got.items():
+        assert exp.get(pid, None) == off, (pid, off, exp.get(pid))
