@@ -290,6 +290,110 @@ def funnel_filtered(
     )
 
 
+def funnel_segmented(
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    segment: Column | None = None,
+) -> DataFrame:
+    """Funnel BROKEN DOWN BY A SEGMENT — Rakam's "funnel with segment"
+    (each funnel chart grouped by a property of the user's FIRST-step
+    event, e.g. the campaign that produced the first view): per
+    (step, segment), how many users completed the prefix, where a
+    user's segment is the ``segment`` expression evaluated on their
+    first matched step-1 event.
+
+    Same one-corpus-shuffle sorted fold as :func:`funnel`; the
+    accumulator is (depth, seg) and captures ``seg`` exactly at the
+    0→1 advance — greedy-first-match, so it is the chained-min
+    construction's step-1 event under unique (ts, event_id). Segment
+    cardinality multiplies only the OUTPUT rows (steps × segments),
+    never the shuffle."""
+    if segment is None:
+        segment = F.get_json_object(F.col("props"), "$.k").cast("int") >= F.lit(50)
+        segment = F.when(segment, "high").otherwise("low")
+    step_idx = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
+    )
+    evs = events.filter(F.col("event_type").isin(list(steps))).select(
+        "user_id",
+        F.struct(
+            F.col("ts"),
+            F.col("event_id"),
+            step_idx[F.col("event_type")].alias("idx"),
+            segment.cast("string").alias("seg"),
+        ).alias("ev"),
+    )
+    zero = F.struct(
+        F.lit(0).alias("depth"), F.lit(None).cast("string").alias("seg")
+    )
+    advance = lambda acc, e: F.when(  # noqa: E731
+        e["idx"] == acc["depth"],
+        F.struct(
+            (acc["depth"] + 1).alias("depth"),
+            F.when(acc["depth"] == 0, e["seg"]).otherwise(acc["seg"]).alias("seg"),
+        ),
+    ).otherwise(acc)
+    folded = evs.groupBy("user_id").agg(
+        F.aggregate(F.array_sort(F.collect_list("ev")), zero, advance).alias("acc")
+    )
+    depths = folded.select(
+        "user_id", F.col("acc.depth").alias("depth"), F.col("acc.seg").alias("seg")
+    )
+    steps_df = depths.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step INT, step_name STRING"
+    )
+    return (
+        depths.join(F.broadcast(steps_df), F.col("depth") >= F.col("step"))
+        .groupBy("step", "step_name", "seg")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def retention_filtered(
+    events: DataFrame,
+    first_type: str = "signup",
+    return_type: str = "purchase",
+) -> DataFrame:
+    """Retention with CONFIGURED first/return actions — Rakam's
+    retention report ("users who did X, who came back and did Y"):
+    cohort = week of the user's first ``first_type`` event (users
+    without one are excluded); cell (cohort_week, week_offset) counts
+    distinct cohort users with a ``return_type`` event in that week
+    (offset 0 = the cohort week itself).
+
+    Same single-pass shape as :func:`retention_cohorts`: ONE
+    ``user_id`` groupBy computes the conditional first-X timestamp AND
+    the distinct Y-weeks (``collect_set`` — bounded by calendar weeks,
+    never event volume); explode + a cell-level agg over
+    ≤ users×weeks rows. Two exchanges total."""
+    per_user = events.groupBy("user_id").agg(
+        F.date_trunc(
+            "week",
+            F.min(F.when(F.col("event_type") == first_type, F.col("ts"))),
+        ).alias("cohort_wk"),
+        F.collect_set(
+            F.when(
+                F.col("event_type") == return_type,
+                F.date_trunc("week", F.col("ts")),
+            )
+        ).alias("wks"),
+    )
+    return (
+        per_user.filter(F.col("cohort_wk").isNotNull())
+        .select("cohort_wk", F.explode("wks").alias("wk"))
+        .filter(F.col("wk") >= F.col("cohort_wk"))
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                (F.unix_timestamp("wk") - F.unix_timestamp("cohort_wk")) / 604800
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
 def retention_cohorts(events: DataFrame) -> DataFrame:
     """Weekly cohort retention: cohort = week of a user's first event;
     cell (cohort_week, week_offset) counts distinct users from that

@@ -656,6 +656,177 @@ def pq_topk_oracle(
     """
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    k: int = 5,
+    num_centroids: int = NUM_CENTROIDS,
+    nprobe: int = NUM_PROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    centroids: list[list[float]] | None = None,
+    books=None,
+) -> DataFrame:
+    """IVF-PQ — the two halves COMPOSED, the actual production ANN
+    architecture this package's pieces exist for (r4 verdict: "PQ's
+    ADC contract, pruned by IVF in production"): the coarse quantizer
+    prunes candidates to the query's ``nprobe`` inverted lists, and PQ
+    asymmetric distance scores ONLY those candidates through m×ksub
+    lookup tables — candidates never touch raw vectors, and the scored
+    volume is ~n·nprobe/num_centroids instead of n.
+
+    This is the no-residual variant (codes encode the raw vector, not
+    the residual from its coarse centroid — faiss ``by_residual=False``):
+    list assignment and codes stay independent, so the oracle replays
+    both with the same seeded literals. Corpus side is ONE projection
+    (list id + m codes ride with the row — at 100 TB this is the stored
+    index: 4 bytes of code + a list id per vector); queries broadcast;
+    per-query ranking is bounded by candidate volume. Approx scores are
+    returned for the standard exact re-rank downstream."""
+    cents = centroids if centroids is not None else ivf_centroids(num_centroids, dim)
+    sub_dim = dim // m
+    if books is None:
+        books = pq_centroids(m, ksub, sub_dim)
+
+    dots = _dots_spark(vec_col, cents)
+    dcols = [f"d{i}" for i in range(len(cents))]
+
+    def with_dots(df):
+        return df.select("*", *[F.expr(d).alias(c) for d, c in zip(dots, dcols)])
+
+    code_exprs = []
+    for j in range(m):
+        adj = [
+            f"({d}) - {round(sum(v * v for v in books[j][c]) / 2.0, 6)}"
+            for c, d in enumerate(
+                _dots_spark(_pq_sub_spark(vec_col, j, sub_dim), books[j])
+            )
+        ]
+        pairs = ", ".join(
+            f"named_struct('negd', -({d}), 'idx', {c})" for c, d in enumerate(adj)
+        )
+        code_exprs.append(f"array_sort(array({pairs}))[0].idx AS code{j}")
+    coded = with_dots(corpus).selectExpr(
+        f"{id_col} AS neighbor_id",
+        f"{_argmax_rank_expr(dcols, 0)} AS list_id",
+        *code_exprs,
+    )
+
+    pairs_expr = ", ".join(
+        f"named_struct('negd', -({c}), 'idx', {i})" for i, c in enumerate(dcols)
+    )
+    probe_lists = (
+        f"slice(transform(array_sort(array({pairs_expr})), s -> s.idx), 1, {nprobe})"
+    )
+    qd_exprs = [
+        f"({d}) AS qd_{j}_{c}"
+        for j in range(m)
+        for c, d in enumerate(
+            _dots_spark(_pq_sub_spark(vec_col, j, sub_dim), books[j])
+        )
+    ]
+    q = F.broadcast(
+        with_dots(queries)
+        .selectExpr(f"{id_col} AS query_id", f"explode({probe_lists}) AS list_id", "*")
+        .selectExpr("query_id", "list_id", *qd_exprs)
+    )
+
+    lookups = [
+        "(CASE code" + str(j) + " "
+        + " ".join(f"WHEN {c} THEN qd_{j}_{c}" for c in range(ksub))
+        + " END)"
+        for j in range(m)
+    ]
+    score = _left_assoc_sum(lookups)
+    pairs = (
+        coded.join(q, on="list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .selectExpr("query_id", "neighbor_id", f"round({score}, 6) AS approx_dot")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dot", "rank")
+    )
+
+
+def ivfpq_topk_oracle(
+    table: str,
+    query_pred: str,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    k: int = 5,
+    num_centroids: int = NUM_CENTROIDS,
+    nprobe: int = NUM_PROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> str:
+    """Oracle twin of :func:`ivfpq_topk`: one dots CTE (coarse + PQ
+    lookup + adjusted-code columns, each expression evaluated once),
+    probe union over argmax ranks, ADC CASE scoring over the probed
+    join — the evaluate-once discipline of both parent oracles."""
+    cents = ivf_centroids(num_centroids, dim)
+    sub_dim = dim // m
+    books = pq_centroids(m, ksub, sub_dim)
+
+    dcols = [f"d{i}" for i in range(num_centroids)]
+    dot_sel = [
+        f"({d}) AS {c}" for d, c in zip(_dots_duckdb(vec_col, cents), dcols)
+    ]
+    adj_sel, qd_sel = [], []
+    for j in range(m):
+        dots = _dots_duckdb(_pq_sub_duckdb(vec_col, j, sub_dim), books[j])
+        for c, d in enumerate(dots):
+            half_norm = round(sum(v * v for v in books[j][c]) / 2.0, 6)
+            adj_sel.append(f"(({d}) - {half_norm}) AS a_{j}_{c}")
+            qd_sel.append(f"({d}) AS qd_{j}_{c}")
+    code_cols = [
+        f"({_argmax_rank_case([f'a_{j}_{c}' for c in range(ksub)], 0)}) AS code{j}"
+        for j in range(m)
+    ]
+    probe_selects = " UNION ALL ".join(
+        f"SELECT {id_col} AS query_id,"
+        f" ({_argmax_rank_case(dcols, r)}) AS list_id,"
+        f" {', '.join(f'qd_{j}_{c}' for j in range(m) for c in range(ksub))}"
+        f" FROM cd WHERE {query_pred}"
+        for r in range(nprobe)
+    )
+    lookups = [
+        "(CASE c.code" + str(j) + " "
+        + " ".join(f"WHEN {cc} THEN q.qd_{j}_{cc}" for cc in range(ksub))
+        + " END)"
+        for j in range(m)
+    ]
+    score = _left_assoc_sum(lookups)
+    return f"""
+    WITH cd AS (
+      SELECT {id_col}, {", ".join(dot_sel)}, {", ".join(adj_sel)},
+             {", ".join(qd_sel)}
+      FROM {table}),
+    coded AS (
+      SELECT {id_col} AS neighbor_id,
+             ({_argmax_rank_case(dcols, 0)}) AS list_id,
+             {", ".join(code_cols)}
+      FROM cd),
+    qtab AS ({probe_selects})
+    SELECT query_id, neighbor_id, approx_dot, rank FROM (
+      SELECT q.query_id, c.neighbor_id,
+             round({score}, 6) AS approx_dot,
+             row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({score}, 6) DESC, c.neighbor_id) AS rank
+      FROM qtab q JOIN coded c
+        ON q.list_id = c.list_id AND q.query_id != c.neighbor_id)
+    WHERE rank <= {k}
+    """
+
+
 def fit_pq_books(
     df: DataFrame,
     vec_col: str,

@@ -84,12 +84,21 @@ def cms_heavy_hitters(
     # Top-k via orderBy().limit() → TakeOrderedAndProject (per-partition
     # heaps + driver merge, no single-task sort over ALL distinct keys —
     # VERDICT r4 plan note); the rank column is then a row_number over
-    # only the k surviving rows.
+    # only the k surviving rows. TakeOrdered allocates a k-sized heap,
+    # so an effectively-unbounded k (the "rank every key" diagnostic
+    # mode the property tests use) takes the window form instead — that
+    # mode ranks all keys by definition, a global sort either way.
     win = Window.orderBy(F.desc("est"), F.asc(key))
+    if k <= 1_000_000:
+        return (
+            est.orderBy(F.desc("est"), F.asc(key))
+            .limit(k)
+            .withColumn("rank", F.row_number().over(win))
+            .select(key, "est", "exact", "rank")
+        )
     return (
-        est.orderBy(F.desc("est"), F.asc(key))
-        .limit(k)
-        .withColumn("rank", F.row_number().over(win))
+        est.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
         .select(key, "est", "exact", "rank")
     )
 

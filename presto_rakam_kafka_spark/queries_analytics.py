@@ -112,6 +112,66 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_funnel_segmented",
+    oracle="""
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    seg AS (
+      SELECT s1.user_id, s1.t1,
+             CASE WHEN CAST(json_extract_string(e.props, '$.k') AS INTEGER) >= 50
+                  THEN 'high' ELSE 'low' END AS seg
+      FROM s1 JOIN events e
+        ON e.user_id = s1.user_id AND e.ts = s1.t1 AND e.event_type = 'view'),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT step, step_name, seg, count(*) AS n_users FROM (
+      SELECT 1 AS step, 'view' AS step_name, g.seg FROM seg g
+      UNION ALL
+      SELECT 2, 'click', g.seg FROM s2 JOIN seg g ON s2.user_id = g.user_id
+      UNION ALL
+      SELECT 3, 'purchase', g.seg FROM s3 JOIN seg g ON s3.user_id = g.user_id)
+    GROUP BY step, step_name, seg
+    """,
+)
+def events_funnel_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel grouped by a segment of the FIRST-step event (Rakam's
+    "funnel with segment": here props.k ≥ 50 → 'high' else 'low' on
+    the first view). Spark side captures the segment at the fold's
+    0→1 advance — still one corpus shuffle; oracle joins the chained-
+    min t1 back to its event to read the same property."""
+    return ev.funnel_segmented(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "events_retention_filtered",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_wk
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    ret AS (
+      SELECT DISTINCT f.user_id, f.cohort_wk, date_trunc('week', e.ts) AS wk
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase' AND date_trunc('week', e.ts) >= f.cohort_wk)
+    SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+           CAST((epoch(wk) - epoch(cohort_wk)) / 604800 AS BIGINT) AS week_offset,
+           count(*) AS n_active
+    FROM ret GROUP BY cohort_wk, wk
+    """,
+)
+def events_retention_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention with configured first/return actions (Rakam retention
+    report: "signed up, came back and purchased"): cohort = week of
+    first signup, cells count distinct cohort users purchasing k weeks
+    later. Single-pass per-user agg (conditional first-X + distinct
+    Y-weeks), two exchanges (`operators/events.py:retention_filtered`)."""
+    return ev.retention_filtered(_t(spark, sf_dir, "events"))
+
+
+@query(
     "events_funnel_filtered",
     oracle="""
     WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events

@@ -249,3 +249,111 @@ def test_funnel_latency_consistent_with_funnel(spark, sf_dir):
     final_step = {r["step"]: r["n_users"] for r in ev.funnel(e).collect()}.get(3, 0)
     assert lat["n_converted"] == final_step
     assert 0 <= lat["median_s"] <= lat["p90_s"]
+
+
+def test_funnel_filtered_event_matching_two_steps_advances_once(spark):
+    """An event whose properties satisfy BOTH the current and the next
+    step's predicate advances the funnel exactly ONE step (Rakam
+    semantics: one event, one step), and null predicate results count
+    as no-match."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: one event matching both p1 (value>0) and p2 (value>5)
+        # → depth 1, then a second matching p2 → depth 2.
+        (1, base, 1, "view", 9.0, "{}"),
+        (2, base + dt.timedelta(minutes=1), 1, "view", 9.0, "{}"),
+        # user 2: event with NULL value — p-results are NULL → no match
+        # for either predicate; funnel depth stays 0.
+        (3, base, 2, "view", None, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    steps = [
+        ("any_pos", F.col("value") > 0),
+        ("big", F.col("value") > 5),
+    ]
+    got = {r["step_name"]: r["n_users"] for r in ev.funnel_filtered(df, steps).collect()}
+    assert got == {"any_pos": 1, "big": 1}
+
+
+def test_funnel_filtered_completion_is_ansi_safe(spark):
+    """A user completing ALL steps must not error under ANSI mode (the
+    fold probes index depth+1 past the last step — F.get returns NULL
+    out-of-bounds instead of raising)."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=1), 1, "click", 1.0, "{}"),
+        # extra trailing event after completion
+        (3, base + dt.timedelta(minutes=2), 1, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    steps = [
+        ("view", F.col("event_type") == "view"),
+        ("click", F.col("event_type") == "click"),
+    ]
+    got = {r["step_name"]: r["n_users"] for r in ev.funnel_filtered(df, steps).collect()}
+    assert got == {"view": 1, "click": 1}
+
+
+def test_funnel_segmented_totals_match_plain_funnel(spark, sf_dir):
+    """Summing the segmented funnel over segments must reproduce the
+    plain funnel's per-step counts exactly (segmentation partitions
+    users, never drops or double-counts them)."""
+    events = _events(spark, sf_dir)
+    plain = {r["step"]: r["n_users"] for r in ev.funnel(events).collect()}
+    seg = ev.funnel_segmented(events).collect()
+    summed: dict[int, int] = {}
+    for r in seg:
+        summed[r["step"]] = summed.get(r["step"], 0) + r["n_users"]
+    assert summed == plain
+
+
+def test_funnel_segmented_captures_first_step_segment(spark):
+    """The segment must come from the FIRST MATCHED step-1 event, not a
+    later one: user views with k=10 (low) then k=90 (high) — their
+    whole funnel row belongs to 'low'."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "view", 1.0, '{"k": 10}'),
+        (2, base + dt.timedelta(minutes=1), 1, "view", 1.0, '{"k": 90}'),
+        (3, base + dt.timedelta(minutes=2), 1, "click", 1.0, '{"k": 50}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    got = {(r["step_name"], r["seg"]): r["n_users"] for r in ev.funnel_segmented(df).collect()}
+    assert got == {("view", "low"): 1, ("click", "low"): 1}
+
+
+def test_retention_filtered_requires_first_action(spark):
+    """Users without the first action contribute NOTHING (no cohort),
+    even with return actions; offset-0 cells count returns in the
+    cohort week itself."""
+    base = dt.datetime(2024, 1, 1, 12)
+    rows = [
+        # user 1: signup week 0, purchase same week and 2 weeks later
+        (1, base, 1, "signup", 1.0, "{}"),
+        (2, base + dt.timedelta(days=1), 1, "purchase", 1.0, "{}"),
+        (3, base + dt.timedelta(days=14), 1, "purchase", 1.0, "{}"),
+        # user 2: purchases but never signs up → invisible
+        (4, base, 2, "purchase", 1.0, "{}"),
+        # user 3: purchase BEFORE the signup week → dropped (wk < cohort)
+        (5, base + dt.timedelta(days=21), 3, "signup", 1.0, "{}"),
+        (6, base, 3, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_active"]
+        for r in ev.retention_filtered(df).collect()
+    }
+    assert got == {("2024-01-01", 0): 1, ("2024-01-01", 2): 1}
