@@ -111,6 +111,22 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.funnel_windowed(_t(spark, sf_dir, "events"), window_hours=72)
 
 
+from presto_rakam_kafka_spark import schema_inference as si
+
+
+@query(
+    "events_props_schema_inference",
+    oracle=si.infer_props_schema_oracle("events"),
+)
+def events_props_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rakam's dynamic-schema ingestion half: infer each JSON property
+    key's widest value type (long ⊂ double ⊂ boolean-vs-string
+    lattice) in one distributed pass — the inference that feeds
+    ``metastore.add_fields`` evolution (`schema_inference.py`;
+    widening is Avro-promotion-compatible so old readers survive)."""
+    return si.infer_props_schema(_t(spark, sf_dir, "events"))
+
+
 @query(
     "events_funnel_segmented",
     oracle="""

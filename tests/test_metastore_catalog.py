@@ -173,3 +173,63 @@ def test_offset_pushdown_reaches_parquet_scan(catalog):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "GreaterThanOrEqual(event_id,10)" in plan, plan
+
+
+def test_props_schema_inference_widening_lattice(spark):
+    """Type inference takes the WIDEST shape per key: all-int -> long,
+    int+float -> double, true/false -> boolean, anything else ->
+    string; NULLs never narrow or widen."""
+    import json as _json
+
+    from presto_rakam_kafka_spark.schema_inference import infer_props_schema
+
+    rows = [
+        (_json.dumps({"a": 1, "b": 1, "c": True, "d": "x", "e": 5}),),
+        (_json.dumps({"a": 2, "b": 2.5, "c": False, "d": 3, "e": None}),),
+        (_json.dumps({"a": -3, "b": 1e3, "c": True}),),
+    ]
+    df = spark.createDataFrame(rows, "props STRING")
+    got = {
+        r["prop_key"]: (r["inferred_type"], r["n_values"])
+        for r in infer_props_schema(df).collect()
+    }
+    assert got == {
+        "a": ("long", 3),
+        "b": ("double", 3),
+        "c": ("boolean", 3),
+        "d": ("string", 2),
+        "e": ("long", 1),  # NULL value ignored, stays long
+    }
+
+
+def test_evolve_collection_appends_only_new_fields(spark):
+    """The ingestion-evolution contract: inferred prop columns append
+    via add_fields (ordinal-stable), existing fields are never
+    re-typed, and a second evolution with the same data is a no-op."""
+    import json as _json
+
+    from presto_rakam_kafka_spark.metastore import SchemaField, SqlMetastore
+    from presto_rakam_kafka_spark.schema_inference import evolve_collection
+    from presto_rakam_kafka_spark.types import FieldType
+
+    ms = SqlMetastore()
+    ms.register(
+        "tpch",
+        "events",
+        [
+            SchemaField("event_id", FieldType.LONG),
+            SchemaField("props_k", FieldType.LONG),  # pre-existing prop col
+        ],
+    )
+    df = spark.createDataFrame(
+        [(_json.dumps({"k": 1, "fresh": 2.5, "name": "x"}),)], "props STRING"
+    )
+    added = evolve_collection(ms, "tpch", "events", df)
+    assert [(f.name, f.type) for f in added] == [
+        ("props_fresh", FieldType.DOUBLE),
+        ("props_name", FieldType.STRING),
+    ]
+    names = [f.name for f in ms.get_collection("tpch", "events")]
+    # ordinal-stable append: originals first, new fields after
+    assert names == ["event_id", "props_k", "props_fresh", "props_name"]
+    assert evolve_collection(ms, "tpch", "events", df) == []

@@ -272,3 +272,67 @@ def test_stream_funnel_window_blocks_slow_conversion(spark):
     )
     got = {(r["user_id"], r["step"]) for r in out.collect()}
     assert got == {(7, 1), (8, 1), (8, 2)}
+
+
+def test_streaming_schema_evolution_per_microbatch(spark):
+    """Rakam's continuous ingestion: each micro-batch may carry NEW
+    property keys; a foreachBatch evolve_collection call appends them
+    to the metastore as they arrive, ordinal-stable, never re-typing
+    existing columns — the dynamic-schema behavior the reference's
+    metastore-backed tables assume has already happened upstream."""
+    import json as _json
+    import os
+    import tempfile
+
+    from presto_rakam_kafka_spark.metastore import SchemaField, SqlMetastore
+    from presto_rakam_kafka_spark.schema_inference import evolve_collection
+    from presto_rakam_kafka_spark.types import FieldType
+
+    ms = SqlMetastore()
+    ms.register("tpch", "events", [SchemaField("event_id", FieldType.LONG)])
+
+    # Two chunks with different key sets, replayed as two triggers.
+    d = tempfile.mkdtemp(prefix="evolve_stream_")
+    batches = [
+        [(1, _json.dumps({"k": 1}))],
+        [(2, _json.dumps({"k": 2, "score": 0.5}))],
+    ]
+    import time as _time
+
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "event_id LONG, props STRING").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(d, f"staging{i}"))
+        import glob
+        import shutil
+
+        src = glob.glob(os.path.join(d, f"staging{i}", "*.parquet"))[0]
+        dst = os.path.join(d, f"part-{i:05d}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (now + i, now + i))
+        shutil.rmtree(os.path.join(d, f"staging{i}"))
+
+    stream = (
+        spark.readStream.schema("event_id LONG, props STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    seen: list[list[str]] = []
+
+    def on_batch(batch_df, epoch_id):
+        added = evolve_collection(ms, "tpch", "events", batch_df)
+        seen.append([f.name for f in added])
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_evolve_")
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    names = [f.name for f in ms.get_collection("tpch", "events")]
+    assert names == ["event_id", "props_k", "props_score"]
+    # keys appeared exactly when their batch arrived
+    assert [s for s in seen if s] == [["props_k"], ["props_score"]]
