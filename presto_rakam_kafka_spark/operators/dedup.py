@@ -683,3 +683,111 @@ def embedding_dup_pairs_oracle(
     FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
     WHERE round({cos}, 6) >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------
+# SemDeDup — cluster-then-prune semantic dedup
+# ---------------------------------------------------------------------
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.45,
+    num_centroids: int = 8,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): assign every
+    embedding to its nearest coarse-quantizer centroid, then search for
+    near-duplicates ONLY within each cluster — a row is dropped iff an
+    earlier row (lower id) in the SAME cluster has cosine ≥ threshold.
+    Returns the kept rows as (id, cluster_id).
+
+    This is the scale path for :func:`embedding_dup_pairs`: the O(n²)
+    pair space collapses to Σ|cluster|² — with balanced clusters a
+    num_centroids× reduction, and the within-cluster self-join is a
+    plain cluster-keyed shuffle join (each cluster's pairs are
+    generated where its rows live, no broadcast of the corpus).
+    Same fit-then-broadcast centroid contract as IVF
+    (:func:`presto_rakam_kafka_spark.operators.similarity.fit_centroids`);
+    the seeded default keeps the DuckDB oracle replayable. The
+    cross-cluster miss mode is inherent to SemDeDup (a pair split
+    across cluster boundaries is never compared) — the oracle replays
+    the same clustering, so the contract is exact given the centroids.
+    """
+    from presto_rakam_kafka_spark.operators.similarity import (
+        _argmax_rank_expr,
+        _dots_spark,
+        ivf_centroids,
+    )
+
+    cents = centroids if centroids is not None else ivf_centroids(num_centroids, dim)
+    dots = _dots_spark(vec_col, cents)
+    dcols = [f"d{i}" for i in range(len(cents))]
+    assigned = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            *[F.expr(d).alias(c) for d, c in zip(dots, dcols)],
+        )
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.expr(_argmax_rank_expr(dcols, 0)).alias("cluster_id"),
+        )
+    )
+    a = assigned.select(
+        "cluster_id", F.col(id_col).alias("_ka"), F.col(vec_col).alias("emb_a")
+    )
+    b = assigned.select(
+        "cluster_id", F.col(id_col).alias("_kb"), F.col(vec_col).alias("emb_b")
+    )
+    cos = F.expr(cosine_expr("emb_a", "emb_b"))
+    flagged = (
+        a.join(b, on="cluster_id")
+        .filter(F.col("_ka") < F.col("_kb"))
+        .filter(F.round(cos, 6) >= threshold)
+        .select(F.col("_kb").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(flagged, on=id_col, how="left_anti").select(
+        id_col, "cluster_id"
+    )
+
+
+def semdedup_oracle(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.45,
+    num_centroids: int = 8,
+) -> str:
+    from presto_rakam_kafka_spark.operators.similarity import (
+        _argmax_rank_case,
+        _dots_duckdb,
+        ivf_centroids,
+    )
+
+    cents = ivf_centroids(num_centroids, dim)
+    dots = _dots_duckdb(vec_col, cents)
+    dcols = [f"d{i}" for i in range(len(cents))]
+    dot_sel = ", ".join(f"({d}) AS {c}" for d, c in zip(dots, dcols))
+    assign = _argmax_rank_case(dcols, 0)
+    cos = cosine_expr_duckdb(f"a.{vec_col}", f"b.{vec_col}", dim)
+    # Anti-join, not NOT EXISTS: DuckDB cannot resolve a correlated
+    # outer column inside the list_transform lambda of the cosine.
+    return f"""
+    WITH cd AS (SELECT {id_col}, {vec_col}, {dot_sel} FROM {table}),
+         c AS (SELECT {id_col}, {vec_col}, ({assign}) AS cluster_id FROM cd),
+         f AS (SELECT DISTINCT b.{id_col} AS fid
+               FROM c a JOIN c b
+                 ON a.cluster_id = b.cluster_id AND a.{id_col} < b.{id_col}
+               WHERE round({cos}, 6) >= {threshold})
+    SELECT c.{id_col} AS {id_col}, c.cluster_id
+    FROM c LEFT JOIN f ON c.{id_col} = f.fid
+    WHERE f.fid IS NULL
+    """

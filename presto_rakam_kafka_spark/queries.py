@@ -1079,6 +1079,23 @@ def _register_llm_queries() -> None:
         )
 
     @query(
+        "dedup_semantic",
+        oracle=dedup.semdedup_oracle(
+            "embeddings", "embedding", "vec_id", dim=EMB_DIM, threshold=0.35
+        ),
+    )
+    def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SemDeDup: coarse-quantizer clustering, then near-dup prune
+        WITHIN each cluster only — the scale path that collapses the
+        O(n²) pair space of `dedup_embedding_cosine` to Σ|cluster|²
+        via a cluster-keyed shuffle join. Keeps the lowest-id member
+        of every near-dup group; returns (vec_id, cluster_id)."""
+        return dedup.semdedup(
+            _embeddings(spark, sf_dir), "embedding", "vec_id",
+            dim=EMB_DIM, threshold=0.35,
+        )
+
+    @query(
         "sim_topk_bruteforce",
         oracle=similarity.cosine_topk_oracle(
             "embeddings", "vec_id % 100 = 0", "embedding", "vec_id", dim=EMB_DIM, k=5

@@ -267,3 +267,12 @@ def test_segmentation_prunes_scan_columns(spark, sf_dir):
     plan = _plan(ev.segmentation(read_table(spark, sf_dir, "events")))
     scan = plan[plan.index("ReadSchema") :][:400]
     assert "event_id" not in scan and "value" in scan, scan
+
+
+def test_semdedup_joins_on_cluster_not_cartesian(spark, sf_dir):
+    # SemDeDup's whole point: the within-cluster self-join is keyed on
+    # cluster_id (equi-join, shuffle or broadcast) — never the O(n²)
+    # cartesian pair space of the exact operator it replaces.
+    plan = _plan(Q.QUERIES["dedup_semantic"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]
