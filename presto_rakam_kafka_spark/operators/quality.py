@@ -869,3 +869,83 @@ def temperature_mixture_oracle(
     FROM ranked r JOIN targets t ON r.{source_col} = t.{source_col}
     WHERE r._rn <= t.target
     """
+
+
+def epoch_mixture(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Materialize an epoch-weighted training mixture — the step after
+    mixture *design* (:func:`temperature_mixture` picks shares; this
+    emits the actual repeated rows the trainer reads): a source with
+    weight w contributes ``floor(w)`` full epochs of every document
+    plus one extra epoch for a deterministic hash-chosen ``frac(w)`` of
+    its documents (e.g. w=2.25 ⇒ every doc twice, a fixed quarter of
+    docs a third time). Returns (source, id, epoch) with epoch in
+    1..reps.
+
+    Scale shape: one shuffle-free projection — the weight is a
+    broadcast-free literal CASE, the fractional-epoch coin is the
+    portable 60-bit md5 hash (u = h/2^60, exactly reproducible in the
+    oracle), and the replication is an inline ``explode(sequence)``;
+    rows fan out in place, partition by partition, which is exactly how
+    a 100 TB mixture is written (no sampler state, restart-safe, and
+    the SAME doc always gets the same epoch count across reruns).
+    Spark's ``sequence(1, 0)`` counts DOWN, so the empty case (w < 1
+    and the coin fails) is guarded to an empty array explicitly."""
+    from presto_rakam_kafka_spark.functions.hashing import base_hash_spark
+
+    w_case = (
+        "cast(CASE "
+        + " ".join(
+            f"WHEN {source_col} = '{s}' THEN {w}" for s, w in weights.items()
+        )
+        + f" ELSE {default_weight} END as double)"
+    )
+    h = base_hash_spark(f"concat(cast({id_col} as string), ':mix')")
+    u = f"(cast({h} as double) / 1152921504606846976.0)"
+    reps = (
+        f"(cast(floor({w_case}) as bigint)"
+        f" + if({u} < {w_case} - floor({w_case}), 1L, 0L))"
+    )
+    return df.select(
+        F.col(source_col),
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"if({reps} >= 1, sequence(1L, {reps}), array())"
+            )
+        ).alias("epoch"),
+    )
+
+
+def epoch_mixture_oracle(
+    table: str,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+) -> str:
+    from presto_rakam_kafka_spark.functions.hashing import base_hash_duckdb
+
+    w_case = (
+        "CAST(CASE "
+        + " ".join(
+            f"WHEN {source_col} = '{s}' THEN {w}" for s, w in weights.items()
+        )
+        + f" ELSE {default_weight} END AS DOUBLE)"
+    )
+    h = base_hash_duckdb(f"CAST({id_col} AS VARCHAR) || ':mix'")
+    u = f"(CAST({h} AS DOUBLE) / 1152921504606846976.0)"
+    reps = (
+        f"(CAST(floor({w_case}) AS BIGINT)"
+        f" + CASE WHEN {u} < {w_case} - floor({w_case}) THEN 1 ELSE 0 END)"
+    )
+    return f"""
+    SELECT {source_col}, {id_col},
+           unnest(generate_series(1, {reps})) AS epoch
+    FROM {table}
+    """

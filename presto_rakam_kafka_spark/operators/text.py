@@ -16,7 +16,11 @@ from presto_rakam_kafka_spark.parallelism import (
     ensure_min_parallelism as _ensure_min_parallelism,
 )
 
-from presto_rakam_kafka_spark.functions.hashing import shingles_duckdb
+from presto_rakam_kafka_spark.functions.hashing import (
+    shingles_duckdb,
+    tokens_duckdb,
+    tokens_spark,
+)
 
 #: Tiny per-language marker lists for the heuristic language ID. The
 #: heuristic is the deliverable; on the synthetic fixture corpus (whose
@@ -229,4 +233,225 @@ def fingerprints_oracle(table: str, text_col: str, id_col: str, n: int = 3) -> s
     SELECT {id_col}, md5({text_col}) AS content_md5,
            list_min(list_transform({sh}, s -> md5(s))) AS min_shingle_md5
     FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------
+# N-gram language-model scoring (perplexity filtering)
+# ---------------------------------------------------------------------
+
+
+def _bigrams_spark(text_col: str) -> str:
+    """NON-distinct word bigrams as array<string> — counts matter for
+    the LM, unlike the distinct shingle sets used for dedup."""
+    w = tokens_spark(text_col)
+    return (
+        f"if(size({w}) >= 2,"
+        f" transform(sequence(1, size({w}) - 1),"
+        f" i -> concat_ws(' ', slice({w}, i, 2))),"
+        f" array())"
+    )
+
+
+def _bigrams_duckdb(text_col: str) -> str:
+    w = tokens_duckdb(text_col)
+    return f"list_transform(range(1, len({w})), i -> array_to_string({w}[i:i+1], ' '))"
+
+
+def lm_bigram_scores(
+    df: DataFrame, text_col: str, id_col: str, train_mod: int = 10
+) -> DataFrame:
+    """Per-document bigram language-model score — the KenLM-style
+    perplexity filter of CCNet/Gopher pipelines, built from the corpus
+    itself: train add-one-smoothed bigram counts on the deterministic
+    ``id % train_mod == 0`` slice, then score every document by the
+    mean negative log-probability of its bigrams,
+    ``nll = -mean(ln((c(w1 w2)+1)/(c(w1·)+V)))`` with V the training
+    vocabulary size and ``c(w1·)`` the bigram-prefix context count.
+    High nll ⇒ text unlike the reference corpus (gibberish, boilerplate,
+    wrong language) — the downstream filter drops the top quantile.
+
+    Scale shape: the LM tables are vocabulary-sized (≪ corpus) and
+    broadcast — scoring is one explode over the corpus, two broadcast
+    joins, one re-group on the document id (partial-agg shrinks it to
+    one row per doc before the exchange). At 100 TB the LM would be
+    fit on a sampled slice exactly as here and the broadcast stays
+    vocabulary-bounded. Cross-engine note: ln inputs are
+    exactly-representable rationals on both sides, so per-term drift
+    is ≤1 ulp of libm; the per-doc mean is rounded to 6 decimals —
+    boundary-flip probability ~1e-9 per doc (the graph_pagerank
+    epsilon argument).
+
+    Docs with fewer than 2 tokens have no bigrams and are absent from
+    the output (explode drops empty arrays; the filter cannot judge
+    them and routes them to the length rule instead).
+    """
+    train = df.filter((F.col(id_col) % F.lit(train_mod)) == 0)
+    vocab = train.select(
+        F.explode(F.expr(tokens_spark(text_col))).alias("t")
+    ).agg(F.countDistinct("t").alias("vocab"))
+    rb = (
+        train.select(F.explode(F.expr(_bigrams_spark(text_col))).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("cnt"))
+    )
+    rc = rb.groupBy(F.expr("split(bg, ' ')[0]").alias("w1")).agg(
+        F.sum("cnt").alias("ctx")
+    )
+    db = df.select(
+        F.col(id_col), F.explode(F.expr(_bigrams_spark(text_col))).alias("bg")
+    ).withColumn("w1", F.expr("split(bg, ' ')[0]"))
+    nll = F.expr(
+        "-ln(cast(coalesce(cnt, 0) + 1 as double)"
+        " / cast(coalesce(ctx, 0) + vocab as double))"
+    )
+    return (
+        db.join(F.broadcast(rb), on="bg", how="left")
+        .join(F.broadcast(rc), on="w1", how="left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("nll_bigram"),
+        )
+    )
+
+
+def lm_bigram_scores_oracle(
+    table: str, text_col: str, id_col: str, train_mod: int = 10
+) -> str:
+    toks = tokens_duckdb(text_col)
+    bgs = _bigrams_duckdb(text_col)
+    return f"""
+    WITH tr AS (SELECT * FROM {table} WHERE {id_col} % {train_mod} = 0),
+    v AS (SELECT count(DISTINCT t) AS vocab
+          FROM (SELECT unnest({toks}) AS t FROM tr)),
+    rb AS (SELECT bg, count(*) AS cnt
+           FROM (SELECT unnest({bgs}) AS bg FROM tr) GROUP BY bg),
+    rc AS (SELECT string_split(bg, ' ')[1] AS w1, sum(cnt) AS ctx
+           FROM rb GROUP BY w1),
+    db AS (SELECT {id_col}, unnest({bgs}) AS bg FROM {table}),
+    j AS (SELECT db.{id_col},
+                 -ln(CAST(coalesce(rb.cnt, 0) + 1 AS DOUBLE)
+                     / CAST(coalesce(rc.ctx, 0) + v.vocab AS DOUBLE)) AS nll
+          FROM db
+          LEFT JOIN rb ON db.bg = rb.bg
+          LEFT JOIN rc ON string_split(db.bg, ' ')[1] = rc.w1
+          CROSS JOIN v)
+    SELECT {id_col}, count(*) AS n_bigrams, round(avg(nll), 6) AS nll_bigram
+    FROM j GROUP BY {id_col}
+    """
+
+
+# ---------------------------------------------------------------------
+# BM25 full-text ranking
+# ---------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_id: int = 0,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 ranking of the corpus against the token set of one query
+    document (Lucene idf variant: ``ln(1 + (N-df+0.5)/(df+0.5))``) —
+    the lexical retrieval leg production pairs with the vector leg in
+    ``search_hybrid_rrf``; tf·idf (`text_tfidf_topk`) weighs documents,
+    BM25 ranks them against a query with saturation (k1) and length
+    normalization (b).
+
+    Scale shape: the postings build is one explode + (doc, term)
+    partial-count; document-frequency and query-term tables are
+    vocabulary-bounded broadcasts; doc length joins tf on the document
+    id (co-keyed, both derive from the same scan); corpus-level N and
+    avgdl ride a 1-row broadcast. Final top-k is ``orderBy().limit()``
+    (TakeOrderedAndProject — per-partition heaps, no global sort); the
+    rank window runs over only the k survivors."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.expr(tokens_spark(text_col))).alias("t")
+    )
+    tf = toks.groupBy(id_col, "t").agg(F.count("*").alias("tf"))
+    dl = df.select(
+        F.col(id_col), F.expr(f"size({tokens_spark(text_col)})").alias("dl")
+    )
+    scalars = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+    qterms = (
+        df.filter(F.col(id_col) == query_id)
+        .select(F.explode(F.expr(tokens_spark(text_col))).alias("t"))
+        .distinct()
+    )
+    term_score = F.expr(
+        f"ln(1.0 + (cast(n_docs - df as double) + 0.5) / (cast(df as double) + 0.5))"
+        f" * (cast(tf as double) * ({k1} + 1.0))"
+        f" / (cast(tf as double) + {k1} * (1.0 - {b} + {b} * cast(dl as double) / avgdl))"
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), on="t")
+        .filter(F.col(id_col) != query_id)
+        .join(F.broadcast(dfreq), on="t")
+        .join(dl, on=id_col)
+        .crossJoin(F.broadcast(scalars))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w))
+
+
+def bm25_topk_oracle(
+    table: str,
+    text_col: str,
+    id_col: str,
+    query_id: int = 0,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    toks = tokens_duckdb(text_col)
+    return f"""
+    WITH tk AS (SELECT {id_col}, unnest({toks}) AS t FROM {table}),
+    tf AS (SELECT {id_col}, t, count(*) AS tf FROM tk GROUP BY {id_col}, t),
+    dl AS (SELECT {id_col}, len({toks}) AS dl FROM {table}),
+    s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    q AS (SELECT DISTINCT unnest({toks}) AS t FROM {table}
+          WHERE {id_col} = {query_id})
+    SELECT {id_col}, bm25, rank FROM (
+      SELECT tf.{id_col},
+             round(sum(
+               ln(1.0 + (CAST(s.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                        / (CAST(dfreq.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * ({k1} + 1.0))
+               / (CAST(tf.tf AS DOUBLE)
+                  + {k1} * (1.0 - {b} + {b} * CAST(dl.dl AS DOUBLE) / s.avgdl))
+             ), 6) AS bm25,
+             row_number() OVER (ORDER BY round(sum(
+               ln(1.0 + (CAST(s.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                        / (CAST(dfreq.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * ({k1} + 1.0))
+               / (CAST(tf.tf AS DOUBLE)
+                  + {k1} * (1.0 - {b} + {b} * CAST(dl.dl AS DOUBLE) / s.avgdl))
+             ), 6) DESC, tf.{id_col} ASC) AS rank
+      FROM tf
+      JOIN q ON tf.t = q.t
+      JOIN dfreq ON tf.t = dfreq.t
+      JOIN dl ON tf.{id_col} = dl.{id_col}
+      CROSS JOIN s
+      WHERE tf.{id_col} != {query_id}
+      GROUP BY tf.{id_col}, s.n_docs, s.avgdl
+    ) WHERE rank <= {k}
     """

@@ -1147,6 +1147,17 @@ def _register_llm_queries() -> None:
         """Token counting + quality scoring, single scan, no shuffle."""
         return text.text_stats(_documents(spark, sf_dir), "text", "doc_id")
 
+    @query(
+        "quality_lm_bigram",
+        oracle=text.lm_bigram_scores_oracle("documents", "text", "doc_id"),
+    )
+    def quality_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Bigram-LM perplexity scoring (the CCNet/KenLM-style quality
+        filter): add-one-smoothed LM fit on the deterministic 10%
+        slice, every doc scored by mean bigram -ln P — vocabulary-sized
+        broadcast tables, one corpus explode, one doc-id re-group."""
+        return text.lm_bigram_scores(_documents(spark, sf_dir), "text", "doc_id")
+
     @query("text_lang_id", oracle=text.lang_id_oracle("documents", "text", "doc_id"))
     def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Marker-token language-ID heuristic."""

@@ -619,3 +619,53 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .withColumn("rk", F.row_number().over(w))
     )
+
+
+# =====================================================================
+# BM25 lexical retrieval (round 5)
+# =====================================================================
+
+from presto_rakam_kafka_spark.operators.text import bm25_topk, bm25_topk_oracle
+
+
+@query(
+    "search_bm25",
+    oracle=bm25_topk_oracle("documents", "text", "doc_id", query_id=0, k=10),
+)
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the token set of doc 0 — the saturating,
+    length-normalized lexical ranker (Lucene idf variant) that serves
+    as the lexical leg of hybrid retrieval. Postings build is one
+    explode + (doc, term) count; df/query tables broadcast; top-k is
+    TakeOrderedAndProject."""
+    return bm25_topk(_docs(spark, sf_dir), "text", "doc_id", query_id=0, k=10)
+
+
+# =====================================================================
+# Epoch-weighted mixture materialization (round 5)
+# =====================================================================
+
+#: Per-source epoch weights for the mixture query: high-quality
+#: sources see >2 epochs, mid-tier 1, the long tail a fractional
+#: epoch — the standard pretraining mixture shape. Deterministic
+#: literals so the DuckDB oracle replays the identical CASE.
+MIX_WEIGHTS = {f"src{i}": 2.25 for i in range(5)} | {f"src{i}": 1.0 for i in range(5, 10)}
+MIX_DEFAULT_WEIGHT = 0.4
+
+
+@query(
+    "mix_sources_epochs",
+    oracle=quality.epoch_mixture_oracle(
+        "documents", "source", "doc_id", MIX_WEIGHTS, MIX_DEFAULT_WEIGHT
+    ),
+)
+def mix_sources_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted mixture materialization: weight 2.25 ⇒ two full
+    epochs + a deterministic hash-chosen quarter of docs a third time;
+    weight 0.4 ⇒ a 40% single-epoch subsample. Shuffle-free in-place
+    fan-out (literal CASE weight + portable md5 coin +
+    explode(sequence)) — the restart-safe way a 100 TB mixture is
+    written."""
+    return quality.epoch_mixture(
+        _docs(spark, sf_dir), "source", "doc_id", MIX_WEIGHTS, MIX_DEFAULT_WEIGHT
+    )

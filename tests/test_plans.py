@@ -276,3 +276,25 @@ def test_semdedup_joins_on_cluster_not_cartesian(spark, sf_dir):
     plan = _plan(Q.QUERIES["dedup_semantic"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "LeftAnti" in plan, plan[:2000]
+
+
+def test_mix_sources_epochs_is_shuffle_free(spark, sf_dir):
+    # Mixture materialization fans out in place: literal CASE weight,
+    # md5 coin, explode(sequence) — no exchange anywhere in the plan.
+    plan = _plan(Q.QUERIES["mix_sources_epochs"](spark, sf_dir))
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_bm25_topk_takeordered_and_broadcasts(spark, sf_dir):
+    # df/query-term tables are vocabulary-bounded broadcasts; the final
+    # top-k plans TakeOrderedAndProject, not a global sort.
+    plan = _plan(Q.QUERIES["search_bm25"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_lm_bigram_broadcasts_lm_tables(spark, sf_dir):
+    # The bigram/context LM tables join via broadcast — the corpus side
+    # never shuffles for the lookup, only for the final per-doc regroup.
+    plan = _plan(Q.QUERIES["quality_lm_bigram"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
