@@ -949,3 +949,61 @@ def epoch_mixture_oracle(
            unnest(generate_series(1, {reps})) AS epoch
     FROM {table}
     """
+
+
+def decontaminate_embedding(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    bench_pred: str,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Semantic test-set decontamination — the embedding-space
+    complement of the n-gram :func:`decontaminate` (paraphrased or
+    reformatted benchmark leakage shares no n-gram but keeps a high
+    embedding cosine): drop every training vector whose cosine to ANY
+    benchmark vector (rows matching ``bench_pred``) is ≥ threshold;
+    return surviving training ids.
+
+    Scale shape: the benchmark side is benchmark-sized (small by
+    definition) → broadcast; the corpus streams once through a
+    broadcast nested-loop score + LEFT ANTI join — no corpus shuffle.
+    At 100 TB the broadcast score is pruned by an LSH/IVF bucket join
+    first (operators/similarity.py) so each doc scores against its
+    bucket's benchmark vectors only; the fixture benchmark is 10
+    vectors, where brute-force IS the right plan."""
+    from presto_rakam_kafka_spark.operators.dedup import cosine_expr
+
+    bench = df.filter(bench_pred).select(F.col(vec_col).alias("_bvec"))
+    train = df.filter(f"NOT ({bench_pred})")
+    cos = F.expr(cosine_expr(vec_col, "_bvec"))
+    contaminated = (
+        train.crossJoin(F.broadcast(bench))
+        .filter(F.round(cos, 6) >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(contaminated, id_col, "left_anti").select(id_col)
+
+
+def decontaminate_embedding_oracle(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    bench_pred: str,
+    dim: int,
+    threshold: float = 0.35,
+) -> str:
+    from presto_rakam_kafka_spark.operators.dedup import cosine_expr_duckdb
+
+    cos = cosine_expr_duckdb(f"tr.{vec_col}", f"b.{vec_col}", dim)
+    # Anti-join, not NOT EXISTS — DuckDB cannot correlate an outer
+    # column inside the cosine's list lambdas.
+    return f"""
+    WITH b AS (SELECT {vec_col} FROM {table} WHERE {bench_pred}),
+         tr AS (SELECT {id_col}, {vec_col} FROM {table} WHERE NOT ({bench_pred})),
+         c AS (SELECT DISTINCT tr.{id_col} FROM tr CROSS JOIN b
+               WHERE round({cos}, 6) >= {threshold})
+    SELECT tr.{id_col} FROM tr LEFT JOIN c ON tr.{id_col} = c.{id_col}
+    WHERE c.{id_col} IS NULL
+    """

@@ -669,3 +669,21 @@ def mix_sources_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.epoch_mixture(
         _docs(spark, sf_dir), "source", "doc_id", MIX_WEIGHTS, MIX_DEFAULT_WEIGHT
     )
+
+
+@query(
+    "decontaminate_embedding",
+    oracle=quality.decontaminate_embedding_oracle(
+        "embeddings", "embedding", "vec_id", "vec_id % 50 = 0",
+        dim=EMBED_DIM, threshold=0.35,
+    ),
+)
+def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: training vectors within cosine
+    0.35 of any benchmark vector (the vec_id%50 slice) are dropped —
+    catches paraphrased leakage the n-gram pass misses. Benchmark
+    broadcast + anti join, corpus never shuffles."""
+    return quality.decontaminate_embedding(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        "vec_id % 50 = 0", threshold=0.35,
+    )

@@ -30,7 +30,7 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from presto_rakam_kafka_spark.operators import quality  # noqa: E402
+from presto_rakam_kafka_spark.operators import dedup, quality, text  # noqa: E402
 from presto_rakam_kafka_spark.session import get_spark  # noqa: E402
 
 
@@ -59,6 +59,21 @@ def build_corpus(spark, docs: int):
     )
 
 
+def build_embeddings(spark, n: int, dim: int = 64):
+    """n synthetic 64-d vectors built on executors (md5-derived
+    pseudo-uniform components) — the SemDeDup receipt input."""
+    comp = (
+        f"transform(sequence(0, {dim - 1}), "
+        "i -> cast(conv(substr(md5(concat(cast(id as string), ':', cast(i as string))), 1, 4), 16, 10) as double)"
+        " / 65535.0 - 0.5)"
+    )
+    return (
+        spark.range(n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col("id").alias("vec_id"), F.expr(comp).alias("embedding"))
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=100_000)
@@ -82,6 +97,28 @@ def main() -> None:
             corpus, "text", "doc_id", "source", "bench", n=5
         ),
         "pii_redact": lambda: quality.pii_redact(corpus, "text", "doc_id"),
+        # round 5 additions
+        "lm_bigram": lambda: text.lm_bigram_scores(corpus, "text", "doc_id"),
+        "bm25": lambda: text.bm25_topk(corpus, "text", "doc_id", query_id=1, k=10),
+        "epoch_mix": lambda: quality.epoch_mixture(
+            corpus,
+            "source",
+            "doc_id",
+            {"src0": 2.25, "src1": 2.25, "src2": 1.0, "src3": 1.0},
+            default_weight=0.4,
+        ),
+        # SemDeDup: within-cluster pair cost is Σ|cluster|²·dim, so the
+        # honest receipt pins cluster size (~n/centroids); centroid
+        # count is capped by expression-tree size (the argmax refs each
+        # of the k 64-dim dots once). Run via --op semdedup --docs 20000.
+        "semdedup": lambda: dedup.semdedup(
+            build_embeddings(spark, args.docs),
+            "embedding",
+            "vec_id",
+            dim=64,
+            threshold=0.98,
+            num_centroids=32,
+        ),
     }
     names = [args.op] if args.op else list(ops)
     for name in names:

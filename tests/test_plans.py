@@ -298,3 +298,12 @@ def test_lm_bigram_broadcasts_lm_tables(spark, sf_dir):
     # never shuffles for the lookup, only for the final per-doc regroup.
     plan = _plan(Q.QUERIES["quality_lm_bigram"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_decontaminate_embedding_broadcast_only(spark, sf_dir):
+    # Benchmark side broadcasts (nested-loop score against a tiny set);
+    # the contaminated-id prune is a broadcast anti join — the corpus
+    # itself never shuffles.
+    plan = _plan(Q.QUERIES["decontaminate_embedding"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
