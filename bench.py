@@ -78,6 +78,14 @@ HEADLINE = [
     "events_funnel_filtered",
     "events_retention_filtered",
     "events_props_schema_inference",
+    # round 5b: the new curation layer — semantic dedup, LM perplexity
+    # scoring, BM25 lexical retrieval, epoch-weighted mixture
+    # materialization, embedding-space decontamination
+    "dedup_semantic",
+    "quality_lm_bigram",
+    "search_bm25",
+    "mix_sources_epochs",
+    "decontaminate_embedding",
 ]
 
 #: The round-3-era query set, frozen: every round reports this subtotal

@@ -972,11 +972,26 @@ def decontaminate_embedding(
     first (operators/similarity.py) so each doc scores against its
     bucket's benchmark vectors only; the fixture benchmark is 10
     vectors, where brute-force IS the right plan."""
-    from presto_rakam_kafka_spark.operators.dedup import cosine_expr
+    # Per-row norms computed once before the broadcast score (per-pair
+    # work drops from 3 array folds to 1); same left-fold double
+    # expression as cosine_expr, so values are bit-identical.
+    def _norm(col: str) -> str:
+        return (
+            f"sqrt(aggregate(transform({col}, x -> cast(x as double)"
+            f" * cast(x as double)), 0D, (acc, v) -> acc + v))"
+        )
 
-    bench = df.filter(bench_pred).select(F.col(vec_col).alias("_bvec"))
-    train = df.filter(f"NOT ({bench_pred})")
-    cos = F.expr(cosine_expr(vec_col, "_bvec"))
+    bench = df.filter(bench_pred).select(
+        F.col(vec_col).alias("_bvec"), F.expr(_norm(vec_col)).alias("_bn")
+    )
+    train = df.filter(f"NOT ({bench_pred})").withColumn(
+        "_tn", F.expr(_norm(vec_col))
+    )
+    dot = (
+        f"aggregate(zip_with({vec_col}, _bvec, (x, y) -> cast(x as double)"
+        f" * cast(y as double)), 0D, (acc, v) -> acc + v)"
+    )
+    cos = F.expr(f"({dot}) / (_tn * _bn)")
     contaminated = (
         train.crossJoin(F.broadcast(bench))
         .filter(F.round(cos, 6) >= threshold)
