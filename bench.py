@@ -86,6 +86,7 @@ HEADLINE = [
     "search_bm25",
     "mix_sources_epochs",
     "decontaminate_embedding",
+    "events_attribution",
 ]
 
 #: The round-3-era query set, frozen: every round reports this subtotal

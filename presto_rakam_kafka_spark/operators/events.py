@@ -585,3 +585,54 @@ def user_rfm(events: DataFrame) -> DataFrame:
         "frequency",
         "monetary",
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    touch_types: tuple[str, ...] = ("view", "click"),
+    conversion_type: str = "purchase",
+    window_days: int = 7,
+) -> DataFrame:
+    """Marketing attribution (the Rakam 'which campaign drove this
+    purchase' query): each conversion is attributed to the user's most
+    recent touch event at or before it in (ts, event_id) order —
+    'none' if no touch exists within ``window_days`` — with the
+    user's first-ever touch carried alongside (the classic
+    last-touch / first-touch pair).
+
+    Shuffle budget: ONE ``user_id`` exchange feeds both running
+    windows (last/first touch carry via IGNORE NULLS over the same
+    ordered frame) — the textbook per-conversion as-of join against
+    the touch stream would shuffle both sides and skew on hot users;
+    the running-carry form is the same single-pass shape as
+    sessionize. The interval check is exact microsecond integer
+    arithmetic on both engines."""
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_touch = F.col("event_type").isin(*touch_types)
+    t_ts = F.when(is_touch, F.col("ts"))
+    t_type = F.when(is_touch, F.col("event_type"))
+    carried = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(t_ts, ignorenulls=True).over(w).alias("_lt_ts"),
+        F.last(t_type, ignorenulls=True).over(w).alias("_lt_type"),
+        F.first(t_type, ignorenulls=True).over(w).alias("first_touch"),
+    )
+    within = F.col("_lt_ts").isNotNull() & (
+        F.col("_lt_ts") >= F.col("ts") - F.expr(f"INTERVAL {window_days} DAYS")
+    )
+    return carried.filter(F.col("event_type") == conversion_type).select(
+        "user_id",
+        F.col("event_id").alias("conversion_id"),
+        F.when(within, F.col("_lt_type")).otherwise(F.lit("none")).alias(
+            "attributed_touch"
+        ),
+        F.coalesce("first_touch", F.lit("none")).alias("first_touch"),
+    )

@@ -357,3 +357,40 @@ def test_retention_filtered_requires_first_action(spark):
         for r in ev.retention_filtered(df).collect()
     }
     assert got == {("2024-01-01", 0): 1, ("2024-01-01", 2): 1}
+
+
+def test_attribution_window_and_recency(spark):
+    """Last touch wins among multiple; a touch exactly at the 7-day
+    edge attributes; one microsecond past is 'none'; first_touch is
+    the user's earliest touch regardless of the window."""
+    base = dt.datetime(2024, 1, 10)
+    d = dt.timedelta(days=1)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        # user 1: view then click then purchase → click (latest) wins
+        (1, base, 1, "view", 0.0, "{}"),
+        (2, base + d, 1, "click", 0.0, "{}"),
+        (3, base + 2 * d, 1, "purchase", 5.0, "{}"),
+        # user 2: touch exactly 7 days before the purchase → attributes
+        (4, base, 2, "view", 0.0, "{}"),
+        (5, base + 7 * d, 2, "purchase", 5.0, "{}"),
+        # user 3: touch 7 days + 1us before → 'none', but first_touch
+        # still reports it
+        (6, base, 3, "click", 0.0, "{}"),
+        (7, base + 7 * d + us, 3, "purchase", 5.0, "{}"),
+        # user 4: no touch at all
+        (8, base, 4, "purchase", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    )
+    got = {
+        r["user_id"]: (r["attributed_touch"], r["first_touch"])
+        for r in ev.last_touch_attribution(df).collect()
+    }
+    assert got == {
+        1: ("click", "view"),
+        2: ("view", "view"),
+        3: ("none", "click"),
+        4: ("none", "none"),
+    }
