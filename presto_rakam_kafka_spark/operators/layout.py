@@ -114,3 +114,66 @@ def bucketed_join(
     lt = spark.table(left_table).hint("merge")
     rt = spark.table(right_table)
     return lt.join(rt, lt[left_key] == rt[right_key])
+
+
+# ---------------------------------------------------------------------
+# Sort-clustered layout → row-group skipping on range predicates
+# ---------------------------------------------------------------------
+
+
+def stage_sorted(
+    spark: SparkSession,
+    df: DataFrame,
+    cache_key: str,
+    sort_col: str,
+    num_ranges: int = 4,
+    block_bytes: int = 128 * 1024,
+) -> str:
+    """Write ``df`` range-partitioned + sorted on ``sort_col`` with
+    small parquet row groups; return the path (cached per key).
+
+    The third layout discipline after partitioning and bucketing:
+    sort-clustering makes every row group's min/max footer stats TIGHT
+    on the sort column, so a pushed range predicate skips whole row
+    groups at read time (parquet reader drops groups whose stats can't
+    match — the warehouse counterpart of the `kafka_segments` source's
+    footer-stat segment pruning, and the single-column core of what
+    Delta/Iceberg ship as Z-ORDER). ``repartitionByRange`` makes files
+    disjoint in the sort key too, so skipping works at both file and
+    row-group granularity. The small ``block_bytes`` stands in for the
+    128 MB production row group at fixture scale."""
+    key = (cache_key, f"sorted:{sort_col}:{num_ranges}")
+    if key in _LAYOUT_CACHE and os.path.isdir(_LAYOUT_CACHE[key]):
+        return _LAYOUT_CACHE[key]
+    path = tempfile.mkdtemp(prefix="layout_sorted_")
+    (
+        df.repartitionByRange(num_ranges, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(block_bytes))
+        .parquet(path)
+    )
+    _LAYOUT_CACHE[key] = path
+    return path
+
+
+def row_groups_overlapping(path: str, col: str, lo, hi) -> tuple[int, int]:
+    """(overlapping, total) row groups whose [min, max] stats intersect
+    [lo, hi] — the direct receipt that sort-clustering enables
+    skipping (pyarrow footer walk, no Spark)."""
+    import pyarrow.parquet as pq
+
+    overlapping = total = 0
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        for g in range(md.num_row_groups):
+            stats = md.row_group(g).column(idx).statistics
+            total += 1
+            if stats is None or stats.min is None:
+                overlapping += 1
+            elif not (stats.max < lo or stats.min > hi):
+                overlapping += 1
+    return overlapping, total

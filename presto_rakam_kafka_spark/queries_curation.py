@@ -687,3 +687,32 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
         "vec_id % 50 = 0", threshold=0.35,
     )
+
+
+@query(
+    "layout_sorted_skipping_agg",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+    FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
+    GROUP BY l_returnflag
+    """,
+)
+def layout_sorted_skipping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-clustered scan: lineitem re-laid-out range-partitioned +
+    sorted on l_orderkey, then range-filtered — tight row-group min/max
+    stats let the parquet reader skip every group outside the range
+    (receipt in tests via a pyarrow footer walk: the predicate touches
+    a small fraction of row groups in the sorted layout vs ~all in the
+    natural layout). Results provably equal the plain-layout filter."""
+    from presto_rakam_kafka_spark.operators import layout
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    path = layout.stage_sorted(spark, li, sf_dir, "l_orderkey")
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("l_orderkey").between(1000, 2000))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty"))
+    )

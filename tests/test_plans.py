@@ -307,3 +307,32 @@ def test_decontaminate_embedding_broadcast_only(spark, sf_dir):
     plan = _plan(Q.QUERIES["decontaminate_embedding"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+
+
+def test_sorted_layout_skips_row_groups(spark, sf_dir):
+    # Sort-clustering receipt: the range predicate's [lo, hi] overlaps
+    # only a small fraction of row groups in the sorted layout (tight
+    # min/max footer stats), but ~all of them in the natural layout —
+    # that overlap set is exactly what the parquet reader skips.
+    import tempfile
+
+    from presto_rakam_kafka_spark.operators import layout
+
+    li = Q._t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    sorted_path = layout.stage_sorted(spark, li, sf_dir, "l_orderkey")
+    s_hit, s_total = layout.row_groups_overlapping(sorted_path, "l_orderkey", 1000, 2000)
+    natural = tempfile.mkdtemp(prefix="layout_natural_")
+    li.repartition(4).write.mode("overwrite").option(
+        "parquet.block.size", str(128 * 1024)
+    ).parquet(natural)
+    n_hit, n_total = layout.row_groups_overlapping(natural, "l_orderkey", 1000, 2000)
+    assert s_total >= 4 and n_total >= 4
+    assert n_hit == n_total, (n_hit, n_total)  # natural layout: no skipping possible
+    # sorted: ≥ half skipped at sf0.001's 4 groups (2/12 at sf0.01)
+    assert s_hit * 2 <= s_total, (s_hit, s_total)
+    # and the pushed filter actually reaches the parquet scan
+    df = spark.read.parquet(sorted_path).filter("l_orderkey BETWEEN 1000 AND 2000")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_orderkey" in plan, plan[:1500]
