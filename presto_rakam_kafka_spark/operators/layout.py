@@ -142,7 +142,7 @@ def stage_sorted(
     disjoint in the sort key too, so skipping works at both file and
     row-group granularity. The small ``block_bytes`` stands in for the
     128 MB production row group at fixture scale."""
-    key = (cache_key, f"sorted:{sort_col}:{num_ranges}")
+    key = (cache_key, f"sorted:{sort_col}:{num_ranges}:{','.join(df.columns)}")
     if key in _LAYOUT_CACHE and os.path.isdir(_LAYOUT_CACHE[key]):
         return _LAYOUT_CACHE[key]
     path = tempfile.mkdtemp(prefix="layout_sorted_")
@@ -177,3 +177,73 @@ def row_groups_overlapping(path: str, col: str, lo, hi) -> tuple[int, int]:
             elif not (stats.max < lo or stats.min > hi):
                 overlapping += 1
     return overlapping, total
+
+
+def zorder_expr(col_a: str, col_b: str, bits: int = 16) -> str:
+    """Morton (Z-order) interleave of two non-negative int columns'
+    low ``bits`` bits — bit i of a lands at 2i, bit i of b at 2i+1.
+    Pure integer shift/mask arithmetic: identical semantics in Spark
+    SQL and DuckDB, whole-stage-codegen'd, no UDF.
+
+    Callers must pre-scale both columns to the same bit width: raw
+    interleave degenerates to a sort on whichever column has more
+    significant bits (measured: with raw 14-bit orderkey × 11-bit
+    partkey the partkey predicate skipped ~nothing). That is why
+    :func:`stage_zordered` min-max-normalizes first — the same
+    range-bucket normalization production Z-ORDER implementations
+    apply."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((CAST({col_a} AS BIGINT) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((CAST({col_b} AS BIGINT) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def stage_zordered(
+    spark: SparkSession,
+    df: DataFrame,
+    cache_key: str,
+    col_a: str,
+    col_b: str,
+    num_ranges: int = 4,
+    block_bytes: int = 128 * 1024,
+    bits: int = 10,
+) -> str:
+    """Write ``df`` clustered by the Morton interleave of two columns
+    (range-partitioned + sorted on the z-value, small row groups) —
+    the Delta/Iceberg Z-ORDER discipline from first principles. A
+    single-column sort gives tight stats on ONE column and destroys
+    locality on others; the z-curve keeps BOTH columns' min/max ranges
+    narrow per row group, so selective predicates on either column (or
+    both) skip row groups. Receipt in tests via the same
+    :func:`row_groups_overlapping` footer walk as the sorted layout.
+
+    Both columns are min-max scaled to ``bits`` bits before the
+    interleave (one tiny offline agg, the fit-then-layout shape):
+    equal bit widths keep the curve balanced between the two dims —
+    see :func:`zorder_expr` for the degenerate raw-value mode."""
+    key = (cache_key, f"zorder:{col_a}:{col_b}:{num_ranges}:{','.join(df.columns)}")
+    if key in _LAYOUT_CACHE and os.path.isdir(_LAYOUT_CACHE[key]):
+        return _LAYOUT_CACHE[key]
+    path = tempfile.mkdtemp(prefix="layout_zorder_")
+    top = (1 << bits) - 1
+    mm = df.agg(
+        F.min(col_a).alias("a0"), F.max(col_a).alias("a1"),
+        F.min(col_b).alias("b0"), F.max(col_b).alias("b1"),
+    ).collect()[0]
+    a0, a1 = int(mm["a0"]), int(mm["a1"])
+    b0, b1 = int(mm["b0"]), int(mm["b1"])
+    sa = f"(CAST(({col_a} - {a0}) AS BIGINT) * {top} DIV {max(a1 - a0, 1)})"
+    sb = f"(CAST(({col_b} - {b0}) AS BIGINT) * {top} DIV {max(b1 - b0, 1)})"
+    z = zorder_expr(sa, sb, bits)
+    (
+        df.withColumn("_z", F.expr(z))
+        .repartitionByRange(num_ranges, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(block_bytes))
+        .parquet(path)
+    )
+    _LAYOUT_CACHE[key] = path
+    return path

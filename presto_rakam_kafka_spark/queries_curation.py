@@ -716,3 +716,37 @@ def layout_sorted_skipping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty"))
     )
+
+
+@query(
+    "layout_zorder_agg",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 3000 AND 4500 AND l_partkey BETWEEN 500 AND 700
+    GROUP BY l_returnflag
+    """,
+)
+def layout_zorder_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ordered scan: lineitem clustered on the Morton interleave of
+    (l_orderkey, l_partkey), then filtered on ranges of BOTH columns —
+    the z-curve keeps each row group's min/max narrow in both dims, so
+    the 2-D predicate skips groups a single-column sort can't (receipt
+    in tests: pyarrow footer walk comparing z-ordered vs
+    orderkey-sorted vs natural). Results equal the plain-layout
+    filter."""
+    from presto_rakam_kafka_spark.operators import layout
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_returnflag", "l_quantity"
+    )
+    path = layout.stage_zordered(spark, li, sf_dir, "l_orderkey", "l_partkey")
+    return (
+        spark.read.parquet(path)
+        .filter(
+            F.col("l_orderkey").between(3000, 4500)
+            & F.col("l_partkey").between(500, 700)
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty"))
+    )

@@ -336,3 +336,26 @@ def test_sorted_layout_skips_row_groups(spark, sf_dir):
     df = spark.read.parquet(sorted_path).filter("l_orderkey BETWEEN 1000 AND 2000")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "l_orderkey" in plan, plan[:1500]
+
+
+def test_zorder_layout_skips_on_both_dims(spark, sf_dir):
+    # Z-order receipt: the single-column sort can't skip anything for
+    # a predicate on the OTHER column; the balanced Morton curve skips
+    # on both. (The tradeoff: the sorted layout stays better on its
+    # own column — that asymmetry is the whole reason Z-ORDER exists.)
+    import pyspark.sql.functions as F
+
+    from presto_rakam_kafka_spark.operators import layout
+
+    li = Q._t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_returnflag", "l_quantity"
+    )
+    zp = layout.stage_zordered(spark, li, sf_dir, "l_orderkey", "l_partkey")
+    sp = layout.stage_sorted(spark, li, sf_dir, "l_orderkey")
+    # partkey band ≈ 10% of its range at any sf (range scales with sf)
+    hi = li.agg(F.max("l_partkey")).collect()[0][0]
+    lo, hi = int(hi * 0.25), int(hi * 0.35)
+    z_hit, z_total = layout.row_groups_overlapping(zp, "l_partkey", lo, hi)
+    s_hit, s_total = layout.row_groups_overlapping(sp, "l_partkey", lo, hi)
+    assert s_hit == s_total, (s_hit, s_total)  # sorted-on-orderkey: no skip
+    assert z_hit * 2 <= z_total, (z_hit, z_total)  # zorder: ≥ half skipped
