@@ -55,25 +55,41 @@ def _bucket_duckdb(key_col: str, i: int, a: int, b: int, w: int) -> str:
     return f"(({a} * ({h} % {HASH_P}) + {b}) % {HASH_P}) % {w}"
 
 
-def cms_heavy_hitters(
-    df: DataFrame, key_col: str, k: int = 10, d: int = CMS_D, w: int = CMS_W
-) -> DataFrame:
-    """Top-k keys by count-min-estimated frequency, with the exact
-    count alongside (est ≥ exact always — the CMS one-sided bound,
-    property-tested). Deterministic order: (est desc, key asc).
-
-    Plan: one inline() fan-out → (i, bucket) groupBy builds the d×w
-    sketch; the sketch broadcasts back onto the distinct keys; min over
-    the d probed counters is the estimate."""
+def _cms_probe_structs(key_col: str, d: int, w: int) -> str:
     A, B = _coeffs(d)
-    key = key_col
-    probe_structs = ", ".join(
-        f"named_struct('i', {i}, 'bucket', {_bucket_spark(key, i, A[i], B[i], w)})"
+    return ", ".join(
+        f"named_struct('i', {i}, 'bucket', {_bucket_spark(key_col, i, A[i], B[i], w)})"
         for i in range(d)
     )
-    rows = df.selectExpr(f"{key}", f"inline(array({probe_structs}))")
-    sketch = rows.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
+
+def cms_counter_table(
+    df: DataFrame, key_col: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """The d×w count-min counter table as a DataFrame — one inline()
+    fan-out then a (i, bucket) groupBy count. Counter addition is
+    associative+commutative, so this EXACT aggregation also runs as a
+    Structured Streaming complete-mode query: micro-batches accumulate
+    the same counters the batch fold produces (the `stream_cms_heavy_
+    hitters` gate proves equality), and the streaming state is the
+    fixed d·w counter grid — bytes, independent of input size."""
+    probe_structs = _cms_probe_structs(key_col, d, w)
+    rows = df.selectExpr(f"{key_col}", f"inline(array({probe_structs}))")
+    return rows.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_topk_from_sketch(
+    sketch: DataFrame,
+    df: DataFrame,
+    key_col: str,
+    k: int = 10,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Estimation half: probe a (possibly drained-from-stream) counter
+    table for each distinct key and rank by the min-of-d estimate."""
+    key = key_col
+    probe_structs = _cms_probe_structs(key, d, w)
     exact = df.groupBy(key).agg(F.count(F.lit(1)).alias("exact"))
     probes = exact.selectExpr(key, "exact", f"inline(array({probe_structs}))")
     est = (
@@ -100,6 +116,19 @@ def cms_heavy_hitters(
         est.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
         .select(key, "est", "exact", "rank")
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame, key_col: str, k: int = 10, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Top-k keys by count-min-estimated frequency, with the exact
+    count alongside (est ≥ exact always — the CMS one-sided bound,
+    property-tested). Deterministic order: (est desc, key asc).
+    Composed from the counter fold + estimation halves so the SAME
+    fold runs batch or streaming (see :func:`cms_counter_table`)."""
+    return cms_topk_from_sketch(
+        cms_counter_table(df, key_col, d, w), df, key_col, k, d, w
     )
 
 

@@ -1545,6 +1545,29 @@ def _register_streaming_queries() -> None:
             regs, read_table(spark, sf_dir, "events")
         )
 
+    @query(
+        "stream_cms_heavy_hitters",
+        oracle=_sk.cms_heavy_hitters_oracle("events", "user_id", k=10),
+    )
+    def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Continuous heavy hitters: the count-min counter fold AS the
+        streaming aggregation — counter addition is associative, so
+        ``groupBy(i, bucket).count()`` over micro-batches accumulates
+        exactly the batch d×w sketch (state = the fixed 2048-counter
+        grid, bytes at ANY input size). The drained counters feed the
+        same estimation half as the batch ``sketch_cms_heavy_hitters``,
+        so the stream equals the batch top-k bit-for-bit."""
+        sketch = _drain(
+            _sk.cms_counter_table(
+                _events_stream(spark, sf_dir).select("user_id"), "user_id"
+            ),
+            "cms_counters",
+            "complete",
+        )
+        return _sk.cms_topk_from_sketch(
+            sketch, read_table(spark, sf_dir, "events"), "user_id", k=10
+        )
+
 
 _register_streaming_queries()
 
