@@ -563,3 +563,70 @@ def test_ivfpq_fitted_beats_seeded_and_prunes(spark, sf_dir):
     r_fitted = recall(centroids=cents, books=books)
     assert r_fitted >= r_seeded
     assert r_fitted >= 0.3
+
+
+def test_epoch_mixture_reps_bounds_and_determinism(spark, sf_dir):
+    """Every doc appears floor(w) or ceil(w) times (the fractional
+    epoch is a per-doc coin, never more); the materialization is
+    deterministic across partitionings; and the realized fraction of
+    extra-epoch docs tracks frac(w)."""
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.operators import quality
+
+    docs = read_table(spark, sf_dir, "documents")
+    weights = {"src0": 2.25, "src1": 1.0}
+    out = quality.epoch_mixture(docs, "source", "doc_id", weights, 0.4)
+    per_doc = {
+        (r["source"], r["doc_id"]): r["reps"]
+        for r in out.groupBy("source", "doc_id").agg(
+            F.count("*").alias("reps")
+        ).collect()
+    }
+    import math
+
+    for (src, _), reps in per_doc.items():
+        w = weights.get(src, 0.4)
+        assert reps in (math.floor(w), math.ceil(w)), (src, reps, w)
+    # determinism across partitionings
+    out2 = quality.epoch_mixture(
+        docs.repartition(13), "source", "doc_id", weights, 0.4
+    )
+    assert sorted(out.collect()) == sorted(out2.collect())
+    # src1 (w=1.0): exactly one epoch for every doc
+    assert all(r == 1 for (s, _), r in per_doc.items() if s == "src1")
+
+
+def test_lm_bigram_scores_positive_and_train_slice_scores_lower(spark, sf_dir):
+    """Smoothed probabilities are < 1 so every nll is positive, and the
+    docs the LM was trained on score (on average) better than the rest
+    — the signal the perplexity filter exists to produce."""
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.operators import text
+
+    docs = read_table(spark, sf_dir, "documents")
+    scores = text.lm_bigram_scores(docs, "text", "doc_id")
+    rows = scores.collect()
+    assert rows and all(r["nll_bigram"] > 0 for r in rows)
+    train = [r["nll_bigram"] for r in rows if r["doc_id"] % 10 == 0]
+    rest = [r["nll_bigram"] for r in rows if r["doc_id"] % 10 != 0]
+    assert sum(train) / len(train) <= sum(rest) / len(rest)
+
+
+def test_bm25_rewards_rare_matching_terms(spark):
+    """A doc matching the query's RARE term outranks a doc matching
+    only the term every doc shares (idf discipline), and scores are
+    positive for any doc sharing a term."""
+    from presto_rakam_kafka_spark.operators import text
+
+    rows = [
+        (0, "rare common filler0"),          # query doc
+        (1, "rare common other padding a"),  # matches rare + common
+        (2, "common other padding b"),       # matches common only
+        (3, "other padding c"),              # no match
+    ] + [(i, f"common junk{i}") for i in range(4, 10)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: (r["bm25"], r["rank"]) for r in
+           text.bm25_topk(df, "text", "doc_id", query_id=0, k=10).collect()}
+    assert 3 not in got
+    assert got[1][0] > got[2][0]
+    assert all(s > 0 for s, _ in got.values())
