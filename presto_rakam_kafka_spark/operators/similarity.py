@@ -686,6 +686,35 @@ def ivfpq_topk(
     index: 4 bytes of code + a list id per vector); queries broadcast;
     per-query ranking is bounded by candidate volume. Approx scores are
     returned for the standard exact re-rank downstream."""
+    coded = ivfpq_code_corpus(
+        corpus, vec_col, id_col, dim,
+        num_centroids=num_centroids, m=m, ksub=ksub,
+        centroids=centroids, books=books,
+    )
+    return ivfpq_topk_from_index(
+        coded, queries, vec_col, id_col, dim, k=k,
+        num_centroids=num_centroids, nprobe=nprobe, m=m, ksub=ksub,
+        centroids=centroids, books=books,
+    )
+
+
+def ivfpq_code_corpus(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    num_centroids: int = NUM_CENTROIDS,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    centroids: list[list[float]] | None = None,
+    books=None,
+) -> DataFrame:
+    """The stored IVF-PQ index as a DataFrame: one projection emitting
+    (neighbor_id, list_id, code0..code{m-1}) per vector — a list id
+    plus m small ints (4 bytes at the default geometry) instead of dim
+    floats. At 100 TB this is what sits on disk; see
+    :func:`stage_ivfpq_index` for the persisted, list-partitioned
+    form and :func:`ivfpq_topk_from_index` for the probe half."""
     cents = centroids if centroids is not None else ivf_centroids(num_centroids, dim)
     sub_dim = dim // m
     if books is None:
@@ -693,10 +722,6 @@ def ivfpq_topk(
 
     dots = _dots_spark(vec_col, cents)
     dcols = [f"d{i}" for i in range(len(cents))]
-
-    def with_dots(df):
-        return df.select("*", *[F.expr(d).alias(c) for d, c in zip(dots, dcols)])
-
     code_exprs = []
     for j in range(m):
         adj = [
@@ -709,11 +734,54 @@ def ivfpq_topk(
             f"named_struct('negd', -({d}), 'idx', {c})" for c, d in enumerate(adj)
         )
         code_exprs.append(f"array_sort(array({pairs}))[0].idx AS code{j}")
-    coded = with_dots(corpus).selectExpr(
+    return corpus.select(
+        "*", *[F.expr(d).alias(c) for d, c in zip(dots, dcols)]
+    ).selectExpr(
         f"{id_col} AS neighbor_id",
         f"{_argmax_rank_expr(dcols, 0)} AS list_id",
         *code_exprs,
     )
+
+
+def ivfpq_topk_from_index(
+    coded: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    k: int = 5,
+    num_centroids: int = NUM_CENTROIDS,
+    nprobe: int = NUM_PROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    centroids: list[list[float]] | None = None,
+    books=None,
+    prune_lists: list[int] | None = None,
+) -> DataFrame:
+    """Probe half of IVF-PQ against a (possibly persisted) coded
+    index: queries broadcast with their nprobe probe lists, candidates
+    join on list_id, ADC CASE-lookup scoring, per-query top-k. When
+    ``prune_lists`` is given (the union of the queries' probe lists,
+    computed up front by the query router — a bounded queries×nprobe
+    set), the index scan carries a static ``list_id IN (...)`` filter,
+    which a list-partitioned index turns into PARTITION PRUNING: the
+    scan opens only the probed lists' files (plan-asserted in tests) —
+    the ANN probe literally becomes a pruned scan."""
+    cents = centroids if centroids is not None else ivf_centroids(num_centroids, dim)
+    sub_dim = dim // m
+    if books is None:
+        books = pq_centroids(m, ksub, sub_dim)
+
+    dots = _dots_spark(vec_col, cents)
+    dcols = [f"d{i}" for i in range(len(cents))]
+
+    def with_dots(df):
+        return df.select("*", *[F.expr(d).alias(c) for d, c in zip(dots, dcols)])
+
+    if prune_lists is not None:
+        coded = coded.filter(
+            F.col("list_id").isin(*[int(x) for x in prune_lists])
+        )
 
     pairs_expr = ", ".join(
         f"named_struct('negd', -({c}), 'idx', {i})" for i, c in enumerate(dcols)
@@ -865,3 +933,67 @@ def fit_pq_books(
                     C[c] = members.mean(0)
         books.append([[round(float(v), 6) for v in c] for c in C])
     return books
+
+
+_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def stage_ivfpq_index(
+    spark,
+    corpus: DataFrame,
+    cache_key: str,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    num_centroids: int = NUM_CENTROIDS,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> str:
+    """Persist the IVF-PQ index parquet-partitioned BY LIST — the
+    build-once/probe-many production shape: the index build (one
+    projection over the corpus) runs at ingest, and every later probe
+    reads only its probe lists' partitions (see
+    :func:`ivfpq_topk_from_index` ``prune_lists``). Cached per
+    (sf_dir, geometry) like the layout stagings."""
+    import os
+    import tempfile
+
+    key = (cache_key, f"ivfpq:{vec_col}:{num_centroids}:{m}:{ksub}")
+    if key in _INDEX_CACHE and os.path.isdir(_INDEX_CACHE[key]):
+        return _INDEX_CACHE[key]
+    path = tempfile.mkdtemp(prefix="ivfpq_index_")
+    coded = ivfpq_code_corpus(
+        corpus, vec_col, id_col, dim, num_centroids=num_centroids, m=m, ksub=ksub
+    )
+    coded.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    _INDEX_CACHE[key] = path
+    return path
+
+
+def probe_lists_for(
+    queries: DataFrame,
+    vec_col: str,
+    dim: int,
+    num_centroids: int = NUM_CENTROIDS,
+    nprobe: int = NUM_PROBE,
+    centroids: list[list[float]] | None = None,
+) -> list[int]:
+    """The union of the query set's nprobe probe lists — the bounded
+    (queries × nprobe) driver-side routing step a vector-search
+    frontend performs before issuing pruned scans."""
+    cents = centroids if centroids is not None else ivf_centroids(num_centroids, dim)
+    dots = _dots_spark(vec_col, cents)
+    dcols = [f"d{i}" for i in range(len(cents))]
+    pairs_expr = ", ".join(
+        f"named_struct('negd', -({c}), 'idx', {i})" for i, c in enumerate(dcols)
+    )
+    probe = (
+        f"slice(transform(array_sort(array({pairs_expr})), s -> s.idx), 1, {nprobe})"
+    )
+    rows = (
+        queries.select(*[F.expr(d).alias(c) for d, c in zip(dots, dcols)])
+        .selectExpr(f"explode({probe}) AS list_id")
+        .distinct()
+        .collect()
+    )
+    return sorted(int(r["list_id"]) for r in rows)

@@ -750,3 +750,34 @@ def layout_zorder_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty"))
     )
+
+
+@query(
+    "sim_topk_ivfpq_indexed",
+    oracle=ivfpq_topk_oracle(
+        "embeddings", "vec_id < 10", "embedding", "vec_id", dim=EMBED_DIM, k=5
+    ),
+)
+def sim_topk_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ against a PERSISTED index — build-once/probe-many: the
+    coded corpus is written parquet-partitioned by inverted list at
+    "ingest" (process-cached staging, like the layout queries), the
+    query router computes the bounded probe-list union driver-side,
+    and the probe scan carries a static ``list_id IN (...)`` filter
+    that partition-prunes the index to only the probed lists' files
+    (PartitionFilters plan-asserted in tests) — the ANN probe
+    literally becomes a pruned scan. Same results as the inline
+    `sim_topk_ivfpq` (identical oracle)."""
+    from presto_rakam_kafka_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = sim.stage_ivfpq_index(
+        spark, emb, sf_dir, "embedding", "vec_id", dim=EMBED_DIM
+    )
+    lists = sim.probe_lists_for(queries, "embedding", dim=EMBED_DIM)
+    index = spark.read.parquet(path)
+    return sim.ivfpq_topk_from_index(
+        index, queries, "embedding", "vec_id", dim=EMBED_DIM, k=5,
+        prune_lists=lists,
+    )

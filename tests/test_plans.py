@@ -359,3 +359,31 @@ def test_zorder_layout_skips_on_both_dims(spark, sf_dir):
     s_hit, s_total = layout.row_groups_overlapping(sp, "l_partkey", lo, hi)
     assert s_hit == s_total, (s_hit, s_total)  # sorted-on-orderkey: no skip
     assert z_hit * 2 <= z_total, (z_hit, z_total)  # zorder: ≥ half skipped
+
+
+def test_ivfpq_index_probe_is_partition_pruned_scan(spark, sf_dir):
+    # Persisted-index receipt: with one query vector, the probe-list
+    # union is nprobe (=2) of the 8 inverted lists, and the index scan's
+    # PartitionFilters carries that IN — the ANN probe IS a pruned scan.
+    import pyspark.sql.functions as F
+
+    from presto_rakam_kafka_spark.operators import similarity as sim
+
+    emb = Q._t(spark, sf_dir, "embeddings")
+    q1 = emb.filter(F.col("vec_id") == 0)
+    path = sim.stage_ivfpq_index(spark, emb, sf_dir, "embedding", "vec_id", dim=64)
+    lists = sim.probe_lists_for(q1, "embedding", dim=64)
+    assert len(lists) == 2, lists  # one query probes exactly nprobe lists
+    df = sim.ivfpq_topk_from_index(
+        spark.read.parquet(path), q1, "embedding", "vec_id", dim=64, k=5,
+        prune_lists=lists,
+    )
+    plan = _plan(df)
+    assert "PartitionFilters" in plan, plan[:2000]
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert f"IN ({lists[0]},{lists[1]})" in pf.replace(" IN (", " IN ("), pf
+    # and results equal the unpruned probe over the same index
+    full = sim.ivfpq_topk_from_index(
+        spark.read.parquet(path), q1, "embedding", "vec_id", dim=64, k=5
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, full.collect()))
