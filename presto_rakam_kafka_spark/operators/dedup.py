@@ -811,3 +811,79 @@ def semdedup_oracle(
     FROM c LEFT JOIN f ON c.{id_col} = f.fid
     WHERE f.fid IS NULL
     """
+
+
+# ---------------------------------------------------------------------
+# Substring-span dedup (cross-document duplicated n-gram fraction)
+# ---------------------------------------------------------------------
+
+
+def duplicated_span_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int = 10
+) -> DataFrame:
+    """Substring-level duplication signal (the Lee et al. 2021
+    "Deduplicating Training Data" observation: harmful duplication is
+    repeated SPANS, not identical documents): for every document,
+    the fraction of its word ``n``-gram positions whose n-gram also
+    occurs in at least one OTHER document. Pipelines drop or trim
+    docs above a threshold; doc-level dedup (exact/MinHash) can't see
+    a boilerplate header shared by a million otherwise-distinct pages.
+
+    Scale shape: explode positions → one shuffle keyed by the n-gram
+    (partial-agg'd distinct-doc counts; n-grams are near-unique so no
+    skew), broadcast-free re-join by n-gram back onto the exploded
+    positions, one doc-id regroup. The exact suffix-array construction
+    of the paper is a single-machine algorithm; the fixed-n span
+    approximation is the standard distributed stand-in (same keying as
+    MinHash shingles, `functions/hashing.py`)."""
+    toks = f"split({text_col}, ' ')"
+    exploded = (
+        df.select(F.col(id_col), F.expr(toks).alias("_toks"))
+        .select(
+            id_col,
+            "_toks",
+            F.explode(
+                F.expr(
+                    f"if(size(_toks) >= {n}, sequence(1, size(_toks) - {n - 1}), array())"
+                )
+            ).alias("i"),
+        )
+        .select(id_col, F.expr(f"concat_ws(' ', slice(_toks, i, {n}))").alias("g"))
+    )
+    cross = (
+        exploded.groupBy("g")
+        .agg(F.countDistinct(id_col).alias("_docs"))
+        .filter(F.col("_docs") >= 2)
+        .select("g")
+    )
+    marked = exploded.join(cross.withColumn("_dup", F.lit(1)), on="g", how="left")
+    return marked.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce("_dup", F.lit(0))).alias("n_dup_grams"),
+        F.expr("round(sum(coalesce(_dup, 0)) * 1.0 / count(*), 4)")
+        .cast("double")
+        .alias("dup_fraction"),
+    )
+
+
+def duplicated_span_stats_oracle(
+    table: str, text_col: str, id_col: str, n: int = 10
+) -> str:
+    toks = f"string_split({text_col}, ' ')"
+    return f"""
+    WITH ex AS (
+      SELECT {id_col},
+             unnest(list_transform(range(1, len({toks}) - {n - 2}),
+                    i -> array_to_string({toks}[i:i+{n - 1}], ' '))) AS g
+      FROM {table}),
+    cross_grams AS (
+      SELECT g FROM (SELECT g, count(DISTINCT {id_col}) AS _docs FROM ex GROUP BY g)
+      WHERE _docs >= 2)
+    SELECT ex.{id_col},
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN c.g IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_grams,
+           round(sum(CASE WHEN c.g IS NULL THEN 0 ELSE 1 END) * 1.0 / count(*), 4)
+             AS dup_fraction
+    FROM ex LEFT JOIN cross_grams c ON ex.g = c.g
+    GROUP BY ex.{id_col}
+    """

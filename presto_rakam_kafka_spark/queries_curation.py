@@ -781,3 +781,20 @@ def sim_topk_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         index, queries, "embedding", "vec_id", dim=EMBED_DIM, k=5,
         prune_lists=lists,
     )
+
+
+from presto_rakam_kafka_spark.operators.dedup import duplicated_span_stats_oracle
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=duplicated_span_stats_oracle("documents", "text", "doc_id", n=10),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication: per-doc fraction of word 10-gram
+    positions whose span recurs in another document — the signal
+    doc-level dedup can't see (shared boilerplate across otherwise
+    distinct pages). One n-gram-keyed shuffle + one doc regroup."""
+    from presto_rakam_kafka_spark.operators.dedup import duplicated_span_stats
+
+    return duplicated_span_stats(_docs(spark, sf_dir), "text", "doc_id", n=10)

@@ -107,6 +107,9 @@ def main() -> None:
             {"src0": 2.25, "src1": 2.25, "src2": 1.0, "src3": 1.0},
             default_weight=0.4,
         ),
+        "substring_spans": lambda: dedup.duplicated_span_stats(
+            corpus, "text", "doc_id", n=10
+        ),
         # SemDeDup: within-cluster pair cost is Σ|cluster|²·dim, so the
         # honest receipt pins cluster size (~n/centroids); centroid
         # count is capped by expression-tree size (the argmax refs each
