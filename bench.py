@@ -87,6 +87,11 @@ HEADLINE = [
     "mix_sources_epochs",
     "decontaminate_embedding",
     "events_attribution",
+    # round 5c: substring-span dedup (n-gram-keyed shuffle) and the
+    # persisted IVF-PQ index (cold = index build + probe, warm = pure
+    # partition-pruned probe against the cached index)
+    "dedup_substring_spans",
+    "sim_topk_ivfpq_indexed",
 ]
 
 #: The round-3-era query set, frozen: every round reports this subtotal

@@ -798,3 +798,135 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from presto_rakam_kafka_spark.operators.dedup import duplicated_span_stats
 
     return duplicated_span_stats(_docs(spark, sf_dir), "text", "doc_id", n=10)
+
+
+def _hybrid_rrf3_oracle() -> str:
+    from presto_rakam_kafka_spark.functions.hashing import (
+        jaccard_duckdb,
+        shingles_duckdb,
+        tokens_duckdb,
+    )
+    from presto_rakam_kafka_spark.operators.dedup import cosine_expr_duckdb
+    from presto_rakam_kafka_spark.operators.text import BM25_B, BM25_K1
+
+    jac = jaccard_duckdb("q.sh", "c.sh")
+    cos = cosine_expr_duckdb("qe.embedding", "ce.embedding", EMBED_DIM)
+    toks = tokens_duckdb("text")
+    k1, b = BM25_K1, BM25_B
+    score = f"""
+               ln(1.0 + (CAST(s.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                        / (CAST(dfreq.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * ({k1} + 1.0))
+               / (CAST(tf.tf AS DOUBLE)
+                  + {k1} * (1.0 - {b} + {b} * CAST(dl.dl AS DOUBLE) / s.avgdl))"""
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {shingles_duckdb('text', 3)} AS sh FROM documents),
+    lex AS (
+      SELECT c.doc_id,
+             row_number() OVER (ORDER BY round({jac}, 6) DESC, c.doc_id) AS r_lex
+      FROM sh c, (SELECT sh FROM sh WHERE doc_id = 0) q
+      WHERE c.doc_id != 0
+      QUALIFY r_lex <= {RRF_CANDIDATES}),
+    vec AS (
+      SELECT ce.vec_id AS doc_id,
+             row_number() OVER (ORDER BY round({cos}, 6) DESC, ce.vec_id) AS r_vec
+      FROM embeddings ce, (SELECT embedding FROM embeddings WHERE vec_id = 0) qe
+      WHERE ce.vec_id != 0
+      QUALIFY r_vec <= {RRF_CANDIDATES}),
+    tk AS (SELECT doc_id, unnest({toks}) AS t FROM documents),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM tk GROUP BY doc_id, t),
+    dl AS (SELECT doc_id, len({toks}) AS dl FROM documents),
+    s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    q25 AS (SELECT DISTINCT unnest({toks}) AS t FROM documents WHERE doc_id = 0),
+    bm AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm
+      FROM (
+        SELECT tf.doc_id, round(sum({score}), 6) AS bm25
+        FROM tf JOIN q25 ON tf.t = q25.t
+        JOIN dfreq ON tf.t = dfreq.t
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN s
+        WHERE tf.doc_id != 0
+        GROUP BY tf.doc_id, s.n_docs, s.avgdl)
+      QUALIFY r_bm <= {RRF_CANDIDATES})
+    SELECT doc_id, r_lex, r_vec, r_bm, rrf, rank FROM (
+      SELECT l.doc_id, l.r_lex, v.r_vec, bm.r_bm,
+             round(1.0 / (60 + l.r_lex) + 1.0 / (60 + v.r_vec)
+                   + 1.0 / (60 + bm.r_bm), 8) AS rrf,
+             row_number() OVER (
+               ORDER BY round(1.0 / (60 + l.r_lex) + 1.0 / (60 + v.r_vec)
+                              + 1.0 / (60 + bm.r_bm), 8) DESC, l.doc_id) AS rank
+      FROM lex l JOIN vec v ON l.doc_id = v.doc_id
+      JOIN bm ON l.doc_id = bm.doc_id)
+    WHERE rank <= 10
+    """
+
+
+@query("search_hybrid_rrf3", oracle=_hybrid_rrf3_oracle())
+def search_hybrid_rrf3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-leg hybrid retrieval: shingle-Jaccard, embedding cosine,
+    AND BM25 fused by reciprocal rank — the production stack (sparse
+    lexical + saturating BM25 + dense vector) with each leg a bounded
+    top-N candidate list (TakeOrderedAndProject); fusion sees only
+    docs present in all three lists."""
+    from pyspark.sql import Window
+
+    from presto_rakam_kafka_spark.functions.hashing import jaccard_spark, shingles_spark
+    from presto_rakam_kafka_spark.operators.dedup import cosine_expr
+    from presto_rakam_kafka_spark.operators.text import bm25_topk
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(shingles_spark("text", 3)).alias("sh")
+    )
+    qdoc = F.broadcast(docs.filter("doc_id = 0").select(F.col("sh").alias("q_sh")))
+    lex = (
+        docs.filter("doc_id != 0")
+        .crossJoin(qdoc)
+        .select("doc_id", F.expr(f"round({jaccard_spark('q_sh', 'sh')}, 6)").alias("_j"))
+        .orderBy(F.desc("_j"), F.asc("doc_id"))
+        .limit(RRF_CANDIDATES)
+        .withColumn(
+            "r_lex", F.row_number().over(Window.orderBy(F.desc("_j"), F.asc("doc_id")))
+        )
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = F.broadcast(emb.filter("vec_id = 0").select(F.col("embedding").alias("q_emb")))
+    vec = (
+        emb.filter("vec_id != 0")
+        .crossJoin(qvec)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr(f"round({cosine_expr('q_emb', 'embedding')}, 6)").alias("_c"),
+        )
+        .orderBy(F.desc("_c"), F.asc("doc_id"))
+        .limit(RRF_CANDIDATES)
+        .withColumn(
+            "r_vec", F.row_number().over(Window.orderBy(F.desc("_c"), F.asc("doc_id")))
+        )
+    )
+    bm = bm25_topk(
+        _docs(spark, sf_dir), "text", "doc_id", query_id=0, k=RRF_CANDIDATES
+    ).select("doc_id", F.col("rank").alias("r_bm"))
+    fused = (
+        lex.select("doc_id", "r_lex")
+        .join(vec.select("doc_id", "r_vec"), "doc_id")
+        .join(bm, "doc_id")
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_vec",
+            "r_bm",
+            F.expr(
+                "cast(round(1.0 / (60 + r_lex) + 1.0 / (60 + r_vec)"
+                " + 1.0 / (60 + r_bm), 8) as double)"
+            ).alias("rrf"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w))
+    )
