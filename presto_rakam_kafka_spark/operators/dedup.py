@@ -713,7 +713,13 @@ def semdedup(
     generated where its rows live, no broadcast of the corpus).
     Same fit-then-broadcast centroid contract as IVF
     (:func:`presto_rakam_kafka_spark.operators.similarity.fit_centroids`);
-    the seeded default keeps the DuckDB oracle replayable. The
+    the seeded default keeps the DuckDB oracle replayable. At
+    production centroid counts (k ~ n/500, far past the ~64-literal
+    expression-tree cap) the assignment step swaps to the BLAS path
+    (:func:`presto_rakam_kafka_spark.operators.similarity.assign_clusters_pandas`
+    — one Arrow-batched matmul against the broadcast codebook,
+    equality with this form unit-tested); the pair-prune stage is
+    unchanged. The
     cross-cluster miss mode is inherent to SemDeDup (a pair split
     across cluster boundaries is never compared) — the oracle replays
     the same clustering, so the contract is exact given the centroids.

@@ -997,3 +997,45 @@ def probe_lists_for(
         .collect()
     )
     return sorted(int(r["list_id"]) for r in rows)
+
+
+def assign_clusters_pandas(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+) -> DataFrame:
+    """Centroid assignment at PRODUCTION centroid counts: the
+    literal-expression argmax (:func:`_argmax_rank_expr`) is what the
+    DuckDB oracle can replay, but its expression tree grows with k and
+    caps out around k≈64 (the IVF plan-size cliff). Real deployments
+    assign with one BLAS matmul per Arrow batch against the broadcast
+    k×dim codebook — this is that path: ``mapInPandas``, vectors
+    stacked per batch, ``V @ C.T``, argmax row-wise (numpy argmax
+    takes the first maximum — the same (dot desc, idx asc) tie-break
+    as the expression form). Returns (id, cluster_id).
+
+    Equality with the expression path is unit-tested at k=8; the two
+    can differ only on exact dot ties produced by different float
+    summation orders (BLAS pairwise vs left-fold) — measure-zero on
+    real embeddings and absent on the fixtures."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    schema = f"{id_col} long, cluster_id int"
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cluster_id": np.argmax(V @ C.T, axis=1).astype("int32"),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(fn, schema)

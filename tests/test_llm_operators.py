@@ -535,3 +535,38 @@ def test_multimodal_ppm_resize_real_pixels(spark):
     assert px[0:3] == ppm[-8 * 6 * 3 :][0:3]
     # fake path untouched
     assert got[2]["src_w"] == 11 % 640 + 32 and bytes(got[2]["resized"]) == b"plain words"
+
+
+def test_pandas_cluster_assignment_equals_expression_argmax(spark, sf_dir):
+    """The BLAS (mapInPandas matmul) assigner — the production path at
+    centroid counts past the expression-tree cap — agrees with the
+    oracle-replayable literal-expression argmax at k=8, and runs at a
+    k the expression form can't express (k=256)."""
+    from pyspark.sql import functions as F
+
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.operators import similarity as sim
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = sim.ivf_centroids(8, 64)
+    dots = sim._dots_spark("embedding", cents)
+    dcols = [f"d{i}" for i in range(8)]
+    expr_assign = {
+        r["vec_id"]: r["cluster_id"]
+        for r in emb.select(
+            "vec_id", "embedding", *[F.expr(d).alias(c) for d, c in zip(dots, dcols)]
+        )
+        .select("vec_id", F.expr(sim._argmax_rank_expr(dcols, 0)).alias("cluster_id"))
+        .collect()
+    }
+    blas_assign = {
+        r["vec_id"]: r["cluster_id"]
+        for r in sim.assign_clusters_pandas(emb, "embedding", "vec_id", cents).collect()
+    }
+    assert blas_assign == expr_assign
+    # k=256: far past the literal-expression cap; every list id in range
+    big = sim.ivf_centroids(256, 64)
+    out = sim.assign_clusters_pandas(emb, "embedding", "vec_id", big)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert all(0 <= r["cluster_id"] < 256 for r in rows)
