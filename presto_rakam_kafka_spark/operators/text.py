@@ -455,3 +455,97 @@ def bm25_topk_oracle(
       GROUP BY tf.{id_col}, s.n_docs, s.avgdl
     ) WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------
+# BPE tokenizer training (distributed merge learning)
+# ---------------------------------------------------------------------
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str, id_col: str, num_merges: int = 10
+) -> DataFrame:
+    """Learn the first ``num_merges`` BPE merges from the corpus —
+    classic (Sennrich et al. 2016) word-internal byte-pair encoding:
+    start from characters, repeatedly merge the most frequent adjacent
+    symbol pair (ties broken lexicographically so the result is
+    deterministic), weighting each word type by its corpus frequency.
+    Returns the learned merge table (step, left, right, merged, pair_count).
+
+    Scale shape — the part that matters at 100 TB: the corpus is
+    touched ONCE (tokenize → word-count groupBy, the word-frequency
+    shuffle); every one of the ``num_merges`` iterations then runs on
+    the VOCABULARY table (word types × counts — ≪ corpus, ~10⁵–10⁶
+    rows at web scale), alternating a pair-count aggregation (explode
+    adjacent pairs, weighted count) with a vocab-wide merge rewrite
+    (a codegen'd ``aggregate()`` fold that rewrites each word's symbol
+    array left-to-right, non-overlapping). The only driver-side data
+    is the argmax pair per step — one row per iteration, the classic
+    iterate-on-aggregates shape (same contract as the k-means fit).
+    The vocab table is re-persisted per step so iteration i+1 does not
+    recompute merges 1..i.
+
+    The merge fold is not expressible in DuckDB SQL (list_reduce
+    cannot carry the (output, skip) struct accumulator), so the driver
+    gate records the weaker rows-only check; correctness is instead
+    pinned by a unit test replaying the exact merge sequence against a
+    pure-Python reference BPE trainer on the same corpus."""
+    toks = tokens_spark(text_col)
+    words = (
+        df.select(F.explode(F.expr(toks)).alias("w"))
+        .filter("w != ''")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.expr("transform(split(w, ''), c -> c)").alias("syms"), "cnt")
+    )
+    words = words.persist()
+    words.count()
+    merges = []
+    try:
+        for step in range(num_merges):
+            pairs = (
+                words.select(
+                    "cnt",
+                    F.explode(
+                        F.expr(
+                            # guard: Spark sequence(1, 0) counts DOWN
+                            "transform(if(size(syms) >= 2,"
+                            " sequence(1, size(syms) - 1), array()),"
+                            " i -> struct(syms[i - 1] AS l, syms[i] AS r))"
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("cnt").alias("pair_count"))
+                .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not pairs:
+                break
+            l, r, c = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["pair_count"])
+            merges.append((step, l, r, l + r, c))
+            le, re = l.replace("'", "\\'"), r.replace("'", "\\'")
+            # Left-to-right non-overlapping merge of (l, r) in every
+            # word: fold with a (out, skip) struct accumulator; skip
+            # marks that position i was consumed by a merge at i-1.
+            fold = (
+                "aggregate(sequence(1, size(syms)),"
+                " struct(cast(array() as array<string>) AS out, false AS skip),"
+                " (acc, i) -> CASE"
+                "   WHEN acc.skip THEN struct(acc.out AS out, false AS skip)"
+                f"  WHEN i < size(syms) AND syms[i - 1] = '{le}' AND syms[i] = '{re}'"
+                f"    THEN struct(concat(acc.out, array('{le}{re}')) AS out, true AS skip)"
+                "   ELSE struct(concat(acc.out, array(syms[i - 1])) AS out, false AS skip)"
+                " END, acc -> acc.out)"
+            )
+            new_words = words.select(F.expr(fold).alias("syms"), "cnt").persist()
+            new_words.count()
+            words.unpersist()
+            words = new_words
+    finally:
+        words.unpersist()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "step INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
+    )

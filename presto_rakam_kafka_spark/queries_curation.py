@@ -930,3 +930,19 @@ def search_hybrid_rrf3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+@query("bpe_train_merges")  # rows-only gate: merge fold not SQL-expressible
+def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training — learn the first 10 merges
+    from the corpus (Sennrich-style, frequency-weighted word types,
+    lexicographic tie-break). Corpus touched once (the word-count
+    shuffle); each merge iteration runs on the vocabulary table with a
+    codegen'd fold rewrite; only the per-step argmax pair reaches the
+    driver. The (out, skip) struct-accumulator fold has no DuckDB SQL
+    equivalent, so the driver records the rows-only check; the exact
+    merge sequence is pinned against a pure-Python reference trainer
+    in tests/test_llm_operators.py."""
+    from presto_rakam_kafka_spark.operators.text import bpe_train_merges
+
+    return bpe_train_merges(_docs(spark, sf_dir), "text", "doc_id", num_merges=10)

@@ -570,3 +570,52 @@ def test_pandas_cluster_assignment_equals_expression_argmax(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == emb.count()
     assert all(0 <= r["cluster_id"] < 256 for r in rows)
+
+
+def test_bpe_train_merges_matches_python_reference(spark, sf_dir):
+    """The distributed BPE trainer's merge sequence equals a pure-
+    Python reference (Sennrich-style, same lexicographic tie-break)
+    on the fixture corpus — the correctness pin for the rows-only
+    driver gate."""
+    from collections import Counter
+
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.operators.text import bpe_train_merges
+
+    docs = read_table(spark, sf_dir, "documents")
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(docs, "text", "doc_id", num_merges=6)
+        .orderBy("step")
+        .collect()
+    ]
+
+    # pure-python reference
+    word_counts = Counter()
+    for row in docs.select("text").collect():
+        for w in row["text"].split(" "):
+            if w:
+                word_counts[w] += 1
+    vocab = {w: list(w) for w in word_counts}
+    expect = []
+    for step in range(6):
+        pc = Counter()
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((step, l, r, l + r, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    assert got == expect
