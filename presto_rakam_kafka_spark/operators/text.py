@@ -463,7 +463,11 @@ def bm25_topk_oracle(
 
 
 def bpe_train_merges(
-    df: DataFrame, text_col: str, id_col: str, num_merges: int = 10
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_merges: int = 10,
+    _vocab_sink: list | None = None,
 ) -> DataFrame:
     """Learn the first ``num_merges`` BPE merges from the corpus —
     classic (Sennrich et al. 2016) word-internal byte-pair encoding:
@@ -496,11 +500,12 @@ def bpe_train_merges(
         .filter("w != ''")
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
-        .select(F.expr("transform(split(w, ''), c -> c)").alias("syms"), "cnt")
+        .select("w", F.expr("transform(split(w, ''), c -> c)").alias("syms"), "cnt")
     )
     words = words.persist()
     words.count()
     merges = []
+    final_vocab = None
     try:
         for step in range(num_merges):
             pairs = (
@@ -539,13 +544,48 @@ def bpe_train_merges(
                 "   ELSE struct(concat(acc.out, array(syms[i - 1])) AS out, false AS skip)"
                 " END, acc -> acc.out)"
             )
-            new_words = words.select(F.expr(fold).alias("syms"), "cnt").persist()
+            new_words = words.select("w", F.expr(fold).alias("syms"), "cnt").persist()
             new_words.count()
             words.unpersist()
             words = new_words
+        if _vocab_sink is not None:
+            # hand the (word → symbol list) table to the caller BEFORE
+            # the unpersist; the caller must consume it eagerly.
+            final_vocab = [(r["w"], list(r["syms"])) for r in words.collect()]
     finally:
         words.unpersist()
     spark = df.sparkSession
+    if _vocab_sink is not None:
+        _vocab_sink.extend(final_vocab)
     return spark.createDataFrame(
         merges, "step INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
+    )
+
+
+def bpe_token_counts(
+    df: DataFrame, text_col: str, id_col: str, num_merges: int = 10
+) -> DataFrame:
+    """Per-document token counts under a LEARNED BPE vocabulary — the
+    apply half of :func:`bpe_train_merges` (the regex `token_counts`
+    estimates; this measures, with the corpus's own merges): train the
+    merges, take the final (word type → symbol count) vocabulary — a
+    vocab-bounded driver-side build, the fit-then-broadcast shape —
+    and broadcast it back onto the corpus: explode words, join, one
+    per-doc sum. Returns (id, ws_tokens, bpe_tokens)."""
+    sink: list = []
+    bpe_train_merges(df, text_col, id_col, num_merges, _vocab_sink=sink)
+    spark = df.sparkSession
+    vocab = spark.createDataFrame(
+        [(w, len(syms)) for w, syms in sink], "w STRING, n_tok INT"
+    )
+    words = df.select(
+        F.col(id_col), F.explode(F.expr(tokens_spark(text_col))).alias("w")
+    ).filter("w != ''")
+    return (
+        words.join(F.broadcast(vocab), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("ws_tokens"),
+            F.sum("n_tok").cast("long").alias("bpe_tokens"),
+        )
     )

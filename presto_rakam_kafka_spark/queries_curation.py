@@ -946,3 +946,14 @@ def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from presto_rakam_kafka_spark.operators.text import bpe_train_merges
 
     return bpe_train_merges(_docs(spark, sf_dir), "text", "doc_id", num_merges=10)
+
+
+@query("text_bpe_token_counts")  # rows-only: merge fold not SQL-expressible
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts under the corpus's own learned BPE vocab
+    (10 merges) — the apply half of `bpe_train_merges`: final (word →
+    symbol count) vocabulary broadcast onto the exploded corpus, one
+    per-doc sum. Python-reference-pinned in tests."""
+    from presto_rakam_kafka_spark.operators.text import bpe_token_counts
+
+    return bpe_token_counts(_docs(spark, sf_dir), "text", "doc_id", num_merges=10)

@@ -619,3 +619,47 @@ def test_bpe_train_merges_matches_python_reference(spark, sf_dir):
                     i += 1
             vocab[w] = out
     assert got == expect
+
+
+def test_bpe_token_counts_match_python_apply(spark, sf_dir):
+    """Applying the learned merges: per-doc BPE token counts equal a
+    pure-Python apply of the same merge sequence."""
+    from collections import Counter
+
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.operators.text import (
+        bpe_token_counts,
+        bpe_train_merges,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train_merges(docs, "text", "doc_id", num_merges=6)
+        .orderBy("step")
+        .collect()
+    ]
+
+    def apply_merges(word):
+        syms = list(word)
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    expect = {}
+    for row in docs.select("doc_id", "text").collect():
+        ws = [w for w in row["text"].split(" ") if w]
+        expect[row["doc_id"]] = (len(ws), sum(apply_merges(w) for w in ws))
+    got = {
+        r["doc_id"]: (r["ws_tokens"], r["bpe_tokens"])
+        for r in bpe_token_counts(docs, "text", "doc_id", num_merges=6).collect()
+    }
+    assert got == expect
