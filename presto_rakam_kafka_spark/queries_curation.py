@@ -957,3 +957,76 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from presto_rakam_kafka_spark.operators.text import bpe_token_counts
 
     return bpe_token_counts(_docs(spark, sf_dir), "text", "doc_id", num_merges=10)
+
+
+@query(
+    "join_fuzzy_blocked",
+    oracle="""
+    WITH p AS (SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+               FROM part)
+    SELECT blk, count(*) AS n_pairs,
+           CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS exact_pairs,
+           CAST(sum(CASE WHEN d BETWEEN 1 AND 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS near_pairs
+    FROM (SELECT a.blk, levenshtein(a.p_name, b.p_name) AS d
+          FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+          WHERE levenshtein(a.p_name, b.p_name) <= 3)
+    GROUP BY blk
+    """,
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join — the entity-resolution shape: candidate
+    pairs are generated ONLY within a cheap blocking key (first name
+    token), then verified with exact edit distance (levenshtein ≤ 3,
+    identical integer algorithm in both engines). Per-block pair
+    summary returned. At 100 TB the block key is the one shuffle and
+    block size bounds the quadratic verify — the same
+    block-then-verify discipline as MinHash-LSH banding, on edit
+    distance instead of Jaccard."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.expr("split(p_name, ' ')[0]").alias("blk")
+    )
+    a = p.select("blk", F.col("p_partkey").alias("ka"), F.col("p_name").alias("na"))
+    b = p.select("blk", F.col("p_partkey").alias("kb"), F.col("p_name").alias("nb"))
+    pairs = (
+        a.join(b, on="blk")
+        .filter(F.col("ka") < F.col("kb"))
+        .select("blk", F.levenshtein("na", "nb").alias("d"))
+        .filter(F.col("d") <= 3)
+    )
+    return pairs.groupBy("blk").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("d") == 0, 1).otherwise(0)).cast("long").alias("exact_pairs"),
+        F.sum(F.when(F.col("d").between(1, 3), 1).otherwise(0))
+        .cast("long")
+        .alias("near_pairs"),
+    )
+
+
+@query(
+    "string_funcs3",
+    oracle="""
+    SELECT p_partkey,
+           CAST(levenshtein(p_name, p_type) AS BIGINT) AS name_type_dist,
+           translate(p_name, 'aeiou', 'AEIOU') AS name_caps_vowels,
+           left(p_name, 4) AS name_left,
+           right(p_name, 3) AS name_right,
+           contains(p_name, 'a') AS has_a,
+           ends_with(p_type, 'TIN') AS is_tin
+    FROM part
+    """,
+)
+def string_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third string batch: edit distance, translate, left/right,
+    contains, ends_with (Presto 0.123 string surface — levenshtein is
+    the verify primitive of `join_fuzzy_blocked`)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_type").cast("long").alias("name_type_dist"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("name_caps_vowels"),
+        F.expr("left(p_name, 4)").alias("name_left"),
+        F.expr("right(p_name, 3)").alias("name_right"),
+        F.expr("contains(p_name, 'a')").alias("has_a"),
+        F.expr("endswith(p_type, 'TIN')").alias("is_tin"),
+    )
