@@ -636,3 +636,38 @@ def last_touch_attribution(
         ),
         F.coalesce("first_touch", F.lit("none")).alias("first_touch"),
     )
+
+
+def funnel_trend(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """Funnel over time (the Rakam funnel-trend chart): each calendar
+    week's events evaluated as an independent ordered funnel —
+    (week, step, users reaching step). Same one-corpus-shuffle sorted
+    fold as :func:`funnel` with the week riding in the grouping key:
+    the shuffle is keyed (week, user), so adding the time grain costs
+    nothing extra, and step counts shuffle ≤ users×weeks rows."""
+    step_idx = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
+    )
+    evs = events.filter(F.col("event_type").isin(list(steps))).select(
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias("wk"),
+        "user_id",
+        F.struct(
+            F.col("ts"), F.col("event_id"), step_idx[F.col("event_type")].alias("idx")
+        ).alias("ev"),
+    )
+    depth = F.aggregate(
+        F.array_sort(F.collect_list("ev")),
+        F.lit(0),
+        lambda acc, ev: F.when(ev["idx"] == acc, acc + 1).otherwise(acc),
+    )
+    depths = evs.groupBy("wk", "user_id").agg(depth.alias("depth"))
+    steps_df = depths.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step INT, step_name STRING"
+    )
+    return (
+        depths.join(F.broadcast(steps_df), F.col("depth") >= F.col("step"))
+        .groupBy("wk", "step", "step_name")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

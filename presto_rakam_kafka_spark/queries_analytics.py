@@ -474,3 +474,30 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase — running IGNORE-NULLS carries over ONE user_id shuffle,
     not a per-conversion as-of join."""
     return ev.last_touch_attribution(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "events_funnel_trend",
+    oracle="""
+    WITH e AS (SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk,
+                      user_id, ts, event_type FROM events),
+    s1 AS (SELECT wk, user_id, min(ts) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY wk, user_id),
+    s2 AS (SELECT e.wk, e.user_id, min(e.ts) AS t2 FROM e
+           JOIN s1 ON e.wk = s1.wk AND e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.wk, e.user_id),
+    s3 AS (SELECT e.wk, e.user_id, min(e.ts) AS t3 FROM e
+           JOIN s2 ON e.wk = s2.wk AND e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.wk, e.user_id)
+    SELECT wk, 1 AS step, 'view' AS step_name, count(*) AS n_users FROM s1 GROUP BY wk
+    UNION ALL
+    SELECT wk, 2, 'click', count(*) FROM s2 GROUP BY wk
+    UNION ALL
+    SELECT wk, 3, 'purchase', count(*) FROM s3 GROUP BY wk
+    """,
+)
+def events_funnel_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel per calendar week (Rakam's funnel-over-time chart): the
+    same one-shuffle sorted fold with the week in the grouping key —
+    time grain rides the existing shuffle for free."""
+    return ev.funnel_trend(_t(spark, sf_dir, "events"))

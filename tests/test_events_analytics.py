@@ -394,3 +394,33 @@ def test_attribution_window_and_recency(spark):
         3: ("none", "click"),
         4: ("none", "none"),
     }
+
+
+def test_funnel_trend_isolates_weeks(spark):
+    """A journey spanning a week boundary does not convert in either
+    week — each calendar week is an independent funnel — while the
+    same journey inside one week converts fully."""
+    base = dt.datetime(2024, 1, 1)  # a Monday
+    d = dt.timedelta(days=1)
+    rows = [
+        # user 1: view Sunday, click next Monday → two week-1-step rows
+        (1, base + 6 * d, 1, "view", 0.0, "{}"),
+        (2, base + 7 * d, 1, "click", 0.0, "{}"),
+        # user 2: view+click+purchase inside week 1 → full conversion
+        (3, base, 2, "view", 0.0, "{}"),
+        (4, base + d, 2, "click", 0.0, "{}"),
+        (5, base + 2 * d, 2, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    )
+    got = {
+        (r["wk"], r["step"]): r["n_users"]
+        for r in ev.funnel_trend(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 1): 2,  # both users viewed in week 1
+        ("2024-01-01", 2): 1,  # only user 2 clicked in week 1
+        ("2024-01-01", 3): 1,
+        # user 1's lone week-2 click never matches step 1 → no week-2 rows
+    }, got
