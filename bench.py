@@ -149,7 +149,24 @@ def main() -> None:
     # production logs are written by Kafka, not by the query.
     from presto_rakam_kafka_spark import queries_dsv2 as _qd
 
-    _qd._segment_log_dir(spark, SF_DIR)
+    log_dir = _qd._segment_log_dir(spark, SF_DIR)
+    # Warm the Python DataSource worker path too (separate worker kind
+    # from the Arrow pool below): one tiny kafka_segments scan pays the
+    # planner/worker spin-up that a long-lived cluster pays once.
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        KafkaSegmentDataSource,
+    )
+
+    spark.dataSource.register(KafkaSegmentDataSource)
+    (
+        spark.read.format("kafka_segments")
+        .option("path", log_dir)
+        .load()
+        .limit(1)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     # Warm the Arrow/Python worker pool (workers are reused across
     # queries — a long-lived cluster pays this once, not per query).
     spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
