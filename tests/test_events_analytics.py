@@ -424,3 +424,32 @@ def test_funnel_trend_isolates_weeks(spark):
         ("2024-01-01", 3): 1,
         # user 1's lone week-2 click never matches step 1 → no week-2 rows
     }, got
+
+
+def test_funnel_filtered_repeated_step_types(spark):
+    """Rakam funnels may use the SAME event type at multiple steps
+    (view → view → purchase = 'two views before buying'): the
+    per-step predicate array handles what the type-keyed map of the
+    plain funnel cannot. One view then purchase reaches only step 1;
+    two views then purchase completes."""
+    base = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: view, purchase — second view never happens
+        (1, base, 1, "view", 0.0, "{}"),
+        (2, base + m, 1, "purchase", 0.0, "{}"),
+        # user 2: view, view, purchase — completes
+        (3, base, 2, "view", 0.0, "{}"),
+        (4, base + m, 2, "view", 0.0, "{}"),
+        (5, base + 2 * m, 2, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    )
+    steps = [
+        ("view_1", F.col("event_type") == "view"),
+        ("view_2", F.col("event_type") == "view"),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+    got = {r["step_name"]: r["n_users"] for r in ev.funnel_filtered(df, steps).collect()}
+    assert got == {"view_1": 2, "view_2": 1, "purchase": 1}
