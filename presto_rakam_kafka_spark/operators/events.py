@@ -671,3 +671,41 @@ def funnel_trend(
         .groupBy("wk", "step", "step_name")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def funnel_unordered(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """Unordered funnel (Rakam's strict-ordering toggle OFF): for each
+    prefix of ``steps``, how many users performed ALL of the prefix's
+    event types in ANY order. Set semantics, not sequence: one
+    groupBy(user) with per-type boolean maxes — no sort, no fold, and
+    the step table joins on the count of distinct prefix types seen.
+    Always ≥ the ordered funnel at every step (tested)."""
+    flags = [
+        F.max((F.col("event_type") == s).cast("int")).alias(f"_s{i}")
+        for i, s in enumerate(steps)
+    ]
+    per_user = (
+        events.filter(F.col("event_type").isin(list(steps)))
+        .groupBy("user_id")
+        .agg(*flags)
+    )
+    # depth = longest prefix fully covered: min over prefix of flags
+    depth = None
+    prefix_all = None
+    for i in range(len(steps)):
+        prefix_all = (
+            F.col(f"_s{i}") if prefix_all is None else F.least(prefix_all, F.col(f"_s{i}"))
+        )
+        contrib = prefix_all
+        depth = contrib if depth is None else depth + contrib
+    per_user = per_user.select("user_id", depth.alias("depth"))
+    steps_df = per_user.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step INT, step_name STRING"
+    )
+    return (
+        per_user.join(F.broadcast(steps_df), F.col("depth") >= F.col("step"))
+        .groupBy("step", "step_name")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

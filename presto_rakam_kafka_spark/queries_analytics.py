@@ -501,3 +501,27 @@ def events_funnel_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     same one-shuffle sorted fold with the week in the grouping key —
     time grain rides the existing shuffle for free."""
     return ev.funnel_trend(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "events_funnel_unordered",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s0,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s1,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s2
+      FROM events GROUP BY user_id),
+    d AS (SELECT user_id,
+                 s0 + least(s0, s1) + least(s0, s1, s2) AS depth FROM f)
+    SELECT step, step_name, count(*) AS n_users
+    FROM d JOIN (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+           s(step, step_name) ON d.depth >= s.step
+    GROUP BY step, step_name
+    """,
+)
+def events_funnel_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered funnel (strict-ordering toggle off): users who did
+    ALL prefix event types in any order — one groupBy(user) of boolean
+    maxes, no sort/fold; always ≥ the ordered funnel per step."""
+    return ev.funnel_unordered(_t(spark, sf_dir, "events"))

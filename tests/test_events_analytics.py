@@ -453,3 +453,14 @@ def test_funnel_filtered_repeated_step_types(spark):
     ]
     got = {r["step_name"]: r["n_users"] for r in ev.funnel_filtered(df, steps).collect()}
     assert got == {"view_1": 2, "view_2": 1, "purchase": 1}
+
+
+def test_unordered_funnel_dominates_ordered(spark, sf_dir):
+    """Dropping the ordering constraint can only add users: unordered
+    ≥ ordered at every step, equal at step 1."""
+    e = _events(spark, sf_dir)
+    ordered = {r["step"]: r["n_users"] for r in ev.funnel(e).collect()}
+    unordered = {r["step"]: r["n_users"] for r in ev.funnel_unordered(e).collect()}
+    for step, n in ordered.items():
+        assert unordered.get(step, 0) >= n, (step, unordered.get(step), n)
+    assert unordered.get(1) == ordered.get(1)
