@@ -2,10 +2,30 @@
 """Benchmark harness (driver contract).
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line::
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints a
+detailed JSON line followed by ONE FINAL COMPACT JSON line::
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "sf": ..., ...}
+
+The compact line exists because the driver keeps only the last ~2 kB of
+output: round 5's single detailed line (44 cold + 44 warm per-query
+timings) outgrew that window and the driver recorded ``parsed: null``
+(VERDICT r5 "What's wrong" #1). The final line carries only the totals
+(≈300 chars) so the tail window always contains one complete object;
+the detailed per-query line is printed immediately before it for humans
+and for the repo's own round-over-round analysis.
+
+Pass ordering (VERDICT r5 "What's wrong" #2): the frozen SHARED set is
+measured first — cold then warm — BEFORE any non-shared query runs, so
+its warm numbers see the same JVM state (generated-class count, heap
+debt) every round regardless of how many new queries later rounds add.
+r5's shared-warm regression (q3 0.78→1.41 s, simhash 1.73→2.46 s,
+code-unchanged, canary flat) was consistent with warm-pass pollution
+from a 44-query cold pass; this ordering removes that variable.
+
+``--isolate`` runs each shared query in its own subprocess (fresh JVM)
+and prints a comparison line — the one-time receipt for SCALE_NOTES
+§bench-isolation. ``--only a,b,c`` restricts the run to those queries.
 
 Timing methodology: each query's result is written to the ``noop`` sink
 so we measure the full distributed plan (scan → shuffle → agg/join)
@@ -130,12 +150,53 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
+def _isolate_main() -> None:
+    """Run each SHARED query in its own subprocess (fresh JVM per query)
+    and print a JSON comparison line. One-time receipt for SCALE_NOTES
+    §bench-isolation: separates JVM-state effects (codegen cache, heap
+    debt from earlier queries) from plan effects."""
+    import subprocess
+
+    iso_cold: dict[str, float] = {}
+    iso_warm: dict[str, float] = {}
+    for name in SHARED:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--only", name],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        line = [l for l in out.splitlines() if l.startswith("{")][-1]
+        rec = json.loads(line)
+        iso_cold[name] = rec["value"]
+        iso_warm[name] = rec["warm_value"]
+    print(
+        json.dumps(
+            {
+                "metric": "shared_isolated",
+                "unit": "sec",
+                "sf": _sf_from_dir(SF_DIR),
+                "iso_cold": iso_cold,
+                "iso_warm": iso_warm,
+                "iso_cold_total": round(sum(iso_cold.values()), 3),
+                "iso_warm_total": round(sum(iso_warm.values()), 3),
+            }
+        )
+    )
+
+
 def main() -> None:
     from presto_rakam_kafka_spark import queries as Q
     from presto_rakam_kafka_spark.session import get_spark
 
+    only: list[str] | None = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
+
     spark = get_spark(app_name="bench")
     names = [n for n in HEADLINE if n in Q.QUERIES]
+    if only is not None:
+        names = [n for n in names if n in only]
 
     # Warmup: JVM + whole-stage-codegen compile + parquet footer reads +
     # catalog registration (schema reads happen once per cluster
@@ -191,52 +252,62 @@ def main() -> None:
     canary_cold = _canary()
     canary_warm = _canary()
 
-    timings: dict[str, float] = {}
-    for name in names:
+    def _run(name: str) -> float:
         t0 = time.perf_counter()
-        df = Q.QUERIES[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        Q.QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.perf_counter() - t0, 3)
 
-    # Second pass over the same queries: every generated class is now
-    # JIT-compiled, so this measures steady-state executor throughput —
-    # what a long-lived cluster sees after the first run of a recurring
-    # pipeline. Reported alongside (not instead of) the cold pass: the
-    # cold number stays the primary metric for round-over-round
-    # comparability; the warm number separates one-time driver/JIT cost
-    # from per-byte work that actually scales with data volume.
+    # Frozen shared set first — cold then warm — so its warm pass sees
+    # an identical JVM state every round (only the 20 shared queries'
+    # generated classes, never the growing non-shared tail). Second
+    # pass over the same queries: every generated class is JIT-compiled,
+    # so warm measures steady-state executor throughput — what a
+    # long-lived cluster sees after the first run of a recurring
+    # pipeline. Cold stays the primary metric for round-over-round
+    # comparability; warm separates one-time driver/JIT cost from
+    # per-byte work that actually scales with data volume.
+    shared_names = [n for n in SHARED if n in names]
+    rest_names = [n for n in names if n not in SHARED]
+    timings: dict[str, float] = {}
     warm: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = Q.QUERIES[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        warm[name] = round(time.perf_counter() - t0, 3)
+    for name in shared_names:
+        timings[name] = _run(name)
+    for name in shared_names:
+        warm[name] = _run(name)
+    for name in rest_names:
+        timings[name] = _run(name)
+    for name in rest_names:
+        warm[name] = _run(name)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-                "warm_value": round(sum(warm.values()), 3),
-                "queries_warm": warm,
-                "shared_total": round(
-                    sum(timings[n] for n in SHARED if n in timings), 3
-                ),
-                "shared_warm": round(
-                    sum(warm[n] for n in SHARED if n in warm), 3
-                ),
-                "canary_range_sum_cold": canary_cold,
-                "canary_range_sum_warm": canary_warm,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": _sf_from_dir(SF_DIR),
+        "warm_value": round(sum(warm.values()), 3),
+        "n_queries": len(timings),
+        "shared_total": round(
+            sum(timings[n] for n in SHARED if n in timings), 3
+        ),
+        "shared_warm": round(sum(warm[n] for n in SHARED if n in warm), 3),
+        "canary_range_sum_cold": canary_cold,
+        "canary_range_sum_warm": canary_warm,
+    }
+    # Detailed line (humans + repo-local analysis) ...
+    print(json.dumps({**summary, "queries": timings, "queries_warm": warm}))
+    # ... then the FINAL COMPACT line (≈300 chars): the driver keeps only
+    # the last ~2 kB of output, so the last line must be a complete JSON
+    # object on its own (VERDICT r5 "What's wrong" #1).
+    print(json.dumps(summary))
     sys.stdout.flush()
     spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if "--isolate" in sys.argv:
+        _isolate_main()
+    else:
+        main()

@@ -771,7 +771,10 @@ def semdedup(
         "aggregate(zip_with(emb_a, emb_b, (x, y) -> cast(x as double)"
         " * cast(y as double)), 0D, (acc, v) -> acc + v)"
     )
-    cos = F.expr(f"({dot}) / (_na * _nb)")
+    # nullif guards the all-zero embedding: NaN would otherwise satisfy
+    # ``round(NaN, 6) >= threshold`` under Spark's NaN-greatest ordering,
+    # flagging every later same-cluster row as a dup of the zero vector.
+    cos = F.expr(f"({dot}) / nullif(_na * _nb, 0D)")
     flagged = (
         a.join(b, on="cluster_id")
         .filter(F.col("_ka") < F.col("_kb"))

@@ -142,7 +142,10 @@ def stage_sorted(
     disjoint in the sort key too, so skipping works at both file and
     row-group granularity. The small ``block_bytes`` stands in for the
     128 MB production row group at fixture scale."""
-    key = (cache_key, f"sorted:{sort_col}:{num_ranges}:{','.join(df.columns)}")
+    key = (
+        cache_key,
+        f"sorted:{sort_col}:{num_ranges}:{block_bytes}:{','.join(df.columns)}",
+    )
     if key in _LAYOUT_CACHE and os.path.isdir(_LAYOUT_CACHE[key]):
         return _LAYOUT_CACHE[key]
     path = tempfile.mkdtemp(prefix="layout_sorted_")
@@ -222,7 +225,11 @@ def stage_zordered(
     interleave (one tiny offline agg, the fit-then-layout shape):
     equal bit widths keep the curve balanced between the two dims —
     see :func:`zorder_expr` for the degenerate raw-value mode."""
-    key = (cache_key, f"zorder:{col_a}:{col_b}:{num_ranges}:{','.join(df.columns)}")
+    key = (
+        cache_key,
+        f"zorder:{col_a}:{col_b}:{num_ranges}:{block_bytes}:{bits}:"
+        f"{','.join(df.columns)}",
+    )
     if key in _LAYOUT_CACHE and os.path.isdir(_LAYOUT_CACHE[key]):
         return _LAYOUT_CACHE[key]
     path = tempfile.mkdtemp(prefix="layout_zorder_")

@@ -1022,7 +1022,10 @@ def assign_clusters_pandas(
     import numpy as np
 
     C = np.asarray(centroids, dtype=np.float64)
-    schema = f"{id_col} long, cluster_id int"
+    # Mirror the input id column's type — hardcoding `long` breaks on
+    # string/int ids where the expression-argmax path is type-agnostic.
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, cluster_id int"
 
     def fn(batches):
         import pandas as pd

@@ -530,7 +530,10 @@ def bpe_train_merges(
                 break
             l, r, c = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["pair_count"])
             merges.append((step, l, r, l + r, c))
-            le, re = l.replace("'", "\\'"), r.replace("'", "\\'")
+            # Backslashes must be escaped BEFORE quotes or a token like
+            # ``\`` (or ``\'``) produces a malformed SQL literal.
+            esc = lambda s: s.replace("\\", "\\\\").replace("'", "\\'")  # noqa: E731
+            le, re = esc(l), esc(r)
             # Left-to-right non-overlapping merge of (l, r) in every
             # word: fold with a (out, skip) struct accumulator; skip
             # marks that position i was consumed by a merge at i-1.

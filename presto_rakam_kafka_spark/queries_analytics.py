@@ -130,14 +130,19 @@ def events_props_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame
 @query(
     "events_funnel_segmented",
     oracle="""
-    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-                WHERE event_type = 'view' GROUP BY user_id),
-    seg AS (
-      SELECT s1.user_id, s1.t1,
-             CASE WHEN CAST(json_extract_string(e.props, '$.k') AS INTEGER) >= 50
+    WITH seg AS (
+      -- (ts, event_id) tie-break matches the Spark fold's array_sort
+      -- order: a join back on ts alone would duplicate rows when two
+      -- step-1 events share the min timestamp.
+      SELECT user_id, ts AS t1,
+             CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
                   THEN 'high' ELSE 'low' END AS seg
-      FROM s1 JOIN events e
-        ON e.user_id = s1.user_id AND e.ts = s1.t1 AND e.event_type = 'view'),
+      FROM (SELECT user_id, ts, props,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'view')
+      WHERE rn = 1),
+    s1 AS (SELECT user_id, t1 FROM seg),
     s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
            JOIN s1 ON e.user_id = s1.user_id
            WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
