@@ -112,6 +112,13 @@ HEADLINE = [
     # partition-pruned probe against the cached index)
     "dedup_substring_spans",
     "sim_topk_ivfpq_indexed",
+    # round 6: query-table BM25 (batch retrieval per scan), span
+    # trimming (the Lee-et-al. treatment step), incremental IVF-PQ
+    # upsert (cold = init+upsert+probe, warm = pure 2-delta pruned
+    # probe)
+    "search_bm25_multi",
+    "dedup_substring_trim",
+    "sim_topk_ivfpq_upsert",
 ]
 
 #: The round-3-era query set, frozen: every round reports this subtotal

@@ -896,3 +896,185 @@ def duplicated_span_stats_oracle(
     FROM ex LEFT JOIN cross_grams c ON ex.g = c.g
     GROUP BY ex.{id_col}
     """
+
+
+#: Deterministic boilerplate strings for the trim gate query: the
+#: fixture corpus's duplicated spans are whole-document copies
+#: (dup_fraction 0 or ~1, SCALE_NOTES §substring-trim), so the
+#: partial-span trim path would never fire on it; the gate query
+#: instead synthesizes the same boilerplate-bearing projection in
+#: both engines (the `pii_redact` precedent) so leading/trailing
+#: trims run against real shared spans.
+TRIM_BOILER = "terms of service apply to all content on this site please read"
+TRIM_FOOTER = "copyright notice all rights reserved contact us for more info here"
+
+
+def boilerplate_augment_spark(text_col: str, id_col: str) -> str:
+    return (
+        f"CASE WHEN {id_col} % 7 = 3 THEN '{TRIM_BOILER}' || ' ' || {text_col} "
+        f"ELSE {text_col} END || CASE WHEN {id_col} % 11 = 5 "
+        f"THEN ' ' || '{TRIM_FOOTER}' ELSE '' END"
+    )
+
+
+boilerplate_augment_duckdb = boilerplate_augment_spark  # identical SQL dialect subset
+
+
+def duplicated_span_trim(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 10,
+    drop_threshold: float = 0.9,
+) -> DataFrame:
+    """The TREATMENT step on top of :func:`duplicated_span_stats`
+    (Lee et al. 2021 §4: don't just flag duplicated spans — remove
+    them): per document, compute which word-``n``-gram start positions
+    recur in another document, then (a) DROP the doc outright when its
+    duplicated-gram fraction ≥ ``drop_threshold`` (a near-total copy),
+    else (b) TRIM the leading and trailing runs of duplicated-span-
+    covered tokens (shared boilerplate headers/footers), keeping the
+    span between the first and last uncovered token; interior
+    duplicated spans are kept (cutting them would splice unrelated
+    text together — the paper's ExactSubstr drops only whole matches).
+
+    Returns (id, action ∈ drop|trim|keep, n_tokens_in, n_tokens_out,
+    text_out) with text_out NULL for drops.
+
+    Scale shape: the same ONE n-gram-keyed shuffle + one doc regroup
+    as `duplicated_span_stats` — the per-doc dup-start positions ride
+    the regroup as a sorted int array, and the trim itself is a pure
+    projection (HOF coverage test over the token sequence; O(T ·
+    |dup_starts|) per doc worst case, with |dup_starts| ≪ T for the
+    boilerplate case this treats — an interval-merge would make it
+    O(T + |runs|) if a corpus ever needed it). Idempotent by
+    construction: re-running on the trimmed output can only shrink
+    the duplicated set (grams were destroyed, none created), and a
+    kept doc's first/last tokens are uncovered, so a second pass
+    changes nothing (property-tested)."""
+    toks = f"split({text_col}, ' ')"
+    base = df.select(F.col(id_col), F.expr(toks).alias("_toks"))
+    exploded = base.select(
+        id_col,
+        "_toks",
+        F.explode(
+            F.expr(
+                f"if(size(_toks) >= {n}, sequence(1, size(_toks) - {n - 1}), array())"
+            )
+        ).alias("i"),
+    ).select(
+        id_col, "i", F.expr(f"concat_ws(' ', slice(_toks, i, {n}))").alias("g")
+    )
+    cross = (
+        exploded.groupBy("g")
+        .agg(F.countDistinct(id_col).alias("_docs"))
+        .filter(F.col("_docs") >= 2)
+        .select("g")
+    )
+    marked = exploded.join(cross.withColumn("_dup", F.lit(1)), on="g", how="left")
+    per_doc = marked.groupBy(id_col).agg(
+        F.count("*").alias("_n_grams"),
+        F.sum(F.coalesce("_dup", F.lit(0))).alias("_n_dup"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("_dup") == 1, F.col("i")))
+        ).alias("_dup_starts"),
+    )
+    # Docs shorter than n grams never explode: left join + coalesce
+    # keeps them as frac-0 keeps instead of silently dropping them.
+    j = base.join(per_doc, on=id_col, how="left").select(
+        id_col,
+        "_toks",
+        F.expr("size(_toks)").alias("_t"),
+        F.coalesce("_n_grams", F.lit(0)).alias("_n_grams"),
+        F.coalesce("_n_dup", F.lit(0)).alias("_n_dup"),
+        F.coalesce("_dup_starts", F.expr("array()")).alias("_dup_starts"),
+    )
+    unc = (
+        f"filter(sequence(1, _t), j -> NOT exists(_dup_starts,"
+        f" i -> i <= j AND j <= i + {n - 1}))"
+    )
+    u = j.select(
+        id_col,
+        "_toks",
+        "_t",
+        F.expr(unc).alias("_unc"),
+        F.expr(
+            "CASE WHEN _n_grams = 0 THEN 0.0"
+            " ELSE _n_dup * 1.0 / _n_grams END"
+        ).alias("_frac"),
+    )
+    drop = F.expr(f"_frac >= {drop_threshold} OR size(_unc) = 0")
+    first, last = F.expr("element_at(_unc, 1)"), F.expr("element_at(_unc, -1)")
+    return u.select(
+        id_col,
+        F.when(drop, "drop")
+        .when((first > 1) | (last < F.col("_t")), "trim")
+        .otherwise("keep")
+        .alias("action"),
+        F.col("_t").cast("long").alias("n_tokens_in"),
+        F.when(drop, F.lit(0))
+        .otherwise(last - first + 1)
+        .cast("long")
+        .alias("n_tokens_out"),
+        F.when(drop, F.lit(None).cast("string"))
+        .otherwise(
+            F.expr(
+                "concat_ws(' ', slice(_toks, element_at(_unc, 1),"
+                " element_at(_unc, -1) - element_at(_unc, 1) + 1))"
+            )
+        )
+        .alias("text_out"),
+    )
+
+
+def duplicated_span_trim_oracle(
+    table: str,
+    text_col: str,
+    id_col: str,
+    n: int = 10,
+    drop_threshold: float = 0.9,
+) -> str:
+    toks = f"string_split({text_col}, ' ')"
+    return f"""
+    WITH base AS (SELECT {id_col}, {toks} AS toks FROM {table}),
+    ex AS (
+      SELECT {id_col}, unnest(range(1, len(toks) - {n - 2})) AS i, toks
+      FROM base),
+    exg AS (SELECT {id_col}, i, array_to_string(toks[i:i+{n - 1}], ' ') AS g
+            FROM ex),
+    cross_grams AS (
+      SELECT g FROM (SELECT g, count(DISTINCT {id_col}) AS _docs
+                     FROM exg GROUP BY g)
+      WHERE _docs >= 2),
+    per_doc AS (
+      SELECT exg.{id_col},
+             count(*) AS n_grams,
+             sum(CASE WHEN c.g IS NULL THEN 0 ELSE 1 END) AS n_dup,
+             list_sort(list(exg.i) FILTER (WHERE c.g IS NOT NULL)) AS dup_starts
+      FROM exg LEFT JOIN cross_grams c ON exg.g = c.g
+      GROUP BY exg.{id_col}),
+    j AS (
+      SELECT b.{id_col}, b.toks, len(b.toks) AS t,
+             coalesce(p.n_grams, 0) AS n_grams,
+             coalesce(p.n_dup, 0) AS n_dup,
+             coalesce(p.dup_starts, []) AS dup_starts
+      FROM base b LEFT JOIN per_doc p ON b.{id_col} = p.{id_col}),
+    u AS (
+      SELECT *,
+             list_filter(range(1, t + 1),
+               j -> len(list_filter(dup_starts,
+                    i -> i <= j AND j <= i + {n - 1})) = 0) AS unc,
+             CASE WHEN n_grams = 0 THEN 0.0
+                  ELSE n_dup * 1.0 / n_grams END AS dup_fraction
+      FROM j)
+    SELECT {id_col},
+           CASE WHEN dup_fraction >= {drop_threshold} OR len(unc) = 0 THEN 'drop'
+                WHEN unc[1] > 1 OR unc[-1] < t THEN 'trim'
+                ELSE 'keep' END AS action,
+           t::BIGINT AS n_tokens_in,
+           (CASE WHEN dup_fraction >= {drop_threshold} OR len(unc) = 0 THEN 0
+                ELSE unc[-1] - unc[1] + 1 END)::BIGINT AS n_tokens_out,
+           CASE WHEN dup_fraction >= {drop_threshold} OR len(unc) = 0 THEN NULL
+                ELSE array_to_string(toks[unc[1]:unc[-1]], ' ') END AS text_out
+    FROM u
+    """

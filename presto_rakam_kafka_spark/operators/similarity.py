@@ -1042,3 +1042,148 @@ def assign_clusters_pandas(
             )
 
     return df.select(id_col, vec_col).mapInPandas(fn, schema)
+
+
+def _read_manifest(path: str) -> list[str]:
+    import json
+    import os
+
+    with open(os.path.join(path, "_CURRENT")) as f:
+        return json.load(f)["deltas"]
+
+
+def _flip_manifest(path: str, deltas: list[str]) -> None:
+    """Two-phase manifest flip — the same observable-atomicity
+    discipline as the segment compactor's `_CURRENT` pointer
+    (`kafka_datasource.py:compact_segments`): write the new manifest
+    beside the live one, then `os.replace` (atomic POSIX rename), so
+    a concurrent reader sees either the old delta set or the new one,
+    never a half-written file or a partially-visible delta."""
+    import json
+    import os
+
+    tmp = os.path.join(path, "_CURRENT.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"deltas": deltas}, f)
+    os.replace(tmp, os.path.join(path, "_CURRENT"))
+
+
+def init_ivfpq_index(
+    spark,
+    corpus: DataFrame,
+    path: str,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    num_centroids: int = NUM_CENTROIDS,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> None:
+    """Create an INCREMENTAL persisted IVF-PQ index at ``path``:
+    delta directories (each list-partitioned parquet, exactly the
+    :func:`stage_ivfpq_index` layout) plus a ``_CURRENT`` manifest
+    naming the live deltas. Geometry (centroids/codebooks) is frozen
+    at init — upserts code new vectors against the same broadcast
+    literals, the standard IVF discipline (re-training centroids is a
+    rebuild, not an upsert)."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    coded = ivfpq_code_corpus(
+        corpus, vec_col, id_col, dim, num_centroids=num_centroids, m=m, ksub=ksub
+    )
+    delta = "delta-00000000"
+    coded.write.mode("overwrite").partitionBy("list_id").parquet(
+        os.path.join(path, delta)
+    )
+    _flip_manifest(path, [delta])
+
+
+def upsert_ivfpq_index(
+    spark,
+    new_vectors: DataFrame,
+    path: str,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    num_centroids: int = NUM_CENTROIDS,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> str:
+    """Index NEW vectors without rebuilding: code them against the
+    frozen geometry, write one new list-partitioned delta directory,
+    then atomically flip the manifest to include it (write-then-flip:
+    a failure before the flip leaves an orphan directory invisible to
+    every reader — the same two-phase append discipline as the
+    `kafka_segments` writer). Returns the new delta's name.
+
+    100 TB shape: an upsert touches ONLY the new vectors (one coded
+    projection + one partitioned write); probes stay partition-pruned
+    because every delta shares the `list_id=` layout, so a probe of
+    lists L opens |deltas| × |L| partition directories — compaction
+    (fold deltas into one) reuses init on the unioned index when
+    |deltas| grows, exactly like segment compaction."""
+    import os
+
+    deltas = _read_manifest(path)
+    next_id = max(int(d.split("-")[1]) for d in deltas) + 1
+    delta = f"delta-{next_id:08d}"
+    coded = ivfpq_code_corpus(
+        new_vectors, vec_col, id_col, dim,
+        num_centroids=num_centroids, m=m, ksub=ksub,
+    )
+    coded.write.mode("overwrite").partitionBy("list_id").parquet(
+        os.path.join(path, delta)
+    )
+    _flip_manifest(path, deltas + [delta])
+    return delta
+
+
+def read_ivfpq_index(spark, path: str) -> DataFrame:
+    """The live index: the union of the manifest's delta directories.
+    Deltas are read as separate partitioned tables and unioned (Spark
+    rejects multiple partitioned roots in one read), so a probe's
+    `list_id IN (...)` filter pushes into EVERY delta's scan as a
+    partition filter — pruning is per-delta, plan-asserted in tests."""
+    import functools
+    import os
+
+    frames = [
+        spark.read.parquet(os.path.join(path, d)) for d in _read_manifest(path)
+    ]
+    return functools.reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def stage_ivfpq_index_upserted(
+    spark,
+    base: DataFrame,
+    delta: DataFrame,
+    cache_key: str,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    num_centroids: int = NUM_CENTROIDS,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> str:
+    """Init the incremental index on ``base``, then upsert ``delta`` —
+    the staged two-delta index the upsert gate query probes (cached per
+    key like the other layout stagings: cold pays init+upsert, warm
+    pays only the probe, mirroring build-once/probe-many)."""
+    import os
+    import tempfile
+
+    key = (cache_key, f"ivfpq_upsert:{vec_col}:{num_centroids}:{m}:{ksub}")
+    if key in _INDEX_CACHE and os.path.isdir(_INDEX_CACHE[key]):
+        return _INDEX_CACHE[key]
+    path = tempfile.mkdtemp(prefix="ivfpq_inc_")
+    init_ivfpq_index(
+        spark, base, path, vec_col, id_col, dim,
+        num_centroids=num_centroids, m=m, ksub=ksub,
+    )
+    upsert_ivfpq_index(
+        spark, delta, path, vec_col, id_col, dim,
+        num_centroids=num_centroids, m=m, ksub=ksub,
+    )
+    _INDEX_CACHE[key] = path
+    return path

@@ -457,6 +457,115 @@ def bm25_topk_oracle(
     """
 
 
+def bm25_topk_multi(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_ids: tuple[int, ...],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 against a query TABLE — the production shape of
+    :func:`bm25_topk` (which ranks against ONE query document, the
+    single-query demo): a retrieval service scores a batch of queries
+    per scan. Returns (query_id, doc, bm25, rank) with rank ≤ k per
+    query.
+
+    Scale shape: everything the single-query form broadcasts stays
+    broadcast — the (query_id, term) table is queries×terms (bounded:
+    a query batch is thousands of rows, never corpus-sized), df/N/
+    avgdl unchanged. The corpus-side postings are scanned ONCE for the
+    whole batch; the term join fans each posting out only to the
+    queries containing that term. Per-query top-k is a
+    ``Window.partitionBy(query_id)`` rank — partition-local heaps
+    after one (query_id, doc) aggregation shuffle, the same per-query
+    rank discipline as the ANN operators; no global sort anywhere."""
+    from pyspark.sql import Window
+
+    qid_list = [int(q) for q in query_ids]
+    toks = df.select(
+        F.col(id_col), F.explode(F.expr(tokens_spark(text_col))).alias("t")
+    )
+    tf = toks.groupBy(id_col, "t").agg(F.count("*").alias("tf"))
+    dl = df.select(
+        F.col(id_col), F.expr(f"size({tokens_spark(text_col)})").alias("dl")
+    )
+    scalars = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+    qterms = (
+        df.filter(F.col(id_col).isin(qid_list))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(F.expr(tokens_spark(text_col))).alias("t"),
+        )
+        .distinct()
+    )
+    term_score = F.expr(
+        f"ln(1.0 + (cast(n_docs - df as double) + 0.5) / (cast(df as double) + 0.5))"
+        f" * (cast(tf as double) * ({k1} + 1.0))"
+        f" / (cast(tf as double) + {k1} * (1.0 - {b} + {b} * cast(dl as double) / avgdl))"
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), on="t")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(F.broadcast(dfreq), on="t")
+        .join(dl, on=id_col)
+        .crossJoin(F.broadcast(scalars))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def bm25_topk_multi_oracle(
+    table: str,
+    text_col: str,
+    id_col: str,
+    query_ids: tuple[int, ...],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    toks = tokens_duckdb(text_col)
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    return f"""
+    WITH tk AS (SELECT {id_col}, unnest({toks}) AS t FROM {table}),
+    tf AS (SELECT {id_col}, t, count(*) AS tf FROM tk GROUP BY {id_col}, t),
+    dl AS (SELECT {id_col}, len({toks}) AS dl FROM {table}),
+    s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    q AS (SELECT DISTINCT {id_col} AS query_id, unnest({toks}) AS t
+          FROM {table} WHERE {id_col} IN ({ids}))
+    SELECT query_id, {id_col}, bm25, rank FROM (
+      SELECT q.query_id, tf.{id_col},
+             round(sum(
+               ln(1.0 + (CAST(s.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                        / (CAST(dfreq.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * ({k1} + 1.0))
+               / (CAST(tf.tf AS DOUBLE)
+                  + {k1} * (1.0 - {b} + {b} * CAST(dl.dl AS DOUBLE) / s.avgdl))
+             ), 6) AS bm25,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY round(sum(
+               ln(1.0 + (CAST(s.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                        / (CAST(dfreq.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * ({k1} + 1.0))
+               / (CAST(tf.tf AS DOUBLE)
+                  + {k1} * (1.0 - {b} + {b} * CAST(dl.dl AS DOUBLE) / s.avgdl))
+             ), 6) DESC, tf.{id_col} ASC) AS rank
+      FROM tf JOIN q USING (t)
+      JOIN dfreq ON tf.t = dfreq.t
+      JOIN dl ON tf.{id_col} = dl.{id_col}
+      CROSS JOIN s
+      WHERE tf.{id_col} <> q.query_id
+      GROUP BY q.query_id, tf.{id_col}, s.n_docs, s.avgdl
+    ) WHERE rank <= {k}
+    """
+
+
 # ---------------------------------------------------------------------
 # BPE tokenizer training (distributed merge learning)
 # ---------------------------------------------------------------------
@@ -489,11 +598,13 @@ def bpe_train_merges(
     The vocab table is re-persisted per step so iteration i+1 does not
     recompute merges 1..i.
 
-    The merge fold is not expressible in DuckDB SQL (list_reduce
-    cannot carry the (output, skip) struct accumulator), so the driver
-    gate records the weaker rows-only check; correctness is instead
-    pinned by a unit test replaying the exact merge sequence against a
-    pure-Python reference BPE trainer on the same corpus."""
+    Correctness is double-pinned: a unit test replays the exact merge
+    sequence against a pure-Python reference trainer, AND the driver
+    gate hash-compares against :func:`bpe_oracle_sql` — an unrolled
+    per-step DuckDB CTE chain where the fold is string ``replace()``
+    over unit-encoded symbols (DuckDB's ``list_reduce`` can't carry
+    the (out, skip) struct accumulator, but the encoding makes the
+    fold a plain string operation)."""
     toks = tokens_spark(text_col)
     words = (
         df.select(F.explode(F.expr(toks)).alias("w"))
@@ -563,6 +674,82 @@ def bpe_train_merges(
     return spark.createDataFrame(
         merges, "step INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
     )
+
+
+def bpe_oracle_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    num_merges: int,
+    output: str = "merges",
+) -> str:
+    """DuckDB oracle for :func:`bpe_train_merges` (``output='merges'``)
+    and :func:`bpe_token_counts` (``output='counts'``) — the unrolled
+    per-step CTE chain (the same pattern as the pagerank oracle's fixed
+    power iterations).
+
+    The piece DuckDB SQL "can't express" — the left-to-right
+    non-overlapping merge fold with its (out, skip) struct accumulator —
+    is exactly string ``replace()`` once each word's symbol list is
+    encoded as concatenated ``\\x1f<sym>\\x1e`` units: ``replace`` scans
+    left-to-right, substitutes non-overlapping occurrences, and resumes
+    AFTER each substitution, which is precisely the greedy fold
+    semantics (including the l==r self-overlap case: 'aaa' → ['aa','a']).
+    The unit framing makes symbol boundaries unambiguous, so a pair
+    needle can never match a symbol's interior (e.g. merging (b, c)
+    never fires inside symbol 'ab'). Precondition: the corpus text
+    contains neither \\x1f nor \\x1e (verified: the fixture corpus is
+    lowercase a–z + space at every SF) and has ≥ ``num_merges``
+    distinct adjacent pairs (holds from sf0.001 up)."""
+    s1, s2 = "\x1f", "\x1e"
+    enc0 = (
+        f"array_to_string(list_transform(string_split(w, ''),"
+        f" c -> '{s1}' || c || '{s2}'), '')"
+    )
+    ctes = [
+        f"wc AS (SELECT w, count(*)::BIGINT AS cnt FROM (SELECT unnest("
+        f"string_split({text_col}, ' ')) AS w FROM {table})"
+        f" WHERE w <> '' GROUP BY w)",
+        f"v0 AS (SELECT w, cnt, {enc0} AS enc FROM wc)",
+    ]
+    syms = f"regexp_extract_all(enc, '{s1}([^{s2}]*){s2}', 1)"
+    for k in range(num_merges):
+        ctes.append(
+            f"p{k} AS (SELECT pr[1] AS l, pr[2] AS r,"
+            f" sum(cnt)::BIGINT AS pair_count"
+            f" FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),"
+            f" i -> [syms[i], syms[i+1]])) AS pr"
+            f" FROM (SELECT cnt, {syms} AS syms FROM v{k})) GROUP BY l, r)"
+        )
+        # Same argmax tie-break as the Spark trainer: count desc, then
+        # (l, r) lexicographic (binary collation both engines).
+        ctes.append(
+            f"m{k} AS (SELECT l, r, pair_count FROM p{k}"
+            f" ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"v{k + 1} AS (SELECT w, cnt, replace(enc,"
+            f" '{s1}' || m.l || '{s2}{s1}' || m.r || '{s2}',"
+            f" '{s1}' || m.l || m.r || '{s2}') AS enc FROM v{k}, m{k} m)"
+        )
+    if output == "merges":
+        sel = "\nUNION ALL\n".join(
+            f'SELECT {k} AS step, l AS "left", r AS "right",'
+            f" l || r AS merged, pair_count FROM m{k}"
+            for k in range(num_merges)
+        )
+    else:
+        ctes.append(
+            f"vf AS (SELECT w, len({syms})::INT AS n_tok FROM v{num_merges})"
+        )
+        sel = (
+            f"SELECT {id_col}, count(*)::BIGINT AS ws_tokens,"
+            f" sum(n_tok)::BIGINT AS bpe_tokens"
+            f" FROM (SELECT {id_col}, unnest(string_split({text_col}, ' '))"
+            f" AS w FROM {table}) t JOIN vf USING (w)"
+            f" WHERE w <> '' GROUP BY {id_col}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
 
 
 def bpe_token_counts(

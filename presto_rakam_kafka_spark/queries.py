@@ -1568,6 +1568,22 @@ def _register_streaming_queries() -> None:
             sketch, read_table(spark, sf_dir, "events"), "user_id", k=10
         )
 
+    from presto_rakam_kafka_spark.streaming import attribution as sattr
+
+    @query("stream_attribution", oracle=sattr.attribution_oracle("events"))
+    def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Attribution as a continuous query (VERDICT r5 next-7): the
+        batch IGNORE-NULLS carry becomes per-user
+        (first_touch, last_touch_us, last_touch_type) state in
+        ``applyInPandasWithState``; each conversion emits its
+        attribution row the moment it arrives. Drained set == the
+        batch `events_attribution` (same oracle SQL)."""
+        return _drain(
+            sattr.attribution_stream(_events_stream(spark, sf_dir)),
+            "attribution",
+            "append",
+        )
+
 
 _register_streaming_queries()
 

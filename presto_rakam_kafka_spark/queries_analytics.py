@@ -452,28 +452,10 @@ def events_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.user_rfm(_t(spark, sf_dir, "events"))
 
 
-@query(
-    "events_attribution",
-    oracle="""
-    WITH a AS (
-      SELECT user_id, ts, event_id, event_type,
-             last_value(CASE WHEN event_type IN ('view', 'click') THEN ts END
-                        IGNORE NULLS) OVER w AS lt_ts,
-             last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
-                        IGNORE NULLS) OVER w AS lt_type,
-             first_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
-                         IGNORE NULLS) OVER w AS ft_type
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    )
-    SELECT user_id, event_id AS conversion_id,
-           CASE WHEN lt_ts IS NOT NULL AND lt_ts >= ts - INTERVAL 7 DAY
-                THEN lt_type ELSE 'none' END AS attributed_touch,
-           coalesce(ft_type, 'none') AS first_touch
-    FROM a WHERE event_type = 'purchase'
-    """,
-)
+from presto_rakam_kafka_spark.streaming.attribution import attribution_oracle
+
+
+@query("events_attribution", oracle=attribution_oracle("events"))
 def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch (7-day window) + first-touch attribution per
     purchase — running IGNORE-NULLS carries over ONE user_id shuffle,

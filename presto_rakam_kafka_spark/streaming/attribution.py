@@ -1,0 +1,150 @@
+"""Streaming attribution: per-user last/first-touch state advanced via
+``applyInPandasWithState`` — the batch `events_attribution` carry
+(`operators/events.py:last_touch_attribution`, running IGNORE-NULLS
+windows over one user_id shuffle) as a *continuous* query that emits an
+attribution row the moment each conversion arrives (VERDICT r5 next-7).
+
+State per user is exactly the information the batch window carries up
+to the current row: ``(first_touch, last_touch_us, last_touch_type)``
+— three scalars, O(users) total, nothing rescans history. Each
+micro-batch sorts its per-user slice by (ts, event_id) and replays the
+same fold: touches update the carry, conversions read it (a touch at
+the same timestamp but a later event_id does NOT attribute — identical
+to the batch window's ROWS UNBOUNDED PRECEDING..CURRENT ROW frame over
+(ts, event_id) order).
+
+Determinism contract (what the oracle replays): on an event-time-
+ordered replay the emitted set equals the batch attribution exactly —
+same oracle SQL as `events_attribution`. Cross-batch correctness
+requires per-user in-order delivery (the staged replay's time-ordered
+chunks guarantee it; per-partition Kafka ordering gives it for
+key-routed events) — the same delivery contract as `funnel.py`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("conversion_id", T.LongType()),
+        T.StructField("attributed_touch", T.StringType()),
+        T.StructField("first_touch", T.StringType()),
+    ]
+)
+
+#: (first_touch, last_touch_us, last_touch_type) — the batch carry.
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("first_touch", T.StringType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_type", T.StringType()),
+    ]
+)
+
+
+def attribution_stream(
+    events: DataFrame,
+    touch_types: tuple[str, ...] = ("view", "click"),
+    conversion_type: str = "purchase",
+    window_days: int = 7,
+) -> DataFrame:
+    """Emit (user_id, conversion_id, attributed_touch, first_touch)
+    for every conversion event, attributed to the user's most recent
+    touch within ``window_days`` ('none' outside the window or with no
+    touch at all), with the first-ever touch carried alongside."""
+    touch_set = set(touch_types)
+    window_us = window_days * 86400 * 1_000_000
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        first_touch, last_us, last_type = (
+            tuple(state.get) if state.exists else (None, None, None)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        out: list[tuple[int, str, str]] = []
+        for ts, eid, etype in zip(
+            rows["ts"], rows["event_id"], rows["event_type"]
+        ):
+            us = int(pd.Timestamp(ts).value // 1_000)
+            if etype in touch_set:
+                last_us, last_type = us, etype
+                if first_touch is None:
+                    first_touch = etype
+            elif etype == conversion_type:
+                within = last_us is not None and last_us >= us - window_us
+                out.append(
+                    (
+                        int(eid),
+                        last_type if within else "none",
+                        first_touch if first_touch is not None else "none",
+                    )
+                )
+        if state.exists or last_us is not None or first_touch is not None:
+            state.update((first_touch, last_us, last_type))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out),
+                    "conversion_id": [o[0] for o in out],
+                    "attributed_touch": [o[1] for o in out],
+                    "first_touch": [o[2] for o in out],
+                }
+            )
+
+    keep = list(touch_types) + [conversion_type]
+    return (
+        events.filter(F.col("event_type").isin(keep))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def attribution_oracle(
+    table: str = "events",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    conversion_type: str = "purchase",
+    window_days: int = 7,
+) -> str:
+    """Batch attribution as SQL (IGNORE-NULLS running carries) — the
+    shared oracle for `events_attribution` AND the drained stream."""
+    touches = ", ".join(f"'{t}'" for t in touch_types)
+    return f"""
+    WITH a AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(CASE WHEN event_type IN ({touches}) THEN ts END
+                        IGNORE NULLS) OVER w AS lt_ts,
+             last_value(CASE WHEN event_type IN ({touches}) THEN event_type END
+                        IGNORE NULLS) OVER w AS lt_type,
+             first_value(CASE WHEN event_type IN ({touches}) THEN event_type END
+                         IGNORE NULLS) OVER w AS ft_type
+      FROM {table}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id AS conversion_id,
+           CASE WHEN lt_ts IS NOT NULL AND lt_ts >= ts - INTERVAL {window_days} DAY
+                THEN lt_type ELSE 'none' END AS attributed_touch,
+           coalesce(ft_type, 'none') AS first_touch
+    FROM a WHERE event_type = '{conversion_type}'
+    """

@@ -663,3 +663,241 @@ def test_bpe_token_counts_match_python_apply(spark, sf_dir):
         for r in bpe_token_counts(docs, "text", "doc_id", num_merges=6).collect()
     }
     assert got == expect
+
+
+def test_bpe_oracle_replace_encoding_equals_greedy_fold():
+    """The DuckDB oracle expresses the left-to-right non-overlapping
+    merge fold as string replace() over unit-encoded symbols
+    (`bpe_oracle_sql`); pin that equivalence on the adversarial cases —
+    self-overlap (l == r), a pair whose left is another symbol's
+    suffix, and back-to-back matches — against the pure-Python fold,
+    with no Spark involved."""
+    import duckdb
+
+    from presto_rakam_kafka_spark.operators.text import bpe_oracle_sql
+
+    def fold(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    def ref_train(words, n):
+        from collections import Counter
+
+        wc = Counter(words)
+        vocab = {w: list(w) for w in wc}
+        merges = []
+        for step in range(n):
+            pc = Counter()
+            for w, syms in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += wc[w]
+            if not pc:
+                break
+            (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((step, l, r, l + r, c))
+            vocab = {w: fold(s, l, r) for w, s in vocab.items()}
+        return merges, vocab, wc
+
+    # aaaa → self-overlap; abab → repeated pair; 'ab'+'b' suffix trap
+    corpus = ["aaaa", "aaaa", "abab", "abb", "abb", "abb", "bba", "aaa"]
+    merges, vocab, wc = ref_train(corpus, 4)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW docs AS SELECT 1 AS doc_id, '"
+        + " ".join(corpus)
+        + "' AS text"
+    )
+    got = sorted(
+        con.sql(bpe_oracle_sql("docs", "text", "doc_id", 4, "merges")).fetchall()
+    )
+    assert got == merges, (got, merges)
+    (did, ws, bpe) = con.sql(
+        bpe_oracle_sql("docs", "text", "doc_id", 4, "counts")
+    ).fetchall()[0]
+    assert ws == len(corpus)
+    assert bpe == sum(len(vocab[w]) for w in corpus)
+
+
+def test_substring_trim_token_conservation_and_idempotence(spark, sf_dir):
+    """The trim treatment (a) conserves tokens — output token counts
+    equal the kept span length, never exceed the input, and 'keep'
+    rows pass text through unchanged — and (b) is idempotent: grams
+    are only destroyed, never created, so a second pass over the
+    trimmed corpus changes nothing."""
+    from pyspark.sql import functions as F
+
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.operators.dedup import (
+        boilerplate_augment_spark,
+        duplicated_span_trim,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.expr(boilerplate_augment_spark("text", "doc_id")).alias("text"),
+    )
+    out = duplicated_span_trim(aug, "text", "doc_id", n=10, drop_threshold=0.9)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    src = {r["doc_id"]: r["text"] for r in aug.collect()}
+    actions = {r["action"] for r in rows.values()}
+    assert "trim" in actions and "keep" in actions, actions
+    for did, r in rows.items():
+        assert r["n_tokens_in"] == len(src[did].split(" "))
+        if r["action"] == "drop":
+            assert r["text_out"] is None and r["n_tokens_out"] == 0
+        else:
+            assert r["n_tokens_out"] == len(r["text_out"].split(" "))
+            assert r["n_tokens_out"] <= r["n_tokens_in"]
+            if r["action"] == "keep":
+                assert r["text_out"] == src[did]
+            else:
+                assert r["text_out"] in src[did]  # contiguous token span
+
+    kept = out.filter(F.col("action") != "drop").select(
+        "doc_id", F.col("text_out").alias("text")
+    )
+    again = duplicated_span_trim(kept, "text", "doc_id", n=10, drop_threshold=0.9)
+    second = {r["doc_id"]: r for r in again.collect()}
+    for did, r in second.items():
+        assert r["action"] == "keep", (did, r)
+        assert r["text_out"] == rows[did]["text_out"]
+
+
+def test_ivfpq_upsert_equals_rebuild_and_orphan_invisible(spark, sf_dir):
+    """Incremental-index contracts: (a) probe after upsert equals a
+    from-scratch rebuild over the full corpus; (b) a delta directory
+    written WITHOUT the manifest flip (crash between phases) is
+    invisible to readers."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.operators import similarity as sim
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    delta = emb.filter(F.col("vec_id") % 2 == 1)
+    q = emb.filter(F.col("vec_id") < 5)
+
+    path = tempfile.mkdtemp(prefix="ivfpq_inc_test_")
+    sim.init_ivfpq_index(spark, base, path, "embedding", "vec_id", dim=64)
+    sim.upsert_ivfpq_index(spark, delta, path, "embedding", "vec_id", dim=64)
+
+    got = sorted(
+        map(
+            tuple,
+            sim.ivfpq_topk_from_index(
+                sim.read_ivfpq_index(spark, path), q, "embedding", "vec_id",
+                dim=64, k=5,
+            ).collect(),
+        )
+    )
+    rebuilt = sorted(
+        map(
+            tuple,
+            sim.ivfpq_topk_from_index(
+                sim.ivfpq_code_corpus(emb, "embedding", "vec_id", dim=64),
+                q, "embedding", "vec_id", dim=64, k=5,
+            ).collect(),
+        )
+    )
+    assert got == rebuilt
+
+    # orphan delta: written but never flipped into the manifest
+    orphan = os.path.join(path, "delta-00000099")
+    sim.ivfpq_code_corpus(
+        emb.filter(F.col("vec_id") < 3), "embedding", "vec_id", dim=64
+    ).write.mode("overwrite").partitionBy("list_id").parquet(orphan)
+    assert sim._read_manifest(path) == ["delta-00000000", "delta-00000001"]
+    after = sorted(
+        map(
+            tuple,
+            sim.ivfpq_topk_from_index(
+                sim.read_ivfpq_index(spark, path), q, "embedding", "vec_id",
+                dim=64, k=5,
+            ).collect(),
+        )
+    )
+    assert after == got  # reader never saw the orphan
+
+
+def test_streaming_ivfpq_index_equals_batch_rebuild(spark, sf_dir):
+    """The streaming indexer: micro-batches of new vectors upserted via
+    foreachBatch; after the drain, a probe over the incremental index
+    equals the batch rebuild over everything indexed."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    import pyspark.sql.functions as F
+
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.operators import similarity as sim
+    from presto_rakam_kafka_spark.streaming.ann_index import index_stream
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    q = emb.filter(F.col("vec_id") < 5)
+
+    path = tempfile.mkdtemp(prefix="ivfpq_stream_idx_")
+    sim.init_ivfpq_index(spark, base, path, "embedding", "vec_id", dim=64)
+
+    # stage the other two residue classes as two files → two triggers
+    src = tempfile.mkdtemp(prefix="ivfpq_stream_src_")
+    now = time.time()
+    for i, residue in enumerate((1, 2)):
+        stage = os.path.join(src, f"staging{i}")
+        emb.filter(F.col("vec_id") % 3 == residue).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(os.path.join(stage, "*.parquet"))[0]
+        dst = os.path.join(src, f"part-{i:05d}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (now + i, now + i))
+        shutil.rmtree(stage)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    ckpt = tempfile.mkdtemp(prefix="ivfpq_stream_ckpt_")
+    query = (
+        index_stream(stream, path, "embedding", "vec_id", dim=64, checkpoint=ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    assert len(sim._read_manifest(path)) == 3  # init + 2 micro-batches
+    got = sorted(
+        map(
+            tuple,
+            sim.ivfpq_topk_from_index(
+                sim.read_ivfpq_index(spark, path), q, "embedding", "vec_id",
+                dim=64, k=5,
+            ).collect(),
+        )
+    )
+    rebuilt = sorted(
+        map(
+            tuple,
+            sim.ivfpq_topk_from_index(
+                sim.ivfpq_code_corpus(emb, "embedding", "vec_id", dim=64),
+                q, "embedding", "vec_id", dim=64, k=5,
+            ).collect(),
+        )
+    )
+    assert got == rebuilt

@@ -293,6 +293,17 @@ def test_bm25_topk_takeordered_and_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan[:2000]
 
 
+def test_bm25_multi_broadcasts_and_per_query_rank(spark, sf_dir):
+    # Query-table generalization: the (query_id, term) and df tables
+    # stay broadcast (bounded: batch x terms, vocabulary), and the
+    # per-query top-k is a partitionBy(query_id) rank window — one
+    # (query_id, doc) shuffle, never a global sort over all queries.
+    plan = _plan(Q.QUERIES["search_bm25_multi"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "hashpartitioning(query_id" in plan, plan[:3000]
+
+
 def test_lm_bigram_broadcasts_lm_tables(spark, sf_dir):
     # The bigram/context LM tables join via broadcast — the corpus side
     # never shuffles for the lookup, only for the final per-doc regroup.
@@ -387,3 +398,35 @@ def test_ivfpq_index_probe_is_partition_pruned_scan(spark, sf_dir):
         spark.read.parquet(path), q1, "embedding", "vec_id", dim=64, k=5
     )
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_ivfpq_upsert_probe_prunes_every_delta(spark, sf_dir):
+    # Incremental-index receipt: the probe over a 2-delta index carries
+    # its list_id IN (...) as a PartitionFilter into BOTH delta scans —
+    # upserts never degrade the pruned-scan property.
+    import pyspark.sql.functions as F
+
+    from presto_rakam_kafka_spark.operators import similarity as sim
+
+    emb = Q._t(spark, sf_dir, "embeddings")
+    q1 = emb.filter(F.col("vec_id") == 0)
+    path = sim.stage_ivfpq_index_upserted(
+        spark,
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        sf_dir,
+        "embedding",
+        "vec_id",
+        dim=64,
+    )
+    lists = sim.probe_lists_for(q1, "embedding", dim=64)
+    df = sim.ivfpq_topk_from_index(
+        sim.read_ivfpq_index(spark, path), q1, "embedding", "vec_id",
+        dim=64, k=5, prune_lists=lists,
+    )
+    import re
+
+    plan = _plan(df)
+    # two delta scans, each with a static list_id IN partition filter
+    hits = re.findall(r"list_id#\d+ IN \(", plan)
+    assert len(hits) >= 2, plan[:3000]

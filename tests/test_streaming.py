@@ -336,3 +336,71 @@ def test_streaming_schema_evolution_per_microbatch(spark):
     assert names == ["event_id", "props_k", "props_score"]
     # keys appeared exactly when their batch arrived
     assert [s for s in seen if s] == [["props_k"], ["props_score"]]
+
+
+def test_stream_attribution_state_spans_microbatches(spark):
+    """A conversion in a LATER micro-batch is attributed to a touch
+    from an EARLIER one (state restore), a conversion outside the
+    7-day window gets 'none', and first_touch survives across both."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from presto_rakam_kafka_spark.streaming.attribution import attribution_stream
+
+    import datetime as dt
+
+    schema = "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP"
+    t = lambda s_: dt.datetime.fromisoformat(s_)  # noqa: E731
+    batches = [
+        [
+            (1, 7, "view", t("2024-01-01 00:00:00")),
+            (2, 7, "click", t("2024-01-02 00:00:00")),
+            (3, 8, "view", t("2024-01-01 00:00:00")),
+        ],
+        [
+            (4, 7, "purchase", t("2024-01-03 00:00:00")),  # click in batch 1
+            (5, 8, "purchase", t("2024-02-01 00:00:00")),  # view outside 7d
+            (6, 9, "purchase", t("2024-01-05 00:00:00")),  # no touch ever
+        ],
+    ]
+    d = tempfile.mkdtemp(prefix="attr_stream_")
+    now = time.time()
+    for i, rows in enumerate(batches):
+        stage = os.path.join(d, f"staging{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(os.path.join(stage, "*.parquet"))[0]
+        dst = os.path.join(d, f"part-{i:05d}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (now + i, now + i))
+        shutil.rmtree(stage)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = attribution_stream(stream)
+    ckpt = tempfile.mkdtemp(prefix="attr_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_x")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["conversion_id"]: (r["attributed_touch"], r["first_touch"])
+        for r in spark.sql("SELECT * FROM attr_x").collect()
+    }
+    assert got == {
+        4: ("click", "view"),
+        5: ("none", "view"),
+        6: ("none", "none"),
+    }, got
