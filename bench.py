@@ -119,6 +119,11 @@ HEADLINE = [
     "search_bm25_multi",
     "dedup_substring_trim",
     "sim_topk_ivfpq_upsert",
+    # round 6b: batch three-leg hybrid retrieval, model-based quality
+    # scoring (shuffle-free classifier serving), monthly stickiness
+    "search_hybrid_rrf3_multi",
+    "quality_logreg_score",
+    "events_stickiness",
 ]
 
 #: The round-3-era query set, frozen: every round reports this subtotal

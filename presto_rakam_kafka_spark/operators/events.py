@@ -709,3 +709,57 @@ def funnel_unordered(
         .groupBy("step", "step_name")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def stickiness(events: DataFrame) -> DataFrame:
+    """Engagement stickiness per calendar month — avg(DAU)/MAU, the
+    "how habitual is usage" product metric next to retention. ONE
+    corpus scan: distinct (month, day, user) triples (the only
+    corpus-sized shuffle, map-side partial distinct), from which both
+    grains reaggregate — daily actives per day, monthly actives as
+    distinct users over the triples — so the corpus is never scanned
+    twice. Output rows = months (tiny)."""
+    triples = events.select(
+        F.date_format("ts", "yyyy-MM").alias("mo"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    ).distinct()
+    daily = triples.groupBy("mo", "day").agg(
+        F.count("*").alias("dau")
+    )
+    monthly = triples.select("mo", "user_id").distinct().groupBy("mo").agg(
+        F.count("*").alias("mau")
+    )
+    per_day = daily.groupBy("mo").agg(
+        F.count("*").alias("n_days"), F.sum("dau").alias("sum_dau")
+    )
+    return (
+        per_day.join(monthly, "mo")
+        .select(
+            F.col("mo").alias("month"),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("mau").cast("long").alias("mau"),
+            F.expr(
+                "round(sum_dau * 1.0 / (n_days * mau), 6)"
+            ).cast("double").alias("stickiness"),
+        )
+    )
+
+
+def stickiness_oracle(table: str = "events") -> str:
+    return f"""
+    WITH triples AS (
+      SELECT DISTINCT strftime(ts, '%Y-%m') AS mo, CAST(ts AS DATE) AS day,
+             user_id
+      FROM {table}),
+    daily AS (SELECT mo, day, count(*) AS dau FROM triples GROUP BY mo, day),
+    per_day AS (SELECT mo, count(*) AS n_days, sum(dau) AS sum_dau
+                FROM daily GROUP BY mo),
+    monthly AS (SELECT mo, count(*) AS mau
+                FROM (SELECT DISTINCT mo, user_id FROM triples) GROUP BY mo)
+    SELECT p.mo AS month,
+           CAST(p.n_days AS BIGINT) AS n_days,
+           CAST(m.mau AS BIGINT) AS mau,
+           round(p.sum_dau * 1.0 / (p.n_days * m.mau), 6) AS stickiness
+    FROM per_day p JOIN monthly m ON p.mo = m.mo
+    """

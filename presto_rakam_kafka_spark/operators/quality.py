@@ -1022,3 +1022,86 @@ def decontaminate_embedding_oracle(
     SELECT tr.{id_col} FROM tr LEFT JOIN c ON tr.{id_col} = c.{id_col}
     WHERE c.{id_col} IS NULL
     """
+
+
+# ---------------------------------------------------------------------
+# Model-based quality scoring (the DCLM / fastText-classifier step)
+# ---------------------------------------------------------------------
+
+#: Fixed logistic weights over interpretable per-doc features — the
+#: deployable stand-in for a trained fastText/DCLM quality classifier
+#: (the *fit* is offline on labeled data; serving broadcasts weights
+#: and scores in one projection — this IS the serving half, with
+#: deterministic literal weights so the DuckDB oracle replays it).
+#: Features: ln(1+tokens), mean token chars, stopword-token fraction,
+#: type-token ratio.
+LOGREG_WEIGHTS = (-3.0, 0.55, 0.35, 2.0, 1.5)
+
+
+def quality_logreg_score(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.82
+) -> DataFrame:
+    """Model-based quality filter: logistic score over four
+    shuffle-free per-doc features (token count, mean token length,
+    stopword fraction, type-token ratio) with fixed broadcast-literal
+    weights; ``keep = score ≥ threshold`` (default 0.82 — the fixture
+    corpus is homogeneous, so the threshold sits inside its 0.75–0.86
+    score band to exercise both branches). The production pattern for
+    classifier-based curation (DCLM, fastText quality filters): the
+    model is fit offline, serving is one codegen projection over the
+    corpus — zero shuffles, embarrassingly parallel at any scale.
+    Score rounded to 4 decimals (ln/exp differ from DuckDB's libm in
+    the last ulp; 6 is flaky at the fixture's value density)."""
+    w0, w1, w2, w3, w4 = LOGREG_WEIGHTS
+    sw = _sql_list_spark(STOPWORDS)
+    feats = _ensure_min_parallelism(df).select(
+        F.col(id_col),
+        F.expr(f"split({text_col}, ' ')").alias("_toks"),
+        F.length(text_col).alias("_len"),
+    ).select(
+        F.col(id_col),
+        F.expr("ln(1 + size(_toks))").alias("f_logtok"),
+        F.expr(
+            "cast(_len - (size(_toks) - 1) as double) / size(_toks)"
+        ).alias("f_meanlen"),
+        F.expr(
+            f"cast(size(filter(_toks, t -> array_contains({sw}, t))) as double)"
+            " / size(_toks)"
+        ).alias("f_stopfrac"),
+        F.expr(
+            "cast(size(array_distinct(_toks)) as double) / size(_toks)"
+        ).alias("f_ttr"),
+    )
+    z = (
+        f"{w0} + {w1} * f_logtok + {w2} * f_meanlen"
+        f" + {w3} * f_stopfrac + {w4} * f_ttr"
+    )
+    return feats.select(
+        id_col,
+        F.expr(f"round(1.0 / (1.0 + exp(-({z}))), 4)").alias("score"),
+        F.expr(f"round(1.0 / (1.0 + exp(-({z}))), 4) >= {threshold}").alias(
+            "keep"
+        ),
+    )
+
+
+def quality_logreg_score_oracle(
+    table: str, text_col: str, id_col: str, threshold: float = 0.82
+) -> str:
+    w0, w1, w2, w3, w4 = LOGREG_WEIGHTS
+    sw = _sql_list_duckdb(STOPWORDS)
+    toks = f"string_split({text_col}, ' ')"
+    z = (
+        f"{w0} + {w1} * ln(1 + len(toks))"
+        f" + {w2} * (CAST(length({text_col}) - (len(toks) - 1) AS DOUBLE)"
+        f"            / len(toks))"
+        f" + {w3} * (CAST(len(list_filter(toks, t -> list_contains({sw}, t)))"
+        f"            AS DOUBLE) / len(toks))"
+        f" + {w4} * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))"
+    )
+    return f"""
+    SELECT {id_col},
+           round(1.0 / (1.0 + exp(-({z}))), 4) AS score,
+           round(1.0 / (1.0 + exp(-({z}))), 4) >= {threshold} AS keep
+    FROM (SELECT {id_col}, {text_col}, {toks} AS toks FROM {table})
+    """

@@ -1187,3 +1187,43 @@ def stage_ivfpq_index_upserted(
     )
     _INDEX_CACHE[key] = path
     return path
+
+
+def compact_ivfpq_index(spark, path: str) -> str:
+    """Fold ALL live deltas into one — the index counterpart of
+    segment compaction (`kafka_datasource.py:compact_segments`):
+    upserts grow the delta list (probe opens |deltas| × |lists|
+    directories), compaction reads the manifest union once, rewrites
+    it as a single list-partitioned delta, and atomically flips the
+    manifest to just that delta. Old directories stay on disk for
+    in-flight readers of the previous snapshot; :func:`gc_ivfpq_index`
+    removes them once drained (the caller owns that retention window,
+    exactly like segment GC)."""
+    import os
+
+    deltas = _read_manifest(path)
+    merged = read_ivfpq_index(spark, path)
+    next_id = max(int(d.split("-")[1]) for d in deltas) + 1
+    delta = f"delta-{next_id:08d}"
+    merged.write.mode("overwrite").partitionBy("list_id").parquet(
+        os.path.join(path, delta)
+    )
+    _flip_manifest(path, [delta])
+    return delta
+
+
+def gc_ivfpq_index(path: str) -> list[str]:
+    """Delete delta directories no longer referenced by the manifest.
+    Safe only after readers of the pre-compaction snapshot have
+    drained — the manifest read is the linearization point, so any
+    reader that starts after the flip never touches the dead dirs."""
+    import os
+    import shutil
+
+    live = set(_read_manifest(path))
+    removed = []
+    for d in sorted(os.listdir(path)):
+        if d.startswith("delta-") and d not in live:
+            shutil.rmtree(os.path.join(path, d))
+            removed.append(d)
+    return removed

@@ -452,6 +452,13 @@ def events_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.user_rfm(_t(spark, sf_dir, "events"))
 
 
+@query("events_stickiness", oracle=ev.stickiness_oracle("events"))
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly engagement stickiness (avg DAU / MAU) — one distinct
+    (month, day, user) shuffle, both grains reaggregated from it."""
+    return ev.stickiness(_t(spark, sf_dir, "events"))
+
+
 from presto_rakam_kafka_spark.streaming.attribution import attribution_oracle
 
 

@@ -57,6 +57,19 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_logreg_score",
+    oracle=quality.quality_logreg_score_oracle("documents", "text", "doc_id"),
+)
+def quality_logreg_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the DCLM / fastText-classifier
+    curation step): logistic score over four shuffle-free per-doc
+    features with fixed literal weights — the serving half of a
+    trained quality classifier as ONE codegen projection, zero
+    shuffles at any scale."""
+    return quality.quality_logreg_score(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@query(
     "text_repetition",
     oracle=quality.repetition_stats_oracle("documents", "text", "doc_id", n=3),
 )
@@ -1027,6 +1040,164 @@ def search_hybrid_rrf3(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(10)
         .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def _hybrid_rrf3_multi_oracle(query_ids: tuple[int, ...]) -> str:
+    from presto_rakam_kafka_spark.functions.hashing import (
+        jaccard_duckdb,
+        shingles_duckdb,
+        tokens_duckdb,
+    )
+    from presto_rakam_kafka_spark.operators.dedup import cosine_expr_duckdb
+    from presto_rakam_kafka_spark.operators.text import BM25_B, BM25_K1
+
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    jac = jaccard_duckdb("q.sh", "c.sh")
+    cos = cosine_expr_duckdb("qe.embedding", "ce.embedding", EMBED_DIM)
+    toks = tokens_duckdb("text")
+    k1, b = BM25_K1, BM25_B
+    score = f"""
+               ln(1.0 + (CAST(s.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                        / (CAST(dfreq.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * ({k1} + 1.0))
+               / (CAST(tf.tf AS DOUBLE)
+                  + {k1} * (1.0 - {b} + {b} * CAST(dl.dl AS DOUBLE) / s.avgdl))"""
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {shingles_duckdb('text', 3)} AS sh FROM documents),
+    lex AS (
+      SELECT q.doc_id AS query_id, c.doc_id,
+             row_number() OVER (PARTITION BY q.doc_id
+               ORDER BY round({jac}, 6) DESC, c.doc_id) AS r_lex
+      FROM sh c, (SELECT doc_id, sh FROM sh WHERE doc_id IN ({ids})) q
+      WHERE c.doc_id != q.doc_id
+      QUALIFY r_lex <= {RRF_CANDIDATES}),
+    vec AS (
+      SELECT qe.vec_id AS query_id, ce.vec_id AS doc_id,
+             row_number() OVER (PARTITION BY qe.vec_id
+               ORDER BY round({cos}, 6) DESC, ce.vec_id) AS r_vec
+      FROM embeddings ce,
+           (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN ({ids})) qe
+      WHERE ce.vec_id != qe.vec_id
+      QUALIFY r_vec <= {RRF_CANDIDATES}),
+    tk AS (SELECT doc_id, unnest({toks}) AS t FROM documents),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM tk GROUP BY doc_id, t),
+    dl AS (SELECT doc_id, len({toks}) AS dl FROM documents),
+    s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    qterms AS (SELECT DISTINCT doc_id AS query_id, unnest({toks}) AS t
+               FROM documents WHERE doc_id IN ({ids})),
+    bm AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY bm25 DESC, doc_id) AS r_bm
+      FROM (
+        SELECT qterms.query_id, tf.doc_id, round(sum({score}), 6) AS bm25
+        FROM tf JOIN qterms ON tf.t = qterms.t
+        JOIN dfreq ON tf.t = dfreq.t
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN s
+        WHERE tf.doc_id != qterms.query_id
+        GROUP BY qterms.query_id, tf.doc_id, s.n_docs, s.avgdl)
+      QUALIFY r_bm <= {RRF_CANDIDATES})
+    SELECT query_id, doc_id, r_lex, r_vec, r_bm, rrf, rank FROM (
+      SELECT l.query_id, l.doc_id, l.r_lex, v.r_vec, bm.r_bm,
+             round(1.0 / (60 + l.r_lex) + 1.0 / (60 + v.r_vec)
+                   + 1.0 / (60 + bm.r_bm), 8) AS rrf,
+             row_number() OVER (PARTITION BY l.query_id
+               ORDER BY round(1.0 / (60 + l.r_lex) + 1.0 / (60 + v.r_vec)
+                              + 1.0 / (60 + bm.r_bm), 8) DESC, l.doc_id) AS rank
+      FROM lex l
+      JOIN vec v ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+      JOIN bm ON l.query_id = bm.query_id AND l.doc_id = bm.doc_id)
+    WHERE rank <= 10
+    """
+
+
+@query(
+    "search_hybrid_rrf3_multi",
+    oracle=_hybrid_rrf3_multi_oracle((0, 1, 2, 3)),
+)
+def search_hybrid_rrf3_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-leg hybrid retrieval for a query TABLE (docs 0–3) — the
+    batch-serving shape of `search_hybrid_rrf3`: every leg scores the
+    whole query batch against ONE corpus scan (queries broadcast), each
+    leg's candidates are a per-query rank ≤ N (partitionBy(query_id)
+    windows — one bounded shuffle per leg, no global sort), and RRF
+    fuses on (query_id, doc). At production scale each leg is served by
+    its index (LSH / IVF-PQ / postings) with the same per-query rank
+    discipline — this is the exact-scoring oracle-checkable form."""
+    from pyspark.sql import Window
+
+    from presto_rakam_kafka_spark.functions.hashing import (
+        jaccard_spark,
+        shingles_spark,
+    )
+    from presto_rakam_kafka_spark.operators.dedup import cosine_expr
+    from presto_rakam_kafka_spark.operators.text import bm25_topk_multi
+
+    qids = [0, 1, 2, 3]
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(shingles_spark("text", 3)).alias("sh")
+    )
+    qdocs = F.broadcast(
+        docs.filter(F.col("doc_id").isin(qids)).select(
+            F.col("doc_id").alias("query_id"), F.col("sh").alias("q_sh")
+        )
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.desc("_j"), F.asc("doc_id"))
+    lex = (
+        docs.crossJoin(qdocs)
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(f"round({jaccard_spark('q_sh', 'sh')}, 6)").alias("_j"),
+        )
+        .withColumn("r_lex", F.row_number().over(wl))
+        .filter(F.col("r_lex") <= RRF_CANDIDATES)
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qvecs = F.broadcast(
+        emb.filter(F.col("vec_id").isin(qids)).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("_c"), F.asc("doc_id"))
+    vec = (
+        emb.crossJoin(qvecs)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.expr(f"round({cosine_expr('q_emb', 'embedding')}, 6)").alias("_c"),
+        )
+        .withColumn("r_vec", F.row_number().over(wv))
+        .filter(F.col("r_vec") <= RRF_CANDIDATES)
+    )
+    bm = bm25_topk_multi(
+        _docs(spark, sf_dir), "text", "doc_id", tuple(qids), k=RRF_CANDIDATES
+    ).select("query_id", "doc_id", F.col("rank").alias("r_bm"))
+    fused = (
+        lex.select("query_id", "doc_id", "r_lex")
+        .join(vec.select("query_id", "doc_id", "r_vec"), ["query_id", "doc_id"])
+        .join(bm, ["query_id", "doc_id"])
+        .select(
+            "query_id",
+            "doc_id",
+            "r_lex",
+            "r_vec",
+            "r_bm",
+            F.expr(
+                "cast(round(1.0 / (60 + r_lex) + 1.0 / (60 + r_vec)"
+                " + 1.0 / (60 + r_bm), 8) as double)"
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return fused.withColumn("rank", F.row_number().over(wf)).filter(
+        F.col("rank") <= 10
     )
 
 

@@ -901,3 +901,50 @@ def test_streaming_ivfpq_index_equals_batch_rebuild(spark, sf_dir):
         )
     )
     assert got == rebuilt
+
+
+def test_ivfpq_compaction_preserves_probes_and_gc_removes_dead_deltas(spark, sf_dir):
+    """Index lifecycle: compaction folds all deltas into one (probe
+    results unchanged), old directories survive until gc_ivfpq_index
+    removes exactly the unreferenced ones (in-flight-reader window)."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.operators import similarity as sim
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    path = tempfile.mkdtemp(prefix="ivfpq_compact_test_")
+    sim.init_ivfpq_index(
+        spark, emb.filter(F.col("vec_id") % 2 == 0), path,
+        "embedding", "vec_id", dim=64,
+    )
+    sim.upsert_ivfpq_index(
+        spark, emb.filter(F.col("vec_id") % 2 == 1), path,
+        "embedding", "vec_id", dim=64,
+    )
+
+    def probe():
+        return sorted(
+            map(
+                tuple,
+                sim.ivfpq_topk_from_index(
+                    sim.read_ivfpq_index(spark, path), q, "embedding",
+                    "vec_id", dim=64, k=5,
+                ).collect(),
+            )
+        )
+
+    before = probe()
+    new_delta = sim.compact_ivfpq_index(spark, path)
+    assert sim._read_manifest(path) == [new_delta]
+    assert probe() == before
+    # old dirs still on disk (reader retention window), then GC'd
+    dirs = {d for d in os.listdir(path) if d.startswith("delta-")}
+    assert dirs == {"delta-00000000", "delta-00000001", new_delta}
+    removed = sim.gc_ivfpq_index(path)
+    assert removed == ["delta-00000000", "delta-00000001"]
+    assert probe() == before
