@@ -763,3 +763,28 @@ def stickiness_oracle(table: str = "events") -> str:
            round(p.sum_dau * 1.0 / (p.n_days * m.mau), 6) AS stickiness
     FROM per_day p JOIN monthly m ON p.mo = m.mo
     """
+
+
+def retention_from_parts(per_user_min: DataFrame, user_weeks: DataFrame) -> DataFrame:
+    """Finish half of the retention matrix from its two STREAMING-
+    ACCUMULABLE parts: ``per_user_min`` = (user_id, min_ts) — min is
+    associative/commutative, so it runs as a complete-mode streaming
+    aggregation — and ``user_weeks`` = distinct (user_id, wk), a
+    streaming groupBy. Joining and bucketing the ≤ users×weeks rows is
+    the same tail as :func:`retention_cohorts`; equality with the
+    batch matrix is exact because both halves accumulate to the same
+    fixpoint regardless of micro-batch cuts (the `stream_hll_users`
+    fold-then-finish pattern)."""
+    firsts = per_user_min.select(
+        "user_id", F.date_trunc("week", F.col("min_ts")).alias("cohort_wk")
+    )
+    return (
+        user_weeks.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff(F.col("wk"), F.col("cohort_wk")) / 7).alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

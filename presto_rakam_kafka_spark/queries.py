@@ -1568,6 +1568,51 @@ def _register_streaming_queries() -> None:
             sketch, read_table(spark, sf_dir, "events"), "user_id", k=10
         )
 
+    from presto_rakam_kafka_spark.operators import events as _ev
+
+    @query(
+        "stream_retention",
+        oracle="""
+        WITH firsts AS (
+          SELECT user_id, date_trunc('week', min(ts)) AS cohort_wk
+          FROM events GROUP BY user_id
+        ), activity AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+        )
+        SELECT strftime(f.cohort_wk, '%Y-%m-%d') AS cohort_week,
+               date_diff('day', f.cohort_wk, a.wk) // 7 AS week_offset,
+               count(*) AS n_users
+        FROM activity a JOIN firsts f ON a.user_id = f.user_id
+        GROUP BY 1, 2
+        """,
+    )
+    def stream_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Continuous cohort retention: both halves of the matrix are
+        streaming-accumulable — per-user min(ts) (associative) and the
+        distinct (user, week) set (a streaming groupBy) run as
+        complete-mode aggregations over the replayed stream; the
+        drained parts feed the same finish as the batch matrix
+        (`operators/events.py:retention_from_parts`), so the stream
+        equals `events_retention` exactly at any micro-batch cut. At
+        100 TB the streaming state is users + users×weeks rows — the
+        stored rollup a retention dashboard reads, never a raw-event
+        replay."""
+        ev_stream = _events_stream(spark, sf_dir)
+        firsts = _drain(
+            ev_stream.groupBy("user_id").agg(F.min("ts").alias("min_ts")),
+            "ret_firsts",
+            "complete",
+        )
+        weeks = _drain(
+            _events_stream(spark, sf_dir)
+            .select("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+            .groupBy("user_id", "wk")
+            .agg(F.count(F.lit(1)).alias("_n")),
+            "ret_weeks",
+            "complete",
+        )
+        return _ev.retention_from_parts(firsts, weeks.select("user_id", "wk"))
+
     from presto_rakam_kafka_spark.streaming import attribution as sattr
 
     @query("stream_attribution", oracle=sattr.attribution_oracle("events"))

@@ -430,3 +430,25 @@ def test_ivfpq_upsert_probe_prunes_every_delta(spark, sf_dir):
     # two delta scans, each with a static list_id IN partition filter
     hits = re.findall(r"list_id#\d+ IN \(", plan)
     assert len(hits) >= 2, plan[:3000]
+
+
+def test_quality_logreg_is_shuffle_free(spark, sf_dir):
+    # Classifier serving is ONE codegen projection: no keyed shuffle
+    # (hashpartitioning) and no sort anywhere — the only Exchange
+    # permitted is the fixture helper's round-robin repartition for
+    # local-mode parallelism, which moves no data by key.
+    plan = _plan(Q.QUERIES["quality_logreg_score"](spark, sf_dir))
+    assert "hashpartitioning" not in plan, plan[:2000]
+    assert "rangepartitioning" not in plan and "Sort " not in plan, plan[:2000]
+
+
+def test_rrf3_multi_broadcasts_and_no_corpus_cartesian(spark, sf_dir):
+    # Each leg broadcasts the bounded query batch against one corpus
+    # scan (BroadcastNestedLoopJoin for the scoring legs is the Q x N
+    # shape, NOT a corpus x corpus CartesianProduct), and the fusion
+    # joins shuffle on (query_id, doc).
+    plan = _plan(Q.QUERIES["search_hybrid_rrf3_multi"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        plan[:2000]
+    )
