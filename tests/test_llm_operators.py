@@ -948,3 +948,45 @@ def test_ivfpq_compaction_preserves_probes_and_gc_removes_dead_deltas(spark, sf_
     removed = sim.gc_ivfpq_index(path)
     assert removed == ["delta-00000000", "delta-00000001"]
     assert probe() == before
+
+
+def test_bm25_multi_restricted_to_one_query_equals_single(spark, sf_dir):
+    """The query-table form is a strict generalization: its rows for
+    query 0 equal the single-query `bm25_topk` ranking exactly."""
+    from pyspark.sql import functions as F
+
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.operators.text import bm25_topk, bm25_topk_multi
+
+    docs = read_table(spark, sf_dir, "documents")
+    single = {
+        (r["doc_id"], r["rank"]): r["bm25"]
+        for r in bm25_topk(docs, "text", "doc_id", query_id=0, k=10).collect()
+    }
+    multi = {
+        (r["doc_id"], r["rank"]): r["bm25"]
+        for r in bm25_topk_multi(docs, "text", "doc_id", (0, 1, 2), k=10)
+        .filter(F.col("query_id") == 0)
+        .collect()
+    }
+    assert multi == single
+
+
+def test_rrf3_multi_restricted_to_query0_equals_single(spark, sf_dir):
+    """search_hybrid_rrf3_multi's query-0 slice equals the r5
+    single-query search_hybrid_rrf3 (same legs, same fusion)."""
+    from pyspark.sql import functions as F
+
+    from presto_rakam_kafka_spark import queries as Q
+
+    single = sorted(
+        (r["doc_id"], r["r_lex"], r["r_vec"], r["r_bm"], r["rrf"], r["rank"])
+        for r in Q.QUERIES["search_hybrid_rrf3"](spark, sf_dir).collect()
+    )
+    multi = sorted(
+        (r["doc_id"], r["r_lex"], r["r_vec"], r["r_bm"], r["rrf"], r["rank"])
+        for r in Q.QUERIES["search_hybrid_rrf3_multi"](spark, sf_dir)
+        .filter(F.col("query_id") == 0)
+        .collect()
+    )
+    assert multi == single
