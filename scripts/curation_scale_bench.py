@@ -110,6 +110,16 @@ def main() -> None:
         "substring_spans": lambda: dedup.duplicated_span_stats(
             corpus, "text", "doc_id", n=10
         ),
+        # round 6 additions
+        "substring_trim": lambda: dedup.duplicated_span_trim(
+            corpus, "text", "doc_id", n=10, drop_threshold=0.9
+        ),
+        "bm25_multi": lambda: text.bm25_topk_multi(
+            corpus, "text", "doc_id", (1, 2, 3, 4, 5, 6, 7, 8), k=10
+        ),
+        "logreg_score": lambda: quality.quality_logreg_score(
+            corpus, "text", "doc_id"
+        ),
         # SemDeDup: within-cluster pair cost is Σ|cluster|²·dim, so the
         # honest receipt pins cluster size (~n/centroids); centroid
         # count is capped by expression-tree size (the argmax refs each
