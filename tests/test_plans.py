@@ -90,11 +90,14 @@ def test_offset_pushdown_prunes_scan(spark, sf_dir):
     assert "event_id" in pushed
 
 
-def test_exact_dedup_aggregates_before_join(spark, sf_dir):
-    # exact_dedup = groupBy(digest) then semi join; the partial agg
-    # must appear under the join (map-side combine before shuffle).
+def test_exact_dedup_is_single_exchange_window(spark, sf_dir):
+    # exact_dedup (r6 form) = ONE digest-keyed exchange + row_number
+    # survivor pick; the old groupBy+semi-join shape (second corpus
+    # shuffle + sort-merge join) must NOT reappear.
     plan = _plan(Q.QUERIES["dedup_exact"](spark, sf_dir))
-    assert "HashAggregate" in plan and ("LeftSemi" in plan or "SortMergeJoin" in plan)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2500]
+    assert "Join" not in plan, plan[:2500]
+    assert "row_number" in plan, plan[:2500]
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
