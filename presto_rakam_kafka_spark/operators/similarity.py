@@ -571,19 +571,22 @@ def pq_topk(
         code_exprs.append(f"array_sort(array({pairs}))[0].idx AS code{j}")
     coded = corpus.selectExpr(f"{id_col} AS neighbor_id", *code_exprs)
 
-    qd_exprs = [
-        f"({d}) AS qd_{j}_{c}"
+    # The per-subspace lookup TABLE is literally an array column on
+    # the broadcast query side; the per-candidate lookup is then ONE
+    # element_at instead of a ksub-branch CASE chain — same doubles,
+    # ~4× faster cold / 20% warm at sf0.1 (SCALE_NOTES §adc-array).
+    qarr_exprs = [
+        "array("
+        + ", ".join(
+            f"({d})"
+            for d in dots_for(_pq_sub_spark(vec_col, j, sub_dim), j)
+        )
+        + f") AS qarr_{j}"
         for j in range(m)
-        for c, d in enumerate(dots_for(_pq_sub_spark(vec_col, j, sub_dim), j))
     ]
-    qtab = queries.selectExpr(f"{id_col} AS query_id", *qd_exprs)
+    qtab = queries.selectExpr(f"{id_col} AS query_id", *qarr_exprs)
 
-    lookups = [
-        "(CASE code" + str(j) + " "
-        + " ".join(f"WHEN {c} THEN qd_{j}_{c}" for c in range(ksub))
-        + " END)"
-        for j in range(m)
-    ]
+    lookups = [f"element_at(qarr_{j}, code{j} + 1)" for j in range(m)]
     score = _left_assoc_sum(lookups)
     pairs = (
         F.broadcast(qtab)
@@ -789,25 +792,25 @@ def ivfpq_topk_from_index(
     probe_lists = (
         f"slice(transform(array_sort(array({pairs_expr})), s -> s.idx), 1, {nprobe})"
     )
-    qd_exprs = [
-        f"({d}) AS qd_{j}_{c}"
-        for j in range(m)
-        for c, d in enumerate(
-            _dots_spark(_pq_sub_spark(vec_col, j, sub_dim), books[j])
+    # array-column lookup tables + element_at, not CASE chains — see
+    # pq_topk (§adc-array); identical doubles, far less per-candidate
+    # expression evaluation.
+    qarr_exprs = [
+        "array("
+        + ", ".join(
+            f"({d})"
+            for d in _dots_spark(_pq_sub_spark(vec_col, j, sub_dim), books[j])
         )
+        + f") AS qarr_{j}"
+        for j in range(m)
     ]
     q = F.broadcast(
         with_dots(queries)
         .selectExpr(f"{id_col} AS query_id", f"explode({probe_lists}) AS list_id", "*")
-        .selectExpr("query_id", "list_id", *qd_exprs)
+        .selectExpr("query_id", "list_id", *qarr_exprs)
     )
 
-    lookups = [
-        "(CASE code" + str(j) + " "
-        + " ".join(f"WHEN {c} THEN qd_{j}_{c}" for c in range(ksub))
-        + " END)"
-        for j in range(m)
-    ]
+    lookups = [f"element_at(qarr_{j}, code{j} + 1)" for j in range(m)]
     score = _left_assoc_sum(lookups)
     pairs = (
         coded.join(q, on="list_id")
