@@ -990,3 +990,65 @@ def test_rrf3_multi_restricted_to_query0_equals_single(spark, sf_dir):
         .collect()
     )
     assert multi == single
+
+
+def test_bpe_oracle_property_random_corpora():
+    """Property (hypothesis): over random small corpora the unrolled
+    DuckDB oracle's merge sequence equals the pure-Python Sennrich
+    trainer — same pair counts, argmax tie-break, and non-overlapping
+    left-to-right rewrite — for any number of available merges."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from presto_rakam_kafka_spark.operators.text import bpe_oracle_sql
+
+    def fold(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    word = st.text(alphabet="ab", min_size=1, max_size=6)
+    corpus = st.lists(word, min_size=2, max_size=12)
+
+    @settings(max_examples=40, deadline=None)
+    @given(corpus)
+    def check(words):
+        from collections import Counter
+
+        wc = Counter(words)
+        vocab = {w: list(w) for w in wc}
+        expect = []
+        n = 3
+        for step in range(n):
+            pc = Counter()
+            for w, syms in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += wc[w]
+            if not pc:
+                break
+            (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            expect.append((step, l, r, l + r, c))
+            vocab = {w: fold(s, l, r) for w, s in vocab.items()}
+        # the oracle's unrolled chain assumes a pair exists per step;
+        # skip corpora that run dry earlier (documented precondition)
+        if len(expect) < n:
+            return
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW docs AS SELECT 1 AS doc_id, '"
+            + " ".join(words)
+            + "' AS text"
+        )
+        got = sorted(
+            con.sql(bpe_oracle_sql("docs", "text", "doc_id", n, "merges")).fetchall()
+        )
+        assert got == expect, (words, got, expect)
+
+    check()
