@@ -724,17 +724,33 @@ def stickiness(events: DataFrame) -> DataFrame:
         F.to_date("ts").alias("day"),
         "user_id",
     ).distinct()
+    return stickiness_from_triples(triples)
+
+
+def stickiness_from_triples(triples: DataFrame) -> DataFrame:
+    """Finish half over the distinct (month, day, user) triples — the
+    accumulable part: the triple set is a streaming groupBy, so
+    `stream_stickiness` drains it in complete mode and reuses this
+    exact tail (the fold-then-finish contract of `stream_hll_users` /
+    `stream_retention`)."""
     daily = triples.groupBy("mo", "day").agg(
         F.count("*").alias("dau")
     )
-    monthly = triples.select("mo", "user_id").distinct().groupBy("mo").agg(
-        F.count("*").alias("mau")
+    # the monthly branch renames its key before the join: both sides
+    # derive from the SAME triples plan, and a drained (memory-sink)
+    # stream yields identical attribute ids that make the self-join
+    # ambiguous where a file-sourced plan would auto-dedup
+    monthly = (
+        triples.select(F.col("mo").alias("_mo"), "user_id")
+        .distinct()
+        .groupBy("_mo")
+        .agg(F.count("*").alias("mau"))
     )
     per_day = daily.groupBy("mo").agg(
         F.count("*").alias("n_days"), F.sum("dau").alias("sum_dau")
     )
     return (
-        per_day.join(monthly, "mo")
+        per_day.join(monthly, per_day["mo"] == monthly["_mo"])
         .select(
             F.col("mo").alias("month"),
             F.col("n_days").cast("long").alias("n_days"),

@@ -552,6 +552,86 @@ def decontaminate_oracle(
     """
 
 
+def decontamination_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    split_col: str,
+    bench_value: str,
+    n: int = 5,
+) -> DataFrame:
+    """The audit twin of :func:`decontaminate`: per BENCHMARK document,
+    how many training documents share at least one distinct word
+    n-gram with it and how many (train doc, shared shingle) hits exist
+    — the report a data-governance review reads before the anti-join
+    drops anything (which benchmarks leaked, how badly). Benchmark
+    docs with zero overlap appear with zeros.
+
+    Same scale shape as the filter: the benchmark shingle table is
+    benchmark-sized → broadcast; the training side streams through
+    one exploded broadcast join; the final agg is keyed by benchmark
+    doc (≤ benchmark rows out)."""
+
+    def exploded(sub: DataFrame, alias: str) -> DataFrame:
+        ex = sub.select(
+            F.col(id_col).alias(alias),
+            F.expr(f"split({text_col}, ' ')").alias("_toks"),
+        )
+        ex = ex.select(
+            alias,
+            "_toks",
+            F.explode(
+                F.expr(
+                    f"if(size(_toks) >= {n}, sequence(1, size(_toks) - {n - 1}), array())"
+                )
+            ).alias("i"),
+        )
+        return ex.select(
+            alias, F.expr(f"concat_ws(' ', slice(_toks, i, {n}))").alias("s")
+        ).distinct()
+
+    bench = df.filter(F.col(split_col) == bench_value)
+    bench_sh = exploded(bench, "bench_id")
+    train_sh = exploded(df.filter(F.col(split_col) != bench_value), "train_id")
+    hits = train_sh.join(F.broadcast(bench_sh), "s").groupBy("bench_id").agg(
+        F.countDistinct("train_id").alias("n_train_docs"),
+        F.count(F.lit(1)).alias("n_hits"),
+    )
+    return (
+        bench.select(F.col(id_col).alias("bench_id"))
+        .join(hits, "bench_id", "left")
+        .select(
+            "bench_id",
+            F.coalesce("n_train_docs", F.lit(0)).cast("long").alias("n_train_docs"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+
+
+def decontamination_report_oracle(
+    table: str, text_col: str, id_col: str, split_col: str, bench_value: str, n: int = 5
+) -> str:
+    from presto_rakam_kafka_spark.functions.hashing import shingles_duckdb
+
+    sh = shingles_duckdb(text_col, n)
+    return f"""
+    WITH sh AS (SELECT {id_col}, {split_col}, {sh} AS s FROM {table}),
+    bench AS (SELECT {id_col} AS bench_id, unnest(s) AS s FROM sh
+              WHERE {split_col} = '{bench_value}'),
+    train AS (SELECT {id_col} AS train_id, unnest(s) AS s FROM sh
+              WHERE {split_col} <> '{bench_value}'),
+    hits AS (
+      SELECT b.bench_id, count(DISTINCT t.train_id) AS n_train_docs,
+             count(*) AS n_hits
+      FROM train t JOIN bench b ON t.s = b.s GROUP BY b.bench_id)
+    SELECT s.{id_col} AS bench_id,
+           CAST(coalesce(h.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+    FROM (SELECT {id_col} FROM {table} WHERE {split_col} = '{bench_value}') s
+    LEFT JOIN hits h ON s.{id_col} = h.bench_id
+    """
+
+
 # ---------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------

@@ -1613,6 +1613,28 @@ def _register_streaming_queries() -> None:
         )
         return _ev.retention_from_parts(firsts, weeks.select("user_id", "wk"))
 
+    @query("stream_stickiness", oracle=_ev.stickiness_oracle("events"))
+    def stream_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Continuous engagement stickiness: the distinct
+        (month, day, user) triple set is a streaming groupBy
+        (complete mode); the drained triples feed the exact batch
+        finish (`stickiness_from_triples`), so the stream equals
+        `events_stickiness` at any micro-batch cut. State = the triple
+        rollup itself (≤ users×days rows)."""
+        triples = _drain(
+            _events_stream(spark, sf_dir)
+            .select(
+                F.date_format("ts", "yyyy-MM").alias("mo"),
+                F.to_date("ts").alias("day"),
+                "user_id",
+            )
+            .groupBy("mo", "day", "user_id")
+            .agg(F.count(F.lit(1)).alias("_n")),
+            "stickiness",
+            "complete",
+        )
+        return _ev.stickiness_from_triples(triples.select("mo", "day", "user_id"))
+
     from presto_rakam_kafka_spark.streaming import attribution as sattr
 
     @query("stream_attribution", oracle=sattr.attribution_oracle("events"))

@@ -152,6 +152,23 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontaminate_report",
+    oracle=quality.decontamination_report_oracle(
+        "documents", "text", "doc_id", "source", "src0", n=5
+    ),
+)
+def decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination AUDIT: per benchmark doc (source = src0),
+    how many training docs share a distinct 5-gram and how many hits —
+    the governance report read before the anti-join filter drops
+    anything. Benchmark shingles broadcast; one exploded join; output
+    bounded by the benchmark size."""
+    return quality.decontamination_report(
+        _docs(spark, sf_dir), "text", "doc_id", "source", "src0", n=5
+    )
+
+
+@query(
     "pii_redact",
     oracle=quality.pii_redact_oracle(
         f"(SELECT doc_id, {quality.pii_augmented_text_duckdb('text', 'doc_id')} AS text"
