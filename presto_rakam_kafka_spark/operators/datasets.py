@@ -1,0 +1,143 @@
+"""Dataset materialization: the EXPORT step of a training-data
+pipeline — write a curated corpus as N deterministic, size-balanced
+shards plus a manifest, so a training job can address "dataset vX,
+shard k of N" and an auditor can verify integrity without rereading
+the data.
+
+Beyond-reference extension (the reference connector is scan-only);
+the shape mirrors how production pipelines ship datasets (WebDataset /
+Megatron-style shard lists): deterministic shard assignment (md5 of
+the id — stable across reruns, engines, and cluster sizes, unlike
+``spark.write.repartition(N)`` round-robin which depends on task
+scheduling), one partitioned write, and a driver-side manifest built
+from a shard-level aggregate (N rows — bounded, not corpus-sized).
+
+Scale: assignment is a pure projection; the write shuffles once on
+the shard id (uniform by construction — md5 bits); the stats pass is
+one partial-agg'd groupBy with N output rows. Every piece is the
+same at 100 TB with N in the thousands.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shard_expr(id_col: str, num_shards: int) -> str:
+    """Deterministic engine-portable shard id: top 4 md5 hex chars of
+    the id, mod N. Uniform (md5 bits), stable across engines — DuckDB
+    replays it exactly (`shard_expr_duckdb`)."""
+    return (
+        f"cast(conv(substr(md5(cast({id_col} as string)), 1, 4), 16, 10)"
+        f" as int) % {num_shards}"
+    )
+
+
+def shard_expr_duckdb(id_col: str, num_shards: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 4))::BIGINT"
+        f" % {num_shards} AS INTEGER)"
+    )
+
+
+def shard_stats(
+    df: DataFrame, text_col: str, id_col: str, num_shards: int = 8
+) -> DataFrame:
+    """Per-shard manifest row: doc count, token count, and an
+    order-insensitive content checksum (sum of each doc's 48-bit
+    md5-prefix — commutative, so shard parallelism and row order
+    never change it; both engines compute the identical BIGINT)."""
+    chk = (
+        f"cast(conv(substr(md5({text_col}), 1, 12), 16, 10) as bigint)"
+    )
+    return (
+        df.select(
+            F.expr(shard_expr(id_col, num_shards)).alias("shard"),
+            F.expr(f"size(split({text_col}, ' '))").alias("_tok"),
+            F.expr(chk).alias("_chk"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").cast("long").alias("n_tokens"),
+            F.sum("_chk").cast("long").alias("checksum"),
+        )
+    )
+
+
+def shard_stats_oracle(
+    table: str, text_col: str, id_col: str, num_shards: int = 8
+) -> str:
+    sh = shard_expr_duckdb(id_col, num_shards)
+    chk = f"('0x' || substr(md5({text_col}), 1, 12))::BIGINT"
+    return f"""
+    SELECT {sh} AS shard,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split({text_col}, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum({chk}) AS BIGINT) AS checksum
+    FROM {table}
+    GROUP BY 1
+    """
+
+
+def export_dataset(
+    df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    num_shards: int = 8,
+    version: str = "v1",
+) -> dict:
+    """Write the corpus as ``shard=K`` parquet partitions plus a
+    ``_MANIFEST.json`` recording version, shard count, and the
+    per-shard (n_docs, n_tokens, checksum) rows from
+    :func:`shard_stats`. Returns the manifest dict.
+
+    The manifest is written LAST, after the data commit — a reader
+    that requires the manifest therefore never sees a half-written
+    export (the same publish-ordering discipline as the segment
+    writer's two-phase commit)."""
+    out = df.withColumn("shard", F.expr(shard_expr(id_col, num_shards)))
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)
+    stats = {
+        int(r["shard"]): {
+            "n_docs": int(r["n_docs"]),
+            "n_tokens": int(r["n_tokens"]),
+            "checksum": int(r["checksum"]),
+        }
+        for r in shard_stats(df, text_col, id_col, num_shards).collect()
+    }
+    manifest = {
+        "version": version,
+        "num_shards": num_shards,
+        "shards": stats,
+        "total_docs": sum(s["n_docs"] for s in stats.values()),
+        "total_tokens": sum(s["n_tokens"] for s in stats.values()),
+    }
+    tmp = os.path.join(path, "_MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(path, "_MANIFEST.json"))
+    return manifest
+
+
+def verify_export(spark, path: str, text_col: str, id_col: str) -> bool:
+    """Integrity check a reader runs before training: recompute the
+    per-shard stats from the exported files and compare to the
+    manifest. True iff every shard matches (count, tokens, checksum)."""
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    df = spark.read.parquet(path)
+    got = {
+        int(r["shard"]): (int(r["n_docs"]), int(r["n_tokens"]), int(r["checksum"]))
+        for r in shard_stats(df, text_col, id_col, manifest["num_shards"]).collect()
+    }
+    want = {
+        int(k): (v["n_docs"], v["n_tokens"], v["checksum"])
+        for k, v in manifest["shards"].items()
+    }
+    return got == want

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from presto_rakam_kafka_spark.operators import quality
+from presto_rakam_kafka_spark.operators import datasets, quality
 from presto_rakam_kafka_spark.queries import _t, query
 
 EMBED_DIM = 64  # fixture embeddings.embedding dimension (TESTDATA.md)
@@ -149,6 +149,20 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.decontaminate(
         _docs(spark, sf_dir), "text", "doc_id", "source", "src0", n=5
     )
+
+
+@query(
+    "dataset_shard_stats",
+    oracle=datasets.shard_stats_oracle("documents", "text", "doc_id", num_shards=8),
+)
+def dataset_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-export manifest rows: deterministic md5 shard
+    assignment (stable across engines/reruns/cluster sizes, unlike
+    round-robin repartition), per-shard doc/token counts and an
+    order-insensitive 48-bit-md5-sum checksum — what `export_dataset`
+    writes to _MANIFEST.json and `verify_export` recomputes before
+    training. One projection + one N-row groupBy."""
+    return datasets.shard_stats(_docs(spark, sf_dir), "text", "doc_id", num_shards=8)
 
 
 @query(
