@@ -141,3 +141,68 @@ def verify_export(spark, path: str, text_col: str, id_col: str) -> bool:
         for k, v in manifest["shards"].items()
     }
     return got == want
+
+
+def export_stream(
+    stream: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    num_shards: int = 8,
+    version: str = "v1",
+    checkpoint: str | None = None,
+):
+    """Continuous dataset materialization: every micro-batch's rows are
+    appended to their md5-deterministic shard partitions and the
+    manifest is atomically refreshed with the ACCUMULATED per-shard
+    stats (counts/tokens/checksums are all sums, so per-batch stats
+    fold exactly — the same fold-then-finish argument as the streaming
+    retention/stickiness rollups). A reader that loads the manifest
+    always sees stats ≤ the data on disk, never ahead of it (manifest
+    updates after each batch's data append), and `verify_export`
+    passes at every batch boundary. Returns the writer; callers own
+    trigger/termination."""
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = batch_df.withColumn(
+            "shard", F.expr(shard_expr(id_col, num_shards))
+        )
+        out.write.mode("append").partitionBy("shard").parquet(path)
+        batch_stats = {
+            int(r["shard"]): (
+                int(r["n_docs"]),
+                int(r["n_tokens"]),
+                int(r["checksum"]),
+            )
+            for r in shard_stats(
+                batch_df, text_col, id_col, num_shards
+            ).collect()
+        }
+        mpath = os.path.join(path, "_MANIFEST.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                manifest = json.load(f)
+        else:
+            manifest = {"version": version, "num_shards": num_shards, "shards": {}}
+        shards = {int(k): v for k, v in manifest["shards"].items()}
+        for k, (d, t, c) in batch_stats.items():
+            prev = shards.get(k, {"n_docs": 0, "n_tokens": 0, "checksum": 0})
+            shards[k] = {
+                "n_docs": prev["n_docs"] + d,
+                "n_tokens": prev["n_tokens"] + t,
+                "checksum": prev["checksum"] + c,
+            }
+        manifest["shards"] = shards
+        manifest["total_docs"] = sum(s["n_docs"] for s in shards.values())
+        manifest["total_tokens"] = sum(s["n_tokens"] for s in shards.values())
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, mpath)
+
+    writer = stream.writeStream.foreachBatch(on_batch)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

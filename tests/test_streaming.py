@@ -404,3 +404,57 @@ def test_stream_attribution_state_spans_microbatches(spark):
         5: ("none", "view"),
         6: ("none", "none"),
     }, got
+
+
+def test_export_stream_accumulates_manifest_and_verifies(spark, sf_dir):
+    """Continuous dataset export: two micro-batches append to the same
+    shard layout, the manifest accumulates (sums fold exactly), the
+    final state equals a one-shot batch export of the union, and
+    verify_export passes."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    import pyspark.sql.functions as F
+
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.operators import datasets as ds
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="export_stream_src_")
+    now = time.time()
+    for i, pred in enumerate((F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1)):
+        stage = os.path.join(src, f"staging{i}")
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "*.parquet"))[0]
+        dst = os.path.join(src, f"part-{i:05d}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (now + i, now + i))
+        shutil.rmtree(stage)
+
+    out = tempfile.mkdtemp(prefix="export_stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="export_stream_ckpt_")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        ds.export_stream(stream, out, "text", "doc_id", num_shards=4, checkpoint=ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert ds.verify_export(spark, out, "text", "doc_id")
+    import json as _json
+
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        streamed = _json.load(f)
+    batch_path = tempfile.mkdtemp(prefix="export_batch_ref_")
+    batch = ds.export_dataset(docs, batch_path, "text", "doc_id", num_shards=4)
+    assert {int(k): v for k, v in streamed["shards"].items()} == batch["shards"]
+    assert streamed["total_docs"] == batch["total_docs"]
+    assert streamed["total_tokens"] == batch["total_tokens"]
