@@ -188,8 +188,12 @@ def funnel_latency(
     uses the explicit rank-interpolation formula (identical double
     arithmetic to the oracle — the `agg_median_exact` pattern, since
     built-in percentile functions disagree with DuckDB in the last
-    ulp). Converted users must meet for an exact global quantile; at
-    100 TB swap in the approx sketch path."""
+    ulp). r6: the global rank comes from the distributed order-
+    statistics primitive (`operators/ranks.py` — range shuffle +
+    machine-local sorts + broadcast offsets), so no single-partition
+    window remains (plan-asserted); the exact quantile is now
+    distributed over the converter set, with the approx sketch still
+    the right trade at extreme converter counts."""
     step_idx = F.create_map(
         *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
     )
@@ -220,12 +224,18 @@ def funnel_latency(
     lat = folded.filter(F.col("acc.depth") == len(steps)).select(
         ((F.col("acc.last_us") - F.col("acc.first_us")) / 1e6).alias("v")
     )
-    w = Window.orderBy("v")
-    wn = Window.partitionBy()
-    ranked = lat.select(
-        "v",
-        (F.row_number().over(w) - 1).cast("double").alias("rn"),
-        F.count(F.lit(1)).over(wn).cast("double").alias("n"),
+    # r6: the rank comes from the distributed order-statistics
+    # primitive (range shuffle + machine-local sort + broadcast
+    # offsets, `operators/ranks.py`) and the count from a scalar agg —
+    # no single-partition window anywhere (plan-asserted), closing the
+    # r5 carried note on this operator.
+    from presto_rakam_kafka_spark.operators.ranks import with_global_rank
+
+    n_df = lat.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranked = (
+        with_global_rank(lat, ["v"], rank_col="_gr")
+        .select("v", (F.col("_gr") - 1).cast("double").alias("rn"))
+        .crossJoin(F.broadcast(n_df))
     )
 
     def interp(q: str) -> str:

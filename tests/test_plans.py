@@ -455,3 +455,22 @@ def test_rrf3_multi_broadcasts_and_no_corpus_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
         plan[:2000]
     )
+
+
+def test_funnel_latency_has_no_single_partition_window(spark, sf_dir):
+    # Exact percentiles via the distributed order-statistics primitive
+    # (operators/ranks.py): range shuffle + local sort + broadcast
+    # offsets — the plan must contain NO single-partition exchange
+    # (the r5 carried note on this operator, now closed).
+    import re
+
+    plan = _plan(Q.QUERIES["events_funnel_latency"](spark, sf_dir))
+    # every window is partitioned (by _pid) — no global-sort window
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all("_pid" in sp for sp in specs), (specs, plan[:3000])
+    assert "rangepartitioning" in plan, plan[:3000]
+    # the only SinglePartition exchanges feed scalar/grouped AGGREGATES
+    # (one-row counts), never a Sort or Window
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        nxt = seg.strip().splitlines()[1] if len(seg.strip().splitlines()) > 1 else ""
+        assert "Sort" not in nxt and "Window" not in nxt, seg[:400]
