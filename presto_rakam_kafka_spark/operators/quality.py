@@ -274,22 +274,26 @@ def pack_sequences(df: DataFrame, text_col: str, id_col: str, budget: int = 256)
     partitions, no hot key) and cut every ``budget`` tokens; a document
     belongs to the pack where it STARTS (GPT-style packing where docs
     may straddle pack boundaries). pack_id = floor(start_offset/budget)
-    over the running token sum — one window pass, one shuffle.
+    over the running token sum.
 
-    The global window sort is the honest cost of globally dense pack
-    ids and exists for the oracle contract only — production packing is
-    :func:`pack_sequences_partitioned`, where the window is keyed by a
-    prefix (md5 bucket or (source, date)) and every sort is
-    machine-local."""
-    w = (
-        Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    r6: the running sum is the DISTRIBUTED cumulative-sum primitive
+    (`operators/ranks.py:with_global_cumsum` — range shuffle +
+    machine-local sorts + broadcast sum offsets), so globally dense
+    pack ids no longer cost a single-task window; output is
+    bit-identical to the old global-window form (integer addition is
+    associative), the oracle is unchanged, and the plan is asserted
+    free of single-partition sorts. :func:`pack_sequences_partitioned`
+    remains the form that also keeps pack CONTENT prefix-local (e.g.
+    by (source, date)) when downstream wants locality, not just
+    scalability."""
+    from presto_rakam_kafka_spark.operators.ranks import with_global_cumsum
+
     t = df.select(
         F.col(id_col),
+        F.md5(F.col(id_col).cast("string")).alias("_ord"),
         F.expr(f"size(split({text_col}, ' '))").alias("n_tokens"),
     )
-    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    c = with_global_cumsum(t, ["_ord", id_col], "n_tokens", cum_col="cum")
     return (
         c.select(
             F.floor((F.col("cum") - F.col("n_tokens")) / budget).alias("pack_id"),

@@ -58,3 +58,46 @@ def with_global_rank(
         .withColumn(rank_col, F.row_number().over(w) + F.col("_off"))
         .drop("_pid", "_off")
     )
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    value_col: str,
+    cum_col: str = "gcum",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Exact global running sum of ``value_col`` in ``order_cols``
+    order, same scheme as :func:`with_global_rank` with per-partition
+    SUM offsets instead of counts: one range exchange, machine-local
+    sorts and local cumsums, a #partitions-row driver fold, broadcast
+    offsets. Bit-identical to ``sum().over(Window.orderBy(...))``
+    (integer addition is associative) with no single-partition stage."""
+    if num_ranges is None:
+        num_ranges = df.sparkSession.sparkContext.defaultParallelism
+    parts = (
+        df.repartitionByRange(num_ranges, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    sums = sorted(
+        (r["_pid"], r["s"])
+        for r in parts.groupBy("_pid")
+        .agg(F.sum(value_col).cast("long").alias("s"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for pid, s in sums:
+        offsets.append((pid, acc))
+        acc += int(s)
+    off_df = df.sparkSession.createDataFrame(offsets, "_pid INT, _off BIGINT")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parts.join(F.broadcast(off_df), "_pid")
+        .withColumn(cum_col, F.sum(value_col).over(w) + F.col("_off"))
+        .drop("_pid", "_off")
+    )

@@ -474,3 +474,19 @@ def test_funnel_latency_has_no_single_partition_window(spark, sf_dir):
     for seg in plan.split("Exchange SinglePartition")[1:]:
         nxt = seg.strip().splitlines()[1] if len(seg.strip().splitlines()) > 1 else ""
         assert "Sort" not in nxt and "Window" not in nxt, seg[:400]
+
+
+def test_pack_token_budget_has_no_single_partition_sort(spark, sf_dir):
+    # The globally-dense pack-id form now rides the distributed cumsum
+    # (ranks.py): range partitioning present, every window partitioned,
+    # and no SinglePartition exchange feeding a Sort or Window.
+    import re
+
+    plan = _plan(Q.QUERIES["pack_token_budget"](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all("_pid" in sp for sp in specs), (specs, plan[:3000])
+    assert "rangepartitioning" in plan, plan[:3000]
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        lines = seg.strip().splitlines()
+        nxt = lines[1] if len(lines) > 1 else ""
+        assert "Sort" not in nxt and "Window" not in nxt, seg[:400]
