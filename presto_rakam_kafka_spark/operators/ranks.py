@@ -43,6 +43,14 @@ def with_global_rank(
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
+    # PERSIST before the counts action: Spark's range partitioner
+    # re-SAMPLES boundaries on every job, so without a shared
+    # materialization the offsets job and the downstream job can see
+    # different partition assignments (caught by the equivalence test
+    # on tie-heavy data). The cache holds exactly the bytes the range
+    # shuffle already produced — the same materialization contract as
+    # RDD.zipWithIndex — and LRU eviction reclaims it.
+    parts = parts.persist()
     counts = sorted(
         (r["_pid"], r["c"])
         for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
@@ -80,6 +88,9 @@ def with_global_cumsum(
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
+    # same persist-before-offsets discipline as with_global_rank (the
+    # range sampler is per-job; see the comment there)
+    parts = parts.persist()
     sums = sorted(
         (r["_pid"], r["s"])
         for r in parts.groupBy("_pid")

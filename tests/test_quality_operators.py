@@ -630,3 +630,50 @@ def test_bm25_rewards_rare_matching_terms(spark):
     assert 3 not in got
     assert got[1][0] > got[2][0]
     assert all(s > 0 for s, _ in got.values())
+
+
+def test_global_rank_and_cumsum_equal_window_forms(spark, sf_dir):
+    """The distributed order-statistics primitives are bit-identical
+    to the single-partition window forms they replace, including
+    duplicate order keys (ties get a consistent total order) and
+    skewed value distributions."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from presto_rakam_kafka_spark.operators.ranks import (
+        with_global_cumsum,
+        with_global_rank,
+    )
+
+    df = (
+        spark.range(10_000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 97).alias("v"),      # heavy ties
+            (F.col("id") % 7 + 1).alias("n"),
+        )
+        .repartition(16)
+    )
+    got_rank = {
+        r["id"]: r["grank"]
+        for r in with_global_rank(df, ["v", "id"]).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want_rank = {
+        r["id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got_rank == want_rank
+
+    got_cum = {
+        r["id"]: r["gcum"]
+        for r in with_global_cumsum(df, ["v", "id"], "n").collect()
+    }
+    wc = Window.orderBy("v", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want_cum = {
+        r["id"]: r["c"]
+        for r in df.withColumn("c", F.sum("n").over(wc)).collect()
+    }
+    assert got_cum == want_cum
