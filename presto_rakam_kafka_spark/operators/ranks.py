@@ -49,7 +49,10 @@ def with_global_rank(
     # different partition assignments (caught by the equivalence test
     # on tie-heavy data). The cache holds exactly the bytes the range
     # shuffle already produced — the same materialization contract as
-    # RDD.zipWithIndex — and LRU eviction reclaims it.
+    # RDD.zipWithIndex. The default MEMORY_AND_DISK level is
+    # load-bearing: under memory pressure blocks SPILL (same data)
+    # rather than drop-and-recompute (fresh sampling → silently
+    # inconsistent offsets); do not weaken it to MEMORY_ONLY.
     parts = parts.persist()
     counts = sorted(
         (r["_pid"], r["c"])
