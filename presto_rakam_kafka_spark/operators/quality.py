@@ -293,7 +293,15 @@ def pack_sequences(df: DataFrame, text_col: str, id_col: str, budget: int = 256)
         F.md5(F.col(id_col).cast("string")).alias("_ord"),
         F.expr(f"size(split({text_col}, ' '))").alias("n_tokens"),
     )
-    c = with_global_cumsum(t, ["_ord", id_col], "n_tokens", cum_col="cum")
+    # bucket proxy: the md5 hex order key as a number (15 hex digits,
+    # monotone under the double rounding — ties just share a bucket)
+    c = with_global_cumsum(
+        t,
+        ["_ord", id_col],
+        "n_tokens",
+        cum_col="cum",
+        bucket_expr="cast(conv(substr(_ord, 1, 15), 16, 10) as double)",
+    )
     return (
         c.select(
             F.floor((F.col("cum") - F.col("n_tokens")) / budget).alias("pack_id"),

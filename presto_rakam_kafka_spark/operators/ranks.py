@@ -7,17 +7,27 @@ been removing since round 4 (packing, top-k). When a total order is
 genuinely required (exact percentiles, global row numbering), the
 distributed form is:
 
-1. ``repartitionByRange`` on the order columns — one range shuffle,
-   rows land in partitions that tile the sort order;
-2. ``sortWithinPartitions`` — every sort machine-local;
-3. per-partition row counts → cumulative offsets (one tiny driver
-   round-trip, #partitions rows — the same bounded-fit contract as
-   the k-means/z-order fits);
-4. local ``row_number`` + broadcast offset = exact global rank.
+1. fit ``num_ranges - 1`` bucket boundaries ONCE with an
+   approx-percentile aggregate and FREEZE them as literals — balance
+   is approximate (that is all the boundaries control), but every
+   later job evaluates the identical frozen expression, so bucket
+   assignment is deterministic by VALUE. This is the critical design
+   point: ``repartitionByRange`` re-SAMPLES its boundaries on every
+   job, so any scheme that computes offsets in one job and ranks in
+   another can silently disagree with itself (a tie-heavy equivalence
+   test caught exactly that in the first cut of this module; a persist
+   masks it only until an executor loses its cached blocks and
+   recompute re-samples);
+2. per-bucket row counts → cumulative offsets (one tiny driver
+   round-trip, #buckets rows — the same bounded-fit contract as the
+   k-means/z-order fits);
+3. local ``row_number`` within each bucket (one hash shuffle on the
+   bucket id, machine-local sorts) + broadcast offset = exact global
+   rank.
 
-Ties that straddle a range boundary receive arbitrary-but-consistent
-ranks, exactly like a global sort's tie order; percentile math over
-values is unaffected (equal values interpolate to themselves).
+Ties always share a bucket (assignment is by value), so ranks within
+a tie group are arbitrary-but-consistent, exactly like a global
+sort's tie order; percentile math over values is unaffected.
 """
 
 from __future__ import annotations
@@ -26,34 +36,47 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _bucketed(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    bucket_expr: str | None,
+    num_ranges: int | None,
+) -> DataFrame:
+    """Add a deterministic ``_pid`` bucket column: frozen-literal
+    boundaries from one approx-percentile fit over ``bucket_expr``
+    (a numeric expression order-monotone in the leading order column;
+    defaults to the first order column itself, which must then be
+    numeric)."""
+    if num_ranges is None:
+        num_ranges = df.sparkSession.sparkContext.defaultParallelism
+    bexpr = bucket_expr if bucket_expr is not None else str(order_cols[0])
+    qs = ", ".join(str(i / num_ranges) for i in range(1, num_ranges))
+    row = df.agg(
+        F.expr(
+            f"approx_percentile({bexpr}, array({qs}), 1000)"
+        ).alias("b")
+    ).collect()[0]["b"]
+    bounds = sorted(set(row)) if row else []
+    if bounds:
+        pid = " + ".join(f"IF(({bexpr}) > {b!r}, 1, 0)" for b in bounds)
+    else:
+        pid = "0"
+    return df.withColumn("_pid", F.expr(f"({pid})").cast("int"))
+
+
 def with_global_rank(
     df: DataFrame,
     order_cols: list[Column | str],
     rank_col: str = "grank",
     num_ranges: int | None = None,
+    bucket_expr: str | None = None,
 ) -> DataFrame:
     """Add a 1-based exact global rank over ``order_cols`` using the
-    range-shuffle + local-sort + offset scheme above. Costs one range
-    exchange, one machine-local sort, and one #partitions-row driver
-    aggregation — never a single-partition stage."""
-    if num_ranges is None:
-        num_ranges = df.sparkSession.sparkContext.defaultParallelism
-    parts = (
-        df.repartitionByRange(num_ranges, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    # PERSIST before the counts action: Spark's range partitioner
-    # re-SAMPLES boundaries on every job, so without a shared
-    # materialization the offsets job and the downstream job can see
-    # different partition assignments (caught by the equivalence test
-    # on tie-heavy data). The cache holds exactly the bytes the range
-    # shuffle already produced — the same materialization contract as
-    # RDD.zipWithIndex. The default MEMORY_AND_DISK level is
-    # load-bearing: under memory pressure blocks SPILL (same data)
-    # rather than drop-and-recompute (fresh sampling → silently
-    # inconsistent offsets); do not weaken it to MEMORY_ONLY.
-    parts = parts.persist()
+    frozen-boundary bucket scheme above. Costs one boundary fit, one
+    #buckets-row counts job, and one hash exchange with machine-local
+    sorts — never a single-partition stage, and every job sees the
+    same deterministic bucket assignment."""
+    parts = _bucketed(df, order_cols, bucket_expr, num_ranges)
     counts = sorted(
         (r["_pid"], r["c"])
         for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
@@ -77,23 +100,14 @@ def with_global_cumsum(
     value_col: str,
     cum_col: str = "gcum",
     num_ranges: int | None = None,
+    bucket_expr: str | None = None,
 ) -> DataFrame:
     """Exact global running sum of ``value_col`` in ``order_cols``
-    order, same scheme as :func:`with_global_rank` with per-partition
-    SUM offsets instead of counts: one range exchange, machine-local
-    sorts and local cumsums, a #partitions-row driver fold, broadcast
-    offsets. Bit-identical to ``sum().over(Window.orderBy(...))``
-    (integer addition is associative) with no single-partition stage."""
-    if num_ranges is None:
-        num_ranges = df.sparkSession.sparkContext.defaultParallelism
-    parts = (
-        df.repartitionByRange(num_ranges, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    # same persist-before-offsets discipline as with_global_rank (the
-    # range sampler is per-job; see the comment there)
-    parts = parts.persist()
+    order, same scheme as :func:`with_global_rank` with per-bucket SUM
+    offsets instead of counts. Bit-identical to
+    ``sum().over(Window.orderBy(...))`` (integer addition is
+    associative) with no single-partition stage."""
+    parts = _bucketed(df, order_cols, bucket_expr, num_ranges)
     sums = sorted(
         (r["_pid"], r["s"])
         for r in parts.groupBy("_pid")

@@ -468,7 +468,7 @@ def test_funnel_latency_has_no_single_partition_window(spark, sf_dir):
     # every window is partitioned (by _pid) — no global-sort window
     specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
     assert specs and all("_pid" in sp for sp in specs), (specs, plan[:3000])
-    assert "rangepartitioning" in plan, plan[:3000]
+    assert "hashpartitioning(_pid" in plan, plan[:3000]
     # the only SinglePartition exchanges feed scalar/grouped AGGREGATES
     # (one-row counts), never a Sort or Window
     for seg in plan.split("Exchange SinglePartition")[1:]:
@@ -485,7 +485,7 @@ def test_pack_token_budget_has_no_single_partition_sort(spark, sf_dir):
     plan = _plan(Q.QUERIES["pack_token_budget"](spark, sf_dir))
     specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
     assert specs and all("_pid" in sp for sp in specs), (specs, plan[:3000])
-    assert "rangepartitioning" in plan, plan[:3000]
+    assert "hashpartitioning(_pid" in plan, plan[:3000]
     for seg in plan.split("Exchange SinglePartition")[1:]:
         lines = seg.strip().splitlines()
         nxt = lines[1] if len(lines) > 1 else ""
