@@ -130,6 +130,10 @@ def main():
         "hll_weekly_users_p9": lambda e: __import__(
             "presto_rakam_kafka_spark.operators.sketches", fromlist=["sketches"]
         ).hll_weekly_users(e, p=9),
+        # round 6
+        "attribution": ev.last_touch_attribution,
+        "stickiness": ev.stickiness,
+        "funnel_latency": ev.funnel_latency,
     }
     for name, fn in ops.items():
         if args.op and args.op != name:
