@@ -124,6 +124,10 @@ HEADLINE = [
     "search_hybrid_rrf3_multi",
     "quality_logreg_score",
     "events_stickiness",
+    # round 6c: contamination audit (broadcast join, benchmark-bounded
+    # output) and the dataset-export manifest aggregate
+    "decontaminate_report",
+    "dataset_shard_stats",
 ]
 
 #: The round-3-era query set, frozen: every round reports this subtotal
