@@ -814,3 +814,17 @@ def retention_from_parts(per_user_min: DataFrame, user_weeks: DataFrame) -> Data
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def segmentation_from_user_cells(cells: DataFrame) -> DataFrame:
+    """Finish half of :func:`segmentation` from its streaming-
+    accumulable part: per (event_type, day, k_bucket, USER) event
+    counts and value sums — a plain streaming groupBy (counts and sums
+    are associative). The regroup collapses users into the cell
+    measures: distinct users = one row per user by construction. The
+    fourth fold-then-finish rollup (HLL, retention, stickiness)."""
+    return cells.groupBy("event_type", "day", "k_bucket").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.sum("sv"), 2).alias("sum_value"),
+    )

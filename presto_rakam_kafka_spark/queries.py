@@ -1613,6 +1613,43 @@ def _register_streaming_queries() -> None:
         )
         return _ev.retention_from_parts(firsts, weeks.select("user_id", "wk"))
 
+    @query(
+        "stream_segmentation",
+        oracle="""
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS k_bucket,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2, 3
+        """,
+    )
+    def stream_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Continuous Rakam segmentation: per-(cell, user) counts and
+        value sums are a plain streaming groupBy (associative); the
+        drained cells regroup into the same measures as the batch
+        `events_segmentation` — fourth fold-then-finish rollup."""
+        st = _events_stream(spark, sf_dir)
+        k = F.get_json_object("props", "$.k").cast("long")
+        cells = _drain(
+            st.groupBy(
+                F.col("event_type"),
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+                F.floor(k / 25).alias("k_bucket"),
+                F.col("user_id"),
+            ).agg(
+                F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")
+            ),
+            "segmentation",
+            "complete",
+        )
+        from presto_rakam_kafka_spark.operators.events import (
+            segmentation_from_user_cells,
+        )
+
+        return segmentation_from_user_cells(cells)
+
     @query("stream_stickiness", oracle=_ev.stickiness_oracle("events"))
     def stream_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Continuous engagement stickiness: the distinct
