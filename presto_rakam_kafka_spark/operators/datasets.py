@@ -48,11 +48,19 @@ def shard_stats(
     df: DataFrame, text_col: str, id_col: str, num_shards: int = 8
 ) -> DataFrame:
     """Per-shard manifest row: doc count, token count, and an
-    order-insensitive content checksum (sum of each doc's 48-bit
+    order-insensitive content checksum (sum of each doc's 32-bit
     md5-prefix — commutative, so shard parallelism and row order
-    never change it; both engines compute the identical BIGINT)."""
+    never change it; both engines compute the identical BIGINT).
+
+    The prefix is 8 hex chars (≤2^32) on purpose: a BIGINT sum of
+    32-bit values stays exact to ~2^31 docs PER SHARD (billions), so
+    Spark's non-ANSI long sum and DuckDB's HUGEINT-then-cast agree at
+    any realistic corpus size. The earlier 48-bit prefix overflowed a
+    signed BIGINT at ~65k docs/shard — Spark wrapped silently while
+    DuckDB raised on the cast, so the engines diverged exactly when
+    the dataset got big enough to matter."""
     chk = (
-        f"cast(conv(substr(md5({text_col}), 1, 12), 16, 10) as bigint)"
+        f"cast(conv(substr(md5({text_col}), 1, 8), 16, 10) as bigint)"
     )
     return (
         df.select(
@@ -73,7 +81,7 @@ def shard_stats_oracle(
     table: str, text_col: str, id_col: str, num_shards: int = 8
 ) -> str:
     sh = shard_expr_duckdb(id_col, num_shards)
-    chk = f"('0x' || substr(md5({text_col}), 1, 12))::BIGINT"
+    chk = f"('0x' || substr(md5({text_col}), 1, 8))::BIGINT"
     return f"""
     SELECT {sh} AS shard,
            count(*) AS n_docs,
@@ -143,33 +151,58 @@ def verify_export(spark, path: str, text_col: str, id_col: str) -> bool:
     return got == want
 
 
-def export_stream(
-    stream: DataFrame,
+def export_batch_fn(
     path: str,
     text_col: str,
     id_col: str,
     num_shards: int = 8,
     version: str = "v1",
-    checkpoint: str | None = None,
 ):
-    """Continuous dataset materialization: every micro-batch's rows are
-    appended to their md5-deterministic shard partitions and the
-    manifest is atomically refreshed with the ACCUMULATED per-shard
-    stats (counts/tokens/checksums are all sums, so per-batch stats
-    fold exactly — the same fold-then-finish argument as the streaming
-    retention/stickiness rollups). A reader that loads the manifest
-    always sees stats ≤ the data on disk, never ahead of it (manifest
-    updates after each batch's data append), and `verify_export`
-    passes at every batch boundary. Returns the writer; callers own
-    trigger/termination."""
+    """The exactly-once per-micro-batch export step (factored out of
+    :func:`export_stream` so tests can replay it with a pinned
+    ``epoch_id``).
+
+    Idempotence comes from the epoch-keyed two-phase commit — the same
+    discipline as `streaming/sinks.py` and the segment writer
+    (`sources/kafka_datasource.py`):
+
+    1. the batch's rows are written under ``epoch=<id>/shard=<k>/`` with
+       ``mode("overwrite")`` on the epoch directory, and
+    2. the manifest flip both accumulates the batch's per-shard stats
+       AND records the epoch id in ``manifest["epochs"]``; a batch whose
+       epoch is already recorded is skipped entirely.
+
+    Replay analysis: a retry after a crash BEFORE the flip overwrites
+    the (possibly partial) epoch directory and then commits once; a
+    retry AFTER the flip sees its epoch in the manifest and does
+    nothing — rows are never double-appended and stats never
+    double-counted, so ``verify_export`` passes at every batch boundary
+    even across foreachBatch replays. (The r6 form appended with no
+    epoch key: a replay double-appended the rows while the manifest
+    accumulated once — detected by verify_export, but the export then
+    needed a manual rebuild.)"""
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        mpath = os.path.join(path, "_MANIFEST.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                manifest = json.load(f)
+        else:
+            manifest = {
+                "version": version,
+                "num_shards": num_shards,
+                "shards": {},
+                "epochs": [],
+            }
+        if int(epoch_id) in manifest.get("epochs", []):
+            return  # already committed — replayed batch, exactly-once skip
         out = batch_df.withColumn(
             "shard", F.expr(shard_expr(id_col, num_shards))
         )
-        out.write.mode("append").partitionBy("shard").parquet(path)
+        epoch_dir = os.path.join(path, f"epoch={int(epoch_id)}")
+        out.write.mode("overwrite").partitionBy("shard").parquet(epoch_dir)
         batch_stats = {
             int(r["shard"]): (
                 int(r["n_docs"]),
@@ -180,12 +213,6 @@ def export_stream(
                 batch_df, text_col, id_col, num_shards
             ).collect()
         }
-        mpath = os.path.join(path, "_MANIFEST.json")
-        if os.path.exists(mpath):
-            with open(mpath) as f:
-                manifest = json.load(f)
-        else:
-            manifest = {"version": version, "num_shards": num_shards, "shards": {}}
         shards = {int(k): v for k, v in manifest["shards"].items()}
         for k, (d, t, c) in batch_stats.items():
             prev = shards.get(k, {"n_docs": 0, "n_tokens": 0, "checksum": 0})
@@ -195,6 +222,7 @@ def export_stream(
                 "checksum": prev["checksum"] + c,
             }
         manifest["shards"] = shards
+        manifest["epochs"] = sorted(set(manifest.get("epochs", [])) | {int(epoch_id)})
         manifest["total_docs"] = sum(s["n_docs"] for s in shards.values())
         manifest["total_tokens"] = sum(s["n_tokens"] for s in shards.values())
         tmp = mpath + ".tmp"
@@ -202,6 +230,32 @@ def export_stream(
             json.dump(manifest, f, indent=1, sort_keys=True)
         os.replace(tmp, mpath)
 
+    return on_batch
+
+
+def export_stream(
+    stream: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    num_shards: int = 8,
+    version: str = "v1",
+    checkpoint: str | None = None,
+):
+    """Continuous dataset materialization, exactly-once: every
+    micro-batch's rows land under an epoch-keyed directory
+    (``epoch=<id>/shard=<k>/`` — readers of ``path`` see both as
+    partition columns) and the manifest atomically accumulates the
+    per-shard stats (counts/tokens/checksums are all sums, so
+    per-batch stats fold exactly — the same fold-then-finish argument
+    as the streaming retention/stickiness rollups) together with the
+    committed epoch list. Replayed batches are skipped by epoch id, so
+    a foreachBatch retry can neither double-append rows nor
+    double-count stats — see :func:`export_batch_fn` for the replay
+    analysis. A reader that loads the manifest always sees stats ≤ the
+    data on disk, and `verify_export` passes at every batch boundary.
+    Returns the writer; callers own trigger/termination."""
+    on_batch = export_batch_fn(path, text_col, id_col, num_shards, version)
     writer = stream.writeStream.foreachBatch(on_batch)
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)

@@ -118,22 +118,27 @@ SIMHASH_BITS = 60  # the portable md5-prefix hash is 60-bit
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the lowest-id row per exact content digest.
 
-    ONE exchange total: rows shuffle on the digest and the survivor is
-    the row_number()=1 row per digest partition (min id — deterministic
-    so reruns and retries converge). The r1–r5 form computed the keep
-    set with a groupBy and joined it back left-semi — a second full
-    shuffle of the corpus on the id plus a sort-merge join; the window
-    form drops both (0.66 → 0.55 s warm at 500k synthetic docs, and
-    the asymptotic win grows with the join it deletes).
+    ONE exchange total AND map-side partial aggregation:
+    ``groupBy(digest).agg(min_by(struct(*), id))`` is a declarative
+    aggregate with a partial-merge phase, so every mapper combines its
+    local copies of a duplicated text down to ONE struct before the
+    shuffle. That matters because the hot-key corpus is exact-dedup's
+    *normal* input — boilerplate-heavy web crawls where one page repeats
+    millions of times. The r6 ``row_number() over (partition by digest)``
+    window form also had one exchange, but a window has no combiners: it
+    ships EVERY copy of the duplicate class to a single reducer, which
+    then sorts the whole class while the rest of the cluster idles — a
+    skew bomb at 100 TB. min_by keeps the r6 single-shuffle win and
+    restores the r1–r5 skew safety without that form's second corpus
+    shuffle + semi join. Survivor = min id, deterministic, so reruns and
+    task retries converge.
     """
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("content_md5").orderBy(F.col(id_col).asc())
+    cols = df.columns
+    hashed = df.withColumn("content_md5", F.md5(F.col(text_col)))
     return (
-        df.withColumn("content_md5", F.md5(F.col(text_col)))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("content_md5", "_rn")
+        hashed.groupBy("content_md5")
+        .agg(F.min_by(F.struct(*[F.col(c) for c in cols]), F.col(id_col)).alias("_s"))
+        .select("_s.*")
     )
 
 

@@ -1112,13 +1112,23 @@ def upsert_ivfpq_index(
     num_centroids: int = NUM_CENTROIDS,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
+    delta_name: str | None = None,
 ) -> str:
     """Index NEW vectors without rebuilding: code them against the
     frozen geometry, write one new list-partitioned delta directory,
     then atomically flip the manifest to include it (write-then-flip:
     a failure before the flip leaves an orphan directory invisible to
     every reader — the same two-phase append discipline as the
-    `kafka_segments` writer). Returns the new delta's name.
+    `kafka_segments` writer). Returns the delta's name.
+
+    ``delta_name`` pins the delta directory name instead of allocating
+    the next free id — the exactly-once hook for streaming ingestion
+    (`streaming/ann_index.py` passes ``epoch-<id>``): if the pinned
+    name is already live in the manifest the whole upsert is a no-op,
+    so a replayed foreachBatch can never index the same vectors twice
+    (duplicate entries would displace genuine neighbors in top-k
+    probes); a replay after a crash BEFORE the flip overwrites the
+    same directory and then commits once.
 
     100 TB shape: an upsert touches ONLY the new vectors (one coded
     projection + one partitioned write); probes stay partition-pruned
@@ -1129,8 +1139,13 @@ def upsert_ivfpq_index(
     import os
 
     deltas = _read_manifest(path)
-    next_id = max(int(d.split("-")[1]) for d in deltas) + 1
-    delta = f"delta-{next_id:08d}"
+    if delta_name is not None:
+        if delta_name in deltas:
+            return delta_name  # already committed — idempotent replay
+        delta = delta_name
+    else:
+        next_id = max(int(d.split("-")[1]) for d in deltas) + 1
+        delta = f"delta-{next_id:08d}"
     coded = ivfpq_code_corpus(
         new_vectors, vec_col, id_col, dim,
         num_centroids=num_centroids, m=m, ksub=ksub,

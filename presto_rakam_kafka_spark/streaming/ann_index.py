@@ -6,10 +6,13 @@ persisted incremental index — the continuous-ingestion counterpart of
 Shape: ``foreachBatch`` → one coded projection + one list-partitioned
 delta write + one atomic ``_CURRENT`` manifest flip per micro-batch.
 Probes running concurrently see a consistent snapshot (the manifest
-read is atomic); a crash between the delta write and the flip leaves an
-orphan directory invisible to every reader, and the restarted batch
-rewrites it under a fresh delta id (mode=overwrite on a new name) — the
-same two-phase discipline as the `kafka_segments` writer
+read is atomic). Exactly-once: deltas are NAMED BY EPOCH
+(``epoch-<id>``) — a crash between the delta write and the flip leaves
+an orphan directory invisible to every reader, and the restarted batch
+overwrites that same directory and commits once; a replay AFTER the
+flip finds its epoch delta already live and does nothing. Either way
+the same vectors are never indexed twice — the same two-phase
+discipline as the `kafka_segments` writer
 (`sources/kafka_datasource.py:compact_segments`).
 
 State: NONE in the streaming engine — the index itself is the state,
@@ -51,6 +54,11 @@ def index_stream(
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # Epoch-named delta = exactly-once: a replayed batch (retry
+        # after the manifest flip) finds `epoch-<id>` already live and
+        # the upsert is a no-op, instead of allocating a fresh delta id
+        # and double-indexing the same vectors (duplicate entries would
+        # displace genuine neighbors in top-k probes).
         upsert_ivfpq_index(
             batch_df.sparkSession,
             batch_df,
@@ -61,6 +69,7 @@ def index_stream(
             num_centroids=num_centroids,
             m=m,
             ksub=ksub,
+            delta_name=f"epoch-{int(epoch_id):08d}",
         )
 
     writer = stream.writeStream.foreachBatch(on_batch)

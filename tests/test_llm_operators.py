@@ -1084,3 +1084,47 @@ def test_export_dataset_manifest_roundtrip(spark, sf_dir):
     victim = glob.glob(os.path.join(path, "shard=1", "*.parquet"))[0]
     os.remove(victim)
     assert not ds.verify_export(spark, path, "text", "doc_id")
+
+
+def test_ivfpq_epoch_upsert_replay_is_noop(spark, sf_dir):
+    """Streaming-indexer replay semantics (ADVICE r6): an upsert with a
+    pinned epoch delta name that is already live in the manifest does
+    nothing — delta list, index contents, and probe results unchanged —
+    so a replayed foreachBatch can never double-index its vectors."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.operators import similarity as sim
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    delta = emb.filter(F.col("vec_id") % 2 == 1)
+
+    path = tempfile.mkdtemp(prefix="ivfpq_epoch_replay_")
+    sim.init_ivfpq_index(spark, base, path, "embedding", "vec_id", dim=64)
+    name = sim.upsert_ivfpq_index(
+        spark, delta, path, "embedding", "vec_id", dim=64,
+        delta_name="epoch-00000007",
+    )
+    assert name == "epoch-00000007"
+    deltas = sim._read_manifest(path)
+    assert deltas == ["delta-00000000", "epoch-00000007"]
+    rows = sim.read_ivfpq_index(spark, path).count()
+
+    # replay: same epoch name again — exact no-op
+    name2 = sim.upsert_ivfpq_index(
+        spark, delta, path, "embedding", "vec_id", dim=64,
+        delta_name="epoch-00000007",
+    )
+    assert name2 == "epoch-00000007"
+    assert sim._read_manifest(path) == deltas
+    assert sim.read_ivfpq_index(spark, path).count() == rows
+
+    # un-pinned upserts still allocate past the epoch-named delta
+    more = emb.filter(F.col("vec_id") < 3)
+    name3 = sim.upsert_ivfpq_index(
+        spark, more, path, "embedding", "vec_id", dim=64
+    )
+    assert name3 == "delta-00000008"

@@ -90,14 +90,18 @@ def test_offset_pushdown_prunes_scan(spark, sf_dir):
     assert "event_id" in pushed
 
 
-def test_exact_dedup_is_single_exchange_window(spark, sf_dir):
-    # exact_dedup (r6 form) = ONE digest-keyed exchange + row_number
-    # survivor pick; the old groupBy+semi-join shape (second corpus
-    # shuffle + sort-merge join) must NOT reappear.
+def test_exact_dedup_is_single_exchange_partial_agg(spark, sf_dir):
+    # exact_dedup (r7 form) = ONE digest-keyed exchange AND map-side
+    # partial aggregation (partial_min_by before the Exchange). The r6
+    # row_number window form — one exchange but NO combiners, shipping
+    # every copy of a duplicated text to one reducer (skew bomb) — and
+    # the r1–r5 groupBy+semi-join shape (second corpus shuffle) must
+    # both stay gone.
     plan = _plan(Q.QUERIES["dedup_exact"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2500]
     assert "Join" not in plan, plan[:2500]
-    assert "row_number" in plan, plan[:2500]
+    assert "partial_min_by" in plan, plan[:2500]
+    assert "row_number" not in plan, plan[:2500]
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):

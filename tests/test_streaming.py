@@ -458,3 +458,61 @@ def test_export_stream_accumulates_manifest_and_verifies(spark, sf_dir):
     assert {int(k): v for k, v in streamed["shards"].items()} == batch["shards"]
     assert streamed["total_docs"] == batch["total_docs"]
     assert streamed["total_tokens"] == batch["total_tokens"]
+
+
+def test_export_batch_replay_is_exactly_once(spark, sf_dir):
+    """foreachBatch replay semantics (VERDICT r6 next-2): re-invoking
+    the batch fn with an already-committed epoch_id is a no-op — rows
+    on disk, manifest stats, and verify_export all unchanged; and a
+    replay after a simulated crash BETWEEN the data write and the
+    manifest flip (epoch dir on disk, epoch not committed) overwrites
+    the partial data and commits exactly once."""
+    import json
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.operators import datasets as ds
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    out = tempfile.mkdtemp(prefix="export_replay_")
+    fn = ds.export_batch_fn(out, "text", "doc_id", num_shards=4)
+    fn(b0, 0)
+    fn(b1, 1)
+
+    def snapshot():
+        with open(os.path.join(out, "_MANIFEST.json")) as f:
+            return json.load(f)
+
+    before = snapshot()
+    rows_before = spark.read.parquet(out).count()
+    assert before["epochs"] == [0, 1]
+    assert ds.verify_export(spark, out, "text", "doc_id")
+
+    # replay AFTER commit: exact no-op
+    fn(b1, 1)
+    assert snapshot() == before
+    assert spark.read.parquet(out).count() == rows_before
+    assert ds.verify_export(spark, out, "text", "doc_id")
+
+    # crash BEFORE the flip: epoch-2 data (partial: half the rows)
+    # exists on disk but is not committed; the replay overwrites it and
+    # commits once.
+    b2 = docs.filter(F.col("doc_id") % 7 == 3)
+    partial = b2.limit(3).withColumn(
+        "shard", F.expr(ds.shard_expr("doc_id", 4))
+    )
+    partial.write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(out, "epoch=2")
+    )
+    assert snapshot() == before  # not yet committed
+    fn(b2, 2)
+    after = snapshot()
+    assert after["epochs"] == [0, 1, 2]
+    assert after["total_docs"] == before["total_docs"] + b2.count()
+    assert ds.verify_export(spark, out, "text", "doc_id")
