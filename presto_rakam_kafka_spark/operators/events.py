@@ -231,11 +231,21 @@ def funnel_latency(
     # r5 carried note on this operator.
     from presto_rakam_kafka_spark.operators.ranks import with_global_rank
 
-    n_df = lat.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    ranked = (
-        with_global_rank(lat, ["v"], rank_col="_gr")
-        .select("v", (F.col("_gr") - 1).cast("double").alias("rn"))
-        .crossJoin(F.broadcast(n_df))
+    # persist=True: `lat` is the expensive per-user collect_list/fold
+    # over the whole corpus; the r6 form evaluated that fold THREE
+    # times (boundary fit, counts job, final plan) plus a FOURTH for
+    # the converter-count crossJoin. Now the rank primitive caches lat
+    # for its two internal jobs and unpersists before returning (final
+    # action pays the fold exactly once more — 2 evaluations total),
+    # and n comes from count_col — the exact total the counts job
+    # already knows, attached as a frozen literal — so the n_df
+    # aggregate and its crossJoin are gone from the plan entirely.
+    ranked = with_global_rank(
+        lat, ["v"], rank_col="_gr", persist=True, count_col="_n"
+    ).select(
+        "v",
+        (F.col("_gr") - 1).cast("double").alias("rn"),
+        F.col("_n").cast("double").alias("n"),
     )
 
     def interp(q: str) -> str:

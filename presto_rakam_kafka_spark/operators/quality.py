@@ -301,6 +301,10 @@ def pack_sequences(df: DataFrame, text_col: str, id_col: str, budget: int = 256)
         "n_tokens",
         cum_col="cum",
         bucket_expr="cast(conv(substr(_ord, 1, 15), 16, 10) as double)",
+        # persist: t re-tokenizes every document (split + size); cache
+        # the 3-column projection for the primitive's fit/sum jobs
+        # instead of splitting the corpus text three times.
+        persist=True,
     )
     return (
         c.select(

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def _bucketed(
@@ -45,11 +46,23 @@ def _bucketed(
     """Add a deterministic ``_pid`` bucket column: frozen-literal
     boundaries from one approx-percentile fit over ``bucket_expr``
     (a numeric expression order-monotone in the leading order column;
-    defaults to the first order column itself, which must then be
-    numeric)."""
+    defaults to the first order column itself, which must then be a
+    NAMED numeric column — a ``Column`` object has no SQL-safe string
+    form, so the default would interpolate ``Column<'v'>`` into the
+    percentile fit; callers passing Column order keys must supply
+    ``bucket_expr`` explicitly)."""
     if num_ranges is None:
         num_ranges = df.sparkSession.sparkContext.defaultParallelism
-    bexpr = bucket_expr if bucket_expr is not None else str(order_cols[0])
+    if bucket_expr is not None:
+        bexpr = bucket_expr
+    elif isinstance(order_cols[0], str):
+        bexpr = order_cols[0]
+    else:
+        raise TypeError(
+            "bucket_expr is required when order_cols[0] is a Column "
+            "expression (str() of a Column is not valid SQL); pass the "
+            "column name or an order-monotone numeric SQL expression"
+        )
     qs = ", ".join(str(i / num_ranges) for i in range(1, num_ranges))
     row = df.agg(
         F.expr(
@@ -70,28 +83,55 @@ def with_global_rank(
     rank_col: str = "grank",
     num_ranges: int | None = None,
     bucket_expr: str | None = None,
+    persist: bool = False,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Add a 1-based exact global rank over ``order_cols`` using the
     frozen-boundary bucket scheme above. Costs one boundary fit, one
     #buckets-row counts job, and one hash exchange with machine-local
     sorts — never a single-partition stage, and every job sees the
-    same deterministic bucket assignment."""
-    parts = _bucketed(df, order_cols, bucket_expr, num_ranges)
+    same deterministic bucket assignment.
+
+    ``count_col`` additionally attaches the EXACT total row count as a
+    frozen literal column — the counts job already computes it, so
+    callers that need n alongside the rank (percentile interpolation)
+    get it for free instead of paying one more evaluation of the input
+    lineage for a count aggregate (plus a crossJoin) themselves. Frozen
+    at plan-build like the boundaries: correct for the same reason —
+    the input is deterministic, so every recompute counts the same rows.
+
+    ``persist=True`` cuts the input-lineage evaluations from 3 to 2
+    when ``df`` is expensive (e.g. a per-user fold over the whole
+    corpus): the input is cached MEMORY_AND_DISK so the boundary fit
+    FILLS the cache and the counts job READS it, then unpersisted
+    before returning so the caller's action recomputes the lineage
+    exactly once more and nothing lingers in executor memory. Safe by
+    construction: the frozen-literal boundaries make any recompute
+    (cache eviction, the post-unpersist final pass) assign identical
+    buckets, which is the whole reason re-sampling schemes were
+    designed out."""
+    src = df.persist(StorageLevel.MEMORY_AND_DISK) if persist else df
+    parts = _bucketed(src, order_cols, bucket_expr, num_ranges)
     counts = sorted(
         (r["_pid"], r["c"])
         for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
     )
+    if persist:
+        src.unpersist(False)
     offsets, acc = [], 0
     for pid, c in counts:
         offsets.append((pid, acc))
         acc += c
     off_df = df.sparkSession.createDataFrame(offsets, "_pid INT, _off BIGINT")
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (
+    out = (
         parts.join(F.broadcast(off_df), "_pid")
         .withColumn(rank_col, F.row_number().over(w) + F.col("_off"))
         .drop("_pid", "_off")
     )
+    if count_col is not None:
+        out = out.withColumn(count_col, F.lit(acc).cast("long"))
+    return out
 
 
 def with_global_cumsum(
@@ -101,19 +141,25 @@ def with_global_cumsum(
     cum_col: str = "gcum",
     num_ranges: int | None = None,
     bucket_expr: str | None = None,
+    persist: bool = False,
 ) -> DataFrame:
     """Exact global running sum of ``value_col`` in ``order_cols``
     order, same scheme as :func:`with_global_rank` with per-bucket SUM
     offsets instead of counts. Bit-identical to
     ``sum().over(Window.orderBy(...))`` (integer addition is
-    associative) with no single-partition stage."""
-    parts = _bucketed(df, order_cols, bucket_expr, num_ranges)
+    associative) with no single-partition stage. ``persist=True`` has
+    the same fill-read-unpersist contract as :func:`with_global_rank`
+    (3 input evaluations → 2)."""
+    src = df.persist(StorageLevel.MEMORY_AND_DISK) if persist else df
+    parts = _bucketed(src, order_cols, bucket_expr, num_ranges)
     sums = sorted(
         (r["_pid"], r["s"])
         for r in parts.groupBy("_pid")
         .agg(F.sum(value_col).cast("long").alias("s"))
         .collect()
     )
+    if persist:
+        src.unpersist(False)
     offsets, acc = [], 0
     for pid, s in sums:
         offsets.append((pid, acc))

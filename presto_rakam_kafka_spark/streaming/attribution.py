@@ -56,19 +56,36 @@ def attribution_stream(
     touch_types: tuple[str, ...] = ("view", "click"),
     conversion_type: str = "purchase",
     window_days: int = 7,
+    state_ttl_days: int | None = None,
 ) -> DataFrame:
     """Emit (user_id, conversion_id, attributed_touch, first_touch)
     for every conversion event, attributed to the user's most recent
     touch within ``window_days`` ('none' outside the window or with no
-    touch at all), with the first-ever touch carried alongside."""
+    touch at all), with the first-ever touch carried alongside.
+
+    ``state_ttl_days`` bounds the per-user carry: it expires that many
+    days of EVENT time after the user's last activity (event-time
+    timeout vs the watermark; a ``0 seconds`` watermark is attached to
+    ``ts``). Unbounded streams need it — the carry is otherwise an
+    O(all-users-ever) leak. Semantics of expiry: the user becomes a
+    new user, so a later conversion with no fresh touch attributes to
+    'none' and first_touch restarts. A TTL ≥ ``window_days`` never
+    changes ``attributed_touch`` (any touch old enough to expire is
+    outside the attribution window anyway); it CAN reset the
+    cosmetic first-touch carry — the documented cost of bounding state
+    (r6 verdict next-7)."""
     touch_set = set(touch_types)
     window_us = window_days * 86400 * 1_000_000
+    ttl_ms = None if state_ttl_days is None else state_ttl_days * 86400 * 1000
 
     def fn(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         (user_id,) = key
         first_touch, last_us, last_type = (
             tuple(state.get) if state.exists else (None, None, None)
@@ -76,6 +93,7 @@ def attribution_stream(
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ["ts", "event_id"]
         )
+        seen_us = int(pd.Timestamp(rows["ts"].max()).value // 1_000)
         out: list[tuple[int, str, str]] = []
         for ts, eid, etype in zip(
             rows["ts"], rows["event_id"], rows["event_type"]
@@ -96,6 +114,16 @@ def attribution_stream(
                 )
         if state.exists or last_us is not None or first_touch is not None:
             state.update((first_touch, last_us, last_type))
+            if ttl_ms is not None:
+                # idle-TTL anchored at the user's newest event, floored
+                # past the watermark (setTimeoutTimestamp rejects
+                # already-passed timestamps for late-only batches).
+                state.setTimeoutTimestamp(
+                    max(
+                        seen_us // 1000 + ttl_ms,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
         if out:
             yield pd.DataFrame(
                 {
@@ -107,16 +135,19 @@ def attribution_stream(
             )
 
     keep = list(touch_types) + [conversion_type]
-    return (
-        events.filter(F.col("event_type").isin(keep))
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            fn,
-            outputStructType=OUT_SCHEMA,
-            stateStructType=STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    src = events.filter(F.col("event_type").isin(keep))
+    if ttl_ms is not None:
+        src = src.withWatermark("ts", "0 seconds")
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

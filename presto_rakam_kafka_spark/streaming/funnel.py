@@ -58,23 +58,41 @@ def funnel_stream(
     events: DataFrame,
     steps: tuple[str, ...] = ("view", "click", "purchase"),
     window_hours: int | None = None,
+    state_ttl_hours: int | None = None,
 ) -> DataFrame:
     """Emit (user_id, step, step_name, step_ts) whenever a user's
     funnel depth advances. ``window_hours`` bounds each step's distance
-    from the previous match (None = unbounded)."""
+    from the previous match (None = unbounded).
+
+    ``state_ttl_hours`` bounds the STATE, not the funnel: per-user
+    state expires ``state_ttl_hours`` of event time after the user's
+    last activity (event-time timeout against the stream's watermark —
+    a ``0 seconds`` watermark is attached to ``ts``). Without it the
+    per-user accumulators live forever, an O(all-users-ever) leak on an
+    unbounded stream; with it, state is O(users active in the TTL
+    horizon) and an expired user re-entering starts at depth 0, exactly
+    like a new user. Pick a TTL past ``window_hours`` so no live funnel
+    can be cut short (r6 verdict next-7)."""
     idx = {s: i for i, s in enumerate(steps)}
     window_us = None if window_hours is None else window_hours * 3600 * 1_000_000
+    ttl_ms = None if state_ttl_hours is None else state_ttl_hours * 3600 * 1000
 
     def fn(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            # watermark passed last-activity + TTL with no new data:
+            # drop the accumulator; the user restarts at depth 0.
+            state.remove()
+            return
         (user_id,) = key
         depth, last_us = tuple(state.get) if state.exists else (0, None)
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ["ts", "event_id"]
         )
+        seen_us = int(pd.Timestamp(rows["ts"].max()).value // 1_000)
         out: list[tuple[int, str, int]] = []
         for ts, etype in zip(rows["ts"], rows["event_type"]):
             i = idx.get(etype)
@@ -89,8 +107,22 @@ def funnel_stream(
                 continue
             depth, last_us = depth + 1, us
             out.append((depth, etype, us))
-        if out:
+        if out or state.exists or depth:
             state.update((depth, last_us))
+            if ttl_ms is not None:
+                # refresh the clock on ANY activity (matched or not):
+                # TTL means "idle for N hours of event time", anchored
+                # at the user's newest event, floored past the current
+                # watermark (setTimeoutTimestamp rejects timestamps the
+                # watermark already passed — possible for a user whose
+                # only data this batch is older than watermark - TTL).
+                state.setTimeoutTimestamp(
+                    max(
+                        seen_us // 1000 + ttl_ms,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+        if out:
             yield pd.DataFrame(
                 {
                     "user_id": [user_id] * len(out),
@@ -102,19 +134,20 @@ def funnel_stream(
                     ],
                 }
             )
-        elif state.exists or depth:
-            state.update((depth, last_us))
 
-    return (
-        events.filter(F.col("event_type").isin(list(steps)))
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            fn,
-            outputStructType=OUT_SCHEMA,
-            stateStructType=STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    src = events.filter(F.col("event_type").isin(list(steps)))
+    if ttl_ms is not None:
+        src = src.withWatermark("ts", "0 seconds")
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -677,3 +677,51 @@ def test_global_rank_and_cumsum_equal_window_forms(spark, sf_dir):
         for r in df.withColumn("c", F.sum("n").over(wc)).collect()
     }
     assert got_cum == want_cum
+
+
+def test_global_rank_persist_and_count_col(spark, sf_dir):
+    """r7: persist=True (fill-read-unpersist, 3 input evaluations → 2)
+    must be result-identical to persist=False; count_col attaches the
+    EXACT total as a frozen literal; a Column leading order key without
+    bucket_expr raises instead of interpolating str(Column) into SQL."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from presto_rakam_kafka_spark.operators.ranks import (
+        with_global_cumsum,
+        with_global_rank,
+    )
+
+    df = (
+        spark.range(5_000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 53).alias("v"),
+            (F.col("id") % 5 + 1).alias("n"),
+        )
+        .repartition(16)
+    )
+    base = {
+        r["id"]: r["grank"]
+        for r in with_global_rank(df, ["v", "id"]).collect()
+    }
+    got = with_global_rank(
+        df, ["v", "id"], persist=True, count_col="total"
+    ).collect()
+    assert {r["id"]: r["grank"] for r in got} == base
+    assert all(r["total"] == 5_000 for r in got)
+    # nothing lingers in the cache after the primitive returns
+    assert not df._jdf.storageLevel().useMemory()
+
+    cum_base = {
+        r["id"]: r["gcum"]
+        for r in with_global_cumsum(df, ["v", "id"], "n").collect()
+    }
+    cum_got = {
+        r["id"]: r["gcum"]
+        for r in with_global_cumsum(df, ["v", "id"], "n", persist=True).collect()
+    }
+    assert cum_got == cum_base
+
+    with pytest.raises(TypeError, match="bucket_expr"):
+        with_global_rank(df, [F.col("v"), "id"])

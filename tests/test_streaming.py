@@ -516,3 +516,120 @@ def test_export_batch_replay_is_exactly_once(spark, sf_dir):
     assert after["epochs"] == [0, 1, 2]
     assert after["total_docs"] == before["total_docs"] + b2.count()
     assert ds.verify_export(spark, out, "text", "doc_id")
+
+
+def test_stream_funnel_state_ttl_expires_idle_users(spark):
+    """State TTL (r6 verdict next-7): a user idle past state_ttl_hours
+    of EVENT time is expired by the watermark clock and re-enters as a
+    brand-new user — their old depth is gone (a purchase that would
+    have been step 3 emits nothing; a fresh view emits step 1). A user
+    who stays within the TTL keeps advancing across batches."""
+    from presto_rakam_kafka_spark.streaming import funnel as sfunnel
+
+    batches = [
+        # user 1 reaches depth 2; ttl clock anchored at 10:05
+        [(_ts("10:00"), 1, "view"), (_ts("10:05"), 1, "click")],
+        # user 2 activity advances event time far past 10:05 + 2h
+        [(_ts("18:00"), 2, "view")],
+        # watermark (batch-1 max = 18:00) now exceeds user 1's timeout
+        # (12:05) -> user 1's state is removed during this batch
+        [(_ts("18:05"), 2, "click")],
+        # user 1 returns: purchase would be step 3 under the old state,
+        # but an expired user is a NEW user -> purchase matches nothing
+        # and the later view emits step 1 again
+        [(_ts("19:00"), 1, "purchase"), (_ts("19:01"), 1, "view")],
+    ]
+    d = _stage_batches(spark, batches)
+    out = _run(
+        spark,
+        d,
+        lambda src: sfunnel.funnel_stream(src, state_ttl_hours=2),
+        "append",
+    )
+    got = {(r["user_id"], r["step"], r["step_name"]) for r in out.collect()}
+    assert got == {
+        (1, 1, "view"),
+        (1, 2, "click"),
+        (2, 1, "view"),
+        (2, 2, "click"),
+        # re-entry after expiry restarts at step 1: the second
+        # (1, 1, "view") emission dedupes into the set above
+    }
+    assert (1, 3, "purchase") not in got
+
+    # control: same replay WITHOUT a TTL converts user 1 at step 3
+    d2 = _stage_batches(spark, batches)
+    out2 = _run(spark, d2, lambda src: sfunnel.funnel_stream(src), "append")
+    got2 = {(r["user_id"], r["step"]) for r in out2.collect()}
+    assert (1, 3) in got2
+
+
+def test_stream_attribution_state_ttl_resets_carry(spark):
+    """Attribution state TTL: after state_ttl_days of event-time idle,
+    the per-user carry is dropped — a later conversion with no fresh
+    touch attributes to 'none' with first_touch 'none' (new-user
+    behavior), where the untimed stream would still carry first_touch."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from presto_rakam_kafka_spark.streaming.attribution import attribution_stream
+
+    schema = "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP"
+    t = lambda s_: dt.datetime.fromisoformat(s_)  # noqa: E731
+    batches = [
+        # user 7 touches on Jan 1; ttl = 10 days -> expires Jan 11
+        [(1, 7, "click", t("2024-01-01 00:00:00"))],
+        # user 8 advances event time to Feb 1
+        [(2, 8, "view", t("2024-02-01 00:00:00"))],
+        # watermark = Feb 1 > Jan 11 -> user 7 expires in this batch
+        [(3, 8, "purchase", t("2024-02-02 00:00:00"))],
+        # user 7 converts after expiry with no fresh touch: 'none'/'none'
+        # (without the TTL the carry would still hold first_touch
+        # 'click' even though the 7-day window already yields 'none')
+        [(4, 7, "purchase", t("2024-02-03 00:00:00"))],
+    ]
+
+    def run(build):
+        d = tempfile.mkdtemp(prefix="attr_ttl_")
+        now = time.time()
+        for i, rows in enumerate(batches):
+            stage = os.path.join(d, f"staging{i}")
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            part = glob.glob(os.path.join(stage, "*.parquet"))[0]
+            dst = os.path.join(d, f"part-{i:05d}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (now + i, now + i))
+            shutil.rmtree(stage)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        name = f"attr_ttl_{abs(hash(d)) % 10**9}"
+        q = (
+            build(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r["conversion_id"]: (r["attributed_touch"], r["first_touch"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    with_ttl = run(lambda s: attribution_stream(s, state_ttl_days=10))
+    assert with_ttl[4] == ("none", "none")  # expired -> new user
+    assert with_ttl[3] == ("view", "view")  # active user unaffected
+
+    no_ttl = run(lambda s: attribution_stream(s))
+    assert no_ttl[4] == ("none", "click")  # carry survives without TTL
