@@ -128,7 +128,58 @@ HEADLINE = [
     # output) and the dataset-export manifest aggregate
     "decontaminate_report",
     "dataset_shard_stats",
+    # round 7: IVF-PQ with the exact re-rank stage (refine-flat index),
+    # Kafka log compaction read view, one-pass table profiling, dataset
+    # version diff
+    "sim_topk_ivfpq_refined",
+    "kafka_log_compacted_scan",
+    "profile_orders",
+    "dataset_diff",
 ]
+
+#: Indexed-ANN queries whose cost is two phases with different lifecycles:
+#: the index build runs once at ingest, the probe runs per search. The
+#: bench stages the (process-cached) index FIRST and times it as build_s,
+#: then times the query run as the pure probe — the query's headline cold
+#: number stays build+probe (unchanged round-over-round semantics), and
+#: the compact line carries the split (VERDICT r6 next-4).
+ANN_STAGERS = {}
+
+
+def _register_ann_stagers() -> None:
+    from presto_rakam_kafka_spark.operators import similarity as sim
+    from presto_rakam_kafka_spark.queries import _t
+
+    DIM = 64
+
+    def _indexed(spark):
+        emb = _t(spark, SF_DIR, "embeddings")
+        sim.stage_ivfpq_index(spark, emb, SF_DIR, "embedding", "vec_id", dim=DIM)
+
+    def _refined(spark):
+        emb = _t(spark, SF_DIR, "embeddings")
+        sim.stage_ivfpq_index(
+            spark, emb, SF_DIR, "embedding", "vec_id", dim=DIM,
+            store_vectors=True,
+        )
+
+    def _upserted(spark):
+        from pyspark.sql import functions as F
+
+        emb = _t(spark, SF_DIR, "embeddings")
+        sim.stage_ivfpq_index_upserted(
+            spark,
+            emb.filter(F.col("vec_id") % 2 == 0),
+            emb.filter(F.col("vec_id") % 2 == 1),
+            SF_DIR,
+            "embedding",
+            "vec_id",
+            dim=DIM,
+        )
+
+    ANN_STAGERS["sim_topk_ivfpq_indexed"] = _indexed
+    ANN_STAGERS["sim_topk_ivfpq_refined"] = _refined
+    ANN_STAGERS["sim_topk_ivfpq_upsert"] = _upserted
 
 #: The round-3-era query set, frozen: every round reports this subtotal
 #: unchanged so round-over-round comparisons never mix query-set drift
@@ -292,10 +343,25 @@ def main() -> None:
         timings[name] = _run(name)
     for name in shared_names:
         warm[name] = _run(name)
+    _register_ann_stagers()
+    ann_phases: dict[str, dict[str, float]] = {}
     for name in rest_names:
-        timings[name] = _run(name)
+        if name in ANN_STAGERS:
+            # build first (fills the process cache), then the query run
+            # is the pure partition-pruned probe; headline cold stays
+            # build+probe, the split goes to ann_phases.
+            t0 = time.perf_counter()
+            ANN_STAGERS[name](spark)
+            build_s = round(time.perf_counter() - t0, 3)
+            probe_s = _run(name)
+            timings[name] = round(build_s + probe_s, 3)
+            ann_phases[name] = {"build_s": build_s, "probe_cold_s": probe_s}
+        else:
+            timings[name] = _run(name)
     for name in rest_names:
         warm[name] = _run(name)
+        if name in ann_phases:
+            ann_phases[name]["probe_warm_s"] = warm[name]
 
     total = round(sum(timings.values()), 3)
     summary = {
@@ -312,6 +378,8 @@ def main() -> None:
         "canary_range_sum_cold": canary_cold,
         "canary_range_sum_warm": canary_warm,
     }
+    if ann_phases:
+        summary["ann_phases"] = ann_phases
     # Detailed line (humans + repo-local analysis) ...
     print(json.dumps({**summary, "queries": timings, "queries_warm": warm}))
     # ... then the FINAL COMPACT line (≈300 chars): the driver keeps only

@@ -260,3 +260,119 @@ def export_stream(
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+# ---------------------------------------------------------------------
+# Table profiling (per-column data-quality summary)
+# ---------------------------------------------------------------------
+
+
+def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
+    """One-pass per-column profile — the "describe my table" primitive
+    every analytics engine ships (and a curation pipeline's first look
+    at a new source): per column, row count, null count, EXACT distinct
+    count, and min/max rendered as strings.
+
+    Shape: ONE aggregation over the corpus computing every column's
+    stats side by side (4·N agg expressions, one job), then a ``stack``
+    unpivot of the single result row into N output rows — never one
+    job per column (N scans) and never a corpus-sized unpivot-THEN-
+    aggregate (which would explode the input N×). The multi-column
+    exact COUNT(DISTINCT) is the expensive part: Catalyst plans it as
+    an Expand (one replica of each row per distinct aggregate) — the
+    honest cost of exactness; swap in approx_count_distinct at 100 TB
+    when ±2% is acceptable and the Expand disappears.
+
+    min/max are cast to string AFTER aggregating (numeric order, then
+    render). Doubles render differently across engines (Spark's Java
+    ``Double.toString`` vs DuckDB's shortest-roundtrip) — profile
+    integer/string/date columns for engine-portable output, or round
+    first; the gate row sticks to portable types.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', __n, `{c}__nulls`, `{c}__nd`, `{c}__min`, `{c}__max`"
+        for c in columns
+    )
+    return one.selectExpr(
+        f"stack({len(columns)}, {parts}) AS "
+        "(column, n_rows, n_nulls, n_distinct, min_str, max_str)"
+    )
+
+
+def profile_table_oracle(table: str, columns: list[str]) -> str:
+    """DuckDB twin: one aggregate row per column via UNION ALL (DuckDB
+    fuses the scans; the contract here is values, not the plan)."""
+    selects = [
+        f"""
+        SELECT '{c}' AS column, count(*) AS n_rows,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_str,
+               CAST(max({c}) AS VARCHAR) AS max_str
+        FROM {table}"""
+        for c in columns
+    ]
+    return " UNION ALL ".join(selects)
+
+
+# ---------------------------------------------------------------------
+# Dataset version diff
+# ---------------------------------------------------------------------
+
+
+def diff_datasets(
+    old: DataFrame, new: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Row-level diff between two corpus snapshots — the audit step
+    between dataset versions ("what changed between v1 and v2 that
+    moved my eval?"): per doc id, status ∈ added / removed / changed /
+    unchanged, decided by content digest.
+
+    Shape: each side reduces to (id, md5) — a projection, no text
+    shuffle beyond the hash — then ONE full-outer sort-merge join on
+    the id. At 100 TB both sides shuffle once on the id; with both
+    exports bucketed by the same id (layout.stage_bucketed) even that
+    exchange disappears. Digest comparison, not text comparison, so
+    the join rows are ~48 bytes regardless of document size."""
+    o = old.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("_h_old")
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("_h_new")
+    )
+    return o.join(n, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") == F.col("_h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+
+
+def diff_datasets_oracle(
+    old_sql: str, new_sql: str, id_col: str, text_col: str
+) -> str:
+    """DuckDB twin over two snapshot subqueries (same digest compare)."""
+    return f"""
+    WITH o AS (SELECT {id_col} AS doc_id, md5({text_col}) AS h_old
+               FROM ({old_sql})),
+         n AS (SELECT {id_col} AS doc_id, md5({text_col}) AS h_new
+               FROM ({new_sql}))
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN h_old = h_new THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """

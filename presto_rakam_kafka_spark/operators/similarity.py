@@ -711,17 +711,83 @@ def ivfpq_code_corpus(
     ksub: int = PQ_KSUB,
     centroids: list[list[float]] | None = None,
     books=None,
+    keep_vector: bool = False,
+    codec: str = "expr",
 ) -> DataFrame:
     """The stored IVF-PQ index as a DataFrame: one projection emitting
     (neighbor_id, list_id, code0..code{m-1}) per vector — a list id
     plus m small ints (4 bytes at the default geometry) instead of dim
     floats. At 100 TB this is what sits on disk; see
     :func:`stage_ivfpq_index` for the persisted, list-partitioned
-    form and :func:`ivfpq_topk_from_index` for the probe half."""
+    form and :func:`ivfpq_topk_from_index` for the probe half.
+
+    ``keep_vector=True`` additionally stores the raw vector column —
+    the faiss ``IndexRefineFlat`` layout: codes drive the cheap ADC
+    candidate scan, the flat vectors serve the exact re-rank
+    (``refine_factor`` in :func:`ivfpq_topk_from_index`). Index size
+    goes from ~4 B to ~4 B + dim floats per vector; at 100 TB that is
+    the standard storage/recall trade and stays one projection.
+
+    ``codec`` picks the encoder. ``"expr"`` (default) builds every
+    code as a Catalyst expression — JVM-side, whole-stage-codegen,
+    DuckDB-replayable, ideal at the oracle geometry (m·ksub ≤ ~128
+    dot expressions). ``"pandas"`` encodes in an Arrow ``mapInPandas``
+    with two BLAS matmuls per batch — the production path for serving
+    geometries: at m=16 × ksub=256 the expr form is 4096 generated
+    dot expressions and the 500k-vector index build took 787 s mostly
+    compiling/evaluating them, vs ~10 s of numpy (SCALE_NOTES
+    §ann-recall). Same math, same tie-break (first argmax, rounded
+    half-norms), equality-tested against the expr codec."""
     cents = centroids if centroids is not None else ivf_centroids(num_centroids, dim)
     sub_dim = dim // m
     if books is None:
         books = pq_centroids(m, ksub, sub_dim)
+
+    if codec == "pandas":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        C = np.array(cents, dtype=np.float64)
+        B = [np.array(b, dtype=np.float64) for b in books]
+        # the expr path subtracts round(||c||²/2, 6) — match it exactly
+        HN = [np.round((b * b).sum(1) / 2.0, 6) for b in B]
+        fields = [
+            T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+            T.StructField("list_id", T.IntegerType()),
+        ]
+        if keep_vector:
+            fields.append(
+                T.StructField(vec_col, corpus.schema[vec_col].dataType)
+            )
+        fields += [
+            T.StructField(f"code{j}", T.IntegerType()) for j in range(m)
+        ]
+        schema = T.StructType(fields)
+
+        def encode_batches(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                out = {
+                    "neighbor_id": pdf[id_col].values,
+                    "list_id": (X @ C.T).argmax(1).astype("int32"),
+                }
+                if keep_vector:
+                    out[vec_col] = pdf[vec_col]
+                for j in range(m):
+                    P = X[:, j * sub_dim : (j + 1) * sub_dim]
+                    out[f"code{j}"] = (
+                        (P @ B[j].T - HN[j]).argmax(1).astype("int32")
+                    )
+                yield pd.DataFrame(out)
+
+        return corpus.select(id_col, vec_col).mapInPandas(
+            encode_batches, schema
+        )
+    if codec != "expr":
+        raise ValueError(f"unknown codec {codec!r}: use 'expr' or 'pandas'")
 
     dots = _dots_spark(vec_col, cents)
     dcols = [f"d{i}" for i in range(len(cents))]
@@ -742,6 +808,7 @@ def ivfpq_code_corpus(
     ).selectExpr(
         f"{id_col} AS neighbor_id",
         f"{_argmax_rank_expr(dcols, 0)} AS list_id",
+        *([vec_col] if keep_vector else []),
         *code_exprs,
     )
 
@@ -760,6 +827,7 @@ def ivfpq_topk_from_index(
     centroids: list[list[float]] | None = None,
     books=None,
     prune_lists: list[int] | None = None,
+    refine_factor: int | None = None,
 ) -> DataFrame:
     """Probe half of IVF-PQ against a (possibly persisted) coded
     index: queries broadcast with their nprobe probe lists, candidates
@@ -769,7 +837,19 @@ def ivfpq_topk_from_index(
     set), the index scan carries a static ``list_id IN (...)`` filter,
     which a list-partitioned index turns into PARTITION PRUNING: the
     scan opens only the probed lists' files (plan-asserted in tests) —
-    the ANN probe literally becomes a pruned scan."""
+    the ANN probe literally becomes a pruned scan.
+
+    ``refine_factor=r`` adds the exact re-rank stage (faiss
+    ``IndexRefineFlat``): ADC keeps the top ``k·r`` candidates per
+    query, then EXACT cosine on the stored raw vectors re-ranks those
+    and returns the top k as (query_id, neighbor_id, cosine, rank).
+    Requires an index built with ``keep_vector``/``store_vectors``.
+    Cost shape: the corpus-sized work is still the pruned ADC scan;
+    the exact stage touches only k·r rows per query — so refine buys
+    back the PQ quantization error (the dominant recall loss — see
+    SCALE_NOTES §ann-recall) for a per-query constant, leaving
+    coverage (is the true neighbor in a probed list?) as the only
+    remaining loss, which nprobe controls."""
     cents = centroids if centroids is not None else ivf_centroids(num_centroids, dim)
     sub_dim = dim // m
     if books is None:
@@ -804,26 +884,58 @@ def ivfpq_topk_from_index(
         + f") AS qarr_{j}"
         for j in range(m)
     ]
+    refine_cols = [f"{vec_col} AS _qvec"] if refine_factor is not None else []
     q = F.broadcast(
         with_dots(queries)
         .selectExpr(f"{id_col} AS query_id", f"explode({probe_lists}) AS list_id", "*")
-        .selectExpr("query_id", "list_id", *qarr_exprs)
+        .selectExpr("query_id", "list_id", *refine_cols, *qarr_exprs)
     )
 
     lookups = [f"element_at(qarr_{j}, code{j} + 1)" for j in range(m)]
     score = _left_assoc_sum(lookups)
-    pairs = (
-        coded.join(q, on="list_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .selectExpr("query_id", "neighbor_id", f"round({score}, 6) AS approx_dot")
+    joined = coded.join(q, on="list_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
-    w = Window.partitionBy("query_id").orderBy(
+    if refine_factor is None:
+        pairs = joined.selectExpr(
+            "query_id", "neighbor_id", f"round({score}, 6) AS approx_dot"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("approx_dot"), F.asc("neighbor_id")
+        )
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "approx_dot", "rank")
+        )
+
+    from presto_rakam_kafka_spark.operators.dedup import cosine_expr
+
+    cand = joined.selectExpr(
+        "query_id",
+        "neighbor_id",
+        "_qvec",
+        vec_col,
+        f"round({score}, 6) AS approx_dot",
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
         F.desc("approx_dot"), F.asc("neighbor_id")
     )
+    kept = cand.withColumn("_arank", F.row_number().over(w_adc)).filter(
+        F.col("_arank") <= k * refine_factor
+    )
+    exact = kept.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.expr(cosine_expr("_qvec", vec_col)), 6).alias("cosine"),
+    )
+    w_ref = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        exact.withColumn("rank", F.row_number().over(w_ref))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "approx_dot", "rank")
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 
@@ -898,6 +1010,91 @@ def ivfpq_topk_oracle(
     """
 
 
+def ivfpq_refined_oracle(
+    table: str,
+    query_pred: str,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    k: int = 5,
+    num_centroids: int = NUM_CENTROIDS,
+    nprobe: int = NUM_PROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    refine_factor: int = 4,
+) -> str:
+    """Oracle twin of the refined probe (``refine_factor`` in
+    :func:`ivfpq_topk_from_index`): the :func:`ivfpq_topk_oracle`
+    pipeline extended with the exact-cosine re-rank — candidates keep
+    ADC rank ≤ k·refine_factor, then the stored raw vectors re-rank
+    exactly. Same evaluate-once CTE discipline; the cosine fold is the
+    bit-identical left-fold shared with `cosine_topk`."""
+    from presto_rakam_kafka_spark.operators.dedup import cosine_expr_duckdb
+
+    cents = ivf_centroids(num_centroids, dim)
+    sub_dim = dim // m
+    books = pq_centroids(m, ksub, sub_dim)
+
+    dcols = [f"d{i}" for i in range(num_centroids)]
+    dot_sel = [
+        f"({d}) AS {c}" for d, c in zip(_dots_duckdb(vec_col, cents), dcols)
+    ]
+    adj_sel, qd_sel = [], []
+    for j in range(m):
+        dots = _dots_duckdb(_pq_sub_duckdb(vec_col, j, sub_dim), books[j])
+        for c, d in enumerate(dots):
+            half_norm = round(sum(v * v for v in books[j][c]) / 2.0, 6)
+            adj_sel.append(f"(({d}) - {half_norm}) AS a_{j}_{c}")
+            qd_sel.append(f"({d}) AS qd_{j}_{c}")
+    code_cols = [
+        f"({_argmax_rank_case([f'a_{j}_{c}' for c in range(ksub)], 0)}) AS code{j}"
+        for j in range(m)
+    ]
+    probe_selects = " UNION ALL ".join(
+        f"SELECT {id_col} AS query_id,"
+        f" ({_argmax_rank_case(dcols, r)}) AS list_id,"
+        f" {vec_col} AS _qvec,"
+        f" {', '.join(f'qd_{j}_{c}' for j in range(m) for c in range(ksub))}"
+        f" FROM cd2 WHERE {query_pred}"
+        for r in range(nprobe)
+    )
+    lookups = [
+        "(CASE c.code" + str(j) + " "
+        + " ".join(f"WHEN {cc} THEN q.qd_{j}_{cc}" for cc in range(ksub))
+        + " END)"
+        for j in range(m)
+    ]
+    score = _left_assoc_sum(lookups)
+    cos = cosine_expr_duckdb("_qvec", "_nvec", dim)
+    return f"""
+    WITH cd2 AS (
+      SELECT {id_col}, {vec_col}, {", ".join(dot_sel)}, {", ".join(adj_sel)},
+             {", ".join(qd_sel)}
+      FROM {table}),
+    coded AS (
+      SELECT {id_col} AS neighbor_id, {vec_col} AS _nvec,
+             ({_argmax_rank_case(dcols, 0)}) AS list_id,
+             {", ".join(code_cols)}
+      FROM cd2),
+    qtab AS ({probe_selects}),
+    cand AS (
+      SELECT query_id, neighbor_id, _qvec, _nvec FROM (
+        SELECT q.query_id, c.neighbor_id, q._qvec, c._nvec,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY round({score}, 6) DESC, c.neighbor_id) AS arank
+        FROM qtab q JOIN coded c
+          ON q.list_id = c.list_id AND q.query_id != c.neighbor_id)
+      WHERE arank <= {k * refine_factor})
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id,
+             round({cos}, 6) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY round({cos}, 6) DESC, neighbor_id) AS rank
+      FROM cand)
+    WHERE rank <= {k}
+    """
+
+
 def fit_pq_books(
     df: DataFrame,
     vec_col: str,
@@ -928,8 +1125,11 @@ def fit_pq_books(
         P = X[:, j * sub_dim : (j + 1) * sub_dim]
         C = P[rng.choice(len(P), size=min(ksub, len(P)), replace=False)].copy()
         for _ in range(iters):
-            d = ((P[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-            assign = d.argmin(1)
+            # argmin ||p - c||^2 == argmax (p.c - ||c||^2/2): the dot
+            # form is O(n·ksub) memory instead of the n×ksub×sub_dim
+            # broadcast cube, which at ksub=256 allocated ~330 MB per
+            # iteration and dominated the fit.
+            assign = (P @ C.T - 0.5 * (C * C).sum(1)).argmax(1)
             for c in range(len(C)):
                 members = P[assign == c]
                 if len(members):
@@ -951,22 +1151,39 @@ def stage_ivfpq_index(
     num_centroids: int = NUM_CENTROIDS,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
+    store_vectors: bool = False,
+    centroids: list[list[float]] | None = None,
+    books=None,
+    codec: str = "expr",
 ) -> str:
     """Persist the IVF-PQ index parquet-partitioned BY LIST — the
     build-once/probe-many production shape: the index build (one
     projection over the corpus) runs at ingest, and every later probe
     reads only its probe lists' partitions (see
     :func:`ivfpq_topk_from_index` ``prune_lists``). Cached per
-    (sf_dir, geometry) like the layout stagings."""
+    (sf_dir, geometry) like the layout stagings. ``store_vectors``
+    keeps the raw vectors next to the codes (the refine-flat layout —
+    required by ``refine_factor`` probes). ``centroids``/``books``
+    pin a FITTED geometry (`fit_centroids`/`fit_pq_books`) — the
+    production path; the literals are hashed into the cache key so
+    differently-fitted indexes never collide."""
+    import hashlib
     import os
     import tempfile
 
-    key = (cache_key, f"ivfpq:{vec_col}:{num_centroids}:{m}:{ksub}")
+    geom = hashlib.md5(repr((centroids, books)).encode()).hexdigest()[:12]
+    key = (
+        cache_key,
+        f"ivfpq:{vec_col}:{num_centroids}:{m}:{ksub}:{int(store_vectors)}"
+        f":{geom}:{codec}",
+    )
     if key in _INDEX_CACHE and os.path.isdir(_INDEX_CACHE[key]):
         return _INDEX_CACHE[key]
     path = tempfile.mkdtemp(prefix="ivfpq_index_")
     coded = ivfpq_code_corpus(
-        corpus, vec_col, id_col, dim, num_centroids=num_centroids, m=m, ksub=ksub
+        corpus, vec_col, id_col, dim, num_centroids=num_centroids, m=m, ksub=ksub,
+        centroids=centroids, books=books, keep_vector=store_vectors,
+        codec=codec,
     )
     coded.write.mode("overwrite").partitionBy("list_id").parquet(path)
     _INDEX_CACHE[key] = path

@@ -165,6 +165,26 @@ def dataset_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return datasets.shard_stats(_docs(spark, sf_dir), "text", "doc_id", num_shards=8)
 
 
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+
+
+@query(
+    "profile_orders",
+    oracle=datasets.profile_table_oracle("orders", _PROFILE_COLS),
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile (round 7): row/null/EXACT-distinct
+    counts and min/max per column in ONE aggregation pass + a stack
+    unpivot of the single result row — never a job per column. The
+    Expand the multi-distinct plans is the honest cost of exactness;
+    approx_count_distinct is the 100 TB swap. Portable column types
+    only (see operators/datasets.py:profile_table on double
+    rendering)."""
+    return datasets.profile_table(
+        _t(spark, sf_dir, "orders").select(*_PROFILE_COLS), _PROFILE_COLS
+    )
+
+
 @query(
     "decontaminate_report",
     oracle=quality.decontamination_report_oracle(
@@ -823,7 +843,8 @@ def layout_zorder_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_topk_ivfpq_indexed",
     oracle=ivfpq_topk_oracle(
-        "embeddings", "vec_id < 10", "embedding", "vec_id", dim=EMBED_DIM, k=5
+        "embeddings", "vec_id < 10", "embedding", "vec_id", dim=EMBED_DIM, k=5,
+        nprobe=4,
     ),
 )
 def sim_topk_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -834,8 +855,9 @@ def sim_topk_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the probe scan carries a static ``list_id IN (...)`` filter
     that partition-prunes the index to only the probed lists' files
     (PartitionFilters plan-asserted in tests) — the ANN probe
-    literally becomes a pruned scan. Same results as the inline
-    `sim_topk_ivfpq` (identical oracle)."""
+    literally becomes a pruned scan. nprobe is wired end-to-end
+    (router, probe, oracle all at 4 — the sweep's serving default;
+    SCALE_NOTES §ann-recall)."""
     from presto_rakam_kafka_spark.operators import similarity as sim
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -843,11 +865,47 @@ def sim_topk_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = sim.stage_ivfpq_index(
         spark, emb, sf_dir, "embedding", "vec_id", dim=EMBED_DIM
     )
-    lists = sim.probe_lists_for(queries, "embedding", dim=EMBED_DIM)
+    lists = sim.probe_lists_for(queries, "embedding", dim=EMBED_DIM, nprobe=4)
     index = spark.read.parquet(path)
     return sim.ivfpq_topk_from_index(
         index, queries, "embedding", "vec_id", dim=EMBED_DIM, k=5,
-        prune_lists=lists,
+        nprobe=4, prune_lists=lists,
+    )
+
+
+from presto_rakam_kafka_spark.operators.similarity import ivfpq_refined_oracle
+
+
+@query(
+    "sim_topk_ivfpq_refined",
+    oracle=ivfpq_refined_oracle(
+        "embeddings", "vec_id < 10", "embedding", "vec_id", dim=EMBED_DIM, k=5,
+        nprobe=4, refine_factor=4,
+    ),
+)
+def sim_topk_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with the EXACT RE-RANK stage (faiss IndexRefineFlat; r6
+    verdict next-3): the persisted index stores raw vectors next to
+    the codes, ADC keeps the top k·4 candidates per query, and exact
+    cosine on those re-ranks the final top-5. The corpus-sized work is
+    unchanged (pruned ADC scan over the probed lists); the exact stage
+    touches 20 rows per query — this buys back the PQ quantization
+    error, the dominant recall loss at fixture scale (SCALE_NOTES
+    §ann-recall: recall@10 0.58 → 0.95 on the clustered 500k corpus at
+    the serving default)."""
+    from presto_rakam_kafka_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = sim.stage_ivfpq_index(
+        spark, emb, sf_dir, "embedding", "vec_id", dim=EMBED_DIM,
+        store_vectors=True,
+    )
+    lists = sim.probe_lists_for(queries, "embedding", dim=EMBED_DIM, nprobe=4)
+    index = spark.read.parquet(path)
+    return sim.ivfpq_topk_from_index(
+        index, queries, "embedding", "vec_id", dim=EMBED_DIM, k=5,
+        nprobe=4, prune_lists=lists, refine_factor=4,
     )
 
 
@@ -1339,4 +1397,44 @@ def string_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("right(p_name, 3)").alias("name_right"),
         F.expr("contains(p_name, 'a')").alias("has_a"),
         F.expr("endswith(p_type, 'TIN')").alias("is_tin"),
+    )
+
+
+@query(
+    "dataset_diff",
+    oracle=f"""
+    SELECT status, count(*) AS n_docs,
+           min(doc_id) AS first_id, max(doc_id) AS last_id
+    FROM ({datasets.diff_datasets_oracle(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0",
+        "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' [v2]' "
+        "ELSE text END AS text FROM documents WHERE doc_id % 11 != 3",
+        "doc_id", "text",
+    )})
+    GROUP BY status
+    """,
+)
+def dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset version audit (round 7): row-level diff of two corpus
+    snapshots by content digest (added/removed/changed/unchanged via
+    ONE full-outer join of (id, md5) projections — ~48 bytes/row into
+    the join no matter the document size), summarized per status. The
+    snapshots are deterministic slices of the fixture: v2 drops some
+    docs, adds others back, and edits every fifth text."""
+    docs = _docs(spark, sf_dir)
+    v1 = docs.filter(F.col("doc_id") % 7 != 0)
+    v2 = docs.filter(F.col("doc_id") % 11 != 3).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return (
+        datasets.diff_datasets(v1, v2, "doc_id", "text")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_id"),
+            F.max("doc_id").alias("last_id"),
+        )
     )

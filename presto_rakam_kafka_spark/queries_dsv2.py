@@ -485,3 +485,88 @@ def loader_tpch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         F.max("o_orderdate").alias("last_order"),
     )
+
+
+def _compacted_log_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per sf) a KEY-ROUTED segment log from the
+    events table — key = user_id, value = JSON frame, tombstone (null
+    value) when event_type = 'error' — then run Kafka log compaction
+    over it (`compact_log_by_key`): latest record per user survives
+    with its ORIGINAL offset; users whose latest record is a tombstone
+    are deleted."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        compact_log_by_key,
+        write_segments,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    d = os.path.join(
+        tempfile.gettempdir(), f"kafka_compacted_{tag}_{os.getpid()}"
+    )
+    if os.path.isdir(os.path.join(d, "partition=0")):
+        return d
+    raw = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("offset"),
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.when(
+            F.col("event_type") != "error",
+            F.to_json(
+                F.struct("event_id", "user_id", "event_type", "value")
+            ).cast("binary"),
+        ).alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    write_segments(raw, d, num_partitions=3, segment_rows=500, route_by_key=True)
+    compact_log_by_key(d)
+    return d
+
+
+@query(
+    "kafka_log_compacted_scan",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events)
+    SELECT event_type, count(*) AS n_users,
+           round(sum(value), 2) AS sum_value,
+           min(event_id) AS first_offset, max(event_id) AS last_offset
+    FROM latest WHERE rn = 1 AND event_type <> 'error'
+    GROUP BY event_type
+    """,
+)
+def kafka_log_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka LOG COMPACTION end-to-end (round 7): a key-routed events
+    log is compacted offline (`compact_log_by_key` — latest record per
+    user_id, tombstoned users deleted, offsets PRESERVED with gaps,
+    atomic generation-flip publication), then scanned through the
+    native ``kafka_segments`` source and decoded. The oracle replays
+    the compaction contract in SQL (row_number by key, latest wins,
+    tombstone drop) — proving the rewrite keeps exactly Kafka's
+    compacted-topic read view. Gapped offsets exercise every planner
+    assumption: footer-stat spans, not density."""
+    from presto_rakam_kafka_spark.metastore import SchemaField
+    from presto_rakam_kafka_spark.sources.kafka import KafkaEventSource
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        KafkaSegmentDataSource,
+    )
+    from presto_rakam_kafka_spark.types import FieldType
+
+    spark.dataSource.register(KafkaSegmentDataSource)
+    log_dir = _compacted_log_dir(spark, sf_dir)
+    raw = spark.read.format("kafka_segments").option("path", log_dir).load()
+    fields = [
+        SchemaField("event_id", FieldType.LONG),
+        SchemaField("user_id", FieldType.LONG),
+        SchemaField("event_type", FieldType.STRING),
+        SchemaField("value", FieldType.DOUBLE),
+    ]
+    src = KafkaEventSource(bootstrap_servers="none:9092", value_format="json")
+    decoded = src._decode(spark, raw, "tpch", "events", fields)
+    return decoded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("_offset").alias("first_offset"),
+        F.max("_offset").alias("last_offset"),
+    )

@@ -934,6 +934,120 @@ def compact_segments(
     return report
 
 
+def compact_log_by_key(
+    path: str,
+    partitions: list[int] | None = None,
+    retain_tombstones: bool = False,
+    target_rows: int = 100_000,
+) -> dict[int, tuple[int, int]]:
+    """Kafka LOG COMPACTION (``cleanup.policy=compact``) over a segment
+    log: within each partition keep only the HIGHEST-offset record per
+    key; a key whose latest record is a tombstone (null value) is
+    removed entirely (``retain_tombstones=True`` keeps the tombstone
+    row itself — Kafka's ``delete.retention.ms`` window, during which
+    lagging consumers still see the delete marker). Surviving records
+    keep their ORIGINAL offsets, so the compacted log has offset gaps —
+    exactly like a compacted Kafka topic — and every reader path
+    (enumeration, pushdown clamp, footer-stat pruning, streaming
+    positions) must and does tolerate them (the planner works on
+    footer min/max spans, never assumes density; density-calibrated
+    ``maxRowsPerBatch`` self-corrects).
+
+    Requires a key-routed log (every key in one partition —
+    ``write_segments(route_by_key=True)``; real Kafka guarantees this
+    for keyed producers): per-partition latest-per-key is then the
+    GLOBAL latest per key. Null-key records are rejected loudly, the
+    broker's own rule for compacted topics.
+
+    Publication is the same observable-atomic generation flip as
+    :func:`compact_segments`: new ``gen-NNNNNN/`` + one ``os.replace``
+    of the ``_CURRENT`` pointer, then the superseded generation is
+    retired — a concurrent planner sees exactly one full generation.
+    Returns {partition_id: (rows_before, rows_after)}.
+
+    Reference parity: the broker-side feature the reference's connector
+    relies on Kafka for (compacted metadata/changelog topics); here it
+    is an offline rewrite an engine owning its own segment store must
+    provide itself.
+    """
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    report: dict[int, tuple[int, int]] = {}
+    try:
+        entries = os.listdir(path)
+    except OSError as exc:
+        raise KafkaLogLayoutError(f"cannot list log dir {path}") from exc
+    found = False
+    for e in sorted(entries):
+        m = _PARTITION_DIR.match(e)
+        if not m:
+            continue
+        found = True
+        pid = int(m.group(1))
+        if partitions is not None and pid not in partitions:
+            continue
+        pdir = os.path.join(path, e)
+        cur = _resolve_partition_dir(pdir)
+        old_files = sorted(f for f in os.listdir(cur) if _SEGMENT_FILE.match(f))
+        if not old_files:
+            report[pid] = (0, 0)
+            continue
+        table = pa.concat_tables(
+            [pq.read_table(os.path.join(cur, f)) for f in old_files]
+        ).sort_by("offset")
+        keys = table["key"].to_pylist()
+        if any(k is None for k in keys):
+            raise KafkaLogLayoutError(
+                f"partition {pid} has null-key frames; log compaction "
+                "requires keyed records (Kafka rejects unkeyed writes "
+                "to compacted topics)"
+            )
+        # latest-per-key: sorted by offset, the LAST occurrence wins
+        last_idx: dict[bytes, int] = {}
+        for i, k in enumerate(keys):
+            last_idx[bytes(k)] = i
+        values = table["value"]
+        keep = sorted(
+            i
+            for i in last_idx.values()
+            if retain_tombstones or values[i].is_valid
+        )
+        compacted = table.take(keep)
+        cur_gen = 0
+        if cur != pdir:
+            cur_gen = int(_GEN_DIR.match(os.path.basename(cur)).group(1))
+        gen_name = f"gen-{cur_gen + 1:06d}"
+        gdir = os.path.join(pdir, gen_name)
+        os.makedirs(gdir)
+        for start in range(0, compacted.num_rows, target_rows):
+            chunk = compacted.slice(start, target_rows)
+            first = chunk["offset"][0].as_py()
+            pq.write_table(chunk, os.path.join(gdir, f"segment-{first}.parquet"))
+        if compacted.num_rows == 0:
+            # fully-tombstoned partition: publish an EMPTY generation
+            # (a valid compacted state; the planner treats a pointed-at
+            # empty generation as zero segments, not a layout error)
+            pass
+        tmp = os.path.join(pdir, f".{_GEN_POINTER}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(gen_name)
+        os.replace(tmp, os.path.join(pdir, _GEN_POINTER))
+        if cur == pdir:
+            for f in old_files:
+                os.remove(os.path.join(pdir, f))
+        else:
+            shutil.rmtree(cur, ignore_errors=True)
+        report[pid] = (table.num_rows, compacted.num_rows)
+    if not found:
+        raise KafkaLogLayoutError(
+            f"no partition=N directories under {path} (A3 strictness)"
+        )
+    return report
+
+
 def expire_segments(
     path: str,
     min_offset: int,
@@ -1036,23 +1150,43 @@ def write_segments(
     num_partitions: int = 2,
     segment_rows: int = 0,
     topic: str = "tpch_events",
+    route_by_key: bool = False,
 ) -> None:
     """Lay a raw-frame DataFrame (offset long, key/value binary, …) out
     as a ``partition=N/segment-<first>.parquet`` log under ``path``.
 
     Frames are routed to partitions by ``pmod(offset, num_partitions)``
     and offsets stay globally unique (the fixture analog of a keyed
-    producer). ``segment_rows`` > 0 rolls segments like a size-bounded
-    log; 0 writes one segment per partition. Test/fixture helper —
-    production logs are written by Kafka itself.
+    producer). ``route_by_key=True`` instead routes by a hash of the
+    key bytes — Kafka's ACTUAL keyed-producer placement, and the
+    precondition for :func:`compact_log_by_key` semantics ("latest per
+    key" per partition == global latest per key, because every key
+    lives in exactly one partition). ``segment_rows`` > 0 rolls
+    segments like a size-bounded log; 0 writes one segment per
+    partition. Test/fixture helper — production logs are written by
+    Kafka itself.
     """
+    import hashlib
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     pdf = df.toPandas()
     os.makedirs(path, exist_ok=True)
+    if route_by_key:
+        if pdf["key"].isna().any():
+            raise KafkaLogLayoutError(
+                "route_by_key requires a non-null key on every frame "
+                "(Kafka rejects unkeyed writes to compacted topics)"
+            )
+        route = pdf["key"].map(
+            lambda k: int(hashlib.md5(bytes(k)).hexdigest()[:8], 16)
+            % num_partitions
+        )
+    else:
+        route = pdf["offset"] % num_partitions
     for pid in range(num_partitions):
-        sub = pdf[pdf["offset"] % num_partitions == pid].sort_values("offset")
+        sub = pdf[route == pid].sort_values("offset")
         pdir = os.path.join(path, f"partition={pid}")
         os.makedirs(pdir, exist_ok=True)
         chunks = (

@@ -831,3 +831,74 @@ def test_offsets_for_times_resolves_earliest_offset(spark, sf_dir, log_dir):
     exp = {r["partition"]: r["o"] for r in exp_rows}
     for pid, off in got.items():
         assert exp.get(pid, None) == off, (pid, off, exp.get(pid))
+
+
+def test_compact_log_by_key_latest_per_key_and_tombstones(spark, tmp_path):
+    """Kafka log compaction semantics (round 7): latest record per key
+    survives with its ORIGINAL offset (gaps appear), a key whose latest
+    record is a tombstone is deleted (kept with retain_tombstones=True),
+    null-key logs are rejected, and offset pushdown still scans the
+    gapped log correctly."""
+    import pytest
+
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        KafkaLogLayoutError,
+        compact_log_by_key,
+        write_segments,
+    )
+
+    # 4 keys x several updates; key D's LAST record is a tombstone,
+    # key C has a tombstone that is later OVERWRITTEN (must survive).
+    frames = [
+        (0, b"A", b"a1"), (1, b"B", b"b1"), (2, b"A", b"a2"),
+        (3, b"C", None), (4, b"D", b"d1"), (5, b"C", b"c2"),
+        (6, b"B", b"b2"), (7, b"D", None), (8, b"A", b"a3"),
+    ]
+    raw = spark.createDataFrame(
+        [(o, k, v, None) for o, k, v in frames],
+        "offset LONG, key BINARY, value BINARY, timestamp TIMESTAMP",
+    )
+    log = str(tmp_path / "kclog")
+    write_segments(raw, log, num_partitions=2, segment_rows=2, route_by_key=True)
+
+    report = compact_log_by_key(log)
+    assert sum(b for b, _ in report.values()) == 9
+    assert sum(a for _, a in report.values()) == 3  # A,B,C; D deleted
+
+    spark.dataSource.register(KafkaSegmentDataSource)
+    back = spark.read.format("kafka_segments").option("path", log).load()
+    got = {
+        bytes(r["key"]): (r["offset"], bytes(r["value"]))
+        for r in back.collect()
+    }
+    assert got == {b"A": (8, b"a3"), b"B": (6, b"b2"), b"C": (5, b"c2")}
+    # pushdown over the gapped offsets: only offsets 5,6 fall in [5, 8)
+    assert (
+        back.filter((F.col("offset") >= 5) & (F.col("offset") < 8)).count() == 2
+    )
+
+    # retain_tombstones keeps D's delete marker (Kafka delete.retention)
+    log2 = str(tmp_path / "kclog2")
+    write_segments(raw, log2, num_partitions=2, segment_rows=2, route_by_key=True)
+    compact_log_by_key(log2, retain_tombstones=True)
+    back2 = spark.read.format("kafka_segments").option("path", log2).load()
+    rows2 = {bytes(r["key"]): r["value"] for r in back2.collect()}
+    assert set(rows2) == {b"A", b"B", b"C", b"D"}
+    assert rows2[b"D"] is None
+
+    # idempotence: compacting a compacted log changes nothing but the
+    # generation number
+    report2 = compact_log_by_key(log)
+    assert all(b == a for b, a in report2.values())
+
+    # null-key logs are rejected loudly (both at write and at compact)
+    raw_nullkey = spark.createDataFrame(
+        [(0, None, b"x", None)],
+        "offset LONG, key BINARY, value BINARY, timestamp TIMESTAMP",
+    )
+    log3 = str(tmp_path / "kclog3")
+    with pytest.raises(KafkaLogLayoutError, match="route_by_key"):
+        write_segments(raw_nullkey, log3, route_by_key=True)
+    write_segments(raw_nullkey, log3)  # offset-routed write is fine
+    with pytest.raises(KafkaLogLayoutError, match="null-key"):
+        compact_log_by_key(log3)

@@ -1128,3 +1128,91 @@ def test_ivfpq_epoch_upsert_replay_is_noop(spark, sf_dir):
         spark, more, path, "embedding", "vec_id", dim=64
     )
     assert name3 == "delta-00000008"
+
+
+def test_ivfpq_refined_recall_on_clustered_corpus(spark):
+    """The recall contract of the serving configuration (r6 verdict
+    next-3): on a CLUSTERED corpus (the regime embeddings actually live
+    in — 16 unit centers + sigma-0.06 noise), fitted IVF-PQ with the
+    exact re-rank stage must reach recall@10 >= 0.9 against brute-force
+    cosine, while the ADC-only probe at the same probe budget is
+    substantially worse (the refine stage is what buys the recall, for
+    k*refine exact scorings per query). The oracle gate row pins exact
+    VALUES; this pins the QUALITY claim."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from presto_rakam_kafka_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((16, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = centers[rng.integers(0, 16, size=2000)] + 0.06 * rng.standard_normal(
+        (2000, 64)
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(2000), "embedding": list(X)}),
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    queries = df.filter(F.col("vec_id") < 8)
+
+    truth = {}
+    for r in sim.cosine_topk(df, queries, "embedding", "vec_id", k=10).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    cents = sim.fit_centroids(df, "embedding", 16)
+    books = sim.fit_pq_books(df, "embedding", 64, m=16, ksub=16)
+    coded = sim.ivfpq_code_corpus(
+        df, "embedding", "vec_id", 64, num_centroids=16, m=16, ksub=16,
+        centroids=cents, books=books, keep_vector=True,
+    )
+
+    def recall(result_rows):
+        got = {}
+        for r in result_rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(got.get(q, set()) & t) for q, t in truth.items()
+        ) / sum(len(t) for t in truth.values())
+
+    refined = sim.ivfpq_topk_from_index(
+        coded, queries, "embedding", "vec_id", 64, k=10,
+        num_centroids=16, nprobe=4, m=16, ksub=16,
+        centroids=cents, books=books, refine_factor=16,
+    ).collect()
+    adc_only = sim.ivfpq_topk_from_index(
+        coded, queries, "embedding", "vec_id", 64, k=10,
+        num_centroids=16, nprobe=4, m=16, ksub=16,
+        centroids=cents, books=books,
+    ).collect()
+
+    r_refined, r_adc = recall(refined), recall(adc_only)
+    assert r_refined >= 0.9, (r_refined, r_adc)
+    assert r_refined >= r_adc + 0.2, (r_refined, r_adc)
+
+
+def test_ivfpq_pandas_codec_equals_expr_codec(spark, sf_dir):
+    """The production encoder (Arrow mapInPandas, two BLAS matmuls) and
+    the oracle encoder (Catalyst expressions) must assign identical
+    list ids and codes — same math, same rounded half-norms, same
+    first-argmax tie-break. Run at the serving geometry (m=16) where
+    the pandas path exists to replace 4096 generated expressions."""
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.operators import similarity as sim
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    kwargs = dict(num_centroids=16, m=16, ksub=16)
+    expr = {
+        r["neighbor_id"]: tuple(r[c] for c in ["list_id"] + [f"code{j}" for j in range(16)])
+        for r in sim.ivfpq_code_corpus(
+            emb, "embedding", "vec_id", 64, **kwargs
+        ).collect()
+    }
+    pandas = {
+        r["neighbor_id"]: tuple(r[c] for c in ["list_id"] + [f"code{j}" for j in range(16)])
+        for r in sim.ivfpq_code_corpus(
+            emb, "embedding", "vec_id", 64, codec="pandas", **kwargs
+        ).collect()
+    }
+    assert pandas == expr
