@@ -135,6 +135,9 @@ HEADLINE = [
     "kafka_log_compacted_scan",
     "profile_orders",
     "dataset_diff",
+    # round 7b: warehouse maintenance (MERGE upsert, SCD2 history)
+    "merge_upsert_orders",
+    "scd2_user_history",
 ]
 
 #: Indexed-ANN queries whose cost is two phases with different lifecycles:

@@ -389,8 +389,6 @@ def bm25_topk(
     avgdl ride a 1-row broadcast. Final top-k is ``orderBy().limit()``
     (TakeOrderedAndProject — per-partition heaps, no global sort); the
     rank window runs over only the k survivors."""
-    from pyspark.sql import Window
-
     toks = df.select(
         F.col(id_col), F.explode(F.expr(tokens_spark(text_col))).alias("t")
     )
@@ -398,15 +396,44 @@ def bm25_topk(
     dl = df.select(
         F.col(id_col), F.expr(f"size({tokens_spark(text_col)})").alias("dl")
     )
-    scalars = dl.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
     qterms = (
         df.filter(F.col(id_col) == query_id)
         .select(F.explode(F.expr(tokens_spark(text_col))).alias("t"))
         .distinct()
     )
+    return bm25_from_parts(tf, dl, qterms, id_col, query_id, k=k, k1=k1, b=b)
+
+
+def bm25_from_parts(
+    tf: DataFrame,
+    dl: DataFrame,
+    qterms: DataFrame,
+    id_col: str,
+    query_id: int = 0,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    dfreq: DataFrame | None = None,
+) -> DataFrame:
+    """The scoring FINISH of BM25, factored over its stored parts: a
+    postings table ``tf`` (doc, term, tf), a doc-length table ``dl``
+    (doc, dl), and the broadcast query-term set. `bm25_topk` builds
+    the parts from a corpus scan; the STREAMING index maintains them
+    continuously (`stream_bm25` — tf and dl are plain associative
+    streaming groupBys: new docs only add rows, so the drained state
+    IS the postings table) and document-frequency / corpus scalars
+    derive from the parts at query time. Same plan from either origin
+    — stream equals batch bit-for-bit."""
+    from pyspark.sql import Window
+
+    scalars = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    if dfreq is None:
+        # derived in-plan when the caller didn't maintain it separately
+        # (the batch path); streaming callers pass their own drained df
+        # table — a memory view cannot feed both sides of a self-join
+        dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
     term_score = F.expr(
         f"ln(1.0 + (cast(n_docs - df as double) + 0.5) / (cast(df as double) + 0.5))"
         f" * (cast(tf as double) * ({k1} + 1.0))"
@@ -794,3 +821,68 @@ def bpe_token_counts(
             F.sum("n_tok").cast("long").alias("bpe_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Phrase search (positional postings)
+# ---------------------------------------------------------------------
+
+
+def phrase_search(
+    df: DataFrame, text_col: str, id_col: str, phrase: list[str]
+) -> DataFrame:
+    """Exact-phrase retrieval (round 7): docs containing the words of
+    ``phrase`` CONSECUTIVELY, with match count and first position —
+    the query class BM25's bag-of-words scoring cannot answer ("table
+    hash" as a phrase, not two terms).
+
+    Distributed shape — the positional-postings join Lucene runs,
+    restructured Spark-first: the corpus explodes ONCE into positional
+    postings (doc, pos, term) pre-filtered to the phrase's terms (a
+    vocabulary-bounded slice, pushed into the scan), the first term's
+    postings anchor the candidates, and each later term joins on
+    (doc, pos+i) — n−1 equi-joins whose keys are already co-partitioned
+    after the first shuffle, over postings lists not documents. Match
+    count per doc = surviving anchors. At 100 TB the postings slice is
+    a tiny fraction of the corpus (df(term)·n rows), the joins never
+    touch full text, and with a PERSISTED postings table (the `bm25`
+    build step) the corpus isn't even rescanned per query."""
+    n = len(phrase)
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(tokens_spark(text_col))).alias("pos", "t"),
+    ).filter(F.col("t").isin(phrase))
+    anchor = toks.filter(F.col("t") == phrase[0]).select(
+        id_col, F.col("pos").alias("p0")
+    )
+    for i in range(1, n):
+        nxt = toks.filter(F.col("t") == phrase[i]).select(
+            id_col, (F.col("pos") - i).alias("p0")
+        )
+        anchor = anchor.join(nxt, [id_col, "p0"])
+    return anchor.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("p0").cast("long").alias("first_pos"),
+    )
+
+
+def phrase_search_oracle(
+    table: str, text_col: str, id_col: str, phrase: list[str]
+) -> str:
+    """DuckDB twin: lambda over the anchor-position range testing each
+    phrase word at its offset (0-based first_pos to match posexplode)."""
+    toks = tokens_duckdb(text_col)
+    n = len(phrase)
+    conds = " AND ".join(
+        f"toks[i + {i}] = '{w}'" for i, w in enumerate(phrase)
+    )
+    return f"""
+    WITH tk AS (SELECT {id_col}, {toks} AS toks FROM {table}),
+    hits AS (
+      SELECT {id_col},
+             list_filter(range(1, len(toks) - {n} + 2), i -> {conds}) AS ps
+      FROM tk)
+    SELECT {id_col}, len(ps) AS n_matches,
+           CAST(list_min(ps) - 1 AS BIGINT) AS first_pos
+    FROM hits WHERE len(ps) > 0
+    """

@@ -1443,6 +1443,19 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runner.read_file_stream(spark, d, schema)
 
 
+def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table replayed as a micro-batched stream (4
+    doc_id-ordered chunks) — the corpus-ingestion stream the
+    continuous index-maintenance queries consume."""
+    from presto_rakam_kafka_spark.streaming import runner
+
+    d = runner.stage_chunked_events(
+        spark, sf_dir, "documents", num_chunks=4, order_col="doc_id"
+    )
+    schema = read_table(spark, sf_dir, "documents").schema
+    return runner.read_file_stream(spark, d, schema)
+
+
 def _drain(df: DataFrame, base: str, mode: str) -> DataFrame:
     from presto_rakam_kafka_spark.streaming import runner
 

@@ -519,3 +519,95 @@ def events_funnel_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     ALL prefix event types in any order — one groupBy(user) of boolean
     maxes, no sort/fold; always ≥ the ordered funnel per step."""
     return ev.funnel_unordered(_t(spark, sf_dir, "events"))
+
+
+from presto_rakam_kafka_spark.operators import warehouse
+
+_ORDER_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+]
+_UPDATES_SQL = """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice + 1.0 AS o_totalprice,
+           o_orderdate, o_orderpriority,
+           (o_orderkey % 19 = 0) AS deleted
+    FROM orders WHERE o_orderkey % 13 = 0
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_custkey, 'N' AS o_orderstatus,
+           o_totalprice, o_orderdate, o_orderpriority, false AS deleted
+    FROM orders WHERE o_orderkey % 17 = 0
+"""
+
+
+@query(
+    "merge_upsert_orders",
+    oracle=f"""
+    SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM ({warehouse.merge_upsert_oracle(
+        "SELECT " + ", ".join(_ORDER_COLS) + " FROM orders",
+        _UPDATES_SQL, "o_orderkey", _ORDER_COLS, delete_col="deleted",
+    )})
+    GROUP BY o_orderstatus
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (round 7): a CDC batch — price bumps for
+    every 13th order, inserts of new keys, deletes for every 19th
+    update key — applied to the orders snapshot as ONE key-partitioned
+    full-outer join (whole-row update wins, unmatched update inserts,
+    flagged match deletes). Bucket both sides by the key and the
+    exchange disappears; a small CDC batch broadcasts and the target
+    never shuffles. Summarized per status for a compact gate row."""
+    orders = _t(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    upd = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        # +1.00 not *1.1: the product rounds differently across engines
+        # on representation edges (a 1-cent straddle seen live at sf0.01);
+        # adding an exactly-representable constant keeps doubles identical
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+        "o_orderdate", "o_orderpriority",
+        (F.col("o_orderkey") % 19 == 0).alias("deleted"),
+    ).unionAll(
+        orders.filter(F.col("o_orderkey") % 17 == 0).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_custkey", F.lit("N").alias("o_orderstatus"),
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+            F.lit(False).alias("deleted"),
+        )
+    )
+    merged = warehouse.merge_upsert(orders, upd, "o_orderkey", delete_col="deleted")
+    # integer-cents sum: prices carry exactly 2 decimals, so per-row
+    # round(x*100) is engine-stable and the long sum is EXACT — a
+    # round(sum(double), 2) straddled the last cent between Spark and
+    # DuckDB at sf0.01 (different summation order; the verify-skill
+    # gotcha observed live)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_price_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@query(
+    "scd2_user_history",
+    oracle=warehouse.scd2_history_oracle(
+        "events", "user_id", "event_type", "ts", "event_id"
+    ),
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build (round 7): per-user event_type RUNS
+    with validity intervals — consecutive equal values collapse, each
+    run gets (valid_from, valid_to-exclusive, null while current). One
+    shuffle on user_id; change-detect lag and interval-close lead share
+    the partitioning (single Exchange + Sort in the plan)."""
+    return warehouse.scd2_history(
+        _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id"),
+        "user_id", "event_type", "ts", "event_id",
+    )

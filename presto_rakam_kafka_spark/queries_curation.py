@@ -1438,3 +1438,79 @@ def dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_id"),
         )
     )
+
+
+from presto_rakam_kafka_spark.operators.text import phrase_search, phrase_search_oracle
+
+
+@query(
+    "search_phrase",
+    oracle=phrase_search_oracle("documents", "text", "doc_id", ["table", "hash"]),
+)
+def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval (round 7): positional-postings joins —
+    corpus explodes once into (doc, pos, term) pre-filtered to the
+    phrase vocabulary, later terms join on (doc, pos+i). The query
+    class bag-of-words BM25 can't answer; complements the retrieval
+    family (`search_bm25*`, `search_hybrid_rrf*`)."""
+    return phrase_search(_docs(spark, sf_dir), "text", "doc_id", ["table", "hash"])
+
+
+from presto_rakam_kafka_spark.operators.text import bm25_from_parts, bm25_topk_oracle
+from presto_rakam_kafka_spark.functions.hashing import tokens_spark as _tok_spark
+
+
+@query(
+    "stream_bm25",
+    oracle=bm25_topk_oracle("documents", "text", "doc_id", query_id=0, k=10),
+)
+def stream_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous lexical-index maintenance (round 7): the BM25 index
+    parts — postings (doc, term, tf) and doc lengths — are plain
+    ASSOCIATIVE streaming groupBys (new documents only add rows), so
+    the drained streaming state IS the postings table; document
+    frequency and corpus scalars derive from the parts at query time
+    in the same finish as batch `search_bm25` (`bm25_from_parts`).
+    Stream equals batch bit-for-bit (identical oracle). At 100 TB the
+    streaming state is the index a search service stores anyway —
+    vocabulary × docs-containing-term rows, never raw text."""
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.queries import _docs_stream, _drain
+
+    st = _docs_stream(spark, sf_dir)
+    tf = _drain(
+        st.select(
+            F.col("doc_id"), F.explode(F.expr(_tok_spark("text"))).alias("t")
+        ).groupBy("doc_id", "t").agg(F.count("*").alias("tf")),
+        "bm25_tf",
+        "complete",
+    )
+    # document frequency is ALSO an associative rollup; drained as its
+    # own streaming aggregate (the stream_retention two-part pattern —
+    # and it sidesteps the memory-view self-join that deriving dfreq
+    # from the drained tf view would create)
+    dfreq = _drain(
+        _docs_stream(spark, sf_dir)
+        .select(
+            F.col("doc_id"), F.explode(F.expr(_tok_spark("text"))).alias("t")
+        )
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("_tf")),
+        "bm25_df",
+        "complete",
+    ).groupBy("t").agg(F.count("*").alias("df"))
+    dl = _drain(
+        _docs_stream(spark, sf_dir)
+        .select("doc_id", F.expr(f"size({_tok_spark('text')})").alias("dl"))
+        .groupBy("doc_id")
+        .agg(F.max("dl").alias("dl")),
+        "bm25_dl",
+        "complete",
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    qterms = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(F.explode(F.expr(_tok_spark("text"))).alias("t"))
+        .distinct()
+    )
+    return bm25_from_parts(tf, dl, qterms, "doc_id", query_id=0, k=10, dfreq=dfreq)

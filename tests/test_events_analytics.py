@@ -464,3 +464,29 @@ def test_unordered_funnel_dominates_ordered(spark, sf_dir):
     for step, n in ordered.items():
         assert unordered.get(step, 0) >= n, (step, unordered.get(step), n)
     assert unordered.get(1) == ordered.get(1)
+
+
+def test_merge_upsert_semantics(spark):
+    """MERGE rules row by row: whole-row update wins, unmatched update
+    inserts, flagged match deletes, UNMATCHED delete is a no-op, and
+    untouched target rows survive verbatim."""
+    from presto_rakam_kafka_spark.operators.warehouse import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k LONG, v STRING, price DOUBLE",
+    )
+    updates = spark.createDataFrame(
+        [
+            (2, "B", 21.0, False),   # matched update: whole row replaced
+            (4, "d", 40.0, False),   # unmatched: insert
+            (3, "c", 30.0, True),    # matched delete
+            (9, "x", 99.0, True),    # unmatched delete: no-op
+        ],
+        "k LONG, v STRING, price DOUBLE, deleted BOOLEAN",
+    )
+    got = {
+        r["k"]: (r["v"], r["price"])
+        for r in merge_upsert(target, updates, "k", delete_col="deleted").collect()
+    }
+    assert got == {1: ("a", 10.0), 2: ("B", 21.0), 4: ("d", 40.0)}

@@ -494,3 +494,30 @@ def test_pack_token_budget_has_no_single_partition_sort(spark, sf_dir):
         lines = seg.strip().splitlines()
         nxt = lines[1] if len(lines) > 1 else ""
         assert "Sort" not in nxt and "Window" not in nxt, seg[:400]
+
+
+def test_scd2_single_exchange_shared_windows(spark, sf_dir):
+    # change-detect lag and interval-close lead share (key, order)
+    # partitioning: the plan must contain exactly ONE hash exchange
+    # (on user_id) and no Exchange between the two Window operators.
+    plan = _plan(Q.QUERIES["scd2_user_history"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2500]
+    assert "SinglePartition" not in plan, plan[:2500]
+
+
+def test_merge_upsert_is_one_join_no_extra_exchange(spark, sf_dir):
+    # MERGE = one full-outer SortMergeJoin on the key; each side
+    # shuffles once (target scan, update-batch scan) and nothing else.
+    from pyspark.sql import functions as F
+
+    from presto_rakam_kafka_spark.operators import warehouse
+
+    orders = Q._t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = orders.limit(10).withColumn("deleted", F.lit(False))
+    plan = _plan(
+        warehouse.merge_upsert(orders, upd, "o_orderkey", delete_col="deleted")
+    )
+    assert "FullOuter" in plan, plan[:2500]
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2500]
