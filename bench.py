@@ -135,9 +135,12 @@ HEADLINE = [
     "kafka_log_compacted_scan",
     "profile_orders",
     "dataset_diff",
-    # round 7b: warehouse maintenance (MERGE upsert, SCD2 history)
+    # round 7b: warehouse maintenance (MERGE upsert, SCD2 history),
+    # phrase retrieval, path analysis
     "merge_upsert_orders",
     "scd2_user_history",
+    "search_phrase",
+    "events_top_paths",
 ]
 
 #: Indexed-ANN queries whose cost is two phases with different lifecycles:

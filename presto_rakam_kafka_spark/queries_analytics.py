@@ -611,3 +611,117 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id"),
         "user_id", "event_type", "ts", "event_id",
     )
+
+
+@query(
+    "stream_cdc_snapshot",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_id, event_type, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value
+    FROM latest WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def stream_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained snapshot (round 7): the events stream
+    applied as CDC — per micro-batch, latest-change-per-user (a
+    partial-agg max_by, never a window), MERGE into the current
+    snapshot, publish under an epoch-named generation + atomic pointer
+    flip (replayed epochs skip — exactly-once). 'error' events are
+    delete markers: a user whose latest change is a delete leaves the
+    snapshot; a later event re-inserts them. The oracle replays the
+    whole contract as latest-per-key SQL over the full log — streaming
+    MERGE equals one big batch merge. Same read view as Kafka log
+    compaction (`kafka_log_compacted_scan`) arrived at through the
+    other door: there the LOG is rewritten, here the SNAPSHOT is
+    maintained."""
+    import tempfile
+
+    from presto_rakam_kafka_spark.queries import _events_stream
+    from presto_rakam_kafka_spark.streaming import cdc
+
+    path = tempfile.mkdtemp(prefix="cdc_snap_")
+    base = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", "ts", "value")
+        .limit(0)
+    )
+    cdc.init_snapshot(base, path)
+    st = _events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "ts", "value",
+        (F.col("event_type") == "error").alias("deleted"),
+    )
+    q = (
+        cdc.apply_cdc_stream(
+            st, path, "user_id", "ts", "event_id", delete_col="deleted",
+            checkpoint=tempfile.mkdtemp(prefix="cdc_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = cdc.read_snapshot(spark, path)
+    return snap.select(
+        "user_id", "event_id", "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"), "value",
+    )
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             array_agg(event_type ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    ), p AS (
+      SELECT unnest(list_transform(range(1, len(seq) - 1),
+                    i -> seq[i] || '>' || seq[i+1] || '>' || seq[i+2])) AS path
+      FROM s WHERE len(seq) >= 3
+    )
+    SELECT path, n, rank FROM (
+      SELECT path, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, path ASC) AS rank
+      FROM p GROUP BY path
+    ) WHERE rank <= 10
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis (round 7): the top 10 three-step event sequences
+    users actually take — the 'what do people do before purchasing'
+    query of a product-analytics suite. Same ONE-corpus-shuffle shape
+    as the funnel family: per-user sorted fold (partial-agg'd
+    collect_list), then triples are a shuffle-free explode projection,
+    the global count is a vocabulary-bounded groupBy (|event_types|³
+    keys max), and top-10 is TakeOrderedAndProject."""
+    evs = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("us"),
+            F.col("event_id"),
+            F.col("event_type"),
+        ).alias("ev"),
+    )
+    seqs = evs.groupBy("user_id").agg(
+        F.expr("transform(array_sort(collect_list(ev)), e -> e.event_type)").alias(
+            "seq"
+        )
+    )
+    paths = seqs.filter(F.expr("size(seq) >= 3")).selectExpr(
+        "explode(transform(sequence(0, size(seq) - 3),"
+        " i -> concat_ws('>', seq[i], seq[i+1], seq[i+2]))) AS path"
+    )
+    from pyspark.sql import Window
+
+    top = (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("path"))
+    return top.withColumn("rank", F.row_number().over(w))

@@ -633,3 +633,57 @@ def test_stream_attribution_state_ttl_resets_carry(spark):
 
     no_ttl = run(lambda s: attribution_stream(s))
     assert no_ttl[4] == ("none", "click")  # carry survives without TTL
+
+
+def test_cdc_batch_replay_and_crash_recovery(spark):
+    """CDC snapshot maintenance is exactly-once: a replayed epoch is a
+    no-op (pointer unchanged, snapshot unchanged); a crash AFTER the
+    generation write but BEFORE the pointer flip leaves the orphan
+    invisible, and the replay overwrites it and commits once. Delete
+    markers remove keys; later changes re-insert them; in-batch change
+    ordering resolves by (ts, tiebreak) max."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from presto_rakam_kafka_spark.streaming import cdc
+
+    t0 = dt.datetime(2024, 6, 1, 10, 0)
+    sch = "k LONG, v STRING, ts TIMESTAMP, seq LONG, deleted BOOLEAN"
+    base = spark.createDataFrame([(1, "base1", t0, 0, False)], sch).drop("deleted")
+    path = tempfile.mkdtemp(prefix="cdc_test_")
+    cdc.init_snapshot(base, path)
+    fn = cdc.cdc_batch_fn(path, "k", "ts", "seq", delete_col="deleted")
+
+    mk = lambda rows: spark.createDataFrame(rows, sch)  # noqa: E731
+    # epoch 0: k=1 updated twice in-batch (seq 2 wins), k=2 inserted
+    fn(mk([
+        (1, "a1", t0, 1, False),
+        (1, "a2", t0, 2, False),
+        (2, "b1", t0, 1, False),
+    ]), 0)
+    snap = {r["k"]: r["v"] for r in cdc.read_snapshot(spark, path).collect()}
+    assert snap == {1: "a2", 2: "b1"}
+
+    # epoch 1: delete k=1
+    fn(mk([(1, None, t0, 3, True)]), 1)
+    snap = {r["k"]: r["v"] for r in cdc.read_snapshot(spark, path).collect()}
+    assert snap == {2: "b1"}
+
+    # replay epoch 1: exact no-op
+    with open(os.path.join(path, "_CURRENT")) as f:
+        ptr_before = f.read()
+    fn(mk([(1, None, t0, 3, True)]), 1)
+    with open(os.path.join(path, "_CURRENT")) as f:
+        assert f.read() == ptr_before
+    assert {r["k"]: r["v"] for r in cdc.read_snapshot(spark, path).collect()} == {2: "b1"}
+
+    # crash before flip: orphan gen-0000000003 exists, pointer stale;
+    # the replayed epoch 2 overwrites the orphan and commits once
+    mk([(3, "junk", t0, 1, False)]).drop("deleted").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "gen-0000000003"))
+    assert {r["k"] for r in cdc.read_snapshot(spark, path).collect()} == {2}
+    fn(mk([(1, "back", t0, 4, False)]), 2)  # k=1 re-inserted after delete
+    snap = {r["k"]: r["v"] for r in cdc.read_snapshot(spark, path).collect()}
+    assert snap == {1: "back", 2: "b1"}
