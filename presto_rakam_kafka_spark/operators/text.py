@@ -886,3 +886,57 @@ def phrase_search_oracle(
            CAST(list_min(ps) - 1 AS BIGINT) AS first_pos
     FROM hits WHERE len(ps) > 0
     """
+
+
+def phrase_search_multi(
+    df: DataFrame, text_col: str, id_col: str, phrases: dict[int, list[str]]
+) -> DataFrame:
+    """Batch phrase retrieval: ONE positional-postings scan serves a
+    whole phrase TABLE (the `search_bm25_multi` amortization argument,
+    for phrases) — and a strictly better plan shape than the n−1 join
+    chain of :func:`phrase_search`: every (phrase term, offset) pair
+    broadcasts against the postings ONCE, each match votes for its
+    implied anchor position (p0 = pos − offset), and an anchor where
+    ALL n offsets voted is a phrase hit — one join + one aggregate,
+    independent of phrase length.
+
+    Returns (query_id, doc, n_matches, first_pos)."""
+    terms = {w for p in phrases.values() for w in p}
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(tokens_spark(text_col))).alias("pos", "t"),
+    ).filter(F.col("t").isin(list(terms)))
+    spark = df.sparkSession
+    qrows = [
+        (int(qid), i, w, len(p))
+        for qid, p in phrases.items()
+        for i, w in enumerate(p)
+    ]
+    q = F.broadcast(
+        spark.createDataFrame(
+            qrows, "query_id INT, i INT, t STRING, n INT"
+        )
+    )
+    anchors = (
+        toks.join(q, on="t")
+        .select("query_id", id_col, (F.col("pos") - F.col("i")).alias("p0"), "i", "n")
+        .groupBy("query_id", id_col, "p0", "n")
+        .agg(F.count_distinct("i").alias("_k"))
+        .filter(F.col("_k") == F.col("n"))
+    )
+    return anchors.groupBy("query_id", id_col).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("p0").cast("long").alias("first_pos"),
+    )
+
+
+def phrase_search_multi_oracle(
+    table: str, text_col: str, id_col: str, phrases: dict[int, list[str]]
+) -> str:
+    selects = []
+    for qid, p in phrases.items():
+        one = phrase_search_oracle(table, text_col, id_col, p)
+        selects.append(
+            f"SELECT {qid} AS query_id, {id_col}, n_matches, first_pos FROM ({one})"
+        )
+    return " UNION ALL ".join(selects)

@@ -1514,3 +1514,24 @@ def stream_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return bm25_from_parts(tf, dl, qterms, "doc_id", query_id=0, k=10, dfreq=dfreq)
+
+
+from presto_rakam_kafka_spark.operators.text import (
+    phrase_search_multi,
+    phrase_search_multi_oracle,
+)
+
+_PHRASES = {0: ["table", "hash"], 1: ["customer", "join"], 2: ["big", "order", "scan"]}
+
+
+@query(
+    "search_phrase_multi",
+    oracle=phrase_search_multi_oracle("documents", "text", "doc_id", _PHRASES),
+)
+def search_phrase_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch phrase retrieval (round 7): one postings scan serves a
+    phrase TABLE — each (term, offset) pair votes for its implied
+    anchor; an anchor with all n votes is a hit. One join + one
+    aggregate regardless of phrase length or query count (the chain
+    form pays n−1 joins per phrase)."""
+    return phrase_search_multi(_docs(spark, sf_dir), "text", "doc_id", _PHRASES)

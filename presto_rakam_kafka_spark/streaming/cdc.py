@@ -122,3 +122,27 @@ def apply_cdc_stream(
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def gc_snapshots(path: str, keep_last: int = 2) -> list[str]:
+    """Retire superseded snapshot generations, keeping the committed one
+    plus ``keep_last − 1`` predecessors (time-travel window). Never
+    touches the pointed generation or anything NEWER than it (a newer
+    orphan is an in-flight epoch about to commit). A reader mid-scan on
+    a retired generation fails loudly and retries against the pointer —
+    the same observable-atomicity contract as `compact_segments`.
+    Returns the removed generation names."""
+    import shutil
+
+    with open(os.path.join(path, _POINTER)) as fh:
+        current = fh.read().strip()
+    gens = sorted(
+        e for e in os.listdir(path)
+        if e.startswith("gen-") and os.path.isdir(os.path.join(path, e))
+    )
+    older = [g for g in gens if g < current]
+    keep = max(0, keep_last - 1)
+    victims = older[: len(older) - keep] if keep else older
+    for g in victims:
+        shutil.rmtree(os.path.join(path, g), ignore_errors=True)
+    return victims

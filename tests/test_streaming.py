@@ -687,3 +687,33 @@ def test_cdc_batch_replay_and_crash_recovery(spark):
     fn(mk([(1, "back", t0, 4, False)]), 2)  # k=1 re-inserted after delete
     snap = {r["k"]: r["v"] for r in cdc.read_snapshot(spark, path).collect()}
     assert snap == {1: "back", 2: "b1"}
+
+
+def test_cdc_snapshot_gc_keeps_current_and_window(spark):
+    """gc_snapshots removes superseded generations only: the pointed
+    generation (and newer in-flight orphans) survive, keep_last bounds
+    the time-travel window, and the snapshot still reads after GC."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from presto_rakam_kafka_spark.streaming import cdc
+
+    t0 = dt.datetime(2024, 6, 1, 10, 0)
+    sch = "k LONG, v STRING, ts TIMESTAMP, seq LONG, deleted BOOLEAN"
+    base = spark.createDataFrame([(1, "b", t0, 0, False)], sch).drop("deleted")
+    path = tempfile.mkdtemp(prefix="cdc_gc_")
+    cdc.init_snapshot(base, path)
+    fn = cdc.cdc_batch_fn(path, "k", "ts", "seq", delete_col="deleted")
+    for e in range(3):
+        fn(spark.createDataFrame([(2 + e, f"v{e}", t0, 1, False)], sch), e)
+    # in-flight orphan NEWER than current must survive GC
+    spark.createDataFrame([(99, "orphan", t0, 1, False)], sch).drop(
+        "deleted"
+    ).write.mode("overwrite").parquet(os.path.join(path, "gen-0000000099"))
+
+    removed = cdc.gc_snapshots(path, keep_last=2)
+    gens = sorted(e for e in os.listdir(path) if e.startswith("gen-"))
+    assert removed == ["gen-0000000000", "gen-0000000001"]
+    assert gens == ["gen-0000000002", "gen-0000000003", "gen-0000000099"]
+    assert {r["k"] for r in cdc.read_snapshot(spark, path).collect()} == {1, 2, 3, 4}
