@@ -141,6 +141,12 @@ HEADLINE = [
     "scd2_user_history",
     "search_phrase",
     "events_top_paths",
+    # round 7c: batch phrase table, GDPR-purged log scan, experiment
+    # readout, daily anomaly z-scores
+    "search_phrase_multi",
+    "kafka_log_purged_scan",
+    "events_ab_test",
+    "events_anomaly_days",
 ]
 
 #: Indexed-ANN queries whose cost is two phases with different lifecycles:

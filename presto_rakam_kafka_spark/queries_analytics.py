@@ -725,3 +725,147 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("n"), F.asc("path"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+@query(
+    "events_ab_test",
+    oracle="""
+    WITH fp AS (
+      SELECT user_id,
+             arg_min(value, CAST(epoch(ts) AS BIGINT) * 1000000 + event_id)
+               AS first_val
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), per_user AS (
+      SELECT u.user_id, u.user_id % 2 AS variant,
+             CASE WHEN coalesce(fp.first_val, 0) >= 100 THEN 1 ELSE 0 END AS conv
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN fp USING (user_id)
+    ), v AS (
+      SELECT variant, count(*) AS n, CAST(sum(conv) AS BIGINT) AS c
+      FROM per_user GROUP BY variant
+    )
+    SELECT a.n AS n_control, a.c AS conv_control,
+           b.n AS n_treat, b.c AS conv_treat,
+           round((CAST(b.c AS DOUBLE) / b.n - CAST(a.c AS DOUBLE) / a.n)
+                 / sqrt((CAST(a.c + b.c AS DOUBLE) / (a.n + b.n))
+                        * (1.0 - CAST(a.c + b.c AS DOUBLE) / (a.n + b.n))
+                        * (CAST(1 AS DOUBLE) / a.n + CAST(1 AS DOUBLE) / b.n)),
+                 4) AS z_score
+    FROM v a JOIN v b ON a.variant = 0 AND b.variant = 1
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (round 7): deterministic variant
+    assignment (user_id % 2 — the hash-bucket assignment an
+    experimentation platform uses), per-variant user and conversion
+    counts, and the pooled two-proportion z-score computed with
+    explicit double arithmetic (identical IEEE ops in both engines —
+    never a library stat function the oracle can't replay). One
+    per-user shuffle + a 2-row aggregate; the z-test itself is
+    driver-free scalar math on the 2-row frame."""
+    # conversion = FIRST purchase value >= 100 ("did the first order
+    # clear the bar") — scale-invariant by construction: one draw per
+    # user at any SF. "Any purchase ever over T" saturates to p = 1 as
+    # events-per-user grow with SF — pooled variance hits 0 and the z
+    # denominator divides by zero (found live by the ANSI gate).
+    ev = _t(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.min_by(
+                "value",
+                F.expr("CAST(unix_seconds(ts) AS BIGINT) * 1000000 + event_id"),
+            ).alias("first_val")
+        )
+    )
+    per_user = (
+        ev.select("user_id")
+        .distinct()
+        .join(fp, "user_id", "left")
+        .select(
+            (F.col("user_id") % 2).alias("variant"),
+            F.when(F.coalesce("first_val", F.lit(0.0)) >= 100, 1)
+            .otherwise(0)
+            .alias("conv"),
+        )
+    )
+    v = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").cast("long").alias("c")
+    )
+    a = v.filter(F.col("variant") == 0).alias("a")
+    b = v.filter(F.col("variant") == 1).alias("b")
+    return (
+        a.crossJoin(b)
+        .selectExpr(
+            "a.n AS n_control",
+            "a.c AS conv_control",
+            "b.n AS n_treat",
+            "b.c AS conv_treat",
+            # CAST AS DOUBLE, never "* 1.0": Spark types int * 1.0 as
+            # DECIMAL while DuckDB uses DOUBLE — the z diverged at the
+            # 4th decimal (the text_stats lesson, found live again)
+            "round((CAST(b.c AS DOUBLE) / b.n - CAST(a.c AS DOUBLE) / a.n)"
+            " / sqrt((CAST(a.c + b.c AS DOUBLE) / (a.n + b.n))"
+            "        * (1.0 - CAST(a.c + b.c AS DOUBLE) / (a.n + b.n))"
+            "        * (CAST(1 AS DOUBLE) / a.n + CAST(1 AS DOUBLE) / b.n)),"
+            " 4) AS z_score",
+        )
+    )
+
+
+@query(
+    "events_anomaly_days",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, count(*) AS n
+      FROM events GROUP BY 1
+    ), w AS (
+      SELECT d, n,
+             sum(n * 1.0) OVER f AS s,
+             sum(n * n * 1.0) OVER f AS s2,
+             count(*) OVER f AS k
+      FROM daily
+      WINDOW f AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, n,
+           round((n - s / k) / sqrt((s2 - s * s / k) / (k - 1)), 4) AS z,
+           CASE WHEN abs((n - s / k) / sqrt((s2 - s * s / k) / (k - 1))) > 3
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM w WHERE k >= 3 AND (s2 - s * s / k) > 0
+    """,
+)
+def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection (round 7): each day's event count
+    z-scored against the trailing week (frame EXCLUDES the current
+    day, so a spike can't suppress its own baseline). Variance is the
+    explicit sum/sum-of-squares form over the 7-row frame — identical
+    summation order in both engines — rather than stddev_samp, whose
+    internal algorithm (Welford vs two-pass) can differ in the last
+    ulp between engines. One daily rollup + one tiny ordered window
+    over ~days rows (bounded: days, not events)."""
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    f = Window.orderBy("d").rowsBetween(-7, -1)
+    w = daily.select(
+        "d",
+        "n",
+        F.sum(F.col("n") * 1.0).over(f).alias("s"),
+        F.sum(F.col("n") * F.col("n") * 1.0).over(f).alias("s2"),
+        F.count(F.lit(1)).over(f).alias("k"),
+    )
+    z = "(n - s / k) / sqrt((s2 - s * s / k) / (k - 1))"
+    return (
+        w.filter((F.col("k") >= 3) & (F.expr("s2 - s * s / k") > 0))
+        .selectExpr(
+            "date_format(d, 'yyyy-MM-dd') AS day",
+            "n",
+            f"round({z}, 4) AS z",
+            f"CASE WHEN abs({z}) > 3 THEN 1 ELSE 0 END AS is_anomaly",
+        )
+    )

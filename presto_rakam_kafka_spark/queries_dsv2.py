@@ -570,3 +570,78 @@ def kafka_log_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("_offset").alias("first_offset"),
         F.max("_offset").alias("last_offset"),
     )
+
+
+def _purged_log_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Key-routed events log with every user_id % 11 == 5 erased via
+    `purge_keys` (the GDPR deletion request applied to the log itself)."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        purge_keys,
+        write_segments,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    d = os.path.join(tempfile.gettempdir(), f"kafka_purged_{tag}_{os.getpid()}")
+    if os.path.isdir(os.path.join(d, "partition=0")):
+        return d
+    ev = _t(spark, sf_dir, "events")
+    raw = ev.select(
+        F.col("event_id").alias("offset"),
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct("event_id", "user_id", "event_type", "value"))
+        .cast("binary")
+        .alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    write_segments(raw, d, num_partitions=3, segment_rows=500, route_by_key=True)
+    victims = [
+        str(r["user_id"]).encode()
+        for r in ev.select("user_id").distinct().collect()
+        if r["user_id"] % 11 == 5
+    ]
+    purge_keys(d, victims)
+    return d
+
+
+@query(
+    "kafka_log_purged_scan",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           min(event_id) AS first_offset, max(event_id) AS last_offset
+    FROM events WHERE user_id % 11 != 5
+    GROUP BY event_type
+    """,
+)
+def kafka_log_purged_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR erasure end-to-end (round 7): every user_id % 11 == 5 is
+    purged from the key-routed segment log (`purge_keys`: physical
+    rewrite of only the segments containing those keys, surviving
+    offsets intact, atomic generation flip), then the log is scanned
+    through the native source — the oracle is simply the events table
+    WITHOUT those users, proving the erasure removed exactly the
+    requested keys and nothing else."""
+    from presto_rakam_kafka_spark.metastore import SchemaField
+    from presto_rakam_kafka_spark.sources.kafka import KafkaEventSource
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        KafkaSegmentDataSource,
+    )
+    from presto_rakam_kafka_spark.types import FieldType
+
+    spark.dataSource.register(KafkaSegmentDataSource)
+    log_dir = _purged_log_dir(spark, sf_dir)
+    raw = spark.read.format("kafka_segments").option("path", log_dir).load()
+    fields = [
+        SchemaField("event_id", FieldType.LONG),
+        SchemaField("user_id", FieldType.LONG),
+        SchemaField("event_type", FieldType.STRING),
+        SchemaField("value", FieldType.DOUBLE),
+    ]
+    src = KafkaEventSource(bootstrap_servers="none:9092", value_format="json")
+    decoded = src._decode(spark, raw, "tpch", "events", fields)
+    return decoded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("_offset").alias("first_offset"),
+        F.max("_offset").alias("last_offset"),
+    )

@@ -1048,6 +1048,99 @@ def compact_log_by_key(
     return report
 
 
+def purge_keys(
+    path: str,
+    keys: list[bytes],
+    partitions: list[int] | None = None,
+) -> dict[int, int]:
+    """Right-to-be-forgotten erasure over a segment log: physically
+    rewrite every segment containing any of ``keys`` and republish —
+    the operation a GDPR/CCPA deletion request demands from an engine
+    that owns its own log (a Kafka broker only offers tombstone +
+    compaction-eventually; this is the immediate, provable variant).
+
+    Semantics: all frames whose key ∈ keys are removed from every
+    partition, all other frames keep their exact offsets (gaps appear,
+    like compaction). Segments with no matching key are NOT rewritten —
+    the erasure cost is proportional to the purged keys' locality, not
+    the log size. Publication per partition is the same atomic
+    generation flip as :func:`compact_segments`; a crash mid-purge
+    leaves the old generation fully visible (erasure either happened
+    observably or not at all — auditable). Null-key frames never match.
+    Returns {partition_id: frames_removed}.
+    """
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    keyset = {bytes(k) for k in keys}
+    report: dict[int, int] = {}
+    try:
+        entries = os.listdir(path)
+    except OSError as exc:
+        raise KafkaLogLayoutError(f"cannot list log dir {path}") from exc
+    found = False
+    for e in sorted(entries):
+        m = _PARTITION_DIR.match(e)
+        if not m:
+            continue
+        found = True
+        pid = int(m.group(1))
+        if partitions is not None and pid not in partitions:
+            continue
+        pdir = os.path.join(path, e)
+        cur = _resolve_partition_dir(pdir)
+        old_files = sorted(f for f in os.listdir(cur) if _SEGMENT_FILE.match(f))
+        removed = 0
+        clean: list[str] = []
+        rewritten: list[pa.Table] = []
+        for f in old_files:
+            t = pq.read_table(os.path.join(cur, f))
+            mask = [
+                k is not None and bytes(k) in keyset
+                for k in t["key"].to_pylist()
+            ]
+            hits = sum(mask)
+            if hits == 0:
+                clean.append(f)
+                continue
+            removed += hits
+            kept = t.filter(pa.array([not x for x in mask]))
+            rewritten.append((f, kept))
+        report[pid] = removed
+        if removed == 0:
+            continue
+        cur_gen = 0
+        if cur != pdir:
+            cur_gen = int(_GEN_DIR.match(os.path.basename(cur)).group(1))
+        gen_name = f"gen-{cur_gen + 1:06d}"
+        gdir = os.path.join(pdir, gen_name)
+        os.makedirs(gdir)
+        for f in clean:
+            shutil.copy(os.path.join(cur, f), os.path.join(gdir, f))
+        for f, kept in rewritten:
+            if kept.num_rows:
+                first = kept["offset"][0].as_py()
+                pq.write_table(
+                    kept, os.path.join(gdir, f"segment-{first}.parquet")
+                )
+        tmp = os.path.join(pdir, f".{_GEN_POINTER}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(gen_name)
+        os.replace(tmp, os.path.join(pdir, _GEN_POINTER))
+        if cur == pdir:
+            for f in old_files:
+                os.remove(os.path.join(pdir, f))
+        else:
+            shutil.rmtree(cur, ignore_errors=True)
+    if not found:
+        raise KafkaLogLayoutError(
+            f"no partition=N directories under {path} (A3 strictness)"
+        )
+    return report
+
+
 def expire_segments(
     path: str,
     min_offset: int,

@@ -902,3 +902,52 @@ def test_compact_log_by_key_latest_per_key_and_tombstones(spark, tmp_path):
     write_segments(raw_nullkey, log3)  # offset-routed write is fine
     with pytest.raises(KafkaLogLayoutError, match="null-key"):
         compact_log_by_key(log3)
+
+
+def test_purge_keys_erases_and_preserves_offsets(spark, tmp_path):
+    """GDPR erasure (round 7): purged keys vanish from every partition,
+    all other frames keep exact offsets (gaps appear), untouched
+    segments are NOT rewritten (erasure cost ∝ key locality), and
+    publication is the atomic generation flip — a second purge of the
+    same keys is a no-op."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        purge_keys,
+        write_segments,
+    )
+
+    # keys A/B/C spread over offsets; segment_rows=2 → several segments
+    frames = [
+        (i, [b"A", b"B", b"C"][i % 3], f"v{i}".encode()) for i in range(12)
+    ]
+    raw = spark.createDataFrame(
+        [(o, k, v, None) for o, k, v in frames],
+        "offset LONG, key BINARY, value BINARY, timestamp TIMESTAMP",
+    )
+    log = str(tmp_path / "purgelog")
+    write_segments(raw, log, num_partitions=2, segment_rows=2, route_by_key=True)
+
+    import glob
+
+    def seg_files():
+        return sorted(glob.glob(os.path.join(log, "partition=*", "**", "*.parquet"),
+                                recursive=True))
+
+    before = seg_files()
+    report = purge_keys(log, [b"B"])
+    assert sum(report.values()) == 4  # offsets 1,4,7,10
+    spark.dataSource.register(KafkaSegmentDataSource)
+    back = spark.read.format("kafka_segments").option("path", log).load()
+    rows = {(r["offset"], bytes(r["key"])) for r in back.collect()}
+    assert {k for _, k in rows} == {b"A", b"C"}
+    assert {o for o, _ in rows} == {0, 2, 3, 5, 6, 8, 9, 11}
+    # key-routed log: B lives in ONE partition; the other is untouched
+    # (same files, same generation dir)
+    after = seg_files()
+    untouched = set(before) & set(after)
+    assert untouched, (before, after)
+
+    # purging an absent key is a no-op (no rewrite at all)
+    snapshot = seg_files()
+    report2 = purge_keys(log, [b"B"])
+    assert sum(report2.values()) == 0
+    assert seg_files() == snapshot
