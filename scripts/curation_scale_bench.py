@@ -120,6 +120,21 @@ def main() -> None:
         "logreg_score": lambda: quality.quality_logreg_score(
             corpus, "text", "doc_id"
         ),
+        # round 7 additions
+        "phrase_multi": lambda: text.phrase_search_multi(
+            corpus, "text", "doc_id",
+            {i: [f"w{3 * i}", f"w{3 * i + 1}"] for i in range(8)},
+        ),
+        "profile": lambda: __import__(
+            "presto_rakam_kafka_spark.operators.datasets", fromlist=["datasets"]
+        ).profile_table(corpus, ["doc_id", "text", "source", "lang"]),
+        "dataset_diff": lambda: __import__(
+            "presto_rakam_kafka_spark.operators.datasets", fromlist=["datasets"]
+        ).diff_datasets(
+            corpus.filter(F.col("doc_id") % 7 != 0),
+            corpus.filter(F.col("doc_id") % 11 != 3),
+            "doc_id", "text",
+        ),
         # SemDeDup: within-cluster pair cost is Σ|cluster|²·dim, so the
         # honest receipt pins cluster size (~n/centroids); centroid
         # count is capped by expression-tree size (the argmax refs each

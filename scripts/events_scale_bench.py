@@ -108,6 +108,57 @@ def timed(label, build, events_df, n):
         cold = took
 
 
+def _top_paths(events):
+    from presto_rakam_kafka_spark import queries_analytics as qa
+
+    class _FakeT:
+        pass
+
+    # reuse the registered query body by inlining its plan over the
+    # synthetic frame (the registry function reads from sf_dir)
+    from pyspark.sql import Window
+
+    evs = events.select(
+        "user_id",
+        F.struct(
+            F.expr("unix_micros(ts)").alias("us"),
+            F.col("event_id"),
+            F.col("event_type"),
+        ).alias("ev"),
+    )
+    seqs = evs.groupBy("user_id").agg(
+        F.expr("transform(array_sort(collect_list(ev)), e -> e.event_type)").alias("seq")
+    )
+    paths = seqs.filter(F.expr("size(seq) >= 3")).selectExpr(
+        "explode(transform(sequence(0, size(seq) - 3),"
+        " i -> concat_ws('>', seq[i], seq[i+1], seq[i+2]))) AS path"
+    )
+    top = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n")).orderBy(
+        F.desc("n"), F.asc("path")
+    ).limit(10)
+    w = Window.orderBy(F.desc("n"), F.asc("path"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def _anomaly_days(events):
+    from pyspark.sql import Window
+
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    f = Window.orderBy("d").rowsBetween(-7, -1)
+    w = daily.select(
+        "d", "n",
+        F.sum(F.col("n") * 1.0).over(f).alias("s"),
+        F.sum(F.col("n") * F.col("n") * 1.0).over(f).alias("s2"),
+        F.count(F.lit(1)).over(f).alias("k"),
+    )
+    z = "(n - s / k) / sqrt((s2 - s * s / k) / (k - 1))"
+    return w.filter((F.col("k") >= 3) & (F.expr("s2 - s * s / k") > 0)).selectExpr(
+        "d", "n", f"round({z}, 4) AS z"
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=1_000_000)
@@ -134,6 +185,12 @@ def main():
         "attribution": ev.last_touch_attribution,
         "stickiness": ev.stickiness,
         "funnel_latency": ev.funnel_latency,
+        # round 7
+        "scd2_history": lambda e: __import__(
+            "presto_rakam_kafka_spark.operators.warehouse", fromlist=["warehouse"]
+        ).scd2_history(e, "user_id", "event_type", "ts", "event_id"),
+        "top_paths": _top_paths,
+        "anomaly_days": _anomaly_days,
     }
     for name, fn in ops.items():
         if args.op and args.op != name:
