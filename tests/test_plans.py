@@ -521,3 +521,34 @@ def test_merge_upsert_is_one_join_no_extra_exchange(spark, sf_dir):
     )
     assert "FullOuter" in plan, plan[:2500]
     assert plan.count("Exchange hashpartitioning") <= 2, plan[:2500]
+
+
+def test_phrase_multi_single_join_no_text_shuffle(spark, sf_dir):
+    # batch phrase retrieval = ONE postings join (broadcast query
+    # table) + aggregates; phrase length/query count never add joins,
+    # and the exploded postings are term-filtered BEFORE any exchange.
+    plan = _plan(Q.QUERIES["search_phrase_multi"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 1, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_dataset_diff_joins_digests_not_text(spark, sf_dir):
+    # the full-outer join's inputs carry (doc_id, md5) only — the text
+    # column is hashed BELOW the join, so the exchange moves ~48 B/row
+    # regardless of document size. The plan tree prints root-first:
+    # everything BEFORE the join line is above it and must not
+    # reference the raw text attribute; md5(text) appears below.
+    plan = _plan(Q.QUERIES["dataset_diff"](spark, sf_dir))
+    assert "FullOuter" in plan, plan[:3000]
+    above = plan.split("FullOuter")[0]
+    assert "md5(cast(text" not in above and " text#" not in above, above[:2000]
+    assert "md5(cast(text" in plan, plan[:3000]
+
+
+def test_profile_is_single_aggregate_pass(spark, sf_dir):
+    # one aggregation over the corpus (Expand for the multi-distinct is
+    # expected), then a 1-row stack unpivot — never one job/scan per
+    # column: exactly one file-scan of orders in the plan.
+    plan = _plan(Q.QUERIES["profile_orders"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan[:3000]
+    assert "Expand" in plan, plan[:3000]

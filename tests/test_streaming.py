@@ -717,3 +717,53 @@ def test_cdc_snapshot_gc_keeps_current_and_window(spark):
     assert removed == ["gen-0000000000", "gen-0000000001"]
     assert gens == ["gen-0000000002", "gen-0000000003", "gen-0000000099"]
     assert {r["k"] for r in cdc.read_snapshot(spark, path).collect()} == {1, 2, 3, 4}
+
+
+def test_funnel_ttl_bounds_state_rows(spark):
+    """The point of the state TTL, measured with Spark's own state
+    metrics: a stream of mostly one-shot users grows the funnel state
+    without bound (numRowsTotal == every user ever), while the same
+    replay with a TTL expires idle users and ends with strictly fewer
+    state rows — O(users active within the horizon)."""
+    import tempfile
+    from datetime import timedelta
+
+    from presto_rakam_kafka_spark.streaming import funnel as sfunnel
+    from presto_rakam_kafka_spark.streaming import runner
+
+    t0 = _ts("08:00")
+    batches = []
+    for i in range(5):
+        base = t0 + timedelta(hours=3 * i)
+        batches.append(
+            [(base, 1000 * (i + 1) + u, "view") for u in range(40)]
+        )
+
+    def run(build):
+        d = _stage_batches(spark, batches)
+        src = runner.read_file_stream(spark, d, EVENT_SCHEMA)
+        name = f"ttl_state_{abs(hash(d)) % 10**9}"
+        q = (
+            build(src)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p.get("stateOperators")
+        ]
+        return rows[-1]
+
+    unbounded = run(lambda s: sfunnel.funnel_stream(s))
+    bounded = run(lambda s: sfunnel.funnel_stream(s, state_ttl_hours=2))
+    # 5 batches x 40 one-shot users: without TTL every user ever stays
+    # in state; with a 2h TTL (batches 3h apart) earlier cohorts expire
+    assert unbounded == 200, unbounded
+    assert bounded < unbounded, (bounded, unbounded)
+    assert bounded <= 80, bounded  # at most ~the last horizon's cohorts
