@@ -490,3 +490,66 @@ def test_merge_upsert_semantics(spark):
         for r in merge_upsert(target, updates, "k", delete_col="deleted").collect()
     }
     assert got == {1: ("a", 10.0), 2: ("B", 21.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_fold_property(spark):
+    """Property (hypothesis): applying CDC batches ONE AT A TIME through
+    merge_upsert equals applying the latest-change-per-key of ALL
+    batches in one merge — the exact associativity the streaming CDC
+    snapshot (streaming/cdc.py) relies on for stream == batch. Random
+    keys, values, delete flags, and batch splits; cross-batch order is
+    change-sequence order (the per-key in-order delivery contract)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from presto_rakam_kafka_spark.operators.warehouse import merge_upsert
+
+    change = st.tuples(
+        st.integers(0, 6),            # key
+        st.integers(0, 99),           # value
+        st.booleans(),                # delete?
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        changes=st.lists(change, min_size=1, max_size=14),
+        cuts=st.sets(st.integers(1, 13), max_size=3),
+    )
+    def check(changes, cuts):
+        sch = "k LONG, v LONG, seq LONG, deleted BOOLEAN"
+        rows = [(k, v, i, d) for i, (k, v, d) in enumerate(changes)]
+        base = spark.createDataFrame([(99, 0, -1, False)], sch).drop("deleted")
+
+        def latest_per_key(rs):
+            best = {}
+            for k, v, i, d in rs:
+                best[k] = (k, v, i, d)
+            return list(best.values())
+
+        def apply_batch(cur, rs):
+            upd = spark.createDataFrame(latest_per_key(rs), sch)
+            return merge_upsert(cur, upd, "k", delete_col="deleted")
+
+        # incremental: one merge per batch (cut points split the stream)
+        bounds = sorted(c for c in cuts if c < len(rows))
+        pieces, prev = [], 0
+        for b in bounds + [len(rows)]:
+            if rows[prev:b]:
+                pieces.append(rows[prev:b])
+            prev = b
+        inc = base
+        for piece in pieces:
+            inc = apply_batch(inc, piece)
+
+        # one-shot: latest-per-key over the whole stream, single merge
+        one = apply_batch(base, rows)
+
+        got = {r["k"]: (r["v"], r["seq"]) for r in inc.collect()}
+        want = {r["k"]: (r["v"], r["seq"]) for r in one.collect()}
+        assert got == want
+
+    check()
