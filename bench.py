@@ -147,6 +147,8 @@ HEADLINE = [
     "kafka_log_purged_scan",
     "events_ab_test",
     "events_anomaly_days",
+    "events_cohort_ltv",
+    "text_entropy",
 ]
 
 #: Indexed-ANN queries whose cost is two phases with different lifecycles:

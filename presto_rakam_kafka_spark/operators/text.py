@@ -940,3 +940,46 @@ def phrase_search_multi_oracle(
             f"SELECT {qid} AS query_id, {id_col}, n_matches, first_pos FROM ({one})"
         )
     return " UNION ALL ".join(selects)
+
+
+def token_entropy(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc unigram entropy in nats (−Σ p·ln p over the doc's token
+    distribution) — the classic gibberish/boilerplate signal: low
+    entropy = repetitive filler, high = diverse vocabulary. Gopher-style
+    rule sets threshold on it next to the repetition ratios.
+
+    Distributed shape: explode → (doc, token) counts → per-doc fold;
+    both groupBys share the doc key after the first shuffle. Never the
+    O(len²) per-row expression form (count each token by scanning the
+    token array per distinct token) — entropy of a 10k-token doc would
+    be 100M comparisons per row."""
+    toks = df.select(
+        F.col(id_col),
+        F.expr(f"size({tokens_spark(text_col)})").alias("_len"),
+        F.explode(F.expr(tokens_spark(text_col))).alias("t"),
+    )
+    counts = toks.groupBy(id_col, "_len", "t").agg(F.count("*").alias("c"))
+    ent = (
+        "-sum((cast(c as double) / _len) * ln(cast(c as double) / _len))"
+    )
+    return counts.groupBy(id_col).agg(
+        F.expr(f"round({ent}, 4)").alias("entropy_nats"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+    )
+
+
+def token_entropy_oracle(table: str, text_col: str, id_col: str) -> str:
+    toks = tokens_duckdb(text_col)
+    return f"""
+    WITH tk AS (
+      SELECT {id_col}, len({toks}) AS _len, unnest({toks}) AS t
+      FROM {table}),
+    counts AS (
+      SELECT {id_col}, _len, t, count(*) AS c
+      FROM tk GROUP BY {id_col}, _len, t)
+    SELECT {id_col},
+           round(-sum((CAST(c AS DOUBLE) / _len)
+                      * ln(CAST(c AS DOUBLE) / _len)), 4) AS entropy_nats,
+           count(*) AS n_distinct_tokens
+    FROM counts GROUP BY {id_col}
+    """

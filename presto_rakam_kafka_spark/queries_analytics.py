@@ -869,3 +869,59 @@ def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN abs({z}) > 3 THEN 1 ELSE 0 END AS is_anomaly",
         )
     )
+
+
+@query(
+    "events_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_wk
+      FROM events GROUP BY user_id
+    ), spend AS (
+      SELECT user_id, date_trunc('week', ts) AS wk,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT strftime(f.cohort_wk, '%Y-%m-%d') AS cohort_week,
+           date_diff('day', f.cohort_wk, s.wk) // 7 AS week_offset,
+           count(DISTINCT s.user_id) AS n_buyers,
+           CAST(sum(s.cents) AS BIGINT) AS revenue_cents
+    FROM spend s JOIN firsts f ON s.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value (round 7): purchase revenue laid out as a
+    cohort-week x week-offset matrix — retention's revenue twin ("how
+    much does the March cohort spend in its 4th week"). Revenue is
+    summed as EXACT integer cents (2-decimal fixture values; the
+    merge_upsert_orders lesson — never round(sum(double)) in a gate
+    row). Same two-exchange budget as the retention matrix: per-user
+    first-week agg + per-(user, week) spend agg, then a join keyed by
+    user."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_wk")
+    )
+    spend = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("week", "ts").alias("wk"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return (
+        spend.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff(F.col("wk"), F.col("cohort_wk")) / 7).alias(
+                "week_offset"
+            ),
+        )
+        .agg(
+            F.count_distinct("user_id").alias("n_buyers"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )

@@ -1535,3 +1535,18 @@ def search_phrase_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate regardless of phrase length or query count (the chain
     form pays n−1 joins per phrase)."""
     return phrase_search_multi(_docs(spark, sf_dir), "text", "doc_id", _PHRASES)
+
+
+from presto_rakam_kafka_spark.operators.text import token_entropy, token_entropy_oracle
+
+
+@query(
+    "text_entropy",
+    oracle=token_entropy_oracle("documents", "text", "doc_id"),
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram entropy (round 7) — the gibberish/boilerplate
+    quality signal next to the Gopher ratios. Explode + two doc-keyed
+    aggregates sharing one shuffle; never the O(len²) per-row
+    expression form."""
+    return token_entropy(_docs(spark, sf_dir), "text", "doc_id")
