@@ -925,3 +925,67 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+@query(
+    "stream_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_wk
+      FROM events GROUP BY user_id
+    ), spend AS (
+      SELECT user_id, date_trunc('week', ts) AS wk,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT strftime(f.cohort_wk, '%Y-%m-%d') AS cohort_week,
+           date_diff('day', f.cohort_wk, s.wk) // 7 AS week_offset,
+           count(DISTINCT s.user_id) AS n_buyers,
+           CAST(sum(s.cents) AS BIGINT) AS revenue_cents
+    FROM spend s JOIN firsts f ON s.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def stream_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous cohort LTV (round 7): BOTH halves of the revenue
+    matrix are streaming-accumulable — per-user min(ts) (associative)
+    and per-(user, week) integer-cent sums (associative) run as
+    complete-mode streaming aggregations; the drained parts join and
+    bucket exactly like the batch `events_cohort_ltv` (identical
+    oracle). Sixth fold-then-finish rollup: state is users +
+    users x purchase-weeks rows — the stored matrix an LTV dashboard
+    reads, never raw events."""
+    from presto_rakam_kafka_spark.queries import _drain, _events_stream
+
+    firsts = _drain(
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_wk")),
+        "ltv_firsts",
+        "complete",
+    )
+    spend = _drain(
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("week", "ts").alias("wk"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        ),
+        "ltv_spend",
+        "complete",
+    )
+    return (
+        spend.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff(F.col("wk"), F.col("cohort_wk")) / 7).alias(
+                "week_offset"
+            ),
+        )
+        .agg(
+            F.count_distinct("user_id").alias("n_buyers"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
