@@ -969,6 +969,15 @@ def compact_log_by_key(
     relies on Kafka for (compacted metadata/changelog topics); here it
     is an offline rewrite an engine owning its own segment store must
     provide itself.
+
+    Memory shape: like :func:`compact_segments`, this maintenance
+    utility concatenates ONE PARTITION's segments in driver pyarrow —
+    right-sized for a partitioned log (a partition is the unit Kafka
+    bounds; brokers compact per partition in one pass too). Past
+    driver memory, run the same latest-per-key as a Spark job per
+    partition (`groupBy(key).agg(max_by(struct(*), offset))` — the
+    `streaming/cdc.py` batch fn — writing the new generation) and keep
+    this function's pointer-flip publication.
     """
     import shutil
 
@@ -1068,6 +1077,11 @@ def purge_keys(
     leaves the old generation fully visible (erasure either happened
     observably or not at all — auditable). Null-key frames never match.
     Returns {partition_id: frames_removed}.
+
+    Memory shape: per-SEGMENT pyarrow filter (never a whole partition
+    in memory — unlike compaction, erasure needs no cross-segment
+    state), so the bound is one segment's rows; untouched segments are
+    hard-linked-by-copy without decode.
     """
     import shutil
 
