@@ -951,3 +951,49 @@ def test_purge_keys_erases_and_preserves_offsets(spark, tmp_path):
     report2 = purge_keys(log, [b"B"])
     assert sum(report2.values()) == 0
     assert seg_files() == snapshot
+
+
+def test_compact_log_by_key_spark_equals_pyarrow_form(spark, tmp_path):
+    """The distributed compaction (Spark job per partition, max_by
+    combiners, footer-stat renames) must produce the SAME read view as
+    the driver-pyarrow form: same survivors, same offsets, same
+    tombstone handling; and the planner accepts the renamed files."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        compact_log_by_key,
+        compact_log_by_key_spark,
+        write_segments,
+    )
+
+    frames = [
+        (i, f"k{i % 5}".encode(), None if i in (13, 14) else f"v{i}".encode())
+        for i in range(15)
+    ]
+    raw = spark.createDataFrame(
+        [(o, k, v, None) for o, k, v in frames],
+        "offset LONG, key BINARY, value BINARY, timestamp TIMESTAMP",
+    )
+    spark.dataSource.register(KafkaSegmentDataSource)
+
+    def read_view(log):
+        df = spark.read.format("kafka_segments").option("path", log).load()
+        return sorted(
+            (r["offset"], bytes(r["key"]), None if r["value"] is None else bytes(r["value"]))
+            for r in df.collect()
+        )
+
+    log_a = str(tmp_path / "pya")
+    log_b = str(tmp_path / "spk")
+    for log in (log_a, log_b):
+        write_segments(raw, log, num_partitions=2, segment_rows=3, route_by_key=True)
+    rep_a = compact_log_by_key(log_a)
+    rep_b = compact_log_by_key_spark(spark, log_b, target_rows=2)
+    assert rep_a == rep_b
+    assert read_view(log_a) == read_view(log_b)
+    # offsets 13/14 were tombstones for their keys: those keys gone
+    keys = {k for _, k, _ in read_view(log_b)}
+    assert b"k3" not in keys and b"k4" not in keys
+    # small target_rows -> multiple renamed segment files, all planner-valid
+    import glob
+
+    segs = glob.glob(os.path.join(log_b, "partition=*", "gen-*", "segment-*.parquet"))
+    assert len(segs) >= 2
