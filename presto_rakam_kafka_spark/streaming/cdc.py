@@ -34,11 +34,20 @@ from pyspark.sql import functions as F
 _POINTER = "_CURRENT"
 
 
-def read_snapshot(spark, path: str) -> DataFrame:
-    """The committed snapshot: resolve the pointer, read one generation."""
-    with open(os.path.join(path, _POINTER)) as fh:
-        gen = fh.read().strip()
-    return spark.read.parquet(os.path.join(path, gen))
+def read_snapshot(spark, path: str, generation: str | None = None) -> DataFrame:
+    """The committed snapshot: resolve the pointer, read one generation.
+    ``generation`` reads a RETAINED older generation instead (time
+    travel within the `gc_snapshots` keep_last window); a retired or
+    unknown name raises rather than silently reading the current one."""
+    if generation is None:
+        with open(os.path.join(path, _POINTER)) as fh:
+            generation = fh.read().strip()
+    elif not os.path.isdir(os.path.join(path, generation)):
+        raise FileNotFoundError(
+            f"generation {generation!r} not retained under {path} "
+            "(expired by gc_snapshots or never committed)"
+        )
+    return spark.read.parquet(os.path.join(path, generation))
 
 
 def _committed_epoch(path: str) -> int:

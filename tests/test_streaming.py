@@ -767,3 +767,32 @@ def test_funnel_ttl_bounds_state_rows(spark):
     assert unbounded == 200, unbounded
     assert bounded < unbounded, (bounded, unbounded)
     assert bounded <= 80, bounded  # at most ~the last horizon's cohorts
+
+
+def test_cdc_snapshot_time_travel(spark):
+    """read_snapshot(generation=...) reads a retained older generation
+    (time travel); a GC'd generation raises instead of silently serving
+    the current one."""
+    import datetime as dt
+    import tempfile
+
+    import pytest
+
+    from presto_rakam_kafka_spark.streaming import cdc
+
+    t0 = dt.datetime(2024, 6, 1, 10, 0)
+    sch = "k LONG, v STRING, ts TIMESTAMP, seq LONG, deleted BOOLEAN"
+    base = spark.createDataFrame([(1, "b", t0, 0, False)], sch).drop("deleted")
+    path = tempfile.mkdtemp(prefix="cdc_tt_")
+    cdc.init_snapshot(base, path)
+    fn = cdc.cdc_batch_fn(path, "k", "ts", "seq", delete_col="deleted")
+    fn(spark.createDataFrame([(2, "x", t0, 1, False)], sch), 0)
+    fn(spark.createDataFrame([(3, "y", t0, 1, False)], sch), 1)
+
+    old = cdc.read_snapshot(spark, path, generation="gen-0000000001")
+    assert {r["k"] for r in old.collect()} == {1, 2}
+    assert {r["k"] for r in cdc.read_snapshot(spark, path).collect()} == {1, 2, 3}
+
+    cdc.gc_snapshots(path, keep_last=1)
+    with pytest.raises(FileNotFoundError, match="gen-0000000001"):
+        cdc.read_snapshot(spark, path, generation="gen-0000000001")
