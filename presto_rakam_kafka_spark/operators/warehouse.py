@@ -111,12 +111,20 @@ def scd2_history(
     w = Window.partitionBy(key_col).orderBy(
         F.col(ts_col).asc(), F.col(tiebreak_col).asc()
     )
+    # NULL-SAFE change detection: `_prev != attr` is three-valued — a
+    # non-null→NULL transition yields NULL and the run boundary was
+    # silently dropped (the NULL period merged into its predecessor).
+    # `eqNullSafe` (SQL IS DISTINCT FROM) treats NULL as a value; the
+    # first row of each entity is detected by lag(1) being null (lag of
+    # the ATTRIBUTE is null both on row one and after a NULL value, so
+    # it cannot double as the first-row marker).
     changes = (
         df.withColumn("_prev", F.lag(attr_col).over(w))
+        .withColumn("_first", F.lag(F.lit(1)).over(w).isNull())
         .filter(
-            F.col("_prev").isNull() | (F.col("_prev") != F.col(attr_col))
+            F.col("_first") | ~F.col("_prev").eqNullSafe(F.col(attr_col))
         )
-        .drop("_prev")
+        .drop("_prev", "_first")
     )
     w2 = Window.partitionBy(key_col).orderBy(
         F.col(ts_col).asc(), F.col(tiebreak_col).asc()
@@ -135,13 +143,15 @@ def scd2_history_oracle(
     return f"""
     WITH flagged AS (
       SELECT {key_col}, {attr_col}, {ts_col}, {tiebreak_col},
-             lag({attr_col}) OVER w AS prev
+             lag({attr_col}) OVER w AS prev,
+             lag(1) OVER w AS prevflag
       FROM {table}
       WINDOW w AS (PARTITION BY {key_col}
                    ORDER BY {ts_col}, {tiebreak_col})
     ), changes AS (
       SELECT {key_col}, {attr_col}, {ts_col}, {tiebreak_col}
-      FROM flagged WHERE prev IS NULL OR prev != {attr_col}
+      FROM flagged
+      WHERE prevflag IS NULL OR prev IS DISTINCT FROM {attr_col}
     )
     SELECT {key_col}, {attr_col},
            strftime({ts_col}, '{TS_FMT_DUCK}') AS valid_from,

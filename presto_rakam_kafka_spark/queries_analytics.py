@@ -732,8 +732,7 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH fp AS (
       SELECT user_id,
-             arg_min(value, CAST(epoch(ts) AS BIGINT) * 1000000 + event_id)
-               AS first_val
+             first(value ORDER BY ts, event_id) AS first_val
       FROM events WHERE event_type = 'purchase' GROUP BY user_id
     ), per_user AS (
       SELECT u.user_id, u.user_id % 2 AS variant,
@@ -773,10 +772,12 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(
-            F.min_by(
-                "value",
-                F.expr("CAST(unix_seconds(ts) AS BIGINT) * 1000000 + event_id"),
-            ).alias("first_val")
+            # struct ordering, not an epoch-arithmetic key: the r7 form
+            # (unix_seconds*1e6 + id vs DuckDB's rounding epoch() cast)
+            # diverged on sub-second timestamps near .5; (ts, id) lexical
+            # order is exact at ANY timestamp precision, and the DuckDB
+            # twin is the ordered aggregate first(value ORDER BY ts, id)
+            F.min_by("value", F.struct("ts", "event_id")).alias("first_val")
         )
     )
     per_user = (

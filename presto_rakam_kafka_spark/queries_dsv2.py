@@ -594,10 +594,15 @@ def _purged_log_dir(spark: SparkSession, sf_dir: str) -> str:
         F.col("ts").alias("timestamp"),
     )
     write_segments(raw, d, num_partitions=3, segment_rows=500, route_by_key=True)
+    # filter IN THE PLAN, then collect: only the victim ids (1/11th of
+    # the distinct set) cross to the driver — the purge-request list is
+    # inherently driver-side, but the selection predicate is not
     victims = [
         str(r["user_id"]).encode()
-        for r in ev.select("user_id").distinct().collect()
-        if r["user_id"] % 11 == 5
+        for r in ev.filter(F.col("user_id") % 11 == 5)
+        .select("user_id")
+        .distinct()
+        .collect()
     ]
     purge_keys(d, victims)
     return d

@@ -985,22 +985,26 @@ def compact_log_by_key(
     import pyarrow.parquet as pq
 
     report: dict[int, tuple[int, int]] = {}
-    try:
-        entries = os.listdir(path)
-    except OSError as exc:
-        raise KafkaLogLayoutError(f"cannot list log dir {path}") from exc
-    found = False
-    for e in sorted(entries):
-        m = _PARTITION_DIR.match(e)
-        if not m:
-            continue
-        found = True
-        pid = int(m.group(1))
-        if partitions is not None and pid not in partitions:
-            continue
-        pdir = os.path.join(path, e)
-        cur = _resolve_partition_dir(pdir)
-        old_files = sorted(f for f in os.listdir(cur) if _SEGMENT_FILE.match(f))
+    selected = _select_log_partitions(path, partitions)
+    # validate EVERY selected partition up front (key column only — a
+    # cheap columnar read) BEFORE publishing any generation flip: the
+    # r7 form validated inside the rewrite loop, so partition K's null
+    # keys aborted AFTER partitions 0..K-1 had already been compacted
+    # and published — a half-applied maintenance run with no report of
+    # what committed. Now a failing partition fails the WHOLE run
+    # atomically: nothing has been rewritten yet.
+    for pid, _pdir, cur, old_files in selected:
+        for f in old_files:
+            if pq.read_table(os.path.join(cur, f), columns=["key"])[
+                "key"
+            ].null_count:
+                raise KafkaLogLayoutError(
+                    f"partition {pid} has null-key frames; log compaction "
+                    "requires keyed records (Kafka rejects unkeyed writes "
+                    "to compacted topics); validated before any rewrite — "
+                    "no partition was compacted or published"
+                )
+    for pid, pdir, cur, old_files in selected:
         if not old_files:
             report[pid] = (0, 0)
             continue
@@ -1008,12 +1012,6 @@ def compact_log_by_key(
             [pq.read_table(os.path.join(cur, f)) for f in old_files]
         ).sort_by("offset")
         keys = table["key"].to_pylist()
-        if any(k is None for k in keys):
-            raise KafkaLogLayoutError(
-                f"partition {pid} has null-key frames; log compaction "
-                "requires keyed records (Kafka rejects unkeyed writes "
-                "to compacted topics)"
-            )
         # latest-per-key: sorted by offset, the LAST occurrence wins
         last_idx: dict[bytes, int] = {}
         for i, k in enumerate(keys):
@@ -1050,11 +1048,41 @@ def compact_log_by_key(
         else:
             shutil.rmtree(cur, ignore_errors=True)
         report[pid] = (table.num_rows, compacted.num_rows)
+    return report
+
+
+def _select_log_partitions(
+    path: str, partitions: list[int] | None
+) -> list[tuple[int, str, str, list[str]]]:
+    """Enumerate the selected ``partition=N`` dirs with their resolved
+    current generation and segment files — the shared first pass of the
+    log-maintenance operators, separated from the rewrite loop so
+    validation can cover EVERY partition before ANY generation flip
+    (atomic failure). Raises on a log with no partition dirs (A3
+    strictness). Returns [(pid, pdir, current_dir, segment_files)]."""
+    try:
+        entries = os.listdir(path)
+    except OSError as exc:
+        raise KafkaLogLayoutError(f"cannot list log dir {path}") from exc
+    found = False
+    selected: list[tuple[int, str, str, list[str]]] = []
+    for e in sorted(entries):
+        m = _PARTITION_DIR.match(e)
+        if not m:
+            continue
+        found = True
+        pid = int(m.group(1))
+        if partitions is not None and pid not in partitions:
+            continue
+        pdir = os.path.join(path, e)
+        cur = _resolve_partition_dir(pdir)
+        old_files = sorted(f for f in os.listdir(cur) if _SEGMENT_FILE.match(f))
+        selected.append((pid, pdir, cur, old_files))
     if not found:
         raise KafkaLogLayoutError(
             f"no partition=N directories under {path} (A3 strictness)"
         )
-    return report
+    return selected
 
 
 def purge_keys(
@@ -1185,32 +1213,28 @@ def compact_log_by_key_spark(
     from pyspark.sql import functions as F
 
     report: dict[int, tuple[int, int]] = {}
-    try:
-        entries = os.listdir(path)
-    except OSError as exc:
-        raise KafkaLogLayoutError(f"cannot list log dir {path}") from exc
-    found = False
-    for e in sorted(entries):
-        m = _PARTITION_DIR.match(e)
-        if not m:
-            continue
-        found = True
-        pid = int(m.group(1))
-        if partitions is not None and pid not in partitions:
-            continue
-        pdir = os.path.join(path, e)
-        cur = _resolve_partition_dir(pdir)
-        old_files = sorted(f for f in os.listdir(cur) if _SEGMENT_FILE.match(f))
+    selected = _select_log_partitions(path, partitions)
+    # up-front atomic validation (the compact_log_by_key discipline):
+    # every selected partition is checked for null keys — one cheap
+    # key-column Spark job each — BEFORE any partition is rewritten or
+    # any generation pointer flips, so a bad partition fails the whole
+    # run with nothing half-applied.
+    for pid, _pdir, cur, old_files in selected:
         if not old_files:
-            report[pid] = (0, 0)
             continue
         src = spark.read.parquet(*[os.path.join(cur, f) for f in old_files])
         if src.filter(F.col("key").isNull()).limit(1).count():
             raise KafkaLogLayoutError(
                 f"partition {pid} has null-key frames; log compaction "
                 "requires keyed records (Kafka rejects unkeyed writes "
-                "to compacted topics)"
+                "to compacted topics); validated before any rewrite — "
+                "no partition was compacted or published"
             )
+    for pid, pdir, cur, old_files in selected:
+        if not old_files:
+            report[pid] = (0, 0)
+            continue
+        src = spark.read.parquet(*[os.path.join(cur, f) for f in old_files])
         rows_before = src.count()
         cols = src.columns
         latest = (
@@ -1258,10 +1282,6 @@ def compact_log_by_key_spark(
         else:
             shutil.rmtree(cur, ignore_errors=True)
         report[pid] = (rows_before, rows_after)
-    if not found:
-        raise KafkaLogLayoutError(
-            f"no partition=N directories under {path} (A3 strictness)"
-        )
     return report
 
 

@@ -57,6 +57,7 @@ def attribution_stream(
     conversion_type: str = "purchase",
     window_days: int = 7,
     state_ttl_days: int | None = None,
+    watermark: str = "0 seconds",
 ) -> DataFrame:
     """Emit (user_id, conversion_id, attributed_touch, first_touch)
     for every conversion event, attributed to the user's most recent
@@ -65,8 +66,15 @@ def attribution_stream(
 
     ``state_ttl_days`` bounds the per-user carry: it expires that many
     days of EVENT time after the user's last activity (event-time
-    timeout vs the watermark; a ``0 seconds`` watermark is attached to
-    ``ts``). Unbounded streams need it — the carry is otherwise an
+    timeout vs the watermark, attached to ``ts`` with ``watermark`` as
+    the allowed-lateness delay). **TTL mode drops events later than
+    that lateness** — EventTimeTimeout filters rows older than the
+    watermark before the stateful operator, so cross-batch out-of-order
+    events are silently discarded when ``watermark`` is smaller than
+    the stream's real disorder, and attribution can then differ from
+    the no-TTL path; size it to the expected cross-batch lateness (see
+    `funnel.py` for the same contract). Unbounded streams need the
+    TTL — the carry is otherwise an
     O(all-users-ever) leak. Semantics of expiry: the user becomes a
     new user, so a later conversion with no fresh touch attributes to
     'none' and first_touch restarts. A TTL ≥ ``window_days`` never
@@ -137,7 +145,7 @@ def attribution_stream(
     keep = list(touch_types) + [conversion_type]
     src = events.filter(F.col("event_type").isin(keep))
     if ttl_ms is not None:
-        src = src.withWatermark("ts", "0 seconds")
+        src = src.withWatermark("ts", watermark)
     return src.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=OUT_SCHEMA,

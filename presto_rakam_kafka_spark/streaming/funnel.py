@@ -59,6 +59,7 @@ def funnel_stream(
     steps: tuple[str, ...] = ("view", "click", "purchase"),
     window_hours: int | None = None,
     state_ttl_hours: int | None = None,
+    watermark: str = "0 seconds",
 ) -> DataFrame:
     """Emit (user_id, step, step_name, step_ts) whenever a user's
     funnel depth advances. ``window_hours`` bounds each step's distance
@@ -66,13 +67,25 @@ def funnel_stream(
 
     ``state_ttl_hours`` bounds the STATE, not the funnel: per-user
     state expires ``state_ttl_hours`` of event time after the user's
-    last activity (event-time timeout against the stream's watermark —
-    a ``0 seconds`` watermark is attached to ``ts``). Without it the
-    per-user accumulators live forever, an O(all-users-ever) leak on an
-    unbounded stream; with it, state is O(users active in the TTL
-    horizon) and an expired user re-entering starts at depth 0, exactly
-    like a new user. Pick a TTL past ``window_hours`` so no live funnel
-    can be cut short (r6 verdict next-7)."""
+    last activity (event-time timeout against the stream's watermark,
+    which TTL mode attaches to ``ts`` with ``watermark`` as the
+    allowed-lateness delay). Without it the per-user accumulators live
+    forever, an O(all-users-ever) leak on an unbounded stream; with it,
+    state is O(users active in the TTL horizon) and an expired user
+    re-entering starts at depth 0, exactly like a new user. Pick a TTL
+    past ``window_hours`` so no live funnel can be cut short (r6
+    verdict next-7).
+
+    **TTL mode drops events later than the allowed lateness**: with
+    EventTimeTimeout, Spark filters rows older than the watermark
+    BEFORE the stateful operator, so a cross-batch out-of-order event
+    (the case the in-batch sort handles within a batch) is silently
+    discarded when ``watermark`` is smaller than the stream's real
+    disorder — funnel depths then differ from the no-TTL path. Size
+    ``watermark`` to the expected cross-batch lateness (the same knob
+    as `joins.py`/`sessionize.py`); it trades state-eviction lag for
+    late-event tolerance and, unlike the r7 hard-coded ``0 seconds``,
+    makes the tradeoff explicit and testable."""
     idx = {s: i for i, s in enumerate(steps)}
     window_us = None if window_hours is None else window_hours * 3600 * 1_000_000
     ttl_ms = None if state_ttl_hours is None else state_ttl_hours * 3600 * 1000
@@ -137,7 +150,7 @@ def funnel_stream(
 
     src = events.filter(F.col("event_type").isin(list(steps)))
     if ttl_ms is not None:
-        src = src.withWatermark("ts", "0 seconds")
+        src = src.withWatermark("ts", watermark)
     return src.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=OUT_SCHEMA,

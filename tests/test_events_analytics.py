@@ -553,3 +553,38 @@ def test_merge_upsert_fold_property(spark):
         assert got == want
 
     check()
+
+
+def test_scd2_null_runs_are_tracked(spark):
+    """SCD2 change detection is NULL-safe (round 8, ADVICE): a
+    non-null→NULL transition opens a new run (the r7 `!=` form was
+    three-valued and silently merged the NULL period into its
+    predecessor), NULL→non-null closes it, an entity whose FIRST value
+    is NULL still gets its opening row, and consecutive NULLs collapse
+    into one run like any other value."""
+    import datetime as dt
+
+    from presto_rakam_kafka_spark.operators.warehouse import scd2_history
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # entity 1: a → NULL → NULL → a  (3 runs; the NULL pair collapses)
+        (1, "a", t(0), 0), (1, None, t(1), 1), (1, None, t(2), 2), (1, "a", t(3), 3),
+        # entity 2: starts NULL → b      (2 runs; first row must survive)
+        (2, None, t(0), 0), (2, "b", t(1), 1),
+    ]
+    df = spark.createDataFrame(rows, "k LONG, attr STRING, ts TIMESTAMP, seq LONG")
+    got = sorted(
+        (
+            (r["k"], r["attr"], r["valid_from"], r["valid_to"])
+            for r in scd2_history(df, "k", "attr", "ts", "seq").collect()
+        ),
+        key=lambda t: (t[0], t[1] is None, t[1] or "", t[2]),
+    )
+    assert got == [
+        (1, "a", "2024-01-01 00:00:00", "2024-01-01 00:01:00"),
+        (1, "a", "2024-01-01 00:03:00", None),
+        (1, None, "2024-01-01 00:01:00", "2024-01-01 00:03:00"),
+        (2, "b", "2024-01-01 00:01:00", None),
+        (2, None, "2024-01-01 00:00:00", "2024-01-01 00:01:00"),
+    ]

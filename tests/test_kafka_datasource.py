@@ -997,3 +997,45 @@ def test_compact_log_by_key_spark_equals_pyarrow_form(spark, tmp_path):
 
     segs = glob.glob(os.path.join(log_b, "partition=*", "gen-*", "segment-*.parquet"))
     assert len(segs) >= 2
+
+
+def test_compact_validates_all_partitions_before_any_flip(spark, tmp_path):
+    """Null-key validation is atomic (round 8, ADVICE): a log whose
+    partition 1 carries a null-key frame fails compaction BEFORE any
+    partition is rewritten — partition 0 keeps its original layout (no
+    generation dir, no pointer), for BOTH the pyarrow and the Spark
+    forms. The r7 in-loop check had already compacted and published
+    partitions 0..K-1 when partition K raised."""
+    import glob
+
+    import pytest
+
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        KafkaLogLayoutError,
+        compact_log_by_key,
+        compact_log_by_key_spark,
+        write_segments,
+    )
+
+    # offset routing (offset % 2): even offsets -> partition 0 (all
+    # keyed), odd offsets -> partition 1 (one null key)
+    frames = [
+        (0, b"A", b"a1"), (2, b"A", b"a2"), (4, b"B", b"b1"),
+        (1, b"C", b"c1"), (3, None, b"x"), (5, b"C", b"c2"),
+    ]
+    raw = spark.createDataFrame(
+        [(o, k, v, None) for o, k, v in frames],
+        "offset LONG, key BINARY, value BINARY, timestamp TIMESTAMP",
+    )
+
+    for fn, tag in ((compact_log_by_key, "pa"), (
+        lambda p: compact_log_by_key_spark(spark, p), "spark",
+    )):
+        log = str(tmp_path / f"atomic_{tag}")
+        write_segments(raw, log, num_partitions=2, segment_rows=2)
+        p0 = os.path.join(log, "partition=0")
+        before = sorted(glob.glob(os.path.join(p0, "**", "*"), recursive=True))
+        with pytest.raises(KafkaLogLayoutError, match="null-key"):
+            fn(log)
+        after = sorted(glob.glob(os.path.join(p0, "**", "*"), recursive=True))
+        assert after == before, tag  # partition 0 untouched: atomic failure

@@ -796,3 +796,43 @@ def test_cdc_snapshot_time_travel(spark):
     cdc.gc_snapshots(path, keep_last=1)
     with pytest.raises(FileNotFoundError, match="gen-0000000001"):
         cdc.read_snapshot(spark, path, generation="gen-0000000001")
+
+
+def test_stream_funnel_ttl_watermark_delay_tolerates_late_events(spark):
+    """TTL mode's watermark is a real allowed-lateness knob (round 8,
+    ADVICE): a cross-batch out-of-order event survives when the delay
+    covers the disorder and is folded exactly like the no-TTL path; the
+    r7 hard-coded '0 seconds' silently dropped it (kept here as the
+    documented default behavior, asserted explicitly)."""
+    from presto_rakam_kafka_spark.streaming import funnel as sfunnel
+
+    batches = [
+        # batch 0: user 1 enters the funnel; user 2's 12:00 view pushes
+        # the max event time to 12:00
+        [(_ts("10:00"), 1, "view"), (_ts("12:00"), 2, "view")],
+        # batch 1: filler (the late filter applies the watermark with a
+        # one-batch lag — see test_append_mode_drops_late_beyond_watermark)
+        [(_ts("12:30"), 2, "click")],
+        # batch 2: user 1's click is 1h OLD relative to the 12:00 max —
+        # cross-batch disorder, filtered against wm = 12:00 − delay
+        [(_ts("11:00"), 1, "click")],
+        # batch 3: the funnel completes in order
+        [(_ts("13:00"), 1, "purchase")],
+    ]
+
+    def run(**kw):
+        d = _stage_batches(spark, batches)
+        out = _run(
+            spark, d,
+            lambda src: sfunnel.funnel_stream(src, state_ttl_hours=24, **kw),
+            "append",
+        )
+        return {(r["user_id"], r["step"]) for r in out.collect()}
+
+    # delay ≥ disorder (wm = 10:00): late click folds, funnel completes
+    # — identical to the no-TTL semantics
+    assert run(watermark="2 hours") == {(1, 1), (1, 2), (1, 3), (2, 1), (2, 2)}
+    # default 0-second delay (wm = 12:00): the late click is dropped
+    # BEFORE the stateful operator, so the purchase can't advance past
+    # step 1 — the documented cost of a zero lateness allowance
+    assert run() == {(1, 1), (2, 1), (2, 2)}
