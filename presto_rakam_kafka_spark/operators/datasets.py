@@ -157,6 +157,7 @@ def export_batch_fn(
     id_col: str,
     num_shards: int = 8,
     version: str = "v1",
+    app_id: str = "default",
 ):
     """The exactly-once per-micro-batch export step (factored out of
     :func:`export_stream` so tests can replay it with a pinned
@@ -169,8 +170,19 @@ def export_batch_fn(
     1. the batch's rows are written under ``epoch=<id>/shard=<k>/`` with
        ``mode("overwrite")`` on the epoch directory, and
     2. the manifest flip both accumulates the batch's per-shard stats
-       AND records the epoch id in ``manifest["epochs"]``; a batch whose
-       epoch is already recorded is skipped entirely.
+       AND records ``manifest["txns"][app_id] = epoch``; a batch at or
+       below its app's committed epoch is skipped entirely.
+
+    The txn key is ``(app_id, epoch)`` — Delta's foreachBatch
+    txnAppId/txnVersion recipe — NOT the epoch alone: a stream
+    restarted with a fresh checkpoint restarts epochs at 0, and an
+    epoch-only key (the r7 form) would silently swallow every batch of
+    the new run as a "replay" — unbounded data loss with no error.
+    Give each checkpoint lineage its own ``app_id``; epoch ids within
+    one lineage are monotonic, so "≤ committed" identifies replays
+    exactly. Epoch directories of different apps are disambiguated as
+    ``epoch=<app>-<id>`` when ``app_id`` is not the default (two apps'
+    epoch 0 must not collide on disk).
 
     Replay analysis: a retry after a crash BEFORE the flip overwrites
     the (possibly partial) epoch directory and then commits once; a
@@ -194,14 +206,15 @@ def export_batch_fn(
                 "version": version,
                 "num_shards": num_shards,
                 "shards": {},
-                "epochs": [],
+                "txns": {},
             }
-        if int(epoch_id) in manifest.get("epochs", []):
-            return  # already committed — replayed batch, exactly-once skip
+        if int(epoch_id) <= manifest.get("txns", {}).get(app_id, -1):
+            return  # already committed by THIS app — replay, exactly-once skip
         out = batch_df.withColumn(
             "shard", F.expr(shard_expr(id_col, num_shards))
         )
-        epoch_dir = os.path.join(path, f"epoch={int(epoch_id)}")
+        tag = int(epoch_id) if app_id == "default" else f"{app_id}-{int(epoch_id)}"
+        epoch_dir = os.path.join(path, f"epoch={tag}")
         out.write.mode("overwrite").partitionBy("shard").parquet(epoch_dir)
         batch_stats = {
             int(r["shard"]): (
@@ -222,7 +235,9 @@ def export_batch_fn(
                 "checksum": prev["checksum"] + c,
             }
         manifest["shards"] = shards
-        manifest["epochs"] = sorted(set(manifest.get("epochs", [])) | {int(epoch_id)})
+        txns = dict(manifest.get("txns", {}))
+        txns[app_id] = int(epoch_id)
+        manifest["txns"] = txns
         manifest["total_docs"] = sum(s["n_docs"] for s in shards.values())
         manifest["total_tokens"] = sum(s["n_tokens"] for s in shards.values())
         tmp = mpath + ".tmp"
@@ -241,6 +256,7 @@ def export_stream(
     num_shards: int = 8,
     version: str = "v1",
     checkpoint: str | None = None,
+    app_id: str = "default",
 ):
     """Continuous dataset materialization, exactly-once: every
     micro-batch's rows land under an epoch-keyed directory
@@ -249,13 +265,17 @@ def export_stream(
     per-shard stats (counts/tokens/checksums are all sums, so
     per-batch stats fold exactly — the same fold-then-finish argument
     as the streaming retention/stickiness rollups) together with the
-    committed epoch list. Replayed batches are skipped by epoch id, so
-    a foreachBatch retry can neither double-append rows nor
-    double-count stats — see :func:`export_batch_fn` for the replay
-    analysis. A reader that loads the manifest always sees stats ≤ the
-    data on disk, and `verify_export` passes at every batch boundary.
-    Returns the writer; callers own trigger/termination."""
-    on_batch = export_batch_fn(path, text_col, id_col, num_shards, version)
+    committed (app_id, epoch) transaction record. Replayed batches are
+    skipped per app, so a foreachBatch retry can neither double-append
+    rows nor double-count stats, while a restart under a NEW app_id
+    (fresh checkpoint) keeps appending — see :func:`export_batch_fn`
+    for the replay analysis. A reader that loads the manifest always
+    sees stats ≤ the data on disk, and `verify_export` passes at every
+    batch boundary. Returns the writer; callers own
+    trigger/termination."""
+    on_batch = export_batch_fn(
+        path, text_col, id_col, num_shards, version, app_id=app_id
+    )
     writer = stream.writeStream.foreachBatch(on_batch)
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
@@ -267,21 +287,32 @@ def export_stream(
 # ---------------------------------------------------------------------
 
 
-def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
+def profile_table(
+    df: DataFrame,
+    columns: list[str],
+    approx: bool = False,
+    rsd: float = 0.02,
+) -> DataFrame:
     """One-pass per-column profile — the "describe my table" primitive
     every analytics engine ships (and a curation pipeline's first look
-    at a new source): per column, row count, null count, EXACT distinct
+    at a new source): per column, row count, null count, distinct
     count, and min/max rendered as strings.
 
     Shape: ONE aggregation over the corpus computing every column's
     stats side by side (4·N agg expressions, one job), then a ``stack``
     unpivot of the single result row into N output rows — never one
     job per column (N scans) and never a corpus-sized unpivot-THEN-
-    aggregate (which would explode the input N×). The multi-column
-    exact COUNT(DISTINCT) is the expensive part: Catalyst plans it as
-    an Expand (one replica of each row per distinct aggregate) — the
-    honest cost of exactness; swap in approx_count_distinct at 100 TB
-    when ±2% is acceptable and the Expand disappears.
+    aggregate (which would explode the input N×).
+
+    ``approx``: the multi-column exact COUNT(DISTINCT) is the expensive
+    part — Catalyst plans it as an Expand (one replica of each row per
+    distinct aggregate, an N×-the-input shuffle), the honest cost of
+    exactness. ``approx=True`` swaps every distinct for
+    ``approx_count_distinct`` (HyperLogLog++, relative error ``rsd``):
+    the Expand disappears, the whole profile is one partial-agg pass
+    with constant-size sketch state per column — the 100 TB default
+    (round 8, VERDICT next-4: a flag, not an edit). Counts, nulls, and
+    min/max are exact in both modes.
 
     min/max are cast to string AFTER aggregating (numeric order, then
     render). Doubles render differently across engines (Spark's Java
@@ -289,11 +320,16 @@ def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
     integer/string/date columns for engine-portable output, or round
     first; the gate row sticks to portable types.
     """
+    def nd(c):
+        if approx:
+            return F.approx_count_distinct(F.col(c), rsd)
+        return F.count_distinct(F.col(c))
+
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in columns:
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            nd(c).alias(f"{c}__nd"),
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
@@ -308,15 +344,21 @@ def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
     )
 
 
-def profile_table_oracle(table: str, columns: list[str]) -> str:
+def profile_table_oracle(
+    table: str, columns: list[str], include_distinct: bool = True
+) -> str:
     """DuckDB twin: one aggregate row per column via UNION ALL (DuckDB
-    fuses the scans; the contract here is values, not the plan)."""
+    fuses the scans; the contract here is values, not the plan).
+    ``include_distinct=False`` omits the distinct column — the twin for
+    ``profile_table(approx=True)``, whose HLL++ estimate no other
+    engine replays bit-for-bit (the estimate is asserted within its rsd
+    in unit tests instead)."""
     selects = [
         f"""
         SELECT '{c}' AS column, count(*) AS n_rows,
                CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_nulls,
-               count(DISTINCT {c}) AS n_distinct,
+               {f'count(DISTINCT {c}) AS n_distinct,' if include_distinct else ''}
                CAST(min({c}) AS VARCHAR) AS min_str,
                CAST(max({c}) AS VARCHAR) AS max_str
         FROM {table}"""

@@ -540,34 +540,15 @@ _UPDATES_SQL = """
 """
 
 
-@query(
-    "merge_upsert_orders",
-    oracle=f"""
-    SELECT o_orderstatus, count(*) AS n_orders,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-             AS sum_price_cents,
-           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
-    FROM ({warehouse.merge_upsert_oracle(
-        "SELECT " + ", ".join(_ORDER_COLS) + " FROM orders",
-        _UPDATES_SQL, "o_orderkey", _ORDER_COLS, delete_col="deleted",
-    )})
-    GROUP BY o_orderstatus
-    """,
-)
-def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE INTO semantics (round 7): a CDC batch — price bumps for
-    every 13th order, inserts of new keys, deletes for every 19th
-    update key — applied to the orders snapshot as ONE key-partitioned
-    full-outer join (whole-row update wins, unmatched update inserts,
-    flagged match deletes). Bucket both sides by the key and the
-    exchange disappears; a small CDC batch broadcasts and the target
-    never shuffles. Summarized per status for a compact gate row."""
-    orders = _t(spark, sf_dir, "orders").select(*_ORDER_COLS)
-    upd = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+def _order_updates(orders: DataFrame) -> DataFrame:
+    """The CDC batch both MERGE gate rows apply: price bumps for every
+    13th order (every 19th of those flagged deleted), inserts of new
+    keys for every 17th (the `_UPDATES_SQL` twin). +1.00 not *1.1: the
+    product rounds differently across engines on representation edges
+    (a 1-cent straddle seen live at sf0.01); adding an exactly-
+    representable constant keeps doubles identical."""
+    return orders.filter(F.col("o_orderkey") % 13 == 0).select(
         "o_orderkey", "o_custkey", "o_orderstatus",
-        # +1.00 not *1.1: the product rounds differently across engines
-        # on representation edges (a 1-cent straddle seen live at sf0.01);
-        # adding an exactly-representable constant keeps doubles identical
         (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
         "o_orderdate", "o_orderpriority",
         (F.col("o_orderkey") % 19 == 0).alias("deleted"),
@@ -579,12 +560,26 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False).alias("deleted"),
         )
     )
-    merged = warehouse.merge_upsert(orders, upd, "o_orderkey", delete_col="deleted")
-    # integer-cents sum: prices carry exactly 2 decimals, so per-row
-    # round(x*100) is engine-stable and the long sum is EXACT — a
-    # round(sum(double), 2) straddled the last cent between Spark and
-    # DuckDB at sf0.01 (different summation order; the verify-skill
-    # gotcha observed live)
+
+
+_MERGE_SUMMARY_ORACLE = f"""
+    SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM ({warehouse.merge_upsert_oracle(
+        "SELECT " + ", ".join(_ORDER_COLS) + " FROM orders",
+        _UPDATES_SQL, "o_orderkey", _ORDER_COLS, delete_col="deleted",
+    )})
+    GROUP BY o_orderstatus
+    """
+
+
+def _merge_summary(merged: DataFrame) -> DataFrame:
+    """Integer-cents per-status rollup shared by the MERGE gate rows:
+    prices carry exactly 2 decimals, so per-row round(x*100) is
+    engine-stable and the long sum is EXACT — a round(sum(double), 2)
+    straddled the last cent between Spark and DuckDB at sf0.01."""
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
@@ -593,6 +588,50 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@query("merge_upsert_orders", oracle=_MERGE_SUMMARY_ORACLE)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (round 7): a CDC batch — price bumps for
+    every 13th order, inserts of new keys, deletes for every 19th
+    update key — applied to the orders snapshot as ONE key-partitioned
+    full-outer join (whole-row update wins, unmatched update inserts,
+    flagged match deletes). Bucket both sides by the key and the
+    exchange disappears; a small CDC batch broadcasts and the target
+    never shuffles. Summarized per status for a compact gate row
+    (integer-cents sum — see `_merge_summary`)."""
+    orders = _t(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    return _merge_summary(
+        warehouse.merge_upsert(
+            orders, _order_updates(orders), "o_orderkey", delete_col="deleted"
+        )
+    )
+
+
+@query("merge_upsert_orders_sharded", oracle=_MERGE_SUMMARY_ORACLE)
+def merge_upsert_orders_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucket-PRUNED MERGE fast path (round 8, VERDICT next-3):
+    the same CDC batch applied through the sharded snapshot store
+    (`streaming/cdc.py:merge_into_snapshot`) — the orders table lives
+    as ``_shard=K`` md5-bucket partitions, the batch's touched-bucket
+    set is a bounded collect, the full-outer MERGE join reads a
+    partition-pruned scan of just those buckets, and untouched buckets
+    are hard-linked into the new generation with zero data I/O (the r7
+    `merge_upsert` full-outer join rebuilt the whole target however
+    small the batch — O(target) per merge at 100 TB). Result must be
+    value-identical to the unsharded `merge_upsert_orders` row: same
+    oracle."""
+    import tempfile
+
+    from presto_rakam_kafka_spark.streaming import cdc
+
+    orders = _t(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    path = tempfile.mkdtemp(prefix="merge_shard_")
+    cdc.init_snapshot(orders, path, key_col="o_orderkey", num_buckets=8)
+    cdc.merge_into_snapshot(
+        _order_updates(orders), path, "o_orderkey", delete_col="deleted"
+    )
+    return _merge_summary(cdc.read_snapshot(spark, path))
 
 
 @query(
@@ -650,7 +689,7 @@ def stream_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "event_type", "ts", "value")
         .limit(0)
     )
-    cdc.init_snapshot(base, path)
+    cdc.init_snapshot(base, path, key_col="user_id", num_buckets=8)
     st = _events_stream(spark, sf_dir).select(
         "user_id", "event_id", "event_type", "ts", "value",
         (F.col("event_type") == "error").alias("deleted"),
@@ -948,37 +987,50 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Continuous cohort LTV (round 7): BOTH halves of the revenue
-    matrix are streaming-accumulable — per-user min(ts) (associative)
-    and per-(user, week) integer-cent sums (associative) run as
-    complete-mode streaming aggregations; the drained parts join and
-    bucket exactly like the batch `events_cohort_ltv` (identical
-    oracle). Sixth fold-then-finish rollup: state is users +
-    users x purchase-weeks rows — the stored matrix an LTV dashboard
-    reads, never raw events."""
+    """Continuous cohort LTV (round 7; single-pass since round 8,
+    VERDICT next-6): ONE complete-mode streaming aggregation keyed by
+    (user, week) accumulates BOTH halves of the revenue matrix —
+    min(ts) per (user, week) and the week's integer-cent purchase sum,
+    each associative — so the stream is consumed ONCE (the r7 form
+    drained it twice, once per half). The finish then derives each
+    user's cohort week as the min over their drained week rows — a
+    state-sized (users × active weeks) batch step, never a second pass
+    over events — and joins/buckets exactly like the batch
+    `events_cohort_ltv` (identical oracle). Sixth fold-then-finish
+    rollup: state is users × active weeks — the stored matrix an LTV
+    dashboard reads, never raw events."""
     from presto_rakam_kafka_spark.queries import _drain, _events_stream
 
-    firsts = _drain(
+    parts = _drain(
         _events_stream(spark, sf_dir)
-        .groupBy("user_id")
-        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_wk")),
-        "ltv_firsts",
-        "complete",
-    )
-    spend = _drain(
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
         .groupBy("user_id", F.date_trunc("week", "ts").alias("wk"))
         .agg(
-            F.sum(F.round(F.col("value") * 100).cast("long"))
+            F.min("ts").alias("min_ts"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(F.lit(0))
+            )
             .cast("long")
-            .alias("cents")
+            .alias("cents"),
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            .cast("long")
+            .alias("n_purch"),
         ),
-        "ltv_spend",
+        "ltv_parts",
         "complete",
     )
+    # both legs read the SAME drained table — rename the grouped leg's
+    # key so the self-join has no conflicting attributes
+    firsts = (
+        parts.groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("min_ts")).alias("cohort_wk"))
+        .withColumnRenamed("user_id", "_first_user")
+    )
+    spend = parts.filter(F.col("n_purch") > 0).select("user_id", "wk", "cents")
     return (
-        spend.join(firsts, "user_id")
+        spend.join(firsts, F.col("user_id") == F.col("_first_user"))
         .groupBy(
             F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
             F.floor(F.datediff(F.col("wk"), F.col("cohort_wk")) / 7).alias(

@@ -45,20 +45,31 @@ def index_stream(
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
     checkpoint: str | None = None,
+    app_id: str = "default",
 ):
     """Start a query that upserts every micro-batch into the
     incremental IVF-PQ index at ``path`` (which must already be
     initialized via ``init_ivfpq_index``). Returns the streaming query;
-    callers own trigger/termination."""
+    callers own trigger/termination. Give each checkpoint lineage its
+    own ``app_id``: delta names carry it, so a stream restarted with a
+    fresh checkpoint (epochs back at 0) indexes under new delta names
+    instead of colliding with — and being swallowed by — the previous
+    run's ``epoch-0`` delta (the txnAppId discipline used by
+    `operators/datasets.py` and `streaming/cdc.py`)."""
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # Epoch-named delta = exactly-once: a replayed batch (retry
-        # after the manifest flip) finds `epoch-<id>` already live and
-        # the upsert is a no-op, instead of allocating a fresh delta id
-        # and double-indexing the same vectors (duplicate entries would
-        # displace genuine neighbors in top-k probes).
+        # (app, epoch)-named delta = exactly-once per writer: a replayed
+        # batch (retry after the manifest flip) finds its delta already
+        # live and the upsert is a no-op, instead of allocating a fresh
+        # delta id and double-indexing the same vectors (duplicate
+        # entries would displace genuine neighbors in top-k probes).
+        tag = (
+            f"epoch-{int(epoch_id):08d}"
+            if app_id == "default"
+            else f"epoch-{app_id}-{int(epoch_id):08d}"
+        )
         upsert_ivfpq_index(
             batch_df.sparkSession,
             batch_df,
@@ -69,7 +80,7 @@ def index_stream(
             num_centroids=num_centroids,
             m=m,
             ksub=ksub,
-            delta_name=f"epoch-{int(epoch_id):08d}",
+            delta_name=tag,
         )
 
     writer = stream.writeStream.foreachBatch(on_batch)

@@ -9,55 +9,228 @@ Shape per micro-batch:
    changes for one key; highest (ts, tiebreak) wins — the same
    declarative ``min_by``/``max_by`` aggregate as `exact_dedup`, so
    partial merge applies and a hot key combines map-side);
-2. MERGE it into the current snapshot (one key-partitioned full-outer
-   join);
-3. publish the new snapshot under ``gen-<epoch>/`` and atomically flip
+2. MERGE it into the TOUCHED BUCKETS of the current snapshot only:
+   generations are stored as ``_shard=K`` partitions (md5 bucket of
+   the key — the `operators/datasets.py` shard discipline), the
+   batch's touched-bucket set is a bounded collect (≤ num_buckets
+   rows), the MERGE full-outer join reads a partition-PRUNED scan of
+   just those buckets, and untouched buckets are HARD-LINKED into the
+   new generation without being read or rewritten (the `purge_keys`
+   untouched-segment trick). Per-batch I/O is therefore
+   O(touched buckets), not O(snapshot) — the r7 form rewrote the
+   entire snapshot every micro-batch, the one shape that gets worse
+   as the target grows (the reason Delta/Iceberg MERGE does
+   file-level pruning);
+3. publish the new snapshot under ``gen-<n>/`` and atomically flip
    the ``_CURRENT`` pointer (``os.replace``) — readers always see
    exactly one complete generation (the `kafka_segments` compactor's
-   pointer discipline), and a replayed epoch is SKIPPED because its
-   generation is already current-or-past (exactly-once, the same
-   epoch-keyed idempotence as `operators/datasets.py:export_batch_fn`).
+   pointer discipline). The pointer also carries the per-writer
+   transaction record ``{app_id: last_epoch}`` (Delta's foreachBatch
+   txnAppId/txnVersion recipe): a replayed epoch from the SAME writer
+   is skipped exactly-once, while a writer restarted with a fresh
+   checkpoint (epochs restart at 0) presents a NEW app_id and is
+   applied rather than silently swallowed — the r7 epoch-only key
+   treated every post-restart batch as a replay, unbounded silent
+   data loss.
 
-100 TB: the merge is the full-outer join cost per batch — at large
-scale you partition the snapshot by key range and rewrite only the
-partitions the batch touches (the join pruned by the batch's key set);
-the generation-pointer publication is unchanged by that sharding.
+100 TB: the per-batch cost is (batch shuffle on the key) + (scan +
+rewrite of touched buckets) + (metadata-only linking of the rest);
+size ``num_buckets`` so one bucket ≈ a comfortable task input
+(thousands of buckets at 100 TB), and batch locality keeps the
+touched set small. The generation-pointer publication is unchanged
+by the sharding.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _POINTER = "_CURRENT"
+_META = "_META.json"
+
+
+def _shard_col(key_col: str, num_buckets: int) -> F.Column:
+    from presto_rakam_kafka_spark.operators.datasets import shard_expr
+
+    return F.expr(shard_expr(key_col, num_buckets))
+
+
+def _read_meta(path: str) -> dict:
+    mpath = os.path.join(path, _META)
+    if not os.path.exists(mpath):
+        return {"num_buckets": 0, "key_col": None}  # legacy unsharded store
+    with open(mpath) as fh:
+        return json.load(fh)
+
+
+def _read_pointer(path: str) -> tuple[str, dict[str, int]]:
+    """(current generation, {app_id: last committed epoch})."""
+    with open(os.path.join(path, _POINTER)) as fh:
+        lines = fh.read().strip().splitlines()
+    txns = json.loads(lines[1])["txns"] if len(lines) > 1 else {}
+    return lines[0], {str(k): int(v) for k, v in txns.items()}
+
+
+def _flip_pointer(path: str, gen: str, txns: dict[str, int]) -> None:
+    """Atomic two-line pointer: line 1 the committed generation (what
+    readers resolve), line 2 the writer transaction record — one file,
+    one ``os.replace``, so generation and txn state can never be seen
+    half-updated."""
+    tmp = os.path.join(path, f".{_POINTER}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(gen + "\n" + json.dumps({"txns": txns}, sort_keys=True))
+    os.replace(tmp, os.path.join(path, _POINTER))
 
 
 def read_snapshot(spark, path: str, generation: str | None = None) -> DataFrame:
     """The committed snapshot: resolve the pointer, read one generation.
     ``generation`` reads a RETAINED older generation instead (time
     travel within the `gc_snapshots` keep_last window); a retired or
-    unknown name raises rather than silently reading the current one."""
+    unknown name raises rather than silently reading the current one.
+    The internal ``_shard`` bucket column is dropped — callers see the
+    user schema regardless of the store's bucket layout."""
     if generation is None:
-        with open(os.path.join(path, _POINTER)) as fh:
-            generation = fh.read().strip()
+        generation, _ = _read_pointer(path)
     elif not os.path.isdir(os.path.join(path, generation)):
         raise FileNotFoundError(
             f"generation {generation!r} not retained under {path} "
             "(expired by gc_snapshots or never committed)"
         )
-    return spark.read.parquet(os.path.join(path, generation))
+    df = spark.read.parquet(os.path.join(path, generation))
+    return df.drop("_shard") if "_shard" in df.columns else df
 
 
-def _committed_epoch(path: str) -> int:
-    """Generation names carry epoch+1 (so the pre-stream base is
-    ``gen-0000000000`` = "committed through epoch −1")."""
-    ptr = os.path.join(path, _POINTER)
-    if not os.path.exists(ptr):
-        return -1
-    with open(ptr) as fh:
-        return int(fh.read().strip().rsplit("-", 1)[1]) - 1
+def init_snapshot(
+    base: DataFrame,
+    path: str,
+    key_col: str | None = None,
+    num_buckets: int = 16,
+) -> None:
+    """Write the base table as ``gen-0000000000`` and point ``_CURRENT``
+    at it. With ``key_col`` the store is BUCKET-SHARDED: every
+    generation is partitioned by ``_shard = md5-bucket(key)`` so
+    incremental merges rewrite only touched buckets (see module doc).
+    ``key_col=None`` keeps the unsharded legacy layout (every merge
+    rewrites the whole snapshot — fixture-scale only)."""
+    gen = "gen-0000000000"
+    nb = num_buckets if key_col is not None else 0
+    tmp_meta = os.path.join(path, f".{_META}.tmp")
+    os.makedirs(path, exist_ok=True)
+    with open(tmp_meta, "w") as fh:
+        json.dump({"num_buckets": nb, "key_col": key_col}, fh)
+    os.replace(tmp_meta, os.path.join(path, _META))
+    if nb:
+        _write_generation(
+            base.withColumn("_shard", _shard_col(key_col, nb)),
+            os.path.join(path, gen),
+        )
+    else:
+        base.write.mode("overwrite").parquet(os.path.join(path, gen))
+    _flip_pointer(path, gen, {})
+
+
+def _write_generation(merged: DataFrame, gdir: str) -> None:
+    """Write one sharded generation. A ZERO-ROW partitioned write leaves
+    no parquet file at all (no schema to read back — an empty CDC base
+    via ``limit(0)`` hits this); fall back to an unpartitioned zero-row
+    file so every generation is readable, with ``_shard`` as a plain
+    column the pruning filter still accepts."""
+    merged.write.mode("overwrite").partitionBy("_shard").parquet(gdir)
+    has_data = any(e.startswith("_shard=") for e in os.listdir(gdir))
+    if not has_data:
+        merged.write.mode("overwrite").parquet(gdir)
+
+
+def _next_gen(current: str) -> str:
+    return f"gen-{int(current.rsplit('-', 1)[1]) + 1:010d}"
+
+
+def merge_into_snapshot(
+    updates: DataFrame,
+    path: str,
+    key_col: str,
+    delete_col: str | None = None,
+    txn: tuple[str, int] | None = None,
+) -> tuple[str, list[int]]:
+    """One bucket-pruned MERGE INTO the snapshot store (the batch entry;
+    :func:`cdc_batch_fn` wraps it with latest-per-key + the epoch/txn
+    exactly-once discipline). Updates must be unique per key.
+
+    Steps: bucket the updates, collect the touched-bucket set (bounded
+    by num_buckets), full-outer-MERGE against a partition-pruned scan
+    of just those buckets, write ONLY them into the next generation,
+    hard-link every untouched bucket's files across (metadata-only —
+    and GC of the old generation later just unlinks, the shared file
+    survives), then flip the pointer ONCE, recording ``txn``
+    (app_id, epoch) in the same atomic replace when given — generation
+    and idempotence state can never diverge. Returns
+    (generation, touched).
+
+    On an UNSHARDED legacy store this degrades to the whole-snapshot
+    merge with the same publication."""
+    from presto_rakam_kafka_spark.operators.warehouse import merge_upsert
+
+    spark = updates.sparkSession
+    meta = _read_meta(path)
+    nb = int(meta["num_buckets"])
+    current, txns = _read_pointer(path)
+    if txn is not None:
+        txns = dict(txns)
+        txns[txn[0]] = int(txn[1])
+    gen = _next_gen(current)
+    cur_dir = os.path.join(path, current)
+    gdir = os.path.join(path, gen)
+
+    if not nb:
+        merged = merge_upsert(
+            spark.read.parquet(cur_dir), updates, key_col, delete_col=delete_col
+        )
+        merged.write.mode("overwrite").parquet(gdir)
+        _flip_pointer(path, gen, txns)
+        return gen, []
+
+    # persist the bucketed updates: the touched-set collect and the
+    # MERGE both consume them, and without the cache the upstream
+    # latest-per-key aggregate would run twice (the ranks.py r7
+    # fill-on-fit lesson — measured 2× on the 5M-change receipt)
+    upd = updates.withColumn("_shard", _shard_col(key_col, nb)).persist()
+    touched = sorted(
+        int(r["_shard"]) for r in upd.select("_shard").distinct().collect()
+    )
+    target = spark.read.parquet(cur_dir)
+    pruned = (
+        target
+        if len(touched) == nb
+        else target.filter(F.col("_shard").isin(touched))
+    )
+    merged = merge_upsert(pruned, upd, key_col, delete_col=delete_col)
+    # overwrite clears any orphan generation left by a crash before the
+    # flip (including previously linked buckets), then linking restores
+    # the untouched set — a replay converges to the same layout
+    merged.write.mode("overwrite").partitionBy("_shard").parquet(gdir)
+    touched_set = set(touched)
+    for b in range(nb):
+        if b in touched_set:
+            continue
+        src = os.path.join(cur_dir, f"_shard={b}")
+        if not os.path.isdir(src):
+            continue  # bucket empty in the current generation
+        dst = os.path.join(gdir, f"_shard={b}")
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                os.link(os.path.join(src, f), os.path.join(dst, f))
+    if not any(e.startswith("_shard=") for e in os.listdir(gdir)):
+        # every key deleted and nothing to link: the zero-row
+        # partitioned write left no readable file (see _write_generation)
+        merged.write.mode("overwrite").parquet(gdir)
+    upd.unpersist()
+    _flip_pointer(path, gen, txns)
+    return gen, touched
 
 
 def cdc_batch_fn(
@@ -66,21 +239,27 @@ def cdc_batch_fn(
     ts_col: str,
     tiebreak_col: str,
     delete_col: str | None = None,
+    app_id: str = "default",
 ):
     """The exactly-once per-batch CDC apply step (factored out so tests
-    can replay it with pinned ``epoch_id``s)."""
-    from presto_rakam_kafka_spark.operators.warehouse import merge_upsert
+    can replay it with pinned ``epoch_id``s).
+
+    Idempotence is keyed on ``(app_id, epoch)`` — Delta's foreachBatch
+    txnAppId/txnVersion recipe: a replayed epoch from the same writer
+    skips; a DIFFERENT writer (stream restarted with a fresh
+    checkpoint, epochs back at 0) applies and starts its own epoch
+    series in the pointer's txn record."""
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         epoch = int(epoch_id)
-        if epoch <= _committed_epoch(path):
+        _, txns = _read_pointer(path)
+        if epoch <= txns.get(app_id, -1):
             return  # replayed batch — already folded into the snapshot
-        spark = batch_df.sparkSession
-        # latest change per key wins inside the batch: min_by on the
-        # NEGATED order = max_by(struct, (ts, tiebreak)) with partial
-        # aggregation (the exact_dedup r7 lesson: never a window here)
+        # latest change per key wins inside the batch: max_by(struct,
+        # (ts, tiebreak)) with partial aggregation (the exact_dedup r7
+        # lesson: never a window here)
         cols = batch_df.columns
         latest = (
             batch_df.groupBy(key_col)
@@ -92,27 +271,11 @@ def cdc_batch_fn(
             )
             .select("_s.*")
         )
-        current = read_snapshot(spark, path)
-        merged = merge_upsert(current, latest, key_col, delete_col=delete_col)
-        gen = f"gen-{epoch + 1:010d}"
-        merged.write.mode("overwrite").parquet(os.path.join(path, gen))
-        tmp = os.path.join(path, f".{_POINTER}.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(gen)
-        os.replace(tmp, os.path.join(path, _POINTER))
+        merge_into_snapshot(
+            latest, path, key_col, delete_col=delete_col, txn=(app_id, epoch)
+        )
 
     return on_batch
-
-
-def init_snapshot(base: DataFrame, path: str) -> None:
-    """Write the base table as ``gen-0000000000`` ("committed through
-    epoch −1" — stream epochs are ≥ 0) and point ``_CURRENT`` at it."""
-    gen = "gen-0000000000"
-    base.write.mode("overwrite").parquet(os.path.join(path, gen))
-    tmp = os.path.join(path, f".{_POINTER}.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(gen)
-    os.replace(tmp, os.path.join(path, _POINTER))
 
 
 def apply_cdc_stream(
@@ -123,10 +286,16 @@ def apply_cdc_stream(
     tiebreak_col: str,
     delete_col: str | None = None,
     checkpoint: str | None = None,
+    app_id: str = "default",
 ):
     """Wire the batch fn to ``foreachBatch``; callers own trigger and
-    termination, and read results via :func:`read_snapshot`."""
-    on_batch = cdc_batch_fn(path, key_col, ts_col, tiebreak_col, delete_col)
+    termination, and read results via :func:`read_snapshot`. Give each
+    logical stream a stable ``app_id`` (tied to its checkpoint): replays
+    within one checkpoint lineage dedupe on (app_id, epoch); a fresh
+    checkpoint should present a fresh app_id."""
+    on_batch = cdc_batch_fn(
+        path, key_col, ts_col, tiebreak_col, delete_col, app_id=app_id
+    )
     writer = stream.writeStream.foreachBatch(on_batch)
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
@@ -140,11 +309,13 @@ def gc_snapshots(path: str, keep_last: int = 2) -> list[str]:
     orphan is an in-flight epoch about to commit). A reader mid-scan on
     a retired generation fails loudly and retries against the pointer —
     the same observable-atomicity contract as `compact_segments`.
-    Returns the removed generation names."""
+    Sharded stores GC safely: untouched buckets are hard links, so
+    removing an old generation unlinks its names while every file still
+    referenced by a newer generation survives. Returns the removed
+    generation names."""
     import shutil
 
-    with open(os.path.join(path, _POINTER)) as fh:
-        current = fh.read().strip()
+    current, _ = _read_pointer(path)
     gens = sorted(
         e for e in os.listdir(path)
         if e.startswith("gen-") and os.path.isdir(os.path.join(path, e))

@@ -491,7 +491,7 @@ def test_export_batch_replay_is_exactly_once(spark, sf_dir):
 
     before = snapshot()
     rows_before = spark.read.parquet(out).count()
-    assert before["epochs"] == [0, 1]
+    assert before["txns"] == {"default": 1}
     assert ds.verify_export(spark, out, "text", "doc_id")
 
     # replay AFTER commit: exact no-op
@@ -513,9 +513,24 @@ def test_export_batch_replay_is_exactly_once(spark, sf_dir):
     assert snapshot() == before  # not yet committed
     fn(b2, 2)
     after = snapshot()
-    assert after["epochs"] == [0, 1, 2]
+    assert after["txns"] == {"default": 2}
     assert after["total_docs"] == before["total_docs"] + b2.count()
     assert ds.verify_export(spark, out, "text", "doc_id")
+
+    # restart under a NEW app_id (fresh checkpoint, epochs back at 0):
+    # the batch must APPLY — an epoch-only idempotence key would have
+    # silently swallowed it as a replay (round 8, ADVICE)
+    b3 = docs.filter(F.col("doc_id") % 11 == 4)
+    fn2 = ds.export_batch_fn(out, "text", "doc_id", num_shards=4,
+                             app_id="run2")
+    fn2(b3, 0)
+    final = snapshot()
+    assert final["txns"] == {"default": 2, "run2": 0}
+    assert final["total_docs"] == after["total_docs"] + b3.count()
+    assert ds.verify_export(spark, out, "text", "doc_id")
+    # and run2's replay of its own epoch 0 skips
+    fn2(b3, 0)
+    assert snapshot() == final
 
 
 def test_stream_funnel_state_ttl_expires_idle_users(spark):
@@ -652,7 +667,7 @@ def test_cdc_batch_replay_and_crash_recovery(spark):
     sch = "k LONG, v STRING, ts TIMESTAMP, seq LONG, deleted BOOLEAN"
     base = spark.createDataFrame([(1, "base1", t0, 0, False)], sch).drop("deleted")
     path = tempfile.mkdtemp(prefix="cdc_test_")
-    cdc.init_snapshot(base, path)
+    cdc.init_snapshot(base, path, key_col="k", num_buckets=4)
     fn = cdc.cdc_batch_fn(path, "k", "ts", "seq", delete_col="deleted")
 
     mk = lambda rows: spark.createDataFrame(rows, sch)  # noqa: E731
@@ -703,7 +718,7 @@ def test_cdc_snapshot_gc_keeps_current_and_window(spark):
     sch = "k LONG, v STRING, ts TIMESTAMP, seq LONG, deleted BOOLEAN"
     base = spark.createDataFrame([(1, "b", t0, 0, False)], sch).drop("deleted")
     path = tempfile.mkdtemp(prefix="cdc_gc_")
-    cdc.init_snapshot(base, path)
+    cdc.init_snapshot(base, path, key_col="k", num_buckets=4)
     fn = cdc.cdc_batch_fn(path, "k", "ts", "seq", delete_col="deleted")
     for e in range(3):
         fn(spark.createDataFrame([(2 + e, f"v{e}", t0, 1, False)], sch), e)
@@ -784,7 +799,7 @@ def test_cdc_snapshot_time_travel(spark):
     sch = "k LONG, v STRING, ts TIMESTAMP, seq LONG, deleted BOOLEAN"
     base = spark.createDataFrame([(1, "b", t0, 0, False)], sch).drop("deleted")
     path = tempfile.mkdtemp(prefix="cdc_tt_")
-    cdc.init_snapshot(base, path)
+    cdc.init_snapshot(base, path, key_col="k", num_buckets=4)
     fn = cdc.cdc_batch_fn(path, "k", "ts", "seq", delete_col="deleted")
     fn(spark.createDataFrame([(2, "x", t0, 1, False)], sch), 0)
     fn(spark.createDataFrame([(3, "y", t0, 1, False)], sch), 1)
@@ -836,3 +851,106 @@ def test_stream_funnel_ttl_watermark_delay_tolerates_late_events(spark):
     # BEFORE the stateful operator, so the purchase can't advance past
     # step 1 — the documented cost of a zero lateness allowance
     assert run() == {(1, 1), (2, 1), (2, 2)}
+
+
+def test_cdc_sharded_merge_rewrites_only_touched_buckets(spark):
+    """Round-8 flagship fix (VERDICT next-1): a micro-batch MERGE into a
+    bucket-sharded snapshot rewrites ONLY the buckets its keys hash to;
+    every other bucket's files are hard-linked into the new generation
+    (same inode, st_nlink > 1 — zero data I/O). A one-key batch against
+    a multi-bucket snapshot must therefore leave most bucket files
+    shared, the snapshot content must be exactly the merged result, and
+    GC of the old generation must not break the links."""
+    import datetime as dt
+    import glob
+    import tempfile
+
+    from presto_rakam_kafka_spark.streaming import cdc
+
+    t0 = dt.datetime(2024, 6, 1, 10, 0)
+    sch = "k LONG, v STRING, ts TIMESTAMP, seq LONG, deleted BOOLEAN"
+    base = spark.createDataFrame(
+        [(k, f"v{k}", t0, 0, False) for k in range(200)], sch
+    ).drop("deleted")
+    path = tempfile.mkdtemp(prefix="cdc_shard_")
+    cdc.init_snapshot(base, path, key_col="k", num_buckets=8)
+    fn = cdc.cdc_batch_fn(path, "k", "ts", "seq", delete_col="deleted")
+
+    fn(
+        spark.createDataFrame([(7, "CHANGED", t0, 1, False)], sch), 0
+    )
+
+    cur, _ = cdc._read_pointer(path)
+    assert cur == "gen-0000000001"
+    gen_files = glob.glob(os.path.join(path, cur, "_shard=*", "*.parquet"))
+    linked = [f for f in gen_files if os.stat(f).st_nlink > 1]
+    rewritten = [f for f in gen_files if os.stat(f).st_nlink == 1]
+    # 8 buckets, one key touched → exactly 7 buckets' files linked
+    linked_buckets = {os.path.basename(os.path.dirname(f)) for f in linked}
+    rewritten_buckets = {os.path.basename(os.path.dirname(f)) for f in rewritten}
+    assert len(linked_buckets) == 7, (linked_buckets, rewritten_buckets)
+    assert len(rewritten_buckets) == 1
+    assert not (linked_buckets & rewritten_buckets)
+    # linked files are the SAME inode as the previous generation's
+    prev_inodes = {
+        os.stat(f).st_ino
+        for f in glob.glob(
+            os.path.join(path, "gen-0000000000", "_shard=*", "*.parquet")
+        )
+    }
+    assert all(os.stat(f).st_ino in prev_inodes for f in linked)
+
+    snap = {r["k"]: r["v"] for r in cdc.read_snapshot(spark, path).collect()}
+    assert snap[7] == "CHANGED"
+    assert len(snap) == 200
+    assert all(snap[k] == f"v{k}" for k in range(200) if k != 7)
+
+    # GC the base generation: hard links keep the shared files alive
+    cdc.gc_snapshots(path, keep_last=1)
+    assert not os.path.isdir(os.path.join(path, "gen-0000000000"))
+    snap2 = {r["k"]: r["v"] for r in cdc.read_snapshot(spark, path).collect()}
+    assert snap2 == snap
+
+
+def test_cdc_appid_restart_is_not_swallowed_as_replay(spark):
+    """Idempotence is keyed on (app_id, epoch) — Delta's txnAppId
+    recipe (round 8, ADVICE): a stream restarted with a fresh
+    checkpoint restarts epochs at 0 under a NEW app_id and its batches
+    APPLY; the r7 epoch-only key silently skipped every such batch as a
+    'replay'. Same-app replays still skip exactly-once, per app."""
+    import datetime as dt
+    import tempfile
+
+    from presto_rakam_kafka_spark.streaming import cdc
+
+    t0 = dt.datetime(2024, 6, 1, 10, 0)
+    sch = "k LONG, v STRING, ts TIMESTAMP, seq LONG, deleted BOOLEAN"
+    base = spark.createDataFrame([(1, "base", t0, 0, False)], sch).drop("deleted")
+    path = tempfile.mkdtemp(prefix="cdc_appid_")
+    cdc.init_snapshot(base, path, key_col="k", num_buckets=4)
+
+    mk = lambda rows: spark.createDataFrame(rows, sch)  # noqa: E731
+    fn_a = cdc.cdc_batch_fn(path, "k", "ts", "seq", delete_col="deleted",
+                            app_id="stream-a")
+    fn_a(mk([(1, "a-e0", t0, 1, False)]), 0)
+    fn_a(mk([(2, "a-e1", t0, 1, False)]), 1)
+    snap = {r["k"]: r["v"] for r in cdc.read_snapshot(spark, path).collect()}
+    assert snap == {1: "a-e0", 2: "a-e1"}
+
+    # restart with a fresh checkpoint: epochs back at 0, new app_id —
+    # the nonempty batch must APPLY, not be swallowed
+    fn_b = cdc.cdc_batch_fn(path, "k", "ts", "seq", delete_col="deleted",
+                            app_id="stream-b")
+    fn_b(mk([(3, "b-e0", t0, 1, False)]), 0)
+    snap = {r["k"]: r["v"] for r in cdc.read_snapshot(spark, path).collect()}
+    assert snap == {1: "a-e0", 2: "a-e1", 3: "b-e0"}
+
+    # replays stay exactly-once PER app: b's epoch 0 and a's epoch 1
+    # both skip; a NEW a epoch still applies
+    fn_b(mk([(3, "dup", t0, 2, False)]), 0)
+    fn_a(mk([(2, "dup", t0, 2, False)]), 1)
+    snap = {r["k"]: r["v"] for r in cdc.read_snapshot(spark, path).collect()}
+    assert snap == {1: "a-e0", 2: "a-e1", 3: "b-e0"}
+    fn_a(mk([(2, "a-e2", t0, 2, False)]), 2)
+    snap = {r["k"]: r["v"] for r in cdc.read_snapshot(spark, path).collect()}
+    assert snap == {1: "a-e0", 2: "a-e2", 3: "b-e0"}
