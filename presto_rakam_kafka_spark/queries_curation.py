@@ -186,6 +186,30 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "profile_orders_approx",
+    oracle=datasets.profile_table_oracle(
+        "orders", _PROFILE_COLS, include_distinct=False
+    ),
+)
+def profile_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB profile as a FLAG, not an edit (round 8, VERDICT
+    next-4): `profile_table(approx=True)` swaps every exact
+    COUNT(DISTINCT) for approx_count_distinct (HLL++), which deletes
+    the Expand from the plan (no N×-the-input replication — asserted
+    in tests/test_plans.py) and leaves one partial-agg pass with
+    constant sketch state per column. Counts, nulls, and min/max stay
+    EXACT and are what this row hash-gates; the HLL estimate is not
+    engine-replayable, so it is dropped from the gate projection and
+    asserted within its rsd in a unit test instead
+    (`test_profile_approx_within_rsd_no_expand`)."""
+    return datasets.profile_table(
+        _t(spark, sf_dir, "orders").select(*_PROFILE_COLS),
+        _PROFILE_COLS,
+        approx=True,
+    ).drop("n_distinct")
+
+
+@query(
     "decontaminate_report",
     oracle=quality.decontamination_report_oracle(
         "documents", "text", "doc_id", "source", "src0", n=5

@@ -552,3 +552,34 @@ def test_profile_is_single_aggregate_pass(spark, sf_dir):
     plan = _plan(Q.QUERIES["profile_orders"](spark, sf_dir))
     assert plan.count("Scan parquet") == 1, plan[:3000]
     assert "Expand" in plan, plan[:3000]
+
+
+def test_profile_approx_within_rsd_no_expand(spark, sf_dir):
+    """profile_table(approx=True): the Expand that the exact
+    multi-distinct requires (one input replica per distinct aggregate)
+    is GONE — the 100 TB flag's whole point — while the scan stays
+    single-pass; and the HLL++ estimates land within ~3×rsd of the
+    exact distinct counts on every profiled column (the estimate is
+    excluded from the oracle hash, so this is its correctness home)."""
+    from presto_rakam_kafka_spark.operators import datasets
+    from presto_rakam_kafka_spark.fixtures import read_table
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    orders = read_table(spark, sf_dir, "orders").select(*cols)
+
+    approx = datasets.profile_table(orders, cols, approx=True, rsd=0.02)
+    plan = _plan(approx)
+    assert "Expand" not in plan, plan[:3000]
+    assert plan.count("Scan parquet") == 1, plan[:3000]
+    # gate-row variant: Expand also absent after the n_distinct drop
+    plan_row = _plan(Q.QUERIES["profile_orders_approx"](spark, sf_dir))
+    assert "Expand" not in plan_row, plan_row[:3000]
+
+    exact = {
+        r["column"]: r["n_distinct"]
+        for r in datasets.profile_table(orders, cols).collect()
+    }
+    got = {r["column"]: r["n_distinct"] for r in approx.collect()}
+    for c in cols:
+        err = abs(got[c] - exact[c]) / max(exact[c], 1)
+        assert err <= 0.06, (c, got[c], exact[c], err)
