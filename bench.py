@@ -149,6 +149,16 @@ HEADLINE = [
     "events_anomaly_days",
     "events_cohort_ltv",
     "text_entropy",
+    # round 8: bucket-pruned MERGE against the sharded snapshot store,
+    # the approx (Expand-free) table profile, the serving-codec ANN
+    # probe, growth accounting, mergeable histogram quantiles, and the
+    # cluster-keyed leakage-safe split
+    "merge_upsert_orders_sharded",
+    "profile_orders_approx",
+    "sim_topk_ivfpq_serving",
+    "events_lifecycle",
+    "events_value_quantiles",
+    "split_leakage_safe",
 ]
 
 #: Indexed-ANN queries whose cost is two phases with different lifecycles:

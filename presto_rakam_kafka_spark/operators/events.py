@@ -838,3 +838,102 @@ def segmentation_from_user_cells(cells: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.round(F.sum("sv"), 2).alias("sum_value"),
     )
+
+
+def lifecycle(events: DataFrame) -> DataFrame:
+    """Weekly growth accounting (round 8): every active (user, week)
+    classified as NEW (first-ever active week), RETAINED (also active
+    the immediately preceding week), or RESURRECTED (returning after a
+    gap), plus CHURNED — users active in week w−1 but not in w,
+    attributed to w (capped at the last observed week: churn beyond the
+    data's edge is unknowable, not zero). The new/retained/resurrected/
+    churned quad is the standard growth-accounting decomposition.
+
+    Shape: ONE corpus shuffle — distinct (user, week) pairs fold into a
+    per-user sorted week array (partial-agg'd collect_set, bounded by
+    weeks-of-history ~52/yr, the `retention_cohorts` discipline); the
+    neighbor lookups (prev/next week) are then a shuffle-free HOF
+    projection over each user's array, and the final week rollup groups
+    ≤ |weeks| keys. No window over the corpus, no self-join."""
+    pairs = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    per_user = pairs.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("wk")).alias("ws")
+    )
+    max_wk = F.broadcast(pairs.agg(F.max("wk").alias("_max_wk")))
+    steps = per_user.selectExpr(
+        """
+        explode(transform(ws, (w, i) -> named_struct(
+            'wk', w,
+            'prev', IF(i = 0, CAST(NULL AS TIMESTAMP), ws[i - 1]),
+            'next', IF(i = size(ws) - 1, CAST(NULL AS TIMESTAMP), ws[i + 1])
+        ))) AS s
+        """
+    ).select("s.*")
+    status = steps.select(
+        F.col("wk"),
+        F.when(F.col("prev").isNull(), F.lit("new"))
+        .when(F.datediff("wk", "prev") == 7, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("status"),
+    ).unionAll(
+        steps.filter(
+            F.col("next").isNull() | (F.datediff("next", "wk") > 7)
+        )
+        .select(
+            (F.col("wk") + F.expr("INTERVAL 7 DAYS")).alias("wk"),
+            F.lit("churned").alias("status"),
+        )
+        .join(max_wk)
+        .filter(F.col("wk") <= F.col("_max_wk"))
+        .select("wk", "status")
+    )
+    return status.groupBy(
+        F.date_format("wk", "yyyy-MM-dd").alias("week")
+    ).agg(
+        F.sum((F.col("status") == "new").cast("long")).cast("long").alias("n_new"),
+        F.sum((F.col("status") == "retained").cast("long"))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum((F.col("status") == "resurrected").cast("long"))
+        .cast("long")
+        .alias("n_resurrected"),
+        F.sum((F.col("status") == "churned").cast("long"))
+        .cast("long")
+        .alias("n_churned"),
+    )
+
+
+def lifecycle_oracle(table: str = "events") -> str:
+    """DuckDB twin via per-user window lag/lead (values, not plan)."""
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM {table}
+    ), seq AS (
+      SELECT user_id, wk,
+             lag(wk) OVER w AS prev, lead(wk) OVER w AS next
+      FROM pairs WINDOW w AS (PARTITION BY user_id ORDER BY wk)
+    ), mx AS (SELECT max(wk) AS max_wk FROM pairs),
+    status AS (
+      SELECT wk, CASE WHEN prev IS NULL THEN 'new'
+                      WHEN date_diff('day', prev, wk) = 7 THEN 'retained'
+                      ELSE 'resurrected' END AS status
+      FROM seq
+      UNION ALL
+      SELECT wk + INTERVAL 7 DAY AS wk, 'churned' AS status
+      FROM seq, mx
+      WHERE (next IS NULL OR date_diff('day', wk, next) > 7)
+        AND wk + INTERVAL 7 DAY <= max_wk
+    )
+    SELECT strftime(wk, '%Y-%m-%d') AS week,
+           CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained,
+           CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_resurrected,
+           CAST(sum(CASE WHEN status = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_churned
+    FROM status GROUP BY 1
+    """

@@ -828,6 +828,7 @@ def ivfpq_topk_from_index(
     books=None,
     prune_lists: list[int] | None = None,
     refine_factor: int | None = None,
+    probe_codec: str = "expr",
 ) -> DataFrame:
     """Probe half of IVF-PQ against a (possibly persisted) coded
     index: queries broadcast with their nprobe probe lists, candidates
@@ -849,11 +850,37 @@ def ivfpq_topk_from_index(
     back the PQ quantization error (the dominant recall loss — see
     SCALE_NOTES §ann-recall) for a per-query constant, leaving
     coverage (is the true neighbor in a probed list?) as the only
-    remaining loss, which nprobe controls."""
+    remaining loss, which nprobe controls.
+
+    ``probe_codec`` picks the ADC scorer. ``"expr"`` (default) builds
+    the per-query LUTs as m×ksub generated expressions — fully
+    oracle-replayable, but at serving geometry (m=16, ksub=256) that
+    is 4096 expressions and the probe is Catalyst-COMPILE-dominated
+    (≈2.3 s/query single-query — SCALE_NOTES §ann-recall).
+    ``"pandas"`` is the serving path (round 8, VERDICT next-2): probe
+    routing and LUTs are computed driver-side in numpy with the SAME
+    left-associated double accumulation as the expressions (bit-equal
+    LUT values), the (query_id, list_id) pair set broadcasts, and ADC
+    scoring over the pruned candidate scan is one Arrow ``mapInPandas``
+    doing a LUT gather + left-assoc sum per subspace — plan size is
+    CONSTANT in (m, ksub). Rounding to 6 decimals happens in Spark in
+    both codecs, so the emitted top-k is identical (equality-tested).
+    The queries are collected to the driver — a serving batch (10²-10⁴
+    rows), never a corpus: LUT memory is queries × m × ksub doubles."""
     cents = centroids if centroids is not None else ivf_centroids(num_centroids, dim)
     sub_dim = dim // m
     if books is None:
         books = pq_centroids(m, ksub, sub_dim)
+
+    if probe_codec == "pandas":
+        return _ivfpq_probe_pandas(
+            coded, queries, vec_col, id_col, dim, k, nprobe, m, ksub,
+            cents, books, prune_lists, refine_factor,
+        )
+    if probe_codec != "expr":
+        raise ValueError(
+            f"unknown probe_codec {probe_codec!r}: use 'expr' or 'pandas'"
+        )
 
     dots = _dots_spark(vec_col, cents)
     dcols = [f"d{i}" for i in range(len(cents))]
@@ -922,6 +949,158 @@ def ivfpq_topk_from_index(
         F.desc("approx_dot"), F.asc("neighbor_id")
     )
     kept = cand.withColumn("_arank", F.row_number().over(w_adc)).filter(
+        F.col("_arank") <= k * refine_factor
+    )
+    exact = kept.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.expr(cosine_expr("_qvec", vec_col)), 6).alias("cosine"),
+    )
+    w_ref = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w_ref))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _ivfpq_probe_pandas(
+    coded: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    k: int,
+    nprobe: int,
+    m: int,
+    ksub: int,
+    cents: list[list[float]],
+    books,
+    prune_lists: list[int] | None,
+    refine_factor: int | None,
+) -> DataFrame:
+    """BLAS/numpy ADC probe (see ``probe_codec`` on
+    :func:`ivfpq_topk_from_index`). Bit-parity contract with the expr
+    probe: every double is produced by the same operation sequence —
+    LUT entry = ((0 + q₀·b₀) + q₁·b₁) + … (the `aggregate(zip_with)`
+    fold), candidate score = ((l₀ + l₁) + l₂) + … (`_left_assoc_sum`),
+    probe-list order = sort by (−dot, idx) — and the 6-decimal rounding
+    happens in Spark, so the two codecs emit identical rows."""
+    import numpy as np
+
+    spark = queries.sparkSession
+    C = np.array(cents, dtype=np.float64)
+    B = [np.array(b, dtype=np.float64) for b in books]
+    sub_dim = dim // m
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qid_type = queries.schema[id_col].dataType.simpleString()
+    qids, luts, qvecs, pairs = [], [], [], []
+    for r in qrows:
+        qid = r[id_col]
+        v = np.asarray(r[vec_col], dtype=np.float64)
+        qvecs.append(list(r[vec_col]))
+        # centroid dots with the expr fold's exact accumulation order
+        acc = np.zeros(len(cents), dtype=np.float64)
+        for t in range(dim):
+            acc = acc + v[t] * C[:, t]
+        order = np.lexsort((np.arange(len(cents)), -acc))
+        for li in order[:nprobe]:
+            pairs.append((qid, int(li)))
+        L = np.empty((m, ksub), dtype=np.float64)
+        for j in range(m):
+            a = np.zeros(ksub, dtype=np.float64)
+            qs = v[j * sub_dim : (j + 1) * sub_dim]
+            for t in range(sub_dim):
+                a = a + qs[t] * B[j][:, t]
+            L[j] = a
+        qids.append(qid)
+        luts.append(L)
+    LT = np.stack(luts) if luts else np.zeros((0, m, ksub))
+    qindex = {q: i for i, q in enumerate(qids)}
+
+    # the pair set IS the probe union — apply it as a static IN filter
+    # so a list-partitioned index scan partition-prunes exactly like
+    # the router's prune_lists path (which remains honored if passed)
+    probe_union = sorted({li for _, li in pairs})
+    if prune_lists is not None:
+        coded = coded.filter(F.col("list_id").isin(*[int(x) for x in prune_lists]))
+    if probe_union:
+        coded = coded.filter(F.col("list_id").isin(*probe_union))
+    pairs_df = F.broadcast(
+        spark.createDataFrame(pairs, f"query_id {qid_type}, list_id int")
+    )
+    carry = [vec_col] if refine_factor is not None else []
+    joined = coded.join(pairs_df, on="list_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    out_fields = [
+        T.StructField("query_id", queries.schema[id_col].dataType),
+        T.StructField("neighbor_id", coded.schema["neighbor_id"].dataType),
+        T.StructField("_raw", T.DoubleType()),
+    ]
+    if refine_factor is not None:
+        out_fields.append(T.StructField(vec_col, coded.schema[vec_col].dataType))
+        # the query vector rides along from the driver-held table (it is
+        # per-query constant), sparing the expr path's broadcast
+        # join-back — one fewer stage on the serving path
+        out_fields.append(T.StructField("_qvec", queries.schema[vec_col].dataType))
+    out_schema = T.StructType(out_fields)
+    in_cols = ["query_id", "neighbor_id", *carry] + [f"code{j}" for j in range(m)]
+
+    def score_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qi = pdf["query_id"].map(qindex).to_numpy()
+            codes = [pdf[f"code{j}"].to_numpy() for j in range(m)]
+            # left-assoc gather-sum: score = ((l0 + l1) + l2) + ...
+            s = LT[qi, 0, codes[0]]
+            for j in range(1, m):
+                s = s + LT[qi, j, codes[j]]
+            out = {
+                "query_id": pdf["query_id"].values,
+                "neighbor_id": pdf["neighbor_id"].values,
+                "_raw": s,
+            }
+            if refine_factor is not None:
+                out[vec_col] = pdf[vec_col]
+                out["_qvec"] = [qvec_rows[i] for i in qi]
+            yield pd.DataFrame(out)
+
+    qvec_rows = qvecs
+    scored = joined.select(*in_cols).mapInPandas(score_batches, out_schema)
+    refine_carry = carry + (["_qvec"] if refine_factor is not None else [])
+    pairs_scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("_raw"), 6).alias("approx_dot"),
+        *refine_carry,
+    )
+    if refine_factor is None:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("approx_dot"), F.asc("neighbor_id")
+        )
+        return (
+            pairs_scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "approx_dot", "rank")
+        )
+
+    from presto_rakam_kafka_spark.operators.dedup import cosine_expr
+
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("neighbor_id")
+    )
+    kept = pairs_scored.withColumn("_arank", F.row_number().over(w_adc)).filter(
         F.col("_arank") <= k * refine_factor
     )
     exact = kept.select(

@@ -472,3 +472,109 @@ def hll_audience_overlap_oracle(
            exact_a, exact_b, exact_both
     FROM wide, exact
     """
+
+
+# ---------------------------------------------------------------------
+# Binned quantile sketch (mergeable histogram quantiles)
+# ---------------------------------------------------------------------
+
+#: 1-unit value bins: the estimate's worst-case error is the bin width,
+#: a DOCUMENTED constant (unlike percentile_approx, whose q-digest
+#: internals no other engine replays). Fixture values live in [0, ~1k],
+#: so ≤ ~1k counters per group — constant-size state at any input size.
+QUANTILE_BIN_WIDTH = 1.0
+
+
+def value_histogram(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bin_width: float = QUANTILE_BIN_WIDTH,
+) -> DataFrame:
+    """The SKETCH half: per-(group, bin) counts with
+    ``bin = floor(value / width)`` — a fixed-boundary histogram. Counts
+    are associative and commutative, so the sketch MERGES by addition:
+    partial aggregation map-side, per-partition sketches fold into the
+    global one, and the same groupBy runs as a complete-mode STREAMING
+    aggregation (the fold half of fold-then-finish — the quantile
+    finish reads the drained sketch). State is groups × occupied bins,
+    independent of row count — the q-digest/KLL trade, with
+    deterministic boundaries instead of adaptive ones so every engine
+    reproduces the sketch bit-for-bit (the gate contract)."""
+    return df.groupBy(
+        F.col(group_col),
+        F.floor(F.col(value_col) / F.lit(bin_width)).cast("long").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def quantiles_from_histogram(
+    hist: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group_col: str = "event_type",
+    bin_width: float = QUANTILE_BIN_WIDTH,
+) -> DataFrame:
+    """The FINISH half: per group, the q-quantile estimate is the UPPER
+    edge of the first bin whose cumulative count reaches ``ceil(q·n)``
+    — deterministic, error ≤ ``bin_width`` by construction. The window
+    runs over the SKETCH (groups × bins rows), never the corpus; the
+    rank thresholds use identical IEEE double products in both engines
+    (``tot * q`` then ceil), so the estimates hash-match exactly."""
+    w = Window.partitionBy(group_col).orderBy("bin")
+    cum = hist.withColumn("_cum", F.sum("n").over(w))
+    # rename the grouped leg's key: both legs derive from the SAME
+    # sketch frame (possibly a drained streaming memory table), and a
+    # same-attribute self-join fails analysis (the stream_cohort_ltv
+    # lesson)
+    tot = (
+        hist.groupBy(group_col)
+        .agg(F.sum("n").cast("long").alias("_tot"))
+        .withColumnRenamed(group_col, "_tot_group")
+    )
+    j = cum.join(tot, F.col(group_col) == F.col("_tot_group"))
+    aggs = [F.max("_tot").cast("long").alias("n_rows")]
+    for q in qs:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.ceil(F.col("_tot") * F.lit(q)),
+                    (F.col("bin") + 1) * F.lit(bin_width),
+                )
+            ).alias(f"p{int(round(q * 100))}")
+        )
+    return j.groupBy(group_col).agg(*aggs)
+
+
+def value_quantiles_oracle(
+    table: str = "events",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bin_width: float = QUANTILE_BIN_WIDTH,
+) -> str:
+    """DuckDB twin: same binning, same cumulative rank thresholds, same
+    upper-edge estimates — the whole sketch is replayable SQL."""
+    # CAST the estimate to DOUBLE: DuckDB types (bin + 1) * 1.0 as
+    # DECIMAL (the literal is DECIMAL(2,1)) while Spark produces DOUBLE
+    # — same values, hash-mismatching types (caught live by the gate)
+    picks = ", ".join(
+        f"min(CASE WHEN cum >= ceil(tot * {q})"
+        f" THEN CAST((bin + 1) * {bin_width} AS DOUBLE) END)"
+        f" AS p{int(round(q * 100))}"
+        for q in qs
+    )
+    return f"""
+    WITH hist AS (
+      SELECT {group_col}, CAST(floor({value_col} / {bin_width}) AS BIGINT) AS bin,
+             count(*) AS n
+      FROM {table} GROUP BY 1, 2
+    ), c AS (
+      SELECT {group_col}, bin, n,
+             sum(n) OVER (PARTITION BY {group_col} ORDER BY bin) AS cum
+      FROM hist
+    ), t AS (
+      SELECT {group_col}, CAST(sum(n) AS BIGINT) AS tot FROM hist GROUP BY 1
+    )
+    SELECT c.{group_col}, CAST(max(tot) AS BIGINT) AS n_rows, {picks}
+    FROM c JOIN t USING ({group_col})
+    GROUP BY 1
+    """

@@ -2061,7 +2061,11 @@ _register_streaming_join_queries()
 
 
 def _register_sampling_queries() -> None:
-    from presto_rakam_kafka_spark.operators import sampling
+    from presto_rakam_kafka_spark.functions.hashing import (
+        jaccard_duckdb,
+        shingles_duckdb,
+    )
+    from presto_rakam_kafka_spark.operators import clusters, dedup, sampling
 
     @query(
         "sample_hash_10pct",
@@ -2094,6 +2098,64 @@ def _register_sampling_queries() -> None:
         return docs.groupBy("split").agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("lang").alias("n_langs"),
+        )
+
+    @query(
+        "split_leakage_safe",
+        oracle=f"""
+        WITH RECURSIVE
+          s AS (SELECT doc_id, {shingles_duckdb('text', 3)} AS sh FROM documents),
+          p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE round({jaccard_duckdb('a.sh', 'b.sh')}, 4) >= 0.8
+          ),
+          edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM p
+            UNION SELECT doc_b, doc_a FROM p
+          ),
+          reach(node, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+          ),
+          comp AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+          grouped AS (
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS group_id
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+          )
+        SELECT doc_id, group_id,
+               {sampling.assign_split_oracle_case('group_id')} AS split
+        FROM grouped
+        """,
+    )
+    def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """LEAKAGE-SAFE train/val/test split (round 8): the split key is
+        the NEAR-DUP CLUSTER, not the document — LSH pairs → connected
+        components → every doc keyed by its component id (singletons by
+        their own id) → the same deterministic hash-split as
+        `split_train_val_test`. Near-duplicates therefore land in the
+        SAME split by construction (no train/test contamination through
+        paraphrases — the failure `decontaminate_*` can only catch
+        after the fact), which per-doc splitting cannot guarantee.
+        Invariant (also unit-tested): one split per cluster. Cost on
+        top of the plain split is the dedup pipeline the curation flow
+        already runs; the split itself stays a shuffle-free projection
+        off the (doc, group) frame."""
+        docs = _documents(spark, sf_dir)
+        pairs = dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.8
+        ).select("doc_a", "doc_b")
+        comp = clusters.connected_components(pairs)
+        grouped = docs.join(
+            comp, docs["doc_id"] == comp["node"], "left"
+        ).select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("group_id"),
+        )
+        return sampling.assign_split(grouped, "group_id").select(
+            "doc_id", "group_id", "split"
         )
 
 

@@ -423,6 +423,57 @@ def events_hll_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_weekly_users(_t(spark, sf_dir, "events"))
 
 
+@query("events_lifecycle", oracle=ev.lifecycle_oracle("events"))
+def events_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (round 8): new / retained / resurrected
+    / churned user counts per week — the decomposition a growth
+    dashboard puts under its DAU chart. ONE corpus shuffle: per-user
+    sorted week array (partial-agg'd collect_set, ≤ weeks-of-history
+    elements), neighbor classification as a shuffle-free HOF
+    projection, churn attributed to the week after last activity and
+    capped at the data's edge (`operators/events.py:lifecycle`)."""
+    return ev.lifecycle(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "events_value_quantiles",
+    oracle=sketches.value_quantiles_oracle("events"),
+)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value quantiles (p50/p90/p99) from a MERGEABLE
+    binned-histogram sketch (round 8) — the third from-scratch sketch
+    family next to CMS and HLL: fixed-boundary bins make the sketch
+    counts associative (map-side combine, streaming fold) and the
+    estimate deterministic with error ≤ the documented bin width —
+    unlike `percentile_approx`, whose adaptive q-digest no other
+    engine replays. The quantile finish windows over the SKETCH
+    (groups × bins rows), never the corpus."""
+    hist = sketches.value_histogram(_t(spark, sf_dir, "events"))
+    return sketches.quantiles_from_histogram(hist)
+
+
+@query(
+    "stream_value_quantiles",
+    oracle=sketches.value_quantiles_oracle("events"),
+)
+def stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous quantile dashboard (round 8): the histogram sketch is
+    a complete-mode streaming groupBy (counts are associative — the
+    fold), the drained sketch feeds the same quantile finish as the
+    batch row (identical oracle). SEVENTH fold-then-finish rollup;
+    streaming state is groups × occupied bins, independent of stream
+    length — the shape that makes p99 latency/value dashboards viable
+    on unbounded streams."""
+    from presto_rakam_kafka_spark.queries import _drain, _events_stream
+
+    hist = _drain(
+        sketches.value_histogram(_events_stream(spark, sf_dir)),
+        "quantile_hist",
+        "complete",
+    )
+    return sketches.quantiles_from_histogram(hist)
+
+
 @query(
     "events_hll_audience_overlap",
     oracle=sketches.hll_audience_overlap_oracle("events"),

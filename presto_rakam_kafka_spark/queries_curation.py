@@ -934,6 +934,41 @@ def sim_topk_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_topk_ivfpq_serving",
+    oracle=ivfpq_refined_oracle(
+        "embeddings", "vec_id < 10", "embedding", "vec_id", dim=EMBED_DIM, k=5,
+        nprobe=4, refine_factor=4,
+    ),
+)
+def sim_topk_ivfpq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refined probe through the SERVING codec (round 8, VERDICT
+    next-2): `probe_codec="pandas"` computes probe routing + ADC LUTs
+    driver-side in numpy with the expressions' exact left-associated
+    double accumulation and scores candidates in one Arrow
+    `mapInPandas` — plan size constant in (m, ksub), vs 4096 generated
+    LUT expressions at serving geometry (11× single-query, 5× at
+    batch-50 on the 500k receipt, SCALE_NOTES §probe-codec). Same
+    oracle as `sim_topk_ivfpq_refined` — this row proves the serving
+    codec's VALUES against DuckDB at the oracle geometry; bit-equality
+    with the expr codec at serving geometry (m=16, ksub=256) is
+    asserted in `test_ivfpq_pandas_probe_equals_expr_probe`."""
+    from presto_rakam_kafka_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = sim.stage_ivfpq_index(
+        spark, emb, sf_dir, "embedding", "vec_id", dim=EMBED_DIM,
+        store_vectors=True,
+    )
+    lists = sim.probe_lists_for(queries, "embedding", dim=EMBED_DIM, nprobe=4)
+    index = spark.read.parquet(path)
+    return sim.ivfpq_topk_from_index(
+        index, queries, "embedding", "vec_id", dim=EMBED_DIM, k=5,
+        nprobe=4, prune_lists=lists, refine_factor=4, probe_codec="pandas",
+    )
+
+
+@query(
     "sim_topk_ivfpq_upsert",
     oracle=ivfpq_topk_oracle(
         "embeddings", "vec_id < 10", "embedding", "vec_id", dim=EMBED_DIM, k=5

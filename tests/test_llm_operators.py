@@ -1216,3 +1216,54 @@ def test_ivfpq_pandas_codec_equals_expr_codec(spark, sf_dir):
         ).collect()
     }
     assert pandas == expr
+
+
+def test_ivfpq_pandas_probe_equals_expr_probe(spark, sf_dir):
+    """The serving ADC probe (numpy LUTs + Arrow gather-sum,
+    probe_codec='pandas') must emit the IDENTICAL top-k rows as the
+    oracle-replayable expression probe — same probe routing, bit-equal
+    LUT doubles (left-assoc accumulation), 6-decimal rounding applied
+    in Spark in both codecs — for the plain ADC probe AND the refined
+    (exact re-rank) probe, at the serving geometry (m=16, ksub=256)
+    where the expr probe is 4096 generated expressions."""
+    import pyspark.sql.functions as F
+
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.operators import similarity as sim
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    kwargs = dict(num_centroids=16, nprobe=3, m=16, ksub=256)
+    coded = sim.ivfpq_code_corpus(
+        emb, "embedding", "vec_id", 64, keep_vector=True,
+        codec="pandas", num_centroids=16, m=16, ksub=256,
+    )
+
+    for refine in (None, 4):
+        expr_rows = sorted(map(tuple, sim.ivfpq_topk_from_index(
+            coded, q, "embedding", "vec_id", dim=64, k=5,
+            refine_factor=refine, **kwargs,
+        ).collect()))
+        pandas_rows = sorted(map(tuple, sim.ivfpq_topk_from_index(
+            coded, q, "embedding", "vec_id", dim=64, k=5,
+            refine_factor=refine, probe_codec="pandas", **kwargs,
+        ).collect()))
+        assert pandas_rows == expr_rows, (refine, pandas_rows[:3], expr_rows[:3])
+
+
+def test_split_leakage_safe_no_cluster_straddles(spark, sf_dir):
+    """The leakage-safe split's invariant: every near-dup cluster lands
+    entirely inside ONE split (per-doc hashing cannot guarantee this —
+    a paraphrase pair split across train/test is contamination), and
+    the fixture actually exercises it (at least one multi-doc group)."""
+    import pyspark.sql.functions as F
+
+    from presto_rakam_kafka_spark import queries as Q
+
+    rows = Q.QUERIES["split_leakage_safe"](spark, sf_dir)
+    per_group = rows.groupBy("group_id").agg(
+        F.count_distinct("split").alias("n_splits"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    assert per_group.filter("n_splits > 1").count() == 0
+    assert per_group.filter("n_docs > 1").count() > 0  # fixture has near-dups
