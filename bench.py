@@ -159,6 +159,7 @@ HEADLINE = [
     "events_lifecycle",
     "events_value_quantiles",
     "split_leakage_safe",
+    "events_rfm_segments",
 ]
 
 #: Indexed-ANN queries whose cost is two phases with different lifecycles:

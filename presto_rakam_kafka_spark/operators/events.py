@@ -858,6 +858,15 @@ def lifecycle(events: DataFrame) -> DataFrame:
     pairs = events.select(
         "user_id", F.date_trunc("week", "ts").alias("wk")
     ).distinct()
+    return lifecycle_from_pairs(pairs)
+
+
+def lifecycle_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Finish half of :func:`lifecycle` from its streaming-accumulable
+    part: the distinct (user, week) activity pairs — a plain streaming
+    groupBy (distinctness is idempotent-associative). The eighth
+    fold-then-finish rollup; the finish touches only the users × weeks
+    state, never raw events."""
     per_user = pairs.groupBy("user_id").agg(
         F.sort_array(F.collect_set("wk")).alias("ws")
     )

@@ -436,6 +436,106 @@ def events_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_rfm_segments",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ), mx AS (SELECT max(CAST(ts AS DATE)) AS max_d FROM events),
+    rk AS (
+      SELECT user_id, cents,
+             row_number() OVER (ORDER BY date_diff('day', CAST(last_ts AS DATE), max_d), user_id) AS rr,
+             row_number() OVER (ORDER BY -freq, user_id) AS fr,
+             row_number() OVER (ORDER BY -cents, user_id) AS mr,
+             count(*) OVER () AS n
+      FROM pu, mx
+    )
+    SELECT CAST((rr - 1) * 5 // n + 1 AS INTEGER) AS r_bucket,
+           CAST((fr - 1) * 5 // n + 1 AS INTEGER) AS f_bucket,
+           CAST((mr - 1) * 5 // n + 1 AS INTEGER) AS m_bucket,
+           count(*) AS n_users,
+           CAST(sum(cents) AS BIGINT) AS monetary_cents
+    FROM rk GROUP BY 1, 2, 3
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (round 8): every user scored into quintiles of
+    Recency (days since last event), Frequency (event count), and
+    Monetary (integer purchase cents), rolled up per (R, F, M) cell —
+    the classic CRM segmentation grid. The quintile assignment is
+    RANK-based via the distributed global-rank primitive
+    (`operators/ranks.py:with_global_rank` — frozen-boundary buckets,
+    one hash exchange + machine-local sorts, NEVER a single-partition
+    ORDER BY window, which is what a naive ntile(5) plans), with
+    user_id tiebreaks and integer bucket math so both engines assign
+    identical cells. Cost: one per-user fold + three users-sized rank
+    passes; output ≤ 125 cells."""
+    from presto_rakam_kafka_spark.operators.ranks import with_global_rank
+
+    ev_df = _t(spark, sf_dir, "events")
+    pu = ev_df.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    mx = F.broadcast(ev_df.agg(F.max(F.to_date("ts")).alias("_max_d")))
+    pu = (
+        pu.join(mx)
+        .withColumn("rec", F.datediff("_max_d", F.to_date("last_ts")))
+        .withColumn("neg_freq", -F.col("freq"))
+        .withColumn("neg_cents", -F.col("cents"))
+        .localCheckpoint(eager=True)  # pin: three rank passes reuse it
+    )
+    pu = with_global_rank(pu, ["rec", "user_id"], rank_col="rr", count_col="n")
+    pu = with_global_rank(pu, ["neg_freq", "user_id"], rank_col="fr")
+    pu = with_global_rank(pu, ["neg_cents", "user_id"], rank_col="mr")
+    return (
+        pu.selectExpr(
+            "CAST((rr - 1) * 5 DIV n + 1 AS INT) AS r_bucket",
+            "CAST((fr - 1) * 5 DIV n + 1 AS INT) AS f_bucket",
+            "CAST((mr - 1) * 5 DIV n + 1 AS INT) AS m_bucket",
+            "cents",
+        )
+        .groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cents").cast("long").alias("monetary_cents"),
+        )
+    )
+
+
+@query("stream_lifecycle", oracle=ev.lifecycle_oracle("events"))
+def stream_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous growth accounting (round 8): the distinct
+    (user, week) activity pairs are a complete-mode streaming groupBy
+    (distinctness is idempotent — the fold), and the drained pairs feed
+    the same classification finish as the batch `events_lifecycle`
+    (identical oracle). EIGHTH fold-then-finish rollup; streaming state
+    is users × active weeks."""
+    from presto_rakam_kafka_spark.queries import _drain, _events_stream
+
+    pairs = _drain(
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id", F.date_trunc("week", "ts").alias("wk"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("user_id", "wk"),
+        "lifecycle_pairs",
+        "complete",
+    )
+    return ev.lifecycle_from_pairs(pairs)
+
+
+@query(
     "events_value_quantiles",
     oracle=sketches.value_quantiles_oracle("events"),
 )
