@@ -205,6 +205,10 @@ def _register_ann_stagers() -> None:
     ANN_STAGERS["sim_topk_ivfpq_indexed"] = _indexed
     ANN_STAGERS["sim_topk_ivfpq_refined"] = _refined
     ANN_STAGERS["sim_topk_ivfpq_upsert"] = _upserted
+    # the serving-codec probe reuses the refined row's stored-vector
+    # index (same stage_ivfpq_index geometry), so its query run times
+    # the pure pandas-codec probe
+    ANN_STAGERS["sim_topk_ivfpq_serving"] = _refined
 
 #: The round-3-era query set, frozen: every round reports this subtotal
 #: unchanged so round-over-round comparisons never mix query-set drift

@@ -210,8 +210,16 @@ def merge_into_snapshot(
     merged = merge_upsert(pruned, upd, key_col, delete_col=delete_col)
     # overwrite clears any orphan generation left by a crash before the
     # flip (including previously linked buckets), then linking restores
-    # the untouched set — a replay converges to the same layout
-    merged.write.mode("overwrite").partitionBy("_shard").parquet(gdir)
+    # the untouched set — a replay converges to the same layout.
+    # repartition on the bucket first: ONE file per touched bucket per
+    # generation (instead of shuffle-partitions × buckets), so the
+    # hard-link inventory and the per-bucket scan stay O(buckets)
+    (
+        merged.repartition(max(len(touched), 1), "_shard")
+        .write.mode("overwrite")
+        .partitionBy("_shard")
+        .parquet(gdir)
+    )
     touched_set = set(touched)
     for b in range(nb):
         if b in touched_set:

@@ -583,3 +583,38 @@ def test_profile_approx_within_rsd_no_expand(spark, sf_dir):
     for c in cols:
         err = abs(got[c] - exact[c]) / max(exact[c], 1)
         assert err <= 0.06, (c, got[c], exact[c], err)
+
+
+def test_cdc_sharded_target_scan_partition_prunes(spark, tmp_path):
+    """The sharded MERGE's claim is a plan shape: filtering the
+    snapshot generation on the touched-bucket set must reach the scan
+    as PARTITION filters (only touched `_shard=K` directories open),
+    not as a post-scan row filter."""
+    import datetime as dt
+    import os
+
+    from presto_rakam_kafka_spark.streaming import cdc
+
+    t0 = dt.datetime(2024, 6, 1)
+    base = spark.createDataFrame(
+        [(k, f"v{k}", t0, 0) for k in range(100)],
+        "k LONG, v STRING, ts TIMESTAMP, seq LONG",
+    )
+    path = str(tmp_path / "snap")
+    cdc.init_snapshot(base, path, key_col="k", num_buckets=8)
+    cur, _ = cdc._read_pointer(path)
+    from pyspark.sql import functions as F
+
+    pruned = spark.read.parquet(os.path.join(path, cur)).filter(
+        F.col("_shard").isin([2, 5])
+    )
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan, plan[:3000]
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*_shard[^\]]*IN \(2,5\)", plan)
+    assert m, plan[:3000]
+    # and nothing shard-related survives as a post-scan data filter
+    assert "PushedFilters: []" in plan or "_shard" not in plan.split(
+        "PartitionFilters"
+    )[0], plan[:3000]
