@@ -618,3 +618,22 @@ def test_cdc_sharded_target_scan_partition_prunes(spark, tmp_path):
     assert "PushedFilters: []" in plan or "_shard" not in plan.split(
         "PartitionFilters"
     )[0], plan[:3000]
+
+
+def test_rfm_segments_has_no_single_partition_exchange(spark, sf_dir):
+    """The RFM quintile assignment must come from the distributed
+    global-rank primitive — a naive ntile(5) OVER (ORDER BY metric)
+    plans Exchange SinglePartition (every user through one task), the
+    shape this repo designs out."""
+    plan = _plan(Q.QUERIES["events_rfm_segments"](spark, sf_dir))
+    assert "SinglePartition" not in plan, plan[:3000]
+
+
+def test_lifecycle_is_one_corpus_shuffle_no_window(spark, sf_dir):
+    """Growth accounting folds each user's weeks into a sorted array
+    (partial-agg'd collect_set) and classifies with a HOF projection —
+    no Window operator over the corpus, and the distinct+fold pair is
+    the only corpus-sized aggregation chain."""
+    plan = _plan(Q.QUERIES["events_lifecycle"](spark, sf_dir))
+    assert "Window" not in plan, plan[:3000]
+    assert "partial_collect_set" in plan or "collect_set" in plan, plan[:3000]
