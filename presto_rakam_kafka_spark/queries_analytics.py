@@ -497,9 +497,16 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("neg_cents", -F.col("cents"))
         .localCheckpoint(eager=True)  # pin: three rank passes reuse it
     )
-    pu = with_global_rank(pu, ["rec", "user_id"], rank_col="rr", count_col="n")
-    pu = with_global_rank(pu, ["neg_freq", "user_id"], rank_col="fr")
-    pu = with_global_rank(pu, ["neg_cents", "user_id"], rank_col="mr")
+    # persist=True on every pass: each with_global_rank evaluates its
+    # input 2-3x (fit, counts, final) and the three passes CHAIN, so
+    # without the cache rank 3 re-runs rank 1+2's exchanges each time
+    # (9.9 -> 8.75 s warm at 5M events; the remaining cost is
+    # the 5M-event per-user fold plus nine bounded rank jobs)
+    pu = with_global_rank(
+        pu, ["rec", "user_id"], rank_col="rr", count_col="n", persist=True
+    )
+    pu = with_global_rank(pu, ["neg_freq", "user_id"], rank_col="fr", persist=True)
+    pu = with_global_rank(pu, ["neg_cents", "user_id"], rank_col="mr", persist=True)
     return (
         pu.selectExpr(
             "CAST((rr - 1) * 5 DIV n + 1 AS INT) AS r_bucket",

@@ -725,3 +725,46 @@ def test_global_rank_persist_and_count_col(spark, sf_dir):
 
     with pytest.raises(TypeError, match="bucket_expr"):
         with_global_rank(df, [F.col("v"), "id"])
+
+
+def test_quantile_sketch_error_bound_property(spark):
+    """Property (hypothesis): the binned-histogram quantile estimate is
+    the UPPER edge of the bin holding the exact q-quantile, so for any
+    value multiset and any q, 0 < estimate − exact ≤ bin_width — the
+    sketch's documented error contract (operators/sketches.py)."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from presto_rakam_kafka_spark.operators import sketches as sk
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        vals=st.lists(
+            st.floats(0.0, 400.0, allow_nan=False, width=32),
+            min_size=1,
+            max_size=60,
+        ),
+        width=st.sampled_from([1.0, 5.0, 25.0]),
+    )
+    def check(vals, width):
+        df = spark.createDataFrame(
+            [("g", float(v)) for v in vals], "event_type STRING, value DOUBLE"
+        )
+        hist = sk.value_histogram(df, bin_width=width)
+        row = sk.quantiles_from_histogram(
+            hist, qs=(0.5, 0.9, 0.99), bin_width=width
+        ).collect()[0]
+        sv = sorted(vals)
+        n = len(sv)
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            exact = sv[max(0, math.ceil(q * n) - 1)]
+            est = row[col]
+            assert 0 < est - exact <= width, (q, est, exact, width, sv)
+
+    check()
