@@ -572,6 +572,86 @@ def kafka_log_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _keyed_log_dir(spark: SparkSession, sf_dir: str) -> str:
+    """An UNCOMPACTED key-routed events log (key = user_id, tombstone
+    on 'error' events) — the point-lookup rows exercise latest-wins
+    across a key's full update history, which compaction would have
+    already collapsed. Blooms built once with the staging."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        build_key_blooms,
+        write_segments,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    d = os.path.join(tempfile.gettempdir(), f"kafka_keyed_{tag}_{os.getpid()}")
+    if os.path.isdir(os.path.join(d, "partition=0")):
+        return d
+    raw = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("offset"),
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.when(
+            F.col("event_type") != "error",
+            F.to_json(
+                F.struct("event_id", "user_id", "event_type", "value")
+            ).cast("binary"),
+        ).alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    write_segments(raw, d, num_partitions=3, segment_rows=500, route_by_key=True)
+    build_key_blooms(d)
+    return d
+
+
+@query(
+    "kafka_key_lookup",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, max(event_id) AS offset
+      FROM events WHERE user_id % 23 = 7 GROUP BY user_id)
+    SELECT l.user_id, l.offset, e.event_type
+    FROM latest l JOIN events e ON e.event_id = l.offset
+    WHERE e.event_type <> 'error'
+    """,
+)
+def kafka_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compacted-topic POINT READ (round 8): latest record per key over
+    the keyed segment log — the ksqlDB pull-query / Kafka Streams
+    state-store shape, served WITHOUT scanning the log. Per key:
+    route to its keyed-producer partition, walk segments NEWEST-FIRST,
+    skip every segment whose per-segment key BLOOM (a `_KEYBLOOMS`
+    sidecar inside the generation dir — `build_key_blooms`) rules the
+    key out, and stop at the first hit (higher segment ⇒ higher
+    offsets, so the first hit IS the latest). Keys whose latest record
+    is a tombstone are absent, exactly like a compacted-topic read.
+    Offset/footer pruning cannot serve this — keys are unordered
+    across segments; the bloom sidecar is what turns O(log) point
+    reads into O(1)-ish (pruning receipt asserted in
+    `test_key_lookup_bloom_prunes_segments`). The oracle replays
+    latest-per-key + tombstone-drop in SQL."""
+    import json as _json
+
+    from presto_rakam_kafka_spark.sources.kafka_datasource import lookup_latest
+
+    d = _keyed_log_dir(spark, sf_dir)
+    victims = [
+        str(r["user_id"]).encode()
+        for r in _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 23 == 7)
+        .select("user_id")
+        .distinct()
+        .collect()
+    ]
+    hits, _stats = lookup_latest(d, victims, num_partitions=3)
+    rows = [
+        (int(k.decode()), off, _json.loads(v.decode())["event_type"])
+        for k, (off, v) in hits.items()
+        if v is not None
+    ]
+    return spark.createDataFrame(
+        rows, "user_id LONG, offset LONG, event_type STRING"
+    )
+
+
 def _purged_log_dir(spark: SparkSession, sf_dir: str) -> str:
     """Key-routed events log with every user_id % 11 == 5 erased via
     `purge_keys` (the GDPR deletion request applied to the log itself)."""

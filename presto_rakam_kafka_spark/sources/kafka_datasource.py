@@ -1445,3 +1445,150 @@ def write_segments(
                 _arrow_schema()
             )
             pq.write_table(table, os.path.join(pdir, f"segment-{first}.parquet"))
+
+
+# ---------------------------------------------------------------------
+# Per-segment key bloom filters + point lookup (compacted-topic reads)
+# ---------------------------------------------------------------------
+
+_KEYBLOOMS = "_KEYBLOOMS.json"
+_BLOOM_K = 4  # hash functions; with m = 16·rows bits → FPR ≈ 0.24% / segment
+
+
+def _bloom_hashes(key: bytes, m_bits: int) -> list[int]:
+    """k engine-portable bit positions for a key: the md5-based seeded
+    affine family every sketch in this repo uses
+    (`functions/hashing.py` — public double-hashing construction)."""
+    import hashlib
+
+    from presto_rakam_kafka_spark.functions.hashing import (
+        HASH_P,
+        minhash_coefficients,
+    )
+
+    A, B = minhash_coefficients(_BLOOM_K, seed=662607)
+    h = int(hashlib.md5(key).hexdigest()[:15], 16) % HASH_P
+    return [((A[i] * h + B[i]) % HASH_P) % m_bits for i in range(_BLOOM_K)]
+
+
+def build_key_blooms(
+    path: str, partitions: list[int] | None = None, bits_per_key: int = 16
+) -> dict[int, int]:
+    """Build the POINT-LOOKUP index over a keyed segment log: one bloom
+    filter per segment (m = bits_per_key·rows, k = 4 → ~0.24% FPR at
+    16 bits/key), written as a ``_KEYBLOOMS.json`` sidecar INSIDE the
+    current generation directory — compaction/purge publish a NEW
+    generation, so their rewrites atomically orphan the stale blooms
+    (a generation without the sidecar is simply unindexed and lookups
+    fall back to scanning it). This is the engine-owned analog of the
+    key index a Kafka Streams state store / ksqlDB pull query relies
+    on for compacted topics: offsets and footer stats can prune OFFSET
+    predicates, but keys are unordered across segments — only a
+    per-segment membership summary lets a point read skip data files.
+    Reads ONLY the key column of each segment. Returns
+    {partition_id: segments_indexed}."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    report: dict[int, int] = {}
+    for pid, _pdir, cur, files in _select_log_partitions(path, partitions):
+        blooms: dict[str, dict] = {}
+        for f in files:
+            keys = pq.read_table(os.path.join(cur, f), columns=["key"])["key"]
+            m_bits = max(64, bits_per_key * max(1, keys.length()))
+            bits = 0
+            for k in keys:
+                if k.is_valid:
+                    for pos in _bloom_hashes(bytes(k.as_py()), m_bits):
+                        bits |= 1 << pos
+            blooms[f] = {"m": m_bits, "bits": format(bits, "x")}
+        tmp = os.path.join(cur, f".{_KEYBLOOMS}.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(blooms, fh)
+        os.replace(tmp, os.path.join(cur, _KEYBLOOMS))
+        report[pid] = len(blooms)
+    return report
+
+
+def lookup_latest(
+    path: str,
+    keys: list[bytes],
+    num_partitions: int | None = None,
+) -> tuple[dict[bytes, tuple[int, bytes | None]], dict]:
+    """Latest record per key — the compacted-topic POINT READ (ksqlDB
+    pull-query / state-store shape). Per key: route to its partition
+    (the keyed-producer placement `write_segments(route_by_key=True)`
+    uses; pass ``num_partitions=None`` to autodetect from the layout),
+    walk that partition's segments NEWEST-FIRST, consult the bloom
+    sidecar to skip segments that cannot contain the key, and stop at
+    the first (= highest-offset) hit. A key whose latest record is a
+    tombstone reports value ``None``; an absent key is absent from the
+    result. Missing blooms degrade to scanning (correctness never
+    depends on the index). Returns ``(results, stats)`` where
+    ``stats`` carries segments_total / segments_read /
+    segments_bloom_skipped — the pruning receipt."""
+    import hashlib
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    selected = _select_log_partitions(path, None)
+    if num_partitions is None:
+        num_partitions = len(selected)
+    by_pid: dict[int, list[bytes]] = {}
+    for k in keys:
+        pid = int(hashlib.md5(bytes(k)).hexdigest()[:8], 16) % num_partitions
+        by_pid.setdefault(pid, []).append(bytes(k))
+
+    results: dict[bytes, tuple[int, bytes | None]] = {}
+    stats = {"segments_total": 0, "segments_read": 0, "segments_bloom_skipped": 0}
+    for pid, _pdir, cur, files in selected:
+        want = by_pid.get(pid)
+        stats["segments_total"] += len(files)
+        if not want:
+            continue
+        blooms = None
+        bpath = os.path.join(cur, _KEYBLOOMS)
+        if os.path.exists(bpath):
+            with open(bpath) as fh:
+                blooms = {
+                    f: (int(v["bits"], 16), int(v["m"]))
+                    for f, v in _json.load(fh).items()
+                }
+        pending = set(want)
+        # newest-first: segment-<first_offset> names sort numerically
+        ordered = sorted(
+            files, key=lambda f: int(f[len("segment-"):-len(".parquet")]),
+            reverse=True,
+        )
+        for f in ordered:
+            if not pending:
+                break
+            candidates = pending
+            if blooms is not None and f in blooms:
+                bits, m_bits = blooms[f]
+                candidates = {
+                    k for k in pending
+                    if all((bits >> p) & 1 for p in _bloom_hashes(k, m_bits))
+                }
+                if not candidates:
+                    stats["segments_bloom_skipped"] += 1
+                    continue
+            stats["segments_read"] += 1
+            t = pq.read_table(
+                os.path.join(cur, f), columns=["offset", "key", "value"]
+            )
+            best: dict[bytes, tuple[int, bytes | None]] = {}
+            for off, k, v in zip(
+                t["offset"].to_pylist(), t["key"].to_pylist(), t["value"].to_pylist()
+            ):
+                if k is None:
+                    continue
+                kb = bytes(k)
+                if kb in candidates and (kb not in best or off > best[kb][0]):
+                    best[kb] = (off, None if v is None else bytes(v))
+            for kb, hit in best.items():
+                results[kb] = hit
+                pending.discard(kb)
+    return results, stats

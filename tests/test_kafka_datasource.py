@@ -1039,3 +1039,64 @@ def test_compact_validates_all_partitions_before_any_flip(spark, tmp_path):
             fn(log)
         after = sorted(glob.glob(os.path.join(p0, "**", "*"), recursive=True))
         assert after == before, tag  # partition 0 untouched: atomic failure
+
+
+def test_key_lookup_bloom_prunes_segments(spark, tmp_path):
+    """Point-lookup contract (round 8): latest record per key with
+    tombstone semantics, newest-first early stop, and the bloom
+    sidecar actually PRUNES — a one-key lookup over a many-segment
+    partition reads a small fraction of the segments, skipping most
+    via the bloom; without blooms the result is identical (index is an
+    optimization, never a correctness dependency); and compaction's
+    new generation atomically orphans stale blooms."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        build_key_blooms,
+        compact_log_by_key,
+        lookup_latest,
+        write_segments,
+    )
+
+    # 200 keys x 5 updates each; key b"77" updated at offsets 77, 277,
+    # ..., 877 (latest 877); key b"50"'s LAST record is a tombstone
+    frames = []
+    for rnd in range(5):
+        for k in range(200):
+            off = rnd * 200 + k
+            val = None if (k == 50 and rnd == 4) else f"v{off}".encode()
+            frames.append((off, str(k).encode(), val))
+    raw = spark.createDataFrame(
+        [(o, k, v, None) for o, k, v in frames],
+        "offset LONG, key BINARY, value BINARY, timestamp TIMESTAMP",
+    )
+    log = str(tmp_path / "ptlog")
+    write_segments(raw, log, num_partitions=4, segment_rows=20,
+                   route_by_key=True)
+
+    # no blooms yet: correctness holds by scanning
+    hits, stats0 = lookup_latest(log, [b"77", b"50", b"999"], num_partitions=4)
+    assert hits[b"77"] == (877, b"v877")
+    assert hits[b"50"] == (850, None)       # latest is the tombstone
+    assert b"999" not in hits               # never written
+    assert stats0["segments_bloom_skipped"] == 0
+
+    report = build_key_blooms(log)
+    assert sum(report.values()) >= 20  # many segments indexed
+
+    hits2, stats = lookup_latest(log, [b"77", b"50", b"999"], num_partitions=4)
+    assert hits2 == hits
+    assert stats["segments_bloom_skipped"] > 0
+    # the two found keys early-stop newest-first; the absent key walks
+    # its partition but blooms skip nearly everything: reads stay a
+    # small fraction of that partition's segments
+    assert stats["segments_read"] <= 8, stats
+
+    # compaction publishes a new generation -> stale blooms orphaned;
+    # lookup still correct (falls back to scanning the new generation)
+    compact_log_by_key(log, retain_tombstones=False)
+    hits3, stats3 = lookup_latest(log, [b"77", b"50"], num_partitions=4)
+    assert hits3 == {b"77": (877, b"v877")}  # 50 deleted by compaction
+    assert stats3["segments_bloom_skipped"] == 0  # no index in new gen
+    build_key_blooms(log)
+    hits4, stats4 = lookup_latest(log, [b"77"], num_partitions=4)
+    assert hits4 == {b"77": (877, b"v877")}
+    assert stats4["segments_read"] <= 2
