@@ -160,6 +160,9 @@ HEADLINE = [
     "events_value_quantiles",
     "split_leakage_safe",
     "events_rfm_segments",
+    # round 8b: compacted-topic point read (cold includes the keyed-log
+    # staging + bloom build, warm is the pure bloom-pruned lookup)
+    "kafka_key_lookup",
 ]
 
 #: Indexed-ANN queries whose cost is two phases with different lifecycles:

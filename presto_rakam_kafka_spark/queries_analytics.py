@@ -435,9 +435,67 @@ def events_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.lifecycle(_t(spark, sf_dir, "events"))
 
 
-@query(
-    "events_rfm_segments",
-    oracle="""
+def _rfm_per_user(ev_df: DataFrame) -> DataFrame:
+    """The FOLD half of RFM: per-user (last_ts, freq, purchase cents) —
+    max/count/sum, each associative, so the same groupBy runs as a
+    complete-mode streaming aggregation."""
+    return ev_df.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+
+
+def _rfm_finish(pu: DataFrame) -> DataFrame:
+    """The FINISH half of RFM: quintile ranks + the (R, F, M) grid over
+    the per-user frame. The recency anchor derives from the frame
+    itself (max over per-user last_ts == global max ts — to_date is
+    monotone), so the finish never rescans events. Three persist-cached
+    global-rank passes: each with_global_rank evaluates its input 2-3x
+    (fit, counts, final) and the passes CHAIN, so without the cache
+    rank 3 re-runs rank 1+2's exchanges (9.9 -> 8.75 s warm at 5M
+    events; the remaining cost is the per-user fold plus nine bounded
+    rank jobs)."""
+    from presto_rakam_kafka_spark.operators.ranks import with_global_rank
+
+    mx = F.broadcast(
+        pu.groupBy().agg(F.max(F.to_date("last_ts")).alias("_max_d"))
+    )
+    pu = (
+        pu.join(mx)
+        .withColumn("rec", F.datediff("_max_d", F.to_date("last_ts")))
+        .withColumn("neg_freq", -F.col("freq"))
+        .withColumn("neg_cents", -F.col("cents"))
+        .localCheckpoint(eager=True)  # pin: three rank passes reuse it
+    )
+    pu = with_global_rank(
+        pu, ["rec", "user_id"], rank_col="rr", count_col="n", persist=True
+    )
+    pu = with_global_rank(pu, ["neg_freq", "user_id"], rank_col="fr", persist=True)
+    pu = with_global_rank(pu, ["neg_cents", "user_id"], rank_col="mr", persist=True)
+    return (
+        pu.selectExpr(
+            "CAST((rr - 1) * 5 DIV n + 1 AS INT) AS r_bucket",
+            "CAST((fr - 1) * 5 DIV n + 1 AS INT) AS f_bucket",
+            "CAST((mr - 1) * 5 DIV n + 1 AS INT) AS m_bucket",
+            "cents",
+        )
+        .groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cents").cast("long").alias("monetary_cents"),
+        )
+    )
+
+
+_RFM_ORACLE = """
     WITH pu AS (
       SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
              CAST(sum(CASE WHEN event_type = 'purchase'
@@ -459,8 +517,10 @@ def events_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_users,
            CAST(sum(cents) AS BIGINT) AS monetary_cents
     FROM rk GROUP BY 1, 2, 3
-    """,
-)
+    """
+
+
+@query("events_rfm_segments", oracle=_RFM_ORACLE)
 def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (round 8): every user scored into quintiles of
     Recency (days since last event), Frequency (event count), and
@@ -474,52 +534,27 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id tiebreaks and integer bucket math so both engines assign
     identical cells. Cost: one per-user fold + three users-sized rank
     passes; output ≤ 125 cells."""
-    from presto_rakam_kafka_spark.operators.ranks import with_global_rank
+    return _rfm_finish(_rfm_per_user(_t(spark, sf_dir, "events")))
 
-    ev_df = _t(spark, sf_dir, "events")
-    pu = ev_df.groupBy("user_id").agg(
-        F.max("ts").alias("last_ts"),
-        F.count(F.lit(1)).alias("freq"),
-        F.sum(
-            F.when(
-                F.col("event_type") == "purchase",
-                F.round(F.col("value") * 100).cast("long"),
-            ).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("cents"),
+
+@query("stream_rfm_segments", oracle=_RFM_ORACLE)
+def stream_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous RFM (round 8): the per-user (last_ts, freq, cents)
+    fold is a complete-mode streaming aggregation (max/count/sum — all
+    associative), and the drained per-user frame feeds the SAME
+    rank-quintile finish as the batch grid, including the recency
+    anchor derived from the drained state itself (never a second
+    events pass). NINTH fold-then-finish rollup; streaming state is
+    one row per user — the continuously-maintained CRM table a
+    marketing dashboard reads."""
+    from presto_rakam_kafka_spark.queries import _drain, _events_stream
+
+    pu = _drain(
+        _rfm_per_user(_events_stream(spark, sf_dir)),
+        "rfm_per_user",
+        "complete",
     )
-    mx = F.broadcast(ev_df.agg(F.max(F.to_date("ts")).alias("_max_d")))
-    pu = (
-        pu.join(mx)
-        .withColumn("rec", F.datediff("_max_d", F.to_date("last_ts")))
-        .withColumn("neg_freq", -F.col("freq"))
-        .withColumn("neg_cents", -F.col("cents"))
-        .localCheckpoint(eager=True)  # pin: three rank passes reuse it
-    )
-    # persist=True on every pass: each with_global_rank evaluates its
-    # input 2-3x (fit, counts, final) and the three passes CHAIN, so
-    # without the cache rank 3 re-runs rank 1+2's exchanges each time
-    # (9.9 -> 8.75 s warm at 5M events; the remaining cost is
-    # the 5M-event per-user fold plus nine bounded rank jobs)
-    pu = with_global_rank(
-        pu, ["rec", "user_id"], rank_col="rr", count_col="n", persist=True
-    )
-    pu = with_global_rank(pu, ["neg_freq", "user_id"], rank_col="fr", persist=True)
-    pu = with_global_rank(pu, ["neg_cents", "user_id"], rank_col="mr", persist=True)
-    return (
-        pu.selectExpr(
-            "CAST((rr - 1) * 5 DIV n + 1 AS INT) AS r_bucket",
-            "CAST((fr - 1) * 5 DIV n + 1 AS INT) AS f_bucket",
-            "CAST((mr - 1) * 5 DIV n + 1 AS INT) AS m_bucket",
-            "cents",
-        )
-        .groupBy("r_bucket", "f_bucket", "m_bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_users"),
-            F.sum("cents").cast("long").alias("monetary_cents"),
-        )
-    )
+    return _rfm_finish(pu)
 
 
 @query("stream_lifecycle", oracle=ev.lifecycle_oracle("events"))

@@ -1592,3 +1592,62 @@ def lookup_latest(
                 results[kb] = hit
                 pending.discard(kb)
     return results, stats
+
+
+def build_key_blooms_spark(
+    spark, path: str, partitions: list[int] | None = None,
+    bits_per_key: int = 16,
+) -> dict[int, int]:
+    """:func:`build_key_blooms` as a DISTRIBUTED Spark job — the
+    past-driver-memory path (the `compact_log_by_key_spark` twin
+    discipline): each partition's segments are read key-column-only in
+    one scan, grouped by source file (`input_file_name`), and each
+    group's bloom is computed in an Arrow `applyInPandas` task; the
+    driver only collects one (file, m, bits-hex) row per segment —
+    bounded by segment count — and publishes the same `_KEYBLOOMS.json`
+    sidecar. Bit-identical to the pyarrow form (equality-tested): same
+    m sizing, same seeded hash family."""
+    import json as _json
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    def bloom_for(pdf: pd.DataFrame) -> pd.DataFrame:
+        m_bits = max(64, bits_per_key * max(1, len(pdf)))
+        bits = 0
+        for k in pdf["key"]:
+            if k is not None:
+                for pos in _bloom_hashes(bytes(k), m_bits):
+                    bits |= 1 << pos
+        return pd.DataFrame(
+            {"f": [pdf["f"].iloc[0]], "m": [m_bits], "bits": [format(bits, "x")]}
+        )
+
+    report: dict[int, int] = {}
+    for pid, _pdir, cur, files in _select_log_partitions(path, partitions):
+        if not files:
+            report[pid] = 0
+            continue
+        df = (
+            spark.read.parquet(*[os.path.join(cur, f) for f in files])
+            .select(F.input_file_name().alias("f"), "key")
+        )
+        rows = (
+            df.groupBy("f")
+            .applyInPandas(bloom_for, "f STRING, m LONG, bits STRING")
+            .collect()
+        )
+        blooms = {
+            os.path.basename(r["f"].replace("file://", "").split("?")[0]): {
+                "m": int(r["m"]),
+                "bits": r["bits"],
+            }
+            for r in rows
+        }
+        tmp = os.path.join(cur, f".{_KEYBLOOMS}.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(blooms, fh)
+        os.replace(tmp, os.path.join(cur, _KEYBLOOMS))
+        report[pid] = len(blooms)
+    return report

@@ -1100,3 +1100,51 @@ def test_key_lookup_bloom_prunes_segments(spark, tmp_path):
     hits4, stats4 = lookup_latest(log, [b"77"], num_partitions=4)
     assert hits4 == {b"77": (877, b"v877")}
     assert stats4["segments_read"] <= 2
+
+
+def test_build_key_blooms_spark_equals_pyarrow_form(spark, tmp_path):
+    """The distributed bloom builder (one key-column scan + per-file
+    Arrow groups) must publish byte-identical sidecars to the driver-
+    pyarrow form — same m sizing, same seeded hash family — and the
+    point lookup must prune identically through either."""
+    import json
+    import os
+
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        build_key_blooms,
+        build_key_blooms_spark,
+        lookup_latest,
+        write_segments,
+    )
+
+    frames = [(o, str(o % 37).encode(), f"v{o}".encode()) for o in range(300)]
+    raw = spark.createDataFrame(
+        [(o, k, v, None) for o, k, v in frames],
+        "offset LONG, key BINARY, value BINARY, timestamp TIMESTAMP",
+    )
+    log = str(tmp_path / "bloomlog")
+    write_segments(raw, log, num_partitions=2, segment_rows=25,
+                   route_by_key=True)
+
+    def sidecars():
+        out = {}
+        for pdir in sorted(os.listdir(log)):
+            p = os.path.join(log, pdir, "_KEYBLOOMS.json")
+            if os.path.exists(p):
+                out[pdir] = json.load(open(p))
+        return out
+
+    r1 = build_key_blooms(log)
+    pa_side = sidecars()
+    r2 = build_key_blooms_spark(spark, log)
+    sp_side = sidecars()
+    assert r1 == r2
+    assert sp_side == pa_side
+
+    # key "5" appears at offsets 5, 42, ..., 264 (5 + 37k ≤ 299); with
+    # only 37 keys every segment holds most of them, so the newest-first
+    # walk finds it in the FIRST segment it reads (early stop — bloom
+    # skips are exercised by test_key_lookup_bloom_prunes_segments)
+    hits, stats = lookup_latest(log, [b"5"], num_partitions=2)
+    assert hits[b"5"] == (264, b"v264")
+    assert stats["segments_read"] == 1
