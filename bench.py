@@ -161,8 +161,10 @@ HEADLINE = [
     "split_leakage_safe",
     "events_rfm_segments",
     # round 8b: compacted-topic point read (cold includes the keyed-log
-    # staging + bloom build, warm is the pure bloom-pruned lookup)
+    # staging + bloom build, warm is the pure bloom-pruned lookup) and
+    # the sweep-line peak-concurrency curve (distributed exact cumsum)
     "kafka_key_lookup",
+    "events_peak_concurrency",
 ]
 
 #: Indexed-ANN queries whose cost is two phases with different lifecycles:

@@ -946,3 +946,106 @@ def lifecycle_oracle(table: str = "events") -> str:
              AS n_churned
     FROM status GROUP BY 1
     """
+
+
+def peak_concurrency(
+    events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES
+) -> DataFrame:
+    """Peak concurrent sessions (round 8): the maximum number of
+    simultaneously-open sessions over the whole stream, with the first
+    instant it was reached — the "how many users are on RIGHT NOW at
+    our busiest" number a live-ops dashboard shows. Sessions come from
+    the same gap sessionizer as `user_session_stats`; a session is
+    active over the half-open interval [first_event, last_event): the
+    classic sweep-line — every session contributes a (+1 at start,
+    −1 at end) boundary, ties process −1 first (half-open: a session
+    ending exactly when another starts does not overlap it), and the
+    running sum of deltas IS the concurrency curve.
+
+    The running sum is the DISTRIBUTED exact cumsum
+    (`operators/ranks.py:with_global_cumsum` — frozen-boundary
+    buckets, per-bucket sum offsets, no single-partition ORDER BY
+    window, which is what the textbook sum-over-global-window plans).
+    Cost: one user-keyed shuffle (sessionize + session agg), one
+    boundary-keyed exchange for the cumsum over 2·sessions rows, and a
+    2-row finish."""
+    sess = (
+        sessionize(events, gap_minutes)
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
+        # pin the intervals: the boundary union consumes sess TWICE and
+        # the distributed cumsum evaluates its input more than once —
+        # without the checkpoint the per-user sessionize windows re-run
+        # 4+ times (measured 19.6 s at sf0.1 before pinning)
+        .localCheckpoint(eager=True)
+    )
+    # integer-microsecond order key: the cumsum's frozen-literal bucket
+    # boundaries must embed as plain SQL literals, which timestamps
+    # can't — micros order == timestamp order exactly
+    bounds = sess.select(
+        F.col("st").alias("bts"), F.lit(1).alias("delta"),
+        "user_id", "session_seq",
+    ).unionAll(
+        sess.select(
+            F.col("en").alias("bts"), F.lit(-1).alias("delta"),
+            "user_id", "session_seq",
+        )
+    ).withColumn("bus", F.unix_micros("bts"))
+    from presto_rakam_kafka_spark.operators.ranks import with_global_cumsum
+
+    curve = with_global_cumsum(
+        bounds,
+        ["bus", "delta", "user_id", "session_seq"],
+        "delta",
+        cum_col="conc",
+        persist=True,
+    ).localCheckpoint(eager=True)  # consumed twice: peak agg + filter
+    peak = F.broadcast(curve.groupBy().agg(F.max("conc").alias("peak")))
+    return (
+        curve.join(peak)
+        .filter(F.col("conc") == F.col("peak"))
+        .groupBy()
+        .agg(
+            F.max("peak").cast("long").alias("peak_concurrent"),
+            F.date_format(F.min("bts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "first_peak_ts"
+            ),
+        )
+    )
+
+
+def peak_concurrency_oracle(
+    table: str = "events", gap_minutes: int = SESSION_GAP_MINUTES
+) -> str:
+    """DuckDB twin: same sessionizer, same half-open sweep-line, the
+    cumsum as a plain global window (values, not plan)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM {table}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess_ids AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, session_seq, min(ts) AS st, max(ts) AS en
+      FROM sess_ids GROUP BY user_id, session_seq
+    ), b AS (
+      SELECT st AS bts, 1 AS delta, user_id, session_seq FROM sess
+      UNION ALL
+      SELECT en, -1, user_id, session_seq FROM sess
+    ), c AS (
+      SELECT bts, sum(delta) OVER (ORDER BY bts, delta, user_id, session_seq
+                                   ROWS UNBOUNDED PRECEDING) AS conc
+      FROM b
+    ), m AS (SELECT max(conc) AS peak FROM c)
+    SELECT CAST(max(peak) AS BIGINT) AS peak_concurrent,
+           strftime(min(bts), '%Y-%m-%d %H:%M:%S') AS first_peak_ts
+    FROM c, m WHERE conc = peak
+    """

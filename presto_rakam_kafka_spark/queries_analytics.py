@@ -423,6 +423,17 @@ def events_hll_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_weekly_users(_t(spark, sf_dir, "events"))
 
 
+@query("events_peak_concurrency", oracle=ev.peak_concurrency_oracle("events"))
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions (round 8): sweep-line over session
+    [start, end) boundaries — +1/−1 deltas, ties end-before-start
+    (half-open), running sum = the concurrency curve, computed with the
+    DISTRIBUTED exact cumsum (never a single-partition global window —
+    `operators/events.py:peak_concurrency`). Returns the peak and the
+    first instant it was reached."""
+    return ev.peak_concurrency(_t(spark, sf_dir, "events"))
+
+
 @query("events_lifecycle", oracle=ev.lifecycle_oracle("events"))
 def events_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly growth accounting (round 8): new / retained / resurrected

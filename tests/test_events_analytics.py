@@ -588,3 +588,32 @@ def test_scd2_null_runs_are_tracked(spark):
         (2, "b", "2024-01-01 00:01:00", None),
         (2, None, "2024-01-01 00:00:00", "2024-01-01 00:01:00"),
     ]
+
+
+def test_peak_concurrency_half_open_tie_semantics(spark):
+    """Sweep-line tie rule: a session ending exactly when another
+    starts does NOT overlap it (half-open [start, end)); genuinely
+    overlapping sessions count; the reported instant is the FIRST time
+    the peak is reached."""
+    import datetime as dt
+
+    from presto_rakam_kafka_spark.operators.events import peak_concurrency
+
+    t = lambda m: dt.datetime(2024, 1, 1, 12, m)  # noqa: E731
+    rows = [
+        # user 1: one session 12:00-12:10 (events 10 min apart stay in
+        # one session at gap=30)
+        (1, 1, "view", t(0)), (2, 1, "view", t(10)),
+        # user 2: session 12:10-12:20 — starts exactly at user 1's end:
+        # NOT concurrent with it under half-open semantics
+        (3, 2, "view", t(10)), (4, 2, "view", t(20)),
+        # users 3+4 overlap user 2 at 12:15 → peak 3 first reached then
+        (5, 3, "view", t(15)), (6, 3, "view", t(18)),
+        (7, 4, "view", t(15)), (8, 4, "view", t(17)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP"
+    )
+    got = peak_concurrency(df).collect()[0]
+    assert got["peak_concurrent"] == 3
+    assert got["first_peak_ts"] == "2024-01-01 12:15:00"
