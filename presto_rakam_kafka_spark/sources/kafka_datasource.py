@@ -1651,3 +1651,45 @@ def build_key_blooms_spark(
         os.replace(tmp, os.path.join(cur, _KEYBLOOMS))
         report[pid] = len(blooms)
     return report
+
+
+def update_key_blooms(
+    path: str, partitions: list[int] | None = None, bits_per_key: int = 16
+) -> dict[int, int]:
+    """INCREMENTAL point-lookup index maintenance: index only segments
+    the sidecar does not cover yet (new appends since the last
+    build/update) and drop entries for segments that no longer exist —
+    the per-trigger upkeep a continuously-written log needs, costing
+    O(new segments), not O(log). Same sizing/hash family as
+    :func:`build_key_blooms` (a full rebuild and incremental updates
+    produce identical sidecars — equality-tested); same atomic sidecar
+    replace. Returns {partition_id: segments_newly_indexed}."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    report: dict[int, int] = {}
+    for pid, _pdir, cur, files in _select_log_partitions(path, partitions):
+        bpath = os.path.join(cur, _KEYBLOOMS)
+        blooms: dict[str, dict] = {}
+        if os.path.exists(bpath):
+            with open(bpath) as fh:
+                blooms = _json.load(fh)
+        live = set(files)
+        blooms = {f: v for f, v in blooms.items() if f in live}
+        new = [f for f in files if f not in blooms]
+        for f in new:
+            keys = pq.read_table(os.path.join(cur, f), columns=["key"])["key"]
+            m_bits = max(64, bits_per_key * max(1, keys.length()))
+            bits = 0
+            for k in keys:
+                if k.is_valid:
+                    for pos in _bloom_hashes(bytes(k.as_py()), m_bits):
+                        bits |= 1 << pos
+            blooms[f] = {"m": m_bits, "bits": format(bits, "x")}
+        tmp = os.path.join(cur, f".{_KEYBLOOMS}.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(blooms, fh)
+        os.replace(tmp, os.path.join(cur, _KEYBLOOMS))
+        report[pid] = len(new)
+    return report

@@ -1148,3 +1148,61 @@ def test_build_key_blooms_spark_equals_pyarrow_form(spark, tmp_path):
     hits, stats = lookup_latest(log, [b"5"], num_partitions=2)
     assert hits[b"5"] == (264, b"v264")
     assert stats["segments_read"] == 1
+
+
+def test_update_key_blooms_incremental_equals_rebuild(spark, tmp_path):
+    """Incremental index upkeep: after appending new segments, updating
+    the sidecar indexes ONLY the new files and the result is
+    byte-identical to a from-scratch rebuild; lookups through the
+    updated index find the appended keys' latest records."""
+    import json
+    import os
+
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        build_key_blooms,
+        lookup_latest,
+        update_key_blooms,
+        write_segments,
+    )
+
+    def mk(lo, hi):
+        frames = [(o, str(o % 11).encode(), f"v{o}".encode()) for o in range(lo, hi)]
+        return spark.createDataFrame(
+            [(o, k, v, None) for o, k, v in frames],
+            "offset LONG, key BINARY, value BINARY, timestamp TIMESTAMP",
+        )
+
+    log = str(tmp_path / "incrlog")
+    write_segments(mk(0, 100), log, num_partitions=2, segment_rows=10,
+                   route_by_key=True)
+    build_key_blooms(log)
+
+    # append a second batch as NEW segments (offset-disjoint); the
+    # fixture writer lays files side by side in the same partition dirs
+    import glob
+    import shutil
+
+    tmp2 = str(tmp_path / "incrlog2")
+    write_segments(mk(100, 160), tmp2, num_partitions=2, segment_rows=10,
+                   route_by_key=True)
+    for pdir in ("partition=0", "partition=1"):
+        for f in glob.glob(os.path.join(tmp2, pdir, "segment-*.parquet")):
+            shutil.copy(f, os.path.join(log, pdir, os.path.basename(f)))
+
+    rep = update_key_blooms(log)
+    assert sum(rep.values()) > 0  # only the new files were indexed
+
+    def sidecars():
+        return {
+            p: json.load(open(os.path.join(log, p, "_KEYBLOOMS.json")))
+            for p in ("partition=0", "partition=1")
+        }
+
+    incremental = sidecars()
+    build_key_blooms(log)  # from-scratch rebuild
+    assert sidecars() == incremental
+
+    hits, stats = lookup_latest(log, [b"3"], num_partitions=2)
+    # key "3": offsets o % 11 == 3 → max in [0,160) is 157
+    assert hits[b"3"] == (157, b"v157")
+    assert stats["segments_read"] == 1  # newest-first early stop
