@@ -652,6 +652,51 @@ def kafka_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "kafka_key_lookup_spark",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, max(event_id) AS offset
+      FROM events WHERE user_id % 17 = 3 GROUP BY user_id)
+    SELECT l.user_id, l.offset, e.event_type
+    FROM latest l JOIN events e ON e.event_id = l.offset
+    WHERE e.event_type <> 'error'
+    """,
+)
+def kafka_key_lookup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED point read (round 9): the enrichment-batch shape —
+    a key TABLE joined against a compacted topic's latest state.
+    `lookup_latest` is driver-side pyarrow (right for a handful of
+    keys); here the key set is a DataFrame, each key is routed to its
+    log partition IN THE PLAN (`conv(substring(md5(key),1,8),16,10)` —
+    the exact keyed-producer placement, JVM-side), and each
+    partition's newest-first bloom walk runs inside an Arrow task, so
+    a 100k-key batch costs (touched segments) scans total, not
+    keys × segments, and the work spreads across executors (one task
+    per log partition). Tombstoned keys surface as NULL values and are
+    filtered like compaction would; JSON value decode stays JVM-side
+    (`get_json_object`). Oracle: latest-per-key + tombstone-drop in
+    SQL."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        lookup_latest_spark,
+    )
+
+    d = _keyed_log_dir(spark, sf_dir)
+    keys = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 17 == 3)
+        .select(F.col("user_id").cast("string").cast("binary").alias("key"))
+        .distinct()
+    )
+    hits = lookup_latest_spark(spark, d, keys, num_partitions=3)
+    return hits.filter(F.col("value").isNotNull()).select(
+        F.col("key").cast("string").cast("long").alias("user_id"),
+        F.col("offset"),
+        F.get_json_object(F.col("value").cast("string"), "$.event_type")
+        .alias("event_type"),
+    )
+
+
 def _purged_log_dir(spark: SparkSession, sf_dir: str) -> str:
     """Key-routed events log with every user_id % 11 == 5 erased via
     `purge_keys` (the GDPR deletion request applied to the log itself)."""

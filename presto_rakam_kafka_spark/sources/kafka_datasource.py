@@ -1451,24 +1451,138 @@ def write_segments(
 # Per-segment key bloom filters + point lookup (compacted-topic reads)
 # ---------------------------------------------------------------------
 
-_KEYBLOOMS = "_KEYBLOOMS.json"
+_BLOOM_MAGIC = b"KBLM"
+_BLOOM_VERSION = 2
 _BLOOM_K = 4  # hash functions; with m = 16·rows bits → FPR ≈ 0.24% / segment
+_BLOOM_HEADER = 24  # magic(4) + version(1) + k(1) + pad(2) + m(8) + n(8)
 
 
-def _bloom_hashes(key: bytes, m_bits: int) -> list[int]:
-    """k engine-portable bit positions for a key: the md5-based seeded
-    affine family every sketch in this repo uses
-    (`functions/hashing.py` — public double-hashing construction)."""
+def _bloom_sidecar_name(segment_file: str) -> str:
+    """`.segment-N.bloom` — ONE hidden sidecar PER SEGMENT, next to its
+    data file, so a point read loads only the blooms its newest-first
+    walk actually consults (the r8 form was one monolithic JSON per
+    partition, parsed whole on every lookup — index cost O(partition)
+    instead of O(segments consulted)). Dot-prefixed: Spark and the
+    segment enumerators ignore hidden files."""
+    return "." + segment_file[: -len(".parquet")] + ".bloom"
+
+
+def _bloom_hash_bases(key: bytes) -> tuple[int, int]:
+    """Two independent 64-bit bases from the FULL md5 digest for
+    Kirsch–Mitzenmacher double hashing: position_i =
+    ((h1 + i·h2) mod 2^64) mod m_bits. Unlike the r8 form (which
+    reduced mod P = 1e9+7 BEFORE mod m_bits, so segments past ~62M keys
+    could never set their upper bloom bits and colliding keys collapsed
+    all k probes), every bit of any m_bits < 2^64 is reachable and the
+    probes stay independent. h2 is forced odd so it never degenerates
+    to a constant probe."""
     import hashlib
 
-    from presto_rakam_kafka_spark.functions.hashing import (
-        HASH_P,
-        minhash_coefficients,
+    d = hashlib.md5(key).digest()
+    return (
+        int.from_bytes(d[:8], "little"),
+        int.from_bytes(d[8:16], "little") | 1,
     )
 
-    A, B = minhash_coefficients(_BLOOM_K, seed=662607)
-    h = int(hashlib.md5(key).hexdigest()[:15], 16) % HASH_P
-    return [((A[i] * h + B[i]) % HASH_P) % m_bits for i in range(_BLOOM_K)]
+
+def _bloom_build_bits(keys, m_bits: int):
+    """Vectorized bloom build: one md5 per key (the only per-key Python
+    work), then all k·n bit positions are computed in numpy uint64
+    arithmetic (wraparound mod 2^64 IS the hash definition) and OR-ed
+    into a uint8 bitset with one `bitwise_or.at` per probe index — no
+    Python bigints (the r8 build set bits one `1 << pos` at a time,
+    O(m_bits) per set on large segments). Returns (bitset: np.uint8
+    array of ceil(m/8) bytes, n_keys)."""
+    import numpy as np
+
+    nbytes = (m_bits + 7) // 8
+    bits = np.zeros(nbytes, dtype=np.uint8)
+    h1s: list[int] = []
+    h2s: list[int] = []
+    for kb in keys:
+        if kb is None:
+            continue
+        h1, h2 = _bloom_hash_bases(bytes(kb))
+        h1s.append(h1)
+        h2s.append(h2)
+    if h1s:
+        h1 = np.array(h1s, dtype=np.uint64)
+        h2 = np.array(h2s, dtype=np.uint64)
+        m = np.uint64(m_bits)
+        for i in range(_BLOOM_K):
+            pos = (h1 + np.uint64(i) * h2) % m  # uint64 wraparound by design
+            np.bitwise_or.at(
+                bits,
+                (pos >> np.uint64(3)).astype(np.int64),
+                np.left_shift(
+                    np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+                ),
+            )
+    return bits, len(h1s)
+
+
+def _bloom_might_contain(bits, m_bits: int, key: bytes) -> bool:
+    """k probes against the uint8 bitset — each probe is two integer ops
+    and one byte load (`bits[pos >> 3] >> (pos & 7)`), O(1) regardless
+    of segment size (the r8 probe shifted a whole-bitset Python bigint
+    per probe: O(m_bits) each)."""
+    h1, h2 = _bloom_hash_bases(key)
+    for i in range(_BLOOM_K):
+        pos = ((h1 + i * h2) & 0xFFFFFFFFFFFFFFFF) % m_bits
+        if not (int(bits[pos >> 3]) >> (pos & 7)) & 1:
+            return False
+    return True
+
+
+def _bloom_payload(m_bits: int, n_keys: int, bits) -> bytes:
+    """Binary sidecar image: 24-byte header (magic, version, k, m_bits,
+    n_keys — all little-endian) + the raw bitset bytes. Byte-identical
+    across the pyarrow builder, the Spark builder, and incremental
+    upkeep (equality-tested), so `update == rebuild` remains a bytes
+    comparison."""
+    return (
+        _BLOOM_MAGIC
+        + bytes([_BLOOM_VERSION, _BLOOM_K, 0, 0])
+        + int(m_bits).to_bytes(8, "little")
+        + int(n_keys).to_bytes(8, "little")
+        + bits.tobytes()
+    )
+
+
+def _bloom_parse(payload: bytes):
+    """(m_bits, bitset) from a sidecar image; None on a foreign/corrupt
+    file — the walk then degrades to scanning that segment (the index
+    is never a correctness dependency)."""
+    import numpy as np
+
+    if len(payload) < _BLOOM_HEADER or payload[:4] != _BLOOM_MAGIC:
+        return None
+    m_bits = int.from_bytes(payload[8:16], "little")
+    bits = np.frombuffer(payload[_BLOOM_HEADER:], dtype=np.uint8)
+    if len(bits) != (m_bits + 7) // 8:
+        return None
+    return m_bits, bits
+
+
+def _bloom_write_sidecar(cur: str, segment_file: str, payload: bytes) -> None:
+    name = _bloom_sidecar_name(segment_file)
+    tmp = os.path.join(cur, name + ".tmp")
+    with open(tmp, "wb") as fh:
+        fh.write(payload)
+    os.replace(tmp, os.path.join(cur, name))
+
+
+def _bloom_sweep_orphans(cur: str, live_segments: set[str]) -> None:
+    """Drop sidecars whose segment no longer exists, plus the retired
+    r8 monolithic `_KEYBLOOMS.json` (superseded format: ignored by the
+    reader, removed on the next build/update)."""
+    live = {_bloom_sidecar_name(f) for f in live_segments}
+    for e in os.listdir(cur):
+        if e.endswith(".bloom") and e.startswith(".") and e not in live:
+            os.remove(os.path.join(cur, e))
+    legacy = os.path.join(cur, "_KEYBLOOMS.json")
+    if os.path.exists(legacy):
+        os.remove(legacy)
 
 
 def build_key_blooms(
@@ -1476,122 +1590,34 @@ def build_key_blooms(
 ) -> dict[int, int]:
     """Build the POINT-LOOKUP index over a keyed segment log: one bloom
     filter per segment (m = bits_per_key·rows, k = 4 → ~0.24% FPR at
-    16 bits/key), written as a ``_KEYBLOOMS.json`` sidecar INSIDE the
-    current generation directory — compaction/purge publish a NEW
-    generation, so their rewrites atomically orphan the stale blooms
-    (a generation without the sidecar is simply unindexed and lookups
-    fall back to scanning it). This is the engine-owned analog of the
-    key index a Kafka Streams state store / ksqlDB pull query relies
-    on for compacted topics: offsets and footer stats can prune OFFSET
-    predicates, but keys are unordered across segments — only a
-    per-segment membership summary lets a point read skip data files.
-    Reads ONLY the key column of each segment. Returns
+    16 bits/key), written as a hidden ``.segment-N.bloom`` binary
+    sidecar NEXT TO its data file inside the current generation
+    directory — compaction/purge publish a NEW generation, so their
+    rewrites atomically orphan the stale blooms (a generation without
+    sidecars is simply unindexed and lookups fall back to scanning it).
+    This is the engine-owned analog of the key index a Kafka Streams
+    state store / ksqlDB pull query relies on for compacted topics:
+    offsets and footer stats can prune OFFSET predicates, but keys are
+    unordered across segments — only a per-segment membership summary
+    lets a point read skip data files. Reads ONLY the key column of
+    each segment; bitsets are built vectorized in numpy (uint8) and
+    stored as raw little-endian bytes, so a lookup loads exactly the
+    sidecars its walk consults and each probe is O(1). Returns
     {partition_id: segments_indexed}."""
-    import json as _json
-
     import pyarrow.parquet as pq
 
     report: dict[int, int] = {}
     for pid, _pdir, cur, files in _select_log_partitions(path, partitions):
-        blooms: dict[str, dict] = {}
         for f in files:
             keys = pq.read_table(os.path.join(cur, f), columns=["key"])["key"]
             m_bits = max(64, bits_per_key * max(1, keys.length()))
-            bits = 0
-            for k in keys:
-                if k.is_valid:
-                    for pos in _bloom_hashes(bytes(k.as_py()), m_bits):
-                        bits |= 1 << pos
-            blooms[f] = {"m": m_bits, "bits": format(bits, "x")}
-        tmp = os.path.join(cur, f".{_KEYBLOOMS}.tmp")
-        with open(tmp, "w") as fh:
-            _json.dump(blooms, fh)
-        os.replace(tmp, os.path.join(cur, _KEYBLOOMS))
-        report[pid] = len(blooms)
-    return report
-
-
-def lookup_latest(
-    path: str,
-    keys: list[bytes],
-    num_partitions: int | None = None,
-) -> tuple[dict[bytes, tuple[int, bytes | None]], dict]:
-    """Latest record per key — the compacted-topic POINT READ (ksqlDB
-    pull-query / state-store shape). Per key: route to its partition
-    (the keyed-producer placement `write_segments(route_by_key=True)`
-    uses; pass ``num_partitions=None`` to autodetect from the layout),
-    walk that partition's segments NEWEST-FIRST, consult the bloom
-    sidecar to skip segments that cannot contain the key, and stop at
-    the first (= highest-offset) hit. A key whose latest record is a
-    tombstone reports value ``None``; an absent key is absent from the
-    result. Missing blooms degrade to scanning (correctness never
-    depends on the index). Returns ``(results, stats)`` where
-    ``stats`` carries segments_total / segments_read /
-    segments_bloom_skipped — the pruning receipt."""
-    import hashlib
-    import json as _json
-
-    import pyarrow.parquet as pq
-
-    selected = _select_log_partitions(path, None)
-    if num_partitions is None:
-        num_partitions = len(selected)
-    by_pid: dict[int, list[bytes]] = {}
-    for k in keys:
-        pid = int(hashlib.md5(bytes(k)).hexdigest()[:8], 16) % num_partitions
-        by_pid.setdefault(pid, []).append(bytes(k))
-
-    results: dict[bytes, tuple[int, bytes | None]] = {}
-    stats = {"segments_total": 0, "segments_read": 0, "segments_bloom_skipped": 0}
-    for pid, _pdir, cur, files in selected:
-        want = by_pid.get(pid)
-        stats["segments_total"] += len(files)
-        if not want:
-            continue
-        blooms = None
-        bpath = os.path.join(cur, _KEYBLOOMS)
-        if os.path.exists(bpath):
-            with open(bpath) as fh:
-                blooms = {
-                    f: (int(v["bits"], 16), int(v["m"]))
-                    for f, v in _json.load(fh).items()
-                }
-        pending = set(want)
-        # newest-first: segment-<first_offset> names sort numerically
-        ordered = sorted(
-            files, key=lambda f: int(f[len("segment-"):-len(".parquet")]),
-            reverse=True,
-        )
-        for f in ordered:
-            if not pending:
-                break
-            candidates = pending
-            if blooms is not None and f in blooms:
-                bits, m_bits = blooms[f]
-                candidates = {
-                    k for k in pending
-                    if all((bits >> p) & 1 for p in _bloom_hashes(k, m_bits))
-                }
-                if not candidates:
-                    stats["segments_bloom_skipped"] += 1
-                    continue
-            stats["segments_read"] += 1
-            t = pq.read_table(
-                os.path.join(cur, f), columns=["offset", "key", "value"]
+            bits, n = _bloom_build_bits(
+                (k.as_py() if k.is_valid else None for k in keys), m_bits
             )
-            best: dict[bytes, tuple[int, bytes | None]] = {}
-            for off, k, v in zip(
-                t["offset"].to_pylist(), t["key"].to_pylist(), t["value"].to_pylist()
-            ):
-                if k is None:
-                    continue
-                kb = bytes(k)
-                if kb in candidates and (kb not in best or off > best[kb][0]):
-                    best[kb] = (off, None if v is None else bytes(v))
-            for kb, hit in best.items():
-                results[kb] = hit
-                pending.discard(kb)
-    return results, stats
+            _bloom_write_sidecar(cur, f, _bloom_payload(m_bits, n, bits))
+        _bloom_sweep_orphans(cur, set(files))
+        report[pid] = len(files)
+    return report
 
 
 def build_key_blooms_spark(
@@ -1602,31 +1628,27 @@ def build_key_blooms_spark(
     past-driver-memory path (the `compact_log_by_key_spark` twin
     discipline): each partition's segments are read key-column-only in
     one scan, grouped by source file (`input_file_name`), and each
-    group's bloom is computed in an Arrow `applyInPandas` task; the
-    driver only collects one (file, m, bits-hex) row per segment —
-    bounded by segment count — and publishes the same `_KEYBLOOMS.json`
-    sidecar. Bit-identical to the pyarrow form (equality-tested): same
-    m sizing, same seeded hash family."""
-    import json as _json
-
+    group's bitset is built vectorized in an Arrow `applyInPandas`
+    task; the driver only collects one (file, payload-bytes) row per
+    segment — bounded by segment count — and publishes the same
+    per-segment binary sidecars. Byte-identical to the pyarrow form
+    (equality-tested): same m sizing, same md5 double-hash family,
+    same header layout."""
     import pandas as pd
 
     from pyspark.sql import functions as F
 
     def bloom_for(pdf: pd.DataFrame) -> pd.DataFrame:
         m_bits = max(64, bits_per_key * max(1, len(pdf)))
-        bits = 0
-        for k in pdf["key"]:
-            if k is not None:
-                for pos in _bloom_hashes(bytes(k), m_bits):
-                    bits |= 1 << pos
+        bits, n = _bloom_build_bits(pdf["key"], m_bits)
         return pd.DataFrame(
-            {"f": [pdf["f"].iloc[0]], "m": [m_bits], "bits": [format(bits, "x")]}
+            {"f": [pdf["f"].iloc[0]], "payload": [_bloom_payload(m_bits, n, bits)]}
         )
 
     report: dict[int, int] = {}
     for pid, _pdir, cur, files in _select_log_partitions(path, partitions):
         if not files:
+            _bloom_sweep_orphans(cur, set())
             report[pid] = 0
             continue
         df = (
@@ -1635,21 +1657,14 @@ def build_key_blooms_spark(
         )
         rows = (
             df.groupBy("f")
-            .applyInPandas(bloom_for, "f STRING, m LONG, bits STRING")
+            .applyInPandas(bloom_for, "f STRING, payload BINARY")
             .collect()
         )
-        blooms = {
-            os.path.basename(r["f"].replace("file://", "").split("?")[0]): {
-                "m": int(r["m"]),
-                "bits": r["bits"],
-            }
-            for r in rows
-        }
-        tmp = os.path.join(cur, f".{_KEYBLOOMS}.tmp")
-        with open(tmp, "w") as fh:
-            _json.dump(blooms, fh)
-        os.replace(tmp, os.path.join(cur, _KEYBLOOMS))
-        report[pid] = len(blooms)
+        for r in rows:
+            base = os.path.basename(r["f"].replace("file://", "").split("?")[0])
+            _bloom_write_sidecar(cur, base, bytes(r["payload"]))
+        _bloom_sweep_orphans(cur, set(files))
+        report[pid] = len(files)
     return report
 
 
@@ -1657,39 +1672,240 @@ def update_key_blooms(
     path: str, partitions: list[int] | None = None, bits_per_key: int = 16
 ) -> dict[int, int]:
     """INCREMENTAL point-lookup index maintenance: index only segments
-    the sidecar does not cover yet (new appends since the last
-    build/update) and drop entries for segments that no longer exist —
-    the per-trigger upkeep a continuously-written log needs, costing
-    O(new segments), not O(log). Same sizing/hash family as
+    with no sidecar yet (new appends since the last build/update) and
+    drop sidecars for segments that no longer exist — the per-trigger
+    upkeep a continuously-written log needs, costing O(new segments),
+    not O(log). Same sizing/hash family/binary layout as
     :func:`build_key_blooms` (a full rebuild and incremental updates
-    produce identical sidecars — equality-tested); same atomic sidecar
-    replace. Returns {partition_id: segments_newly_indexed}."""
-    import json as _json
-
+    produce byte-identical sidecars — equality-tested); each sidecar is
+    written with its own atomic replace, so upkeep never makes an
+    already-indexed segment unreadable. Returns
+    {partition_id: segments_newly_indexed}."""
     import pyarrow.parquet as pq
 
     report: dict[int, int] = {}
     for pid, _pdir, cur, files in _select_log_partitions(path, partitions):
-        bpath = os.path.join(cur, _KEYBLOOMS)
-        blooms: dict[str, dict] = {}
-        if os.path.exists(bpath):
-            with open(bpath) as fh:
-                blooms = _json.load(fh)
-        live = set(files)
-        blooms = {f: v for f, v in blooms.items() if f in live}
-        new = [f for f in files if f not in blooms]
+        new = [
+            f for f in files
+            if not os.path.exists(os.path.join(cur, _bloom_sidecar_name(f)))
+        ]
         for f in new:
             keys = pq.read_table(os.path.join(cur, f), columns=["key"])["key"]
             m_bits = max(64, bits_per_key * max(1, keys.length()))
-            bits = 0
-            for k in keys:
-                if k.is_valid:
-                    for pos in _bloom_hashes(bytes(k.as_py()), m_bits):
-                        bits |= 1 << pos
-            blooms[f] = {"m": m_bits, "bits": format(bits, "x")}
-        tmp = os.path.join(cur, f".{_KEYBLOOMS}.tmp")
-        with open(tmp, "w") as fh:
-            _json.dump(blooms, fh)
-        os.replace(tmp, os.path.join(cur, _KEYBLOOMS))
+            bits, n = _bloom_build_bits(
+                (k.as_py() if k.is_valid else None for k in keys), m_bits
+            )
+            _bloom_write_sidecar(cur, f, _bloom_payload(m_bits, n, bits))
+        _bloom_sweep_orphans(cur, set(files))
         report[pid] = len(new)
     return report
+
+
+def _route_key(key: bytes, num_partitions: int) -> int:
+    """The keyed-producer placement `write_segments(route_by_key=True)`
+    uses: first 8 hex chars of md5, mod partition count."""
+    import hashlib
+
+    return int(hashlib.md5(key).hexdigest()[:8], 16) % num_partitions
+
+
+def _validated_partition_count(
+    selected: list, num_partitions: int | None
+) -> int:
+    """A caller-passed partition count that disagrees with the log
+    layout would route keys to the wrong (or nonexistent) partition and
+    report them ABSENT — indistinguishable from 'key never written'.
+    Fail loudly instead: the layout's `partition=N` dirs must be
+    exactly 0..n-1 and match the declared count."""
+    pids = {pid for pid, _p, _c, _f in selected}
+    n = len(selected) if num_partitions is None else int(num_partitions)
+    if pids != set(range(n)):
+        raise KafkaLogLayoutError(
+            f"partition layout mismatch: log has partition dirs "
+            f"{sorted(pids)} but lookup was told num_partitions={n} — "
+            "routing against the wrong count silently loses keys"
+        )
+    return n
+
+
+def _lookup_walk(
+    cur: str, files: list[str], want: set[bytes], stats: dict
+) -> dict[bytes, tuple[int, bytes | None]]:
+    """The per-partition newest-first walk shared by the driver and the
+    distributed lookup: for each segment (highest first-offset first)
+    LAZILY load that segment's bloom sidecar — index I/O stops when the
+    early-stop does, so a hot key costs ~1 bloom read + 1 segment read
+    no matter how long the log is — probe the pending keys (O(1) per
+    probe on the uint8 bitset), scan only segments with a surviving
+    candidate, and retire keys at their first (= latest) hit."""
+    import pyarrow.parquet as pq
+
+    results: dict[bytes, tuple[int, bytes | None]] = {}
+    pending = set(want)
+    ordered = sorted(
+        files,
+        key=lambda f: int(f[len("segment-"):-len(".parquet")]),
+        reverse=True,
+    )
+    for f in ordered:
+        if not pending:
+            break
+        candidates = pending
+        bpath = os.path.join(cur, _bloom_sidecar_name(f))
+        if os.path.exists(bpath):
+            with open(bpath, "rb") as fh:
+                payload = fh.read()
+            parsed = _bloom_parse(payload)
+            if parsed is not None:
+                stats["blooms_read"] += 1
+                stats["index_bytes_read"] += len(payload)
+                m_bits, bits = parsed
+                candidates = {
+                    k for k in pending
+                    if _bloom_might_contain(bits, m_bits, k)
+                }
+                if not candidates:
+                    stats["segments_bloom_skipped"] += 1
+                    continue
+        stats["segments_read"] += 1
+        t = pq.read_table(
+            os.path.join(cur, f), columns=["offset", "key", "value"]
+        )
+        best: dict[bytes, tuple[int, bytes | None]] = {}
+        for off, k, v in zip(
+            t["offset"].to_pylist(), t["key"].to_pylist(), t["value"].to_pylist()
+        ):
+            if k is None:
+                continue
+            kb = bytes(k)
+            if kb in candidates and (kb not in best or off > best[kb][0]):
+                best[kb] = (off, None if v is None else bytes(v))
+        for kb, hit in best.items():
+            results[kb] = hit
+            pending.discard(kb)
+    return results
+
+
+def lookup_latest(
+    path: str,
+    keys: list[bytes],
+    num_partitions: int | None = None,
+) -> tuple[dict[bytes, tuple[int, bytes | None]], dict]:
+    """Latest record per key — the compacted-topic POINT READ (ksqlDB
+    pull-query / state-store shape). Per key: route to its partition
+    (the keyed-producer placement `write_segments(route_by_key=True)`
+    uses; ``num_partitions=None`` autodetects from the layout, and an
+    EXPLICIT count that disagrees with the layout raises instead of
+    silently reporting keys absent), walk that partition's segments
+    NEWEST-FIRST, lazily load each consulted segment's bloom sidecar to
+    skip segments that cannot contain the key, and stop at the first
+    (= highest-offset) hit. A key whose latest record is a tombstone
+    reports value ``None``; an absent key is absent from the result.
+    Missing blooms degrade to scanning (correctness never depends on
+    the index). Returns ``(results, stats)`` where ``stats`` carries
+    segments_total / segments_read / segments_bloom_skipped /
+    blooms_read / index_bytes_read — the pruning receipt: index bytes
+    read scale with segments CONSULTED, not with the partition's log
+    (the r8 form parsed the whole partition index per call)."""
+    selected = _select_log_partitions(path, None)
+    num_partitions = _validated_partition_count(selected, num_partitions)
+    by_pid: dict[int, list[bytes]] = {}
+    for k in keys:
+        by_pid.setdefault(_route_key(bytes(k), num_partitions), []).append(
+            bytes(k)
+        )
+
+    results: dict[bytes, tuple[int, bytes | None]] = {}
+    stats = {
+        "segments_total": 0,
+        "segments_read": 0,
+        "segments_bloom_skipped": 0,
+        "blooms_read": 0,
+        "index_bytes_read": 0,
+    }
+    for pid, _pdir, cur, files in selected:
+        want = by_pid.get(pid)
+        stats["segments_total"] += len(files)
+        if not want:
+            continue
+        results.update(_lookup_walk(cur, files, set(want), stats))
+    return results, stats
+
+
+def lookup_latest_spark(
+    spark,
+    path: str,
+    keys,
+    num_partitions: int | None = None,
+    with_stats: bool = False,
+):
+    """Distributed point read for key TABLES — the enrichment-batch
+    shape (`lookup_latest` is driver-side pyarrow: right for 1–100
+    keys, wrong for a 100k-key batch). ``keys`` is a DataFrame with a
+    binary ``key`` column (or a list of bytes). Each key is routed to
+    its log partition IN THE PLAN (`conv(substring(md5(key),1,8),16,10)
+    % n` — the exact keyed-producer placement, JVM-side), keys are
+    grouped per partition, and each partition's newest-first bloom walk
+    runs INSIDE an Arrow task against that partition's directory — the
+    same `_lookup_walk` the driver form uses, so scan cost is
+    ∝ touched segments, not keys × segments, and the work distributes
+    across executors (one task per log partition; the log layout is on
+    shared storage by the same premise as every other log operator).
+    Returns a DataFrame ``(key BINARY, offset LONG, value BINARY)``
+    where a tombstoned key appears with value NULL and an absent key
+    has no row — identical semantics to the driver form
+    (equality-tested)."""
+    import pandas as pd
+
+    from pyspark.sql import DataFrame as _SqlDataFrame
+    from pyspark.sql import functions as F
+
+    selected = _select_log_partitions(path, None)
+    n = _validated_partition_count(selected, num_partitions)
+    if not isinstance(keys, _SqlDataFrame):
+        keys = spark.createDataFrame(
+            [(bytes(k),) for k in keys], "key BINARY"
+        )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["_pid"].iloc[0])
+        pdir = os.path.join(path, f"partition={pid}")
+        cur = _resolve_partition_dir(pdir)
+        files = sorted(f for f in os.listdir(cur) if _SEGMENT_FILE.match(f))
+        want = {bytes(k) for k in pdf["key"] if k is not None}
+        stats = {
+            "segments_total": len(files),
+            "segments_read": 0,
+            "segments_bloom_skipped": 0,
+            "blooms_read": 0,
+            "index_bytes_read": 0,
+        }
+        res = _lookup_walk(cur, files, want, stats)
+        return pd.DataFrame(
+            {
+                "key": list(res.keys()),
+                "offset": [off for off, _v in res.values()],
+                "value": [v for _off, v in res.values()],
+                "pid": pid,
+                "segments_read": stats["segments_read"],
+                "index_bytes_read": stats["index_bytes_read"],
+            },
+            columns=[
+                "key", "offset", "value", "pid",
+                "segments_read", "index_bytes_read",
+            ],
+        )
+
+    routed = keys.dropna(subset=["key"]).dropDuplicates(["key"]).withColumn(
+        "_pid",
+        (
+            F.conv(F.substring(F.md5(F.col("key")), 1, 8), 16, 10)
+            .cast("long") % F.lit(n)
+        ).cast("int"),
+    )
+    out = routed.groupBy("_pid").applyInPandas(
+        walk,
+        "key BINARY, offset LONG, value BINARY, pid INT, "
+        "segments_read LONG, index_bytes_read LONG",
+    )
+    return out if with_stats else out.select("key", "offset", "value")

@@ -1090,6 +1090,23 @@ def test_key_lookup_bloom_prunes_segments(spark, tmp_path):
     # small fraction of that partition's segments
     assert stats["segments_read"] <= 8, stats
 
+    # the index is PER-SEGMENT and lazily loaded: a lookup reads only
+    # the sidecars of segments its walk consults, never the whole
+    # partition index (the r8 monolithic-JSON regression)
+    import glob as _glob
+
+    total_index = sum(
+        os.path.getsize(f)
+        for f in _glob.glob(os.path.join(log, "partition=*", ".segment-*.bloom"))
+    )
+    assert stats["blooms_read"] < stats["segments_total"]
+    assert 0 < stats["index_bytes_read"] < total_index
+    # one hot (recently-updated) key: ~1 bloom read, early-stop included
+    _h, s77 = lookup_latest(log, [b"77"], num_partitions=4)
+    assert s77["blooms_read"] <= 3 and s77["segments_read"] == 1, s77
+    # the retired monolithic sidecar is never written
+    assert not _glob.glob(os.path.join(log, "partition=*", "_KEYBLOOMS.json"))
+
     # compaction publishes a new generation -> stale blooms orphaned;
     # lookup still correct (falls back to scanning the new generation)
     compact_log_by_key(log, retain_tombstones=False)
@@ -1126,12 +1143,14 @@ def test_build_key_blooms_spark_equals_pyarrow_form(spark, tmp_path):
     write_segments(raw, log, num_partitions=2, segment_rows=25,
                    route_by_key=True)
 
+    import glob as _glob
+
     def sidecars():
         out = {}
-        for pdir in sorted(os.listdir(log)):
-            p = os.path.join(log, pdir, "_KEYBLOOMS.json")
-            if os.path.exists(p):
-                out[pdir] = json.load(open(p))
+        for f in sorted(
+            _glob.glob(os.path.join(log, "partition=*", ".segment-*.bloom"))
+        ):
+            out[os.path.relpath(f, log)] = open(f, "rb").read()
         return out
 
     r1 = build_key_blooms(log)
@@ -1148,6 +1167,62 @@ def test_build_key_blooms_spark_equals_pyarrow_form(spark, tmp_path):
     hits, stats = lookup_latest(log, [b"5"], num_partitions=2)
     assert hits[b"5"] == (264, b"v264")
     assert stats["segments_read"] == 1
+
+
+def test_lookup_latest_spark_equals_driver_form(spark, tmp_path):
+    """The distributed point read (key-TABLE enrichment shape) must
+    return exactly the driver form's results — same routing, same
+    newest-first bloom walk per partition, tombstone => NULL value row,
+    absent key => no row — and a num_partitions that disagrees with
+    the layout must RAISE, not silently lose keys."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        KafkaLogLayoutError,
+        build_key_blooms,
+        lookup_latest,
+        lookup_latest_spark,
+        write_segments,
+    )
+
+    frames = []
+    for rnd in range(4):
+        for k in range(60):
+            off = rnd * 60 + k
+            val = None if (k == 7 and rnd == 3) else f"v{off}".encode()
+            frames.append((off, str(k).encode(), val))
+    raw = spark.createDataFrame(
+        [(o, k, v, None) for o, k, v in frames],
+        "offset LONG, key BINARY, value BINARY, timestamp TIMESTAMP",
+    )
+    log = str(tmp_path / "sparklookup")
+    write_segments(raw, log, num_partitions=3, segment_rows=15,
+                   route_by_key=True)
+    build_key_blooms(log)
+
+    keys = [str(k).encode() for k in range(0, 70, 7)]  # incl. absent 63
+    driver, _stats = lookup_latest(log, keys, num_partitions=3)
+    got = {
+        bytes(r["key"]): (r["offset"], None if r["value"] is None else bytes(r["value"]))
+        for r in lookup_latest_spark(spark, log, keys, num_partitions=3).collect()
+    }
+    assert got == driver
+    assert got[b"7"] == (187, None)      # tombstone row, value NULL
+    assert b"63" not in got              # absent key: no row
+
+    # a DataFrame of keys routes identically
+    kdf = spark.createDataFrame([(k,) for k in keys], "key BINARY")
+    got2 = {
+        bytes(r["key"]): (r["offset"], None if r["value"] is None else bytes(r["value"]))
+        for r in lookup_latest_spark(spark, log, kdf).collect()
+    }
+    assert got2 == driver
+
+    # layout-mismatched partition count fails loudly (driver AND spark)
+    import pytest
+
+    with pytest.raises(KafkaLogLayoutError, match="partition layout"):
+        lookup_latest(log, keys, num_partitions=5)
+    with pytest.raises(KafkaLogLayoutError, match="partition layout"):
+        lookup_latest_spark(spark, log, keys, num_partitions=2)
 
 
 def test_update_key_blooms_incremental_equals_rebuild(spark, tmp_path):
@@ -1194,8 +1269,10 @@ def test_update_key_blooms_incremental_equals_rebuild(spark, tmp_path):
 
     def sidecars():
         return {
-            p: json.load(open(os.path.join(log, p, "_KEYBLOOMS.json")))
-            for p in ("partition=0", "partition=1")
+            os.path.relpath(f, log): open(f, "rb").read()
+            for f in glob.glob(
+                os.path.join(log, "partition=*", ".segment-*.bloom")
+            )
         }
 
     incremental = sidecars()
