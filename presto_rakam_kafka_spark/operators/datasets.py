@@ -201,6 +201,16 @@ def export_batch_fn(
         if os.path.exists(mpath):
             with open(mpath) as f:
                 manifest = json.load(f)
+            if "txns" not in manifest:
+                # migrate a pre-(app_id, epoch) manifest (the r7 shape
+                # recorded an 'epochs' list): seed the default app's
+                # high-water mark from it so a post-upgrade replay of an
+                # already-committed epoch is still skipped instead of
+                # re-folding its stats into the manifest (ADVICE r8)
+                legacy = manifest.pop("epochs", [])
+                manifest["txns"] = (
+                    {"default": max(int(e) for e in legacy)} if legacy else {}
+                )
         else:
             manifest = {
                 "version": version,

@@ -86,6 +86,58 @@ def _flip_pointer(path: str, gen: str, txns: dict[str, int]) -> None:
     os.replace(tmp, os.path.join(path, _POINTER))
 
 
+_MANIFEST = "_MANIFEST.json"
+
+
+def _write_manifest(gdir: str, buckets: dict[int, list[str]],
+                    extra: list[str]) -> None:
+    """Atomic per-generation file manifest (the object-store-safe
+    carry-forward): ``buckets`` maps bucket → data-file paths RELATIVE
+    TO THE STORE ROOT, and an entry may point into a PRIOR generation's
+    directory — Delta/Iceberg's trick: an untouched bucket is carried
+    by REFERENCE, no hard link, no copy, nothing a blob store can't
+    do. ``extra`` carries the zero-row schema file when every bucket
+    is empty."""
+    tmp = os.path.join(gdir, f".{_MANIFEST}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"buckets": {str(k): sorted(v) for k, v in buckets.items()},
+             "extra": sorted(extra)},
+            fh, sort_keys=True,
+        )
+    os.replace(tmp, os.path.join(gdir, _MANIFEST))
+
+
+def _read_manifest(path: str, gen: str) -> dict:
+    mpath = os.path.join(path, gen, _MANIFEST)
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(
+            f"generation {gen!r} has no manifest under {path} "
+            "(expired by gc_snapshots or written before manifest mode)"
+        )
+    with open(mpath) as fh:
+        return json.load(fh)
+
+
+def _manifest_files(path: str, man: dict) -> list[str]:
+    rels = [f for fs in man["buckets"].values() for f in fs]
+    rels += man.get("extra", [])
+    return [os.path.join(path, r) for r in rels]
+
+
+def _list_bucket_files(path: str, gen: str, bucket: int) -> list[str]:
+    """Store-root-relative data files of one bucket dir in one
+    generation (the freshly-written side of a manifest entry)."""
+    bdir = os.path.join(path, gen, f"_shard={bucket}")
+    if not os.path.isdir(bdir):
+        return []
+    return [
+        os.path.join(gen, f"_shard={bucket}", f)
+        for f in sorted(os.listdir(bdir))
+        if f.endswith(".parquet")
+    ]
+
+
 def read_snapshot(spark, path: str, generation: str | None = None) -> DataFrame:
     """The committed snapshot: resolve the pointer, read one generation.
     ``generation`` reads a RETAINED older generation instead (time
@@ -93,6 +145,7 @@ def read_snapshot(spark, path: str, generation: str | None = None) -> DataFrame:
     unknown name raises rather than silently reading the current one.
     The internal ``_shard`` bucket column is dropped — callers see the
     user schema regardless of the store's bucket layout."""
+    meta = _read_meta(path)
     if generation is None:
         generation, _ = _read_pointer(path)
     elif not os.path.isdir(os.path.join(path, generation)):
@@ -100,7 +153,11 @@ def read_snapshot(spark, path: str, generation: str | None = None) -> DataFrame:
             f"generation {generation!r} not retained under {path} "
             "(expired by gc_snapshots or never committed)"
         )
-    df = spark.read.parquet(os.path.join(path, generation))
+    if meta.get("carry") == "manifest":
+        files = _manifest_files(path, _read_manifest(path, generation))
+        df = spark.read.parquet(*files)
+    else:
+        df = spark.read.parquet(os.path.join(path, generation))
     return df.drop("_shard") if "_shard" in df.columns else df
 
 
@@ -109,27 +166,51 @@ def init_snapshot(
     path: str,
     key_col: str | None = None,
     num_buckets: int = 16,
+    carry: str = "link",
 ) -> None:
     """Write the base table as ``gen-0000000000`` and point ``_CURRENT``
     at it. With ``key_col`` the store is BUCKET-SHARDED: every
     generation is partitioned by ``_shard = md5-bucket(key)`` so
     incremental merges rewrite only touched buckets (see module doc).
     ``key_col=None`` keeps the unsharded legacy layout (every merge
-    rewrites the whole snapshot — fixture-scale only)."""
+    rewrites the whole snapshot — fixture-scale only).
+
+    ``carry`` picks how untouched buckets travel between generations:
+    ``"link"`` hard-links their files (metadata-only, POSIX
+    filesystems); ``"manifest"`` records them BY REFERENCE in a
+    per-generation file manifest that may point into prior generations
+    (the Delta/Iceberg shape — the mode for object stores, where links
+    don't exist), with GC refcounting across retained manifests."""
+    if carry not in ("link", "manifest"):
+        raise ValueError(f"carry must be 'link' or 'manifest', got {carry!r}")
+    if carry == "manifest" and key_col is None:
+        raise ValueError("carry='manifest' requires a sharded store (key_col)")
     gen = "gen-0000000000"
     nb = num_buckets if key_col is not None else 0
     tmp_meta = os.path.join(path, f".{_META}.tmp")
     os.makedirs(path, exist_ok=True)
     with open(tmp_meta, "w") as fh:
-        json.dump({"num_buckets": nb, "key_col": key_col}, fh)
+        json.dump({"num_buckets": nb, "key_col": key_col, "carry": carry}, fh)
     os.replace(tmp_meta, os.path.join(path, _META))
+    gdir = os.path.join(path, gen)
     if nb:
         _write_generation(
-            base.withColumn("_shard", _shard_col(key_col, nb)),
-            os.path.join(path, gen),
+            base.withColumn("_shard", _shard_col(key_col, nb)), gdir
         )
     else:
-        base.write.mode("overwrite").parquet(os.path.join(path, gen))
+        base.write.mode("overwrite").parquet(gdir)
+    if carry == "manifest":
+        buckets = {
+            b: fs for b in range(nb)
+            if (fs := _list_bucket_files(path, gen, b))
+        }
+        extra = (
+            []
+            if buckets
+            else [os.path.join(gen, f) for f in sorted(os.listdir(gdir))
+                  if f.endswith(".parquet")]
+        )
+        _write_manifest(gdir, buckets, extra)
     _flip_pointer(path, gen, {})
 
 
@@ -179,8 +260,11 @@ def merge_into_snapshot(
     nb = int(meta["num_buckets"])
     current, txns = _read_pointer(path)
     if txn is not None:
+        # never move a writer's committed high-water mark BACKWARDS: a
+        # direct caller passing a stale epoch must not re-open the
+        # window for replaying in-between epochs (ADVICE r8)
         txns = dict(txns)
-        txns[txn[0]] = int(txn[1])
+        txns[txn[0]] = max(int(txn[1]), txns.get(txn[0], -1))
     gen = _next_gen(current)
     cur_dir = os.path.join(path, current)
     gdir = os.path.join(path, gen)
@@ -201,6 +285,56 @@ def merge_into_snapshot(
     touched = sorted(
         int(r["_shard"]) for r in upd.select("_shard").distinct().collect()
     )
+
+    if meta.get("carry") == "manifest":
+        # object-store-safe path: the pruned target scan reads the
+        # touched buckets' files straight from the CURRENT manifest
+        # (which may point into older generations), the MERGE writes
+        # only those buckets into the new generation, and every
+        # untouched bucket is carried BY REFERENCE — the new manifest
+        # copies its entry verbatim. No link, no copy, no rewrite.
+        man = _read_manifest(path, current)
+        prev_buckets: dict[str, list[str]] = man["buckets"]
+        touched_rel = [
+            f for b in touched for f in prev_buckets.get(str(b), [])
+        ]
+        if touched_rel:
+            # direct-file reads lose the _shard partition column;
+            # recompute it from the key (same md5 bucket by definition)
+            target = spark.read.parquet(
+                *[os.path.join(path, r) for r in touched_rel]
+            ).withColumn("_shard", _shard_col(key_col, nb))
+        else:
+            target = upd.limit(0)
+        merged = merge_upsert(target, upd, key_col, delete_col=delete_col)
+        (
+            merged.repartition(max(len(touched), 1), "_shard")
+            .write.mode("overwrite")
+            .partitionBy("_shard")
+            .parquet(gdir)
+        )
+        buckets: dict[int, list[str]] = {}
+        touched_set = set(touched)
+        for b in range(nb):
+            if b in touched_set:
+                fs = _list_bucket_files(path, gen, b)
+                if fs:
+                    buckets[b] = fs
+            elif str(b) in prev_buckets:
+                buckets[b] = prev_buckets[str(b)]
+        extra: list[str] = []
+        if not buckets:
+            # every key deleted: keep a zero-row schema file readable
+            merged.write.mode("overwrite").parquet(gdir)
+            extra = [
+                os.path.join(gen, f) for f in sorted(os.listdir(gdir))
+                if f.endswith(".parquet")
+            ]
+        _write_manifest(gdir, buckets, extra)
+        upd.unpersist()
+        _flip_pointer(path, gen, txns)
+        return gen, touched
+
     target = spark.read.parquet(cur_dir)
     pruned = (
         target
@@ -324,6 +458,7 @@ def gc_snapshots(path: str, keep_last: int = 2) -> list[str]:
     import shutil
 
     current, _ = _read_pointer(path)
+    meta = _read_meta(path)
     gens = sorted(
         e for e in os.listdir(path)
         if e.startswith("gen-") and os.path.isdir(os.path.join(path, e))
@@ -331,6 +466,135 @@ def gc_snapshots(path: str, keep_last: int = 2) -> list[str]:
     older = [g for g in gens if g < current]
     keep = max(0, keep_last - 1)
     victims = older[: len(older) - keep] if keep else older
+    if meta.get("carry") != "manifest":
+        for g in victims:
+            shutil.rmtree(os.path.join(path, g), ignore_errors=True)
+        return victims
+
+    # manifest mode: REFCOUNT — a victim's data file survives iff some
+    # retained generation's manifest still references it (the
+    # Delta/Iceberg vacuum shape: manifests are the ownership record,
+    # not directory containment). The victim's own manifest is always
+    # removed, so time travel to it fails loudly even when its files
+    # live on as references.
+    retained = [g for g in gens if g not in victims]
+    referenced: set[str] = set()
+    for g in retained:
+        mpath = os.path.join(path, g, _MANIFEST)
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                referenced.update(_manifest_files(path, json.load(fh)))
     for g in victims:
-        shutil.rmtree(os.path.join(path, g), ignore_errors=True)
+        gdir = os.path.join(path, g)
+        for root, _dirs, files in os.walk(gdir, topdown=False):
+            for f in files:
+                fp = os.path.join(root, f)
+                if fp not in referenced:
+                    os.remove(fp)
+            if not os.listdir(root):
+                os.rmdir(root)
     return victims
+
+
+def rebase_snapshot(spark, path: str) -> tuple[str, int]:
+    """Re-baseline a manifest-mode store: write EVERY bucket fresh into
+    a new generation whose manifest is fully self-contained (no
+    references into prior generations), then flip the pointer. After
+    enough incremental merges, manifest entries chain arbitrarily far
+    back — harmless for reads (the manifest is flat, never recursive)
+    but it pins old generation directories against GC and spreads one
+    snapshot's files across many prefixes. Rebasing is the Iceberg
+    `rewrite_data_files` / Delta OPTIMIZE shape: pay one full rewrite,
+    then GC reclaims every prior generation. The txn record rides the
+    same atomic pointer replace — rebasing never perturbs exactly-once
+    bookkeeping. Returns (new_generation, buckets_rewritten).
+
+    100 TB: schedule it like any compaction — off-peak, per-store; the
+    rewrite is one shuffle-free scan+write per bucket (the read is
+    already bucket-partitioned), and incremental merges continue
+    against the new baseline immediately after the flip."""
+    meta = _read_meta(path)
+    if meta.get("carry") != "manifest":
+        raise ValueError("rebase_snapshot applies to carry='manifest' stores")
+    nb = int(meta["num_buckets"])
+    key_col = meta["key_col"]
+    current, txns = _read_pointer(path)
+    gen = _next_gen(current)
+    gdir = os.path.join(path, gen)
+    files = _manifest_files(path, _read_manifest(path, current))
+    snap = spark.read.parquet(*files)
+    if "_shard" not in snap.columns:
+        snap = snap.withColumn("_shard", _shard_col(key_col, nb))
+    (
+        snap.repartition(max(nb, 1), "_shard")
+        .write.mode("overwrite")
+        .partitionBy("_shard")
+        .parquet(gdir)
+    )
+    buckets = {}
+    for b in range(nb):
+        fs = _list_bucket_files(path, gen, b)
+        if fs:
+            buckets[b] = fs
+    extra: list[str] = []
+    if not buckets:
+        snap.limit(0).write.mode("overwrite").parquet(gdir)
+        extra = [
+            os.path.join(gen, f) for f in sorted(os.listdir(gdir))
+            if f.endswith(".parquet")
+        ]
+    _write_manifest(gdir, buckets, extra)
+    _flip_pointer(path, gen, txns)
+    return gen, len(buckets)
+
+
+def lookup_snapshot(spark, path: str, keys: list) -> DataFrame:
+    """Bucket-pruned POINT READ on the snapshot store — the serving
+    twin of the segment log's `lookup_latest`: route each key to its
+    md5 bucket (the same `shard_expr` placement the writer used,
+    computed driver-side), scan ONLY those buckets' files (partition
+    dirs in link mode, manifest entries in manifest mode), and filter
+    to the requested keys. Cost is O(touched buckets), never
+    O(snapshot) — a 1-key read against a 4,096-bucket 100 TB store
+    scans one bucket. Returns the user-schema rows for present keys
+    (absent keys simply have no row — the snapshot already resolved
+    deletes)."""
+    import hashlib
+
+    meta = _read_meta(path)
+    nb = int(meta["num_buckets"])
+    key_col = meta["key_col"]
+    current, _ = _read_pointer(path)
+    if not nb:
+        df = read_snapshot(spark, path)
+        return df.filter(F.col(df.columns[0]).isin(keys)) if not key_col \
+            else df.filter(F.col(key_col).isin(keys))
+
+    # the Python twin of operators/datasets.shard_expr: top 4 md5 hex
+    # chars of str(key), mod num_buckets
+    buckets = sorted({
+        int(hashlib.md5(str(k).encode()).hexdigest()[:4], 16) % nb
+        for k in keys
+    })
+    if meta.get("carry") == "manifest":
+        man = _read_manifest(path, current)
+        files = [
+            os.path.join(path, f)
+            for b in buckets
+            for f in man["buckets"].get(str(b), [])
+        ]
+        if not files:
+            return read_snapshot(spark, path).limit(0)
+        df = spark.read.parquet(*files)
+    else:
+        dirs = [
+            os.path.join(path, current, f"_shard={b}")
+            for b in buckets
+            if os.path.isdir(os.path.join(path, current, f"_shard={b}"))
+        ]
+        if not dirs:
+            return read_snapshot(spark, path).limit(0)
+        df = spark.read.parquet(*dirs)
+    if "_shard" in df.columns:
+        df = df.drop("_shard")
+    return df.filter(F.col(key_col).isin(keys))
