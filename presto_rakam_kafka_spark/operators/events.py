@@ -973,12 +973,15 @@ def peak_concurrency(
         sessionize(events, gap_minutes)
         .groupBy("user_id", "session_seq")
         .agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
-        # pin the intervals: the boundary union consumes sess TWICE and
-        # the distributed cumsum evaluates its input more than once —
-        # without the checkpoint the per-user sessionize windows re-run
-        # 4+ times (measured 19.6 s at sf0.1 before pinning)
-        .localCheckpoint(eager=True)
     )
+    from presto_rakam_kafka_spark.operators.ranks import eager_pin
+
+    # pin the intervals: the boundary union consumes sess TWICE and the
+    # distributed cumsum evaluates its input more than once — without
+    # the pin the per-user sessionize windows re-run 4+ times (measured
+    # 19.6 s at sf0.1). Fault-tolerant persist, not localCheckpoint:
+    # executor loss recomputes instead of failing the job
+    sess = eager_pin(sess)
     # integer-microsecond order key: the cumsum's frozen-literal bucket
     # boundaries must embed as plain SQL literals, which timestamps
     # can't — micros order == timestamp order exactly
@@ -993,13 +996,15 @@ def peak_concurrency(
     ).withColumn("bus", F.unix_micros("bts"))
     from presto_rakam_kafka_spark.operators.ranks import with_global_cumsum
 
-    curve = with_global_cumsum(
-        bounds,
-        ["bus", "delta", "user_id", "session_seq"],
-        "delta",
-        cum_col="conc",
-        persist=True,
-    ).localCheckpoint(eager=True)  # consumed twice: peak agg + filter
+    curve = eager_pin(
+        with_global_cumsum(
+            bounds,
+            ["bus", "delta", "user_id", "session_seq"],
+            "delta",
+            cum_col="conc",
+            persist=True,
+        )
+    )  # consumed twice: peak agg + filter
     peak = F.broadcast(curve.groupBy().agg(F.max("conc").alias("peak")))
     return (
         curve.join(peak)

@@ -501,7 +501,10 @@ def value_histogram(
     independent of row count — the q-digest/KLL trade, with
     deterministic boundaries instead of adaptive ones so every engine
     reproduces the sketch bit-for-bit (the gate contract)."""
-    return df.groupBy(
+    # NULL values would produce a NULL bin, and the finish's cumulative
+    # window ORDER BY bin sorts NULLS FIRST in Spark but NULLS LAST in
+    # DuckDB — filter them out of the sketch on BOTH engines (ADVICE r8)
+    return df.filter(F.col(value_col).isNotNull()).groupBy(
         F.col(group_col),
         F.floor(F.col(value_col) / F.lit(bin_width)).cast("long").alias("bin"),
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -566,7 +569,7 @@ def value_quantiles_oracle(
     WITH hist AS (
       SELECT {group_col}, CAST(floor({value_col} / {bin_width}) AS BIGINT) AS bin,
              count(*) AS n
-      FROM {table} GROUP BY 1, 2
+      FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2
     ), c AS (
       SELECT {group_col}, bin, n,
              sum(n) OVER (PARTITION BY {group_col} ORDER BY bin) AS cum
@@ -577,4 +580,306 @@ def value_quantiles_oracle(
     SELECT c.{group_col}, CAST(max(tot) AS BIGINT) AS n_rows, {picks}
     FROM c JOIN t USING ({group_col})
     GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------
+# Log-scale quantile sketch (bounded state on long-tail domains)
+# ---------------------------------------------------------------------
+
+#: Sub-bins per decade factor: each decade [10^e, 10^(e+1)) splits into
+#: 9·S bins with boundaries at (m/S)·10^e for m in [S, 10S) — the
+#: per-bin RELATIVE width is 1/m ≤ 1/S, so the quantile estimate's
+#: relative error is ≤ 1/S ≈ 6.25% regardless of how many decades the
+#: values span. State is O(decades · 9S), not O(range / width): the
+#: linear sketch's counter bound blows up on long-tail domains (cents
+#: up to 1e9 → 1e9 counters at width 1), the log sketch stays ≤ ~1.5k
+#: counters over nine decades (VERDICT r8 #5).
+LOG_QUANTILE_SUB_BINS = 16
+
+#: Values are quantized to 10^-SCALE_DIGITS before binning (t =
+#: floor(v·10^p) as BIGINT) — the whole sketch then runs on EXACT
+#: integer/string arithmetic, deliberately avoiding floor(log2/log10)
+#: of doubles: Spark's log goes through the JVM's Math.log while
+#: DuckDB's goes through C++ libm, and a half-ulp disagreement at a
+#: decade boundary would flip a bin and break the hash gate (the
+#: round-straddle class of oracle-parity traps). The decimal exponent
+#: is instead length(CAST(t AS STRING)) − 1 — exact in both engines.
+LOG_QUANTILE_SCALE_DIGITS = 6
+
+
+def value_histogram_log(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    sub_bins: int = LOG_QUANTILE_SUB_BINS,
+    scale_digits: int = LOG_QUANTILE_SCALE_DIGITS,
+) -> DataFrame:
+    """The SKETCH half, log-scale: per-(group, bin) counts with
+    deterministic LOG-SPACED boundaries — sign/underflow + decimal
+    exponent + ``sub_bins`` fixed mantissa slots per decade:
+
+    - ``t = floor(v · 10^p)`` (BIGINT) — one double multiply + floor,
+      identical IEEE ops on both engines;
+    - ``e = length(str(t)) − 1`` — the decimal exponent, EXACT via
+      integer-to-string (never floor(log10) of a double);
+    - ``sub = (t · S) div 10^e ∈ [S, 10S)`` — the mantissa slot, exact
+      integer division (10^e built by string repeat, not pow);
+    - ``bin = e · 10S + sub`` — monotone in v, so the quantile finish
+      orders by it directly. ``t ≤ 0`` (zero/negatives after
+      quantization) lands in the single underflow bin −1.
+
+    Domain: non-negative values (latency/revenue metrics); negatives
+    collapse into the underflow bin rather than erroring. Counts merge
+    by addition exactly like the linear sketch (map-side combine,
+    complete-mode streaming fold)."""
+    S = int(sub_bins)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn(
+            "_t",
+            F.floor(F.col(value_col) * F.lit(float(10 ** scale_digits)))
+            .cast("long"),
+        )
+        .withColumn("_e", F.length(F.col("_t").cast("string")) - F.lit(1))
+        .withColumn(
+            "_p10e",
+            F.expr("cast(concat('1', repeat('0', _e)) as bigint)"),
+        )
+        .withColumn(
+            "bin",
+            F.when(F.col("_t") <= 0, F.lit(-1).cast("long")).otherwise(
+                (F.col("_e").cast("long") * F.lit(10 * S))
+                + F.expr(f"(_t * {S}) div _p10e")
+            ),
+        )
+        .groupBy(F.col(group_col), "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def quantiles_from_histogram_log(
+    hist: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group_col: str = "event_type",
+    sub_bins: int = LOG_QUANTILE_SUB_BINS,
+    scale_digits: int = LOG_QUANTILE_SCALE_DIGITS,
+) -> DataFrame:
+    """The FINISH half for the log sketch: identical cumulative-rank
+    machinery as :func:`quantiles_from_histogram`, but the estimate is
+    the bin's UPPER log-spaced edge ``(sub+1)·10^e / (S·10^p)``
+    reconstructed from the bin id with the same exact integer/string
+    arithmetic as the sketch (one BIGINT→DOUBLE cast + one double
+    division — identical IEEE in both engines). Relative error ≤ 1/S
+    by construction; the underflow bin estimates 10^-p."""
+    S = int(sub_bins)
+    p_scale = float(10 ** scale_digits)
+    w = Window.partitionBy(group_col).orderBy("bin")
+    cum = hist.withColumn("_cum", F.sum("n").over(w))
+    tot = (
+        hist.groupBy(group_col)
+        .agg(F.sum("n").cast("long").alias("_tot"))
+        .withColumnRenamed(group_col, "_tot_group")
+    )
+    j = cum.join(tot, F.col(group_col) == F.col("_tot_group"))
+    edge = F.when(
+        F.col("bin") < 0, F.lit(1.0) / F.lit(p_scale)
+    ).otherwise(
+        F.expr(
+            f"cast((bin % {10 * S} + 1) * "
+            f"cast(concat('1', repeat('0', bin div {10 * S})) as bigint) "
+            f"as double)"
+        )
+        / F.lit(float(S) * p_scale)
+    )
+    aggs = [F.max("_tot").cast("long").alias("n_rows")]
+    for q in qs:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.ceil(F.col("_tot") * F.lit(q)), edge
+                )
+            ).alias(f"p{int(round(q * 100))}")
+        )
+    return j.groupBy(group_col).agg(*aggs)
+
+
+def value_quantiles_log_oracle(
+    table: str = "events",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    sub_bins: int = LOG_QUANTILE_SUB_BINS,
+    scale_digits: int = LOG_QUANTILE_SCALE_DIGITS,
+) -> str:
+    """DuckDB twin: same quantization, same string-length exponent,
+    same integer mantissa slots, same upper-edge reconstruction — the
+    log sketch is replayable SQL end-to-end with zero libm calls."""
+    S = int(sub_bins)
+    tenp = 10 ** scale_digits
+    edge = (
+        f"CASE WHEN bin < 0 THEN CAST(1 AS DOUBLE) / {tenp} "
+        f"ELSE CAST((bin % {10 * S} + 1) * "
+        f"CAST('1' || repeat('0', CAST(bin // {10 * S} AS INT)) AS BIGINT) "
+        f"AS DOUBLE) / {float(S) * tenp} END"
+    )
+    picks = ", ".join(
+        f"min(CASE WHEN cum >= ceil(tot * {q}) THEN {edge} END)"
+        f" AS p{int(round(q * 100))}"
+        for q in qs
+    )
+    return f"""
+    WITH base AS (
+      SELECT {group_col},
+             CAST(floor({value_col} * {float(tenp)}) AS BIGINT) AS t
+      FROM {table} WHERE {value_col} IS NOT NULL
+    ), b AS (
+      SELECT {group_col},
+             CASE WHEN t <= 0 THEN CAST(-1 AS BIGINT)
+                  ELSE (length(CAST(t AS VARCHAR)) - 1) * {10 * S}
+                       + (t * {S}) // CAST(
+                           '1' || repeat('0', length(CAST(t AS VARCHAR)) - 1)
+                           AS BIGINT)
+             END AS bin
+      FROM base
+    ), hist AS (
+      SELECT {group_col}, bin, count(*) AS n FROM b GROUP BY 1, 2
+    ), c AS (
+      SELECT {group_col}, bin, n,
+             sum(n) OVER (PARTITION BY {group_col} ORDER BY bin) AS cum
+      FROM hist
+    ), t2 AS (
+      SELECT {group_col}, CAST(sum(n) AS BIGINT) AS tot FROM hist GROUP BY 1
+    )
+    SELECT c.{group_col}, CAST(max(tot) AS BIGINT) AS n_rows, {picks}
+    FROM c JOIN t2 USING ({group_col})
+    GROUP BY 1
+    """
+
+
+def hll_rolling_users(
+    events: DataFrame, window_days: int = 7, p: int = HLL_P
+) -> DataFrame:
+    """Trailing-N-day distinct users per day, estimated by MERGING the
+    stored per-day HLL sketches register-wise — the rolling-window
+    flavor of :func:`hll_weekly_users` and the reason mergeable
+    sketches exist at all: an exact trailing-7-day COUNT(DISTINCT)
+    must rescan seven days of raw events for EVERY anchor day (the
+    corpus × window blowup), while the sketch answer is a range join
+    over the day-level rollup (days × m rows — bytes per day at any
+    corpus size) plus the estimator.
+
+    Plan: one codegen projection computes (register, rho) per event;
+    groupBy(day, register) max(rho) is the only corpus-sized shuffle;
+    the rolling merge is a broadcast range join of the tiny day list
+    against the tiny day sketch — never the corpus. The same day
+    sketch folds as a streaming aggregation (register-max is
+    associative + commutative), so the continuous variant shares this
+    finish verbatim. Exact counts join alongside from the distinct
+    (day, user) pairs — the verification column, also never the raw
+    corpus per anchor day."""
+    m = 1 << p
+    c_lit, small = _hll_est_literals(m)
+    reg, rho = _hll_exprs_spark("cast(user_id as string)", m)
+    day_sketch = (
+        events.selectExpr(
+            "date_trunc('day', ts) as day", f"{reg} as reg", f"{rho} as rho"
+        )
+        .groupBy("day", "reg")
+        .agg(F.max("rho").alias("m_day"))
+    )
+    days = day_sketch.select("day").distinct()
+    back = F.expr(f"INTERVAL {window_days - 1} DAYS")
+    merged = (
+        days.alias("d")
+        .join(
+            day_sketch.alias("s"),
+            (F.col("s.day") <= F.col("d.day"))
+            & (F.col("s.day") >= F.col("d.day") - back),
+        )
+        .groupBy(F.col("d.day").alias("day"), F.col("s.reg").alias("reg"))
+        .agg(F.max("s.m_day").alias("m_w"))
+    )
+    state = merged.groupBy("day").agg(
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {RHO_CAP} - m_w)")
+        ).alias("sum_present"),
+        F.count(F.lit(1)).alias("regs_used"),
+    )
+    est_raw = F.expr(
+        f"{c_lit} / (sum_present + ({m} - regs_used) * "
+        f"shiftleft(cast(1 as bigint), {RHO_CAP}))"
+    )
+    zeros = F.lit(m) - F.col("regs_used")
+    est = F.when(
+        (est_raw <= F.lit(small)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(est_raw)
+    pairs = events.select(
+        F.date_trunc("day", "ts").alias("uday"), "user_id"
+    ).distinct()
+    exact = (
+        days.alias("d2")
+        .join(
+            pairs,
+            (F.col("uday") <= F.col("d2.day"))
+            & (F.col("uday") >= F.col("d2.day") - back),
+        )
+        .groupBy(F.col("d2.day").alias("xday"))
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+    )
+    return (
+        state.join(exact, F.col("day") == F.col("xday"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_exact",
+            F.round(est, 2).alias("est"),
+            F.col("regs_used").cast("long").alias("regs_used"),
+        )
+    )
+
+
+def hll_rolling_users_oracle(
+    table: str = "events", window_days: int = 7, p: int = HLL_P
+) -> str:
+    """DuckDB twin: identical probes, day sketch, range-join merge,
+    estimator literals, and small-range correction."""
+    m = 1 << p
+    reg, rho = _hll_exprs_duckdb("CAST(user_id AS VARCHAR)", m)
+    c_lit, small = _hll_est_literals(m)
+    back = f"INTERVAL {window_days - 1} DAY"
+    est = (
+        f"CASE WHEN {c_lit} / (sum_present + ({m} - regs_used) * "
+        f"(1::BIGINT << {RHO_CAP})) <= {small} AND ({m} - regs_used) > 0 "
+        f"THEN {m}.0 * ln({m}.0 / ({m} - regs_used)) "
+        f"ELSE {c_lit} / (sum_present + ({m} - regs_used) * "
+        f"(1::BIGINT << {RHO_CAP})) END"
+    )
+    return f"""
+    WITH probes AS (
+      SELECT date_trunc('day', ts) AS day, {reg} AS reg, {rho} AS rho
+      FROM {table}),
+    day_sketch AS (
+      SELECT day, reg, max(rho) AS m_day FROM probes GROUP BY 1, 2),
+    days AS (SELECT DISTINCT day FROM day_sketch),
+    merged AS (
+      SELECT d.day, s.reg, max(s.m_day) AS m_w
+      FROM days d JOIN day_sketch s
+        ON s.day <= d.day AND s.day >= d.day - {back}
+      GROUP BY 1, 2),
+    state AS (
+      SELECT day,
+             CAST(sum(1::BIGINT << ({RHO_CAP} - m_w)) AS BIGINT) AS sum_present,
+             count(*) AS regs_used
+      FROM merged GROUP BY 1),
+    pairs AS (
+      SELECT DISTINCT date_trunc('day', ts) AS uday, user_id FROM {table}),
+    exact AS (
+      SELECT d.day, count(DISTINCT p.user_id) AS n_exact
+      FROM days d JOIN pairs p
+        ON p.uday <= d.day AND p.uday >= d.day - {back}
+      GROUP BY 1)
+    SELECT strftime(s2.day, '%Y-%m-%d') AS day, e.n_exact,
+           round({est}, 2) AS est, regs_used
+    FROM state s2 JOIN exact e ON s2.day = e.day
     """

@@ -474,7 +474,10 @@ def _rfm_finish(pu: DataFrame) -> DataFrame:
     rank 3 re-runs rank 1+2's exchanges (9.9 -> 8.75 s warm at 5M
     events; the remaining cost is the per-user fold plus nine bounded
     rank jobs)."""
-    from presto_rakam_kafka_spark.operators.ranks import with_global_rank
+    from presto_rakam_kafka_spark.operators.ranks import (
+        eager_pin,
+        with_global_rank,
+    )
 
     mx = F.broadcast(
         pu.groupBy().agg(F.max(F.to_date("last_ts")).alias("_max_d"))
@@ -484,8 +487,11 @@ def _rfm_finish(pu: DataFrame) -> DataFrame:
         .withColumn("rec", F.datediff("_max_d", F.to_date("last_ts")))
         .withColumn("neg_freq", -F.col("freq"))
         .withColumn("neg_cents", -F.col("cents"))
-        .localCheckpoint(eager=True)  # pin: three rank passes reuse it
     )
+    # pin: three rank passes reuse it (fault-tolerant persist — see
+    # ranks.eager_pin — instead of the r8 lineage-severing
+    # localCheckpoint)
+    pu = eager_pin(pu)
     pu = with_global_rank(
         pu, ["rec", "user_id"], rank_col="rr", count_col="n", persist=True
     )
@@ -607,6 +613,25 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_value_quantiles_log",
+    oracle=sketches.value_quantiles_log_oracle("events"),
+)
+def events_value_quantiles_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-scale quantile sketch (round 9, VERDICT r8 #5): the linear
+    sketch's state bound is O(value range / bin width) — unbounded on
+    long-tail domains (cents up to 1e9). Here bins are log-spaced —
+    underflow + decimal exponent + 16 mantissa slots per decade — so
+    state is O(decades · 144) with a documented RELATIVE error ≤ 1/16,
+    and the binning runs on exact integer/string arithmetic (never
+    floor(log) of a double: JVM Math.log vs C++ libm half-ulp
+    disagreements at decade boundaries are exactly the cross-engine
+    trap the hash gate would catch). Same mergeable-counts fold as the
+    linear sketch; DuckDB replays the whole pipeline."""
+    hist = sketches.value_histogram_log(_t(spark, sf_dir, "events"))
+    return sketches.quantiles_from_histogram_log(hist)
+
+
+@query(
     "stream_value_quantiles",
     oracle=sketches.value_quantiles_oracle("events"),
 )
@@ -626,6 +651,21 @@ def stream_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "complete",
     )
     return sketches.quantiles_from_histogram(hist)
+
+
+@query(
+    "events_hll_rolling_users",
+    oracle=sketches.hll_rolling_users_oracle("events"),
+)
+def events_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day from MERGED per-day HLL
+    sketches (round 9) — the rolling-window shape mergeable sketches
+    exist for: exact trailing distincts rescan window_days of raw
+    events per anchor day (corpus × window), the sketch answer is a
+    range join over the days × 16-register rollup plus the estimator.
+    Exact counts verified alongside; DuckDB replays probes, merge, and
+    estimator bit-for-bit."""
+    return sketches.hll_rolling_users(_t(spark, sf_dir, "events"))
 
 
 @query(
@@ -908,6 +948,62 @@ def stream_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(0)
     )
     cdc.init_snapshot(base, path, key_col="user_id", num_buckets=8)
+    st = _events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "ts", "value",
+        (F.col("event_type") == "error").alias("deleted"),
+    )
+    q = (
+        cdc.apply_cdc_stream(
+            st, path, "user_id", "ts", "event_id", delete_col="deleted",
+            checkpoint=tempfile.mkdtemp(prefix="cdc_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = cdc.read_snapshot(spark, path)
+    return snap.select(
+        "user_id", "event_id", "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"), "value",
+    )
+
+
+@query(
+    "stream_cdc_snapshot_manifest",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_id, event_type, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value
+    FROM latest WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def stream_cdc_snapshot_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`stream_cdc_snapshot` in the OBJECT-STORE-SAFE carry mode
+    (round 9, VERDICT r8 #2): identical CDC contract — per micro-batch
+    latest-per-key MERGE, epoch-named generations, atomic pointer flip,
+    (app_id, epoch) exactly-once — but untouched buckets travel between
+    generations BY MANIFEST REFERENCE (Delta/Iceberg's recipe) instead
+    of hard links, so the same store works where os.link does not exist
+    (S3/GCS — where 100 TB snapshots actually live). Same oracle as the
+    link-mode row: the carry mechanism must be invisible to readers."""
+    import tempfile
+
+    from presto_rakam_kafka_spark.queries import _events_stream
+    from presto_rakam_kafka_spark.streaming import cdc
+
+    path = tempfile.mkdtemp(prefix="cdc_snap_")
+    base = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", "ts", "value")
+        .limit(0)
+    )
+    cdc.init_snapshot(
+        base, path, key_col="user_id", num_buckets=8, carry="manifest"
+    )
     st = _events_stream(spark, sf_dir).select(
         "user_id", "event_id", "event_type", "ts", "value",
         (F.col("event_type") == "error").alias("deleted"),

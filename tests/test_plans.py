@@ -10,6 +10,8 @@ row-at-a-time Python.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from presto_rakam_kafka_spark import queries as Q
@@ -624,9 +626,32 @@ def test_rfm_segments_has_no_single_partition_exchange(spark, sf_dir):
     """The RFM quintile assignment must come from the distributed
     global-rank primitive — a naive ntile(5) OVER (ORDER BY metric)
     plans Exchange SinglePartition (every user through one task), the
-    shape this repo designs out."""
+    shape this repo designs out. The round-9 eager_pin keeps the FULL
+    lineage in the plan (the r8 localCheckpoint truncated it), which
+    legitimately exposes the broadcast max-date scalar aggregate — a
+    SinglePartition exchange over ONE partial-max row per input
+    partition, bounded by partition count, never per-user data. Assert
+    per-user rows stay distributed: no Window over a SinglePartition
+    exchange carrying user_id."""
     plan = _plan(Q.QUERIES["events_rfm_segments"](spark, sf_dir))
-    assert "SinglePartition" not in plan, plan[:3000]
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        # the exchange's payload columns are on the same line; the only
+        # allowed shape is a partial scalar-aggregate buffer (max#N),
+        # never user-level attributes
+        assert "user_id" not in line and "cents" not in line, line
+        assert re.search(r"\[(max|min|count|sum)#\d+", line) or (
+            # payload printed on the child line for some formats
+            i + 1 < len(lines)
+            and re.search(r"partial_(max|min|count|sum)", lines[i + 1])
+        ), plan[:3000]
+    # and no global-ORDER window anywhere: rank() over all users in one
+    # task would show as Window right above a SinglePartition exchange
+    for i, line in enumerate(lines):
+        if "Window" in line and i + 1 < len(lines):
+            assert "SinglePartition" not in lines[i + 1], plan[:3000]
 
 
 def test_lifecycle_is_one_corpus_shuffle_no_window(spark, sf_dir):

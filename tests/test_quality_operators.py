@@ -768,3 +768,62 @@ def test_quantile_sketch_error_bound_property(spark):
             assert 0 < est - exact <= width, (q, est, exact, width, sv)
 
     check()
+
+
+def test_log_quantile_sketch_relative_error_and_bounded_state(spark):
+    """Log-scale sketch contract (round 9): over values spanning ≥6
+    decades, every quantile estimate is the UPPER log-spaced edge of
+    the exact quantile's bin — so estimate ≥ exact and the RELATIVE
+    error is ≤ 1/sub_bins (plus the 10^-p quantization slack) at ANY
+    range — and the sketch's state (occupied bins) is O(decades·144),
+    independent of the range the linear sketch's O(range/width) state
+    blows up on."""
+    import math
+    import random
+
+    from presto_rakam_kafka_spark.operators import sketches as sk
+
+    rng = random.Random(20260815)
+    # 7 decades: 1e-1 .. 1e6, heavy tail like latency/cents domains
+    vals = [10 ** rng.uniform(-1, 6) for _ in range(4000)]
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "event_type STRING, value DOUBLE"
+    )
+    hist = sk.value_histogram_log(df)
+    qs = (0.5, 0.9, 0.99)
+    row = sk.quantiles_from_histogram_log(hist, qs=qs).collect()[0]
+    sv = sorted(vals)
+    n = len(sv)
+    S = sk.LOG_QUANTILE_SUB_BINS
+    quant = 10 ** -sk.LOG_QUANTILE_SCALE_DIGITS
+    for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        exact = sv[max(0, math.ceil(q * n) - 1)]
+        est = row[col]
+        # upper edge of the exact value's bin: never below the exact
+        # value (modulo the 10^-p quantization), relative error ≤ 1/S
+        assert est >= exact - quant, (q, est, exact)
+        assert (est - exact) / exact <= 1.0 / S + 1e-3, (q, est, exact)
+
+    # state bound: occupied bins ≤ decades · 9S (+ underflow), while a
+    # width-1 linear sketch on the same data would need ~max(v) bins
+    n_bins = hist.select("bin").distinct().count()
+    decades_spanned = 6 - (-1) + 1
+    assert n_bins <= decades_spanned * 9 * S + 1, n_bins
+    assert max(vals) > 100_000  # the linear sketch would need >100k bins
+
+    # widening the range 1000× does NOT widen per-decade state: the
+    # same generator shifted up 3 decades occupies ~the same bin count
+    df2 = spark.createDataFrame(
+        [("g", float(v * 1000)) for v in vals],
+        "event_type STRING, value DOUBLE",
+    )
+    n_bins2 = sk.value_histogram_log(df2).select("bin").distinct().count()
+    assert abs(n_bins2 - n_bins) <= 9 * S, (n_bins, n_bins2)
+
+    # zero / negative / null inputs: underflow bin + null dropped
+    df3 = spark.createDataFrame(
+        [("g", 0.0), ("g", -5.0), ("g", None), ("g", 2.0)],
+        "event_type STRING, value DOUBLE",
+    )
+    h3 = {r["bin"]: r["n"] for r in sk.value_histogram_log(df3).collect()}
+    assert h3[-1] == 2 and sum(h3.values()) == 3
