@@ -165,6 +165,13 @@ HEADLINE = [
     # the sweep-line peak-concurrency curve (distributed exact cumsum)
     "kafka_key_lookup",
     "events_peak_concurrency",
+    # round 9: distributed point read for key tables, log-scale quantile
+    # sketch, rolling HLL merge, streaming enrichment against compacted
+    # latest state
+    "kafka_key_lookup_spark",
+    "events_value_quantiles_log",
+    "events_hll_rolling_users",
+    "stream_enrich_latest",
 ]
 
 #: Indexed-ANN queries whose cost is two phases with different lifecycles:
@@ -288,7 +295,15 @@ def _isolate_main() -> None:
 
 def main() -> None:
     from presto_rakam_kafka_spark import queries as Q
+    from presto_rakam_kafka_spark.fixtures import sweep_staging
     from presto_rakam_kafka_spark.session import get_spark
+
+    # age-keyed staging sweep BEFORE the cold pass: stale staging from
+    # prior gate/bench runs inflated the r8 non-shared tail ~15%
+    # (4.6 GB of /tmp debris — SCALE_NOTES §r8-bench-drift); the
+    # harness now cleans up after its predecessors instead of absorbing
+    # them into the round-over-round diff (VERDICT r8 #6)
+    swept = sweep_staging()
 
     only: list[str] | None = None
     if "--only" in sys.argv:
@@ -410,6 +425,7 @@ def main() -> None:
         ),
         "shared_warm": round(sum(warm[n] for n in SHARED if n in warm), 3),
         "canary_range_sum_cold": canary_cold,
+        "staging_swept": swept,
         "canary_range_sum_warm": canary_warm,
     }
     if ann_phases:

@@ -114,3 +114,70 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Plain temp views named exactly like the DuckDB oracle's views."""
     for name in TABLES:
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+#: Staging-dir name prefixes this repo's fixtures, gates, and benches
+#: create under the system temp dir. Swept age-keyed by
+#: :func:`sweep_staging` so repeated runs don't accumulate (round-8
+#: forensics found 4.6 GB / 1,800 dirs of stale staging inflating the
+#: bench's non-shared tail ~15% — VERDICT r8 #6).
+STAGING_PREFIXES = (
+    "kafka_segments_", "kafka_segments_avro_", "kafka_keyed_",
+    "kafka_purged_", "kafka_compacted_", "tpch_topic_", "merge_shard_",
+    "layout_bucket_", "layout_part_", "layout_sorted_", "layout_zorder_",
+    "ckpt_", "cdc_ckpt_", "cdc_snap_", "ckpt_neardup_", "stream_",
+    "ivfpq_index_", "ivfpq_inc_", "neardup_store_", "neardup_out_",
+    "key_lookup_bench_", "cdc_scale_", "cdc_test_", "cdc_gc_", "cdc_tt_",
+    "cdc_shard_", "cdc_appid_", "cdc_manifest_", "ck_",
+)
+
+#: Spark's own scratch (dead JVMs leave these behind); swept only at a
+#: much larger age so a concurrently-running session is never touched.
+SPARK_SCRATCH_PREFIXES = ("spark-", "blockmgr-", "ivy2-")
+
+
+def sweep_staging(max_age_s: float = 3600.0,
+                  spark_scratch_age_s: float = 86400.0) -> dict:
+    """Age-keyed temp-staging sweep, run by ``bench.py`` and the gate
+    runner BEFORE their cold pass: removes this repo's staging dirs
+    older than ``max_age_s`` (anything that old belongs to a finished
+    or dead run — live runs key their dirs by pid and touch them within
+    minutes) and Spark scratch older than a day. Returns
+    {"dirs_removed": n, "bytes_freed": b} so harnesses can log the
+    steady state."""
+    import shutil
+    import tempfile
+    import time
+
+    tmp = tempfile.gettempdir()
+    now = time.time()
+    removed, freed = 0, 0
+    try:
+        entries = os.listdir(tmp)
+    except OSError:
+        return {"dirs_removed": 0, "bytes_freed": 0}
+    for e in entries:
+        age_gate = None
+        if any(e.startswith(p) for p in STAGING_PREFIXES):
+            age_gate = max_age_s
+        elif any(e.startswith(p) for p in SPARK_SCRATCH_PREFIXES):
+            age_gate = spark_scratch_age_s
+        if age_gate is None:
+            continue
+        fp = os.path.join(tmp, e)
+        try:
+            if now - os.path.getmtime(fp) <= age_gate:
+                continue
+            size = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(fp) for f in fs
+            ) if os.path.isdir(fp) else os.path.getsize(fp)
+            if os.path.isdir(fp):
+                shutil.rmtree(fp, ignore_errors=True)
+            else:
+                os.remove(fp)
+            removed += 1
+            freed += size
+        except OSError:
+            continue  # raced with a concurrent run — leave it
+    return {"dirs_removed": removed, "bytes_freed": freed}

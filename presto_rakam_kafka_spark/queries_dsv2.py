@@ -697,6 +697,88 @@ def kafka_key_lookup_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_enrich_latest",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, max(event_id) AS latest_offset
+      FROM events GROUP BY user_id)
+    SELECT e.user_id, e.event_id, l.latest_offset,
+           le.event_type AS latest_event_type
+    FROM events e
+    JOIN latest l ON e.user_id = l.user_id
+    JOIN events le ON le.event_id = l.latest_offset
+    WHERE e.event_type = 'purchase' AND le.event_type <> 'error'
+    """,
+)
+def stream_enrich_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ENRICHMENT against compacted-topic latest state
+    (round 9): each micro-batch of purchase events is joined with the
+    current per-user state served by the distributed point read —
+    `lookup_latest_spark` routes the batch's (deduped) keys to their
+    log partitions in the plan and walks only bloom-surviving segments
+    newest-first, so per-batch lookup cost is (touched segments), not
+    batch × log. This is the Kafka Streams KTable-join / ksqlDB
+    pull-query-in-a-pipeline shape: enrich a hot stream with the
+    latest dimension state WITHOUT scanning the changelog. Tombstoned
+    users (latest record an 'error' delete marker) drop from the
+    enrichment exactly like a compacted-topic join would drop them.
+    Exactly-once via per-epoch overwrite staging (the
+    `streaming/sinks.py` discipline). The oracle replays the whole
+    contract in SQL: purchases joined to each user's latest non-error
+    event."""
+    import shutil
+
+    from presto_rakam_kafka_spark.queries import _events_stream
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        lookup_latest_spark,
+    )
+
+    log_dir = _keyed_log_dir(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="stream_enrich_")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        purchases = batch_df.filter(F.col("event_type") == "purchase")
+        keys = purchases.select(
+            F.col("user_id").cast("string").cast("binary").alias("key")
+        )
+        hits = lookup_latest_spark(sp, log_dir, keys, num_partitions=3)
+        enriched = (
+            purchases.alias("e")
+            .join(
+                hits.filter(F.col("value").isNotNull())
+                .select(
+                    F.col("key").cast("string").cast("long").alias("_uid"),
+                    F.col("offset").alias("latest_offset"),
+                    F.get_json_object(
+                        F.col("value").cast("string"), "$.event_type"
+                    ).alias("latest_event_type"),
+                )
+                .alias("s"),
+                F.col("e.user_id") == F.col("s._uid"),
+            )
+            .select("e.user_id", "e.event_id", "latest_offset",
+                    "latest_event_type")
+        )
+        enriched.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={int(epoch_id)}")
+        )
+
+    q = (
+        _events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_enrich_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(out_dir, "epoch=*"))
+
+
 def _purged_log_dir(spark: SparkSession, sf_dir: str) -> str:
     """Key-routed events log with every user_id % 11 == 5 erased via
     `purge_keys` (the GDPR deletion request applied to the log itself)."""

@@ -18,6 +18,10 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+
+from presto_rakam_kafka_spark.fixtures import sweep_staging  # noqa: E402
+
+sweep_staging()  # age-keyed: clear prior runs' staging before timing
 sys.path.insert(0, str(REPO / "tests"))
 
 
