@@ -128,7 +128,7 @@ STAGING_PREFIXES = (
     "ckpt_", "cdc_ckpt_", "cdc_snap_", "ckpt_neardup_", "stream_",
     "ivfpq_index_", "ivfpq_inc_", "neardup_store_", "neardup_out_",
     "key_lookup_bench_", "cdc_scale_", "cdc_test_", "cdc_gc_", "cdc_tt_",
-    "cdc_shard_", "cdc_appid_", "cdc_manifest_", "ck_",
+    "cdc_shard_", "cdc_appid_", "cdc_manifest_", "ck_", "rck_",
 )
 
 #: Spark's own scratch (dead JVMs leave these behind); swept only at a

@@ -979,8 +979,9 @@ def peak_concurrency(
     # pin the intervals: the boundary union consumes sess TWICE and the
     # distributed cumsum evaluates its input more than once — without
     # the pin the per-user sessionize windows re-run 4+ times (measured
-    # 19.6 s at sf0.1). Fault-tolerant persist, not localCheckpoint:
-    # executor loss recomputes instead of failing the job
+    # 19.6 s at sf0.1). Fault-tolerant reliable checkpoint, not
+    # localCheckpoint: executor loss re-reads durable partitions
+    # instead of failing the job
     sess = eager_pin(sess)
     # integer-microsecond order key: the cumsum's frozen-literal bucket
     # boundaries must embed as plain SQL literals, which timestamps

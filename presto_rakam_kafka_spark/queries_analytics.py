@@ -488,9 +488,9 @@ def _rfm_finish(pu: DataFrame) -> DataFrame:
         .withColumn("neg_freq", -F.col("freq"))
         .withColumn("neg_cents", -F.col("cents"))
     )
-    # pin: three rank passes reuse it (fault-tolerant persist — see
-    # ranks.eager_pin — instead of the r8 lineage-severing
-    # localCheckpoint)
+    # pin: three rank passes reuse it (fault-tolerant reliable
+    # checkpoint — see ranks.eager_pin — instead of the r8
+    # executor-local localCheckpoint)
     pu = eager_pin(pu)
     pu = with_global_rank(
         pu, ["rec", "user_id"], rank_col="rr", count_col="n", persist=True

@@ -249,6 +249,8 @@ def main():
         "lifecycle": ev.lifecycle,
         "rfm_segments": _rfm_segments,
         "value_quantiles": _value_quantiles,
+        # round 9: the eager_pin (persist, not localCheckpoint) receipt
+        "peak_concurrency": lambda e: ev.peak_concurrency(e, gap_minutes=30),
     }
     for name, fn in ops.items():
         if args.op and args.op != name:
