@@ -1055,3 +1055,126 @@ def peak_concurrency_oracle(
            strftime(min(bts), '%Y-%m-%d %H:%M:%S') AS first_peak_ts
     FROM c, m WHERE conc = peak
     """
+
+
+def holt_forecast(
+    events: DataFrame,
+    horizon: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Per-series event-volume FORECAST: Holt's linear (double)
+    exponential smoothing over the dense daily-count series, projecting
+    ``horizon`` days ahead — the "where is this metric going" panel
+    every analytics product ships next to its anomaly panel
+    (`anomaly_days` flags the past, this extrapolates the future).
+
+    Level/trend fold: ``l₀=y₀, b₀=y₁−y₀``, then for each day
+    ``l' = α·y + (1−α)·(l+b);  b' = β·(l'−l) + (1−β)·b``; the h-step
+    forecast is ``l_T + h·b_T``. Defaults are DYADIC (α=0.5, β=0.25) so
+    every smoothing coefficient is exact in IEEE doubles and the DuckDB
+    recursive-CTE replay is bit-identical — no rounding needed on the
+    output at all (the same discipline as the sketch estimators).
+
+    Plan: ONE corpus-sized aggregation (daily counts per series); the
+    dense day grid (`sequence` + explode), the per-series fold (an
+    Arrow `applyInPandas` over days-per-series rows — tens of KB per
+    series at ANY corpus size), and the horizon cross join all run on
+    the tiny rollup. At 100 TB the daily-count table IS the stored
+    rollup; re-forecasting is rollup-only work."""
+    import pandas as pd
+
+    a, b_ = float(alpha), float(beta)
+    one_a, one_b = 1.0 - a, 1.0 - b_
+    daily = events.groupBy(
+        F.col(group_col), F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    span = daily.groupBy(group_col).agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        group_col,
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    series = (
+        grid.join(daily, [group_col, "day"], "left")
+        .withColumn("y", F.coalesce(F.col("y"), F.lit(0)).cast("double"))
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        ys = [float(v) for v in pdf["y"]]
+        lvl = ys[0]
+        trend = (ys[1] - ys[0]) if len(ys) > 1 else 0.0
+        for y in ys[1:]:
+            new_lvl = a * y + one_a * (lvl + trend)
+            trend = b_ * (new_lvl - lvl) + one_b * trend
+            lvl = new_lvl
+        g = pdf[group_col].iloc[0]
+        return pd.DataFrame(
+            {
+                group_col: [g] * horizon,
+                "h": list(range(1, horizon + 1)),
+                "forecast": [lvl + h * trend for h in range(1, horizon + 1)],
+            }
+        )
+
+    return series.select(group_col, "day", "y").groupBy(group_col).applyInPandas(
+        fold, f"{group_col} STRING, h INT, forecast DOUBLE"
+    )
+
+
+def holt_forecast_oracle(
+    table: str = "events",
+    horizon: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    group_col: str = "event_type",
+) -> str:
+    """DuckDB twin: the identical fold as a recursive CTE — same dyadic
+    coefficients, same operation order, bit-identical doubles."""
+    a, b_ = float(alpha), float(beta)
+    one_a, one_b = 1.0 - a, 1.0 - b_
+    lnew = f"{a!r}*s.y + {one_a!r}*(r.l + r.b)"
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT {group_col}, date_trunc('day', ts) AS day, count(*) AS y
+      FROM {table} GROUP BY 1, 2
+    ), span AS (
+      SELECT {group_col}, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ), grid AS (
+      SELECT {group_col},
+             unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM span
+    ), series AS (
+      SELECT g.{group_col}, g.day,
+             CAST(coalesce(d.y, 0) AS DOUBLE) AS y,
+             row_number() OVER (PARTITION BY g.{group_col}
+                                ORDER BY g.day) - 1 AS idx
+      FROM grid g LEFT JOIN daily d
+        ON d.{group_col} = g.{group_col} AND d.day = g.day
+    ), n AS (
+      SELECT {group_col}, max(idx) AS maxidx FROM series GROUP BY 1
+    ), rec AS (
+      SELECT s0.{group_col}, 0 AS idx, s0.y AS l,
+             coalesce(s1.y - s0.y, 0.0) AS b
+      FROM series s0 LEFT JOIN series s1
+        ON s1.{group_col} = s0.{group_col} AND s1.idx = 1
+      WHERE s0.idx = 0
+      UNION ALL
+      SELECT r.{group_col}, r.idx + 1,
+             {lnew},
+             {b_!r}*(({lnew}) - r.l) + {one_b!r}*r.b
+      FROM rec r JOIN series s
+        ON s.{group_col} = r.{group_col} AND s.idx = r.idx + 1
+    ), fin AS (
+      SELECT r.{group_col}, r.l, r.b
+      FROM rec r JOIN n ON n.{group_col} = r.{group_col} AND r.idx = n.maxidx
+    )
+    SELECT fin.{group_col}, CAST(hs.h AS INT) AS h,
+           fin.l + hs.h * fin.b AS forecast
+    FROM fin, (SELECT unnest(generate_series(1, {horizon})) AS h) hs
+    """

@@ -669,6 +669,25 @@ def events_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_forecast_holt",
+    oracle=__import__(
+        "presto_rakam_kafka_spark.operators.events", fromlist=["events"]
+    ).holt_forecast_oracle("events"),
+)
+def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-volume forecast (round 9): Holt's linear exponential
+    smoothing per event_type over the dense daily-count series, 7 days
+    ahead. Dyadic coefficients (α=0.5, β=0.25) make every smoothing
+    step exact in IEEE doubles, so the DuckDB recursive-CTE replay is
+    bit-identical and the output ships UN-rounded. One corpus-sized
+    aggregation; fold and horizon expansion run on the days×series
+    rollup only."""
+    import presto_rakam_kafka_spark.operators.events as ev
+
+    return ev.holt_forecast(_t(spark, sf_dir, "events"))
+
+
+@query(
     "events_hll_audience_overlap",
     oracle=sketches.hll_audience_overlap_oracle("events"),
 )

@@ -617,3 +617,39 @@ def test_peak_concurrency_half_open_tie_semantics(spark):
     got = peak_concurrency(df).collect()[0]
     assert got["peak_concurrent"] == 3
     assert got["first_peak_ts"] == "2024-01-01 12:15:00"
+
+
+def test_holt_forecast_linear_series_is_exact_and_fills_gaps(spark):
+    """Behavioral contract of the Holt fold: on an exactly-linear daily
+    series the level/trend lock on (l₀=y₀, b₀=y₁−y₀ keep l+b=y_next
+    inductively), so every h-step forecast extrapolates the line
+    EXACTLY; a day with no events participates as an explicit zero
+    (dense grid), visible as a trend break vs the gapless series."""
+    import datetime as dt
+
+    from presto_rakam_kafka_spark.operators import events as ev
+
+    base = dt.datetime(2024, 3, 1, 12, 0)
+    rows = []
+    eid = 0
+    for d in range(10):            # day d has 3 + 2d events: exact line
+        for _ in range(3 + 2 * d):
+            rows.append((eid, eid, "view", float(d),
+                         base + dt.timedelta(days=d)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, event_type STRING, "
+              "value DOUBLE, ts TIMESTAMP"
+    )
+    out = {r["h"]: r["forecast"]
+           for r in ev.holt_forecast(df).collect()}
+    last, slope = 3 + 2 * 9, 2.0
+    assert out == {h: float(last + h * slope) for h in range(1, 8)}, out
+
+    # drop day 5 entirely: the dense grid inserts y=0, so the forecast
+    # must differ from the gapless line (the gap is DATA, not absence)
+    df2 = df.filter(
+        F.date_trunc("day", "ts") != dt.datetime(2024, 3, 6)
+    )
+    out2 = {r["h"]: r["forecast"] for r in ev.holt_forecast(df2).collect()}
+    assert out2[1] != out[1]

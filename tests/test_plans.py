@@ -662,3 +662,43 @@ def test_lifecycle_is_one_corpus_shuffle_no_window(spark, sf_dir):
     plan = _plan(Q.QUERIES["events_lifecycle"](spark, sf_dir))
     assert "Window" not in plan, plan[:3000]
     assert "partial_collect_set" in plan or "collect_set" in plan, plan[:3000]
+
+
+def test_hll_rolling_range_joins_are_rollup_only(spark, sf_dir):
+    """The rolling merge must be a broadcast range join over the
+    days × 16-register ROLLUP, never the corpus: the plan's only
+    nested-loop joins are the two tiny range joins (day window merge +
+    exact trailing distinct), there is no CartesianProduct and no
+    Window, and the corpus is touched exactly by aggregate chains
+    (probes→day sketch, distinct pairs)."""
+    plan = _plan(Q.QUERIES["events_hll_rolling_users"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    assert "Window" not in plan, plan[:3000]
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan[:3000]
+    # the range-join probe sides are aggregates (rollups), not scans:
+    # every parquet scan in the plan is below a HashAggregate
+    assert "partial_max" in plan or "max(" in plan, plan[:3000]
+
+
+def test_value_quantiles_log_windows_sketch_only(spark, sf_dir):
+    """The log-quantile finish windows over the SKETCH (groups × bins),
+    never the corpus: exactly one Window (the cumulative count over
+    bins), no SinglePartition exchange of corpus rows, and the binning
+    runs as codegen expressions (no Python in the hot path)."""
+    plan = _plan(Q.QUERIES["events_value_quantiles_log"](spark, sf_dir))
+    assert plan.count("Window") == 1, plan[:3000]
+    assert "FlatMapGroupsInPandas" not in plan and "ArrowEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange SinglePartition" in line:
+            assert "user_id" not in line and "value#" not in line, line
+
+
+def test_forecast_holt_fold_runs_on_rollup(spark, sf_dir):
+    """The Holt fold is ONE Arrow task group over the days × series
+    rollup: exactly one FlatMapGroupsInPandas, fed by aggregates (the
+    daily counts), with no Window and no corpus-sized exchange after
+    the first aggregation."""
+    plan = _plan(Q.QUERIES["events_forecast_holt"](spark, sf_dir))
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan[:3000]
+    assert "Window" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:3000]
