@@ -174,6 +174,7 @@ HEADLINE = [
     "events_value_quantiles_log",
     "events_hll_rolling_users",
     "events_forecast_holt",
+    "pairs_contrastive_mining",
 ]
 
 #: Indexed-ANN queries whose cost is two phases with different lifecycles:

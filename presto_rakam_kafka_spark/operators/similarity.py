@@ -1641,3 +1641,114 @@ def gc_ivfpq_index(path: str) -> list[str]:
             shutil.rmtree(os.path.join(path, d))
             removed.append(d)
     return removed
+
+
+# ---------------------------------------------------------------------
+# Contrastive pair mining (hard + deterministic-random negatives)
+# ---------------------------------------------------------------------
+
+
+def mine_contrastive_pairs(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dup_threshold: float = 0.95,
+    n_random: int = 2,
+) -> DataFrame:
+    """Training-pair mining for embedding/reranker models: per ANCHOR,
+    one HARD negative (the most-similar corpus vector that is NOT a
+    near-duplicate — cosine below ``dup_threshold``, so paraphrases of
+    the anchor are never mislabeled negative) and ``n_random``
+    deterministic-random negatives (ranked by the md5 of the
+    anchor/candidate id pair — a seeded draw both engines replay
+    exactly, unlike any RNG).
+
+    ONE corpus scan serves both legs: anchors broadcast against the
+    corpus produce (cosine, draw-hash) per pair, then two tiny
+    windows — hard = top-1 by cosine among non-dups, random = top-n by
+    hash — rank within anchors only. At 100 TB the hard-negative leg
+    swaps the brute-force cosine for the IVF-PQ index probe
+    (`ivfpq_topk_from_index` + a dup-threshold filter) with the same
+    output contract; the random leg is already index-free."""
+    from presto_rakam_kafka_spark.operators.dedup import cosine_expr
+
+    a = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("a_emb")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("pair_id"), F.col(vec_col).alias("c_emb")
+    )
+    cos = F.round(F.expr(cosine_expr("a_emb", "c_emb")), 6)
+    draw = F.expr(
+        "cast(conv(substr(md5(concat(cast(anchor_id as string), '#', "
+        "cast(pair_id as string))), 1, 8), 16, 10) as bigint)"
+    )
+    pairs = (
+        c.crossJoin(a)
+        .filter(F.col("pair_id") != F.col("anchor_id"))
+        .select("anchor_id", "pair_id", cos.alias("cosine"),
+                draw.alias("_draw"))
+    )
+    w_hard = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("pair_id")
+    )
+    hard = (
+        pairs.filter(F.col("cosine") < F.lit(dup_threshold))
+        .withColumn("rank", F.row_number().over(w_hard))
+        .filter(F.col("rank") == 1)
+        .select("anchor_id", "pair_id", F.lit("hard").alias("kind"),
+                "cosine", "rank")
+    )
+    w_rand = Window.partitionBy("anchor_id").orderBy(
+        F.asc("_draw"), F.asc("pair_id")
+    )
+    rand = (
+        pairs.withColumn("rank", F.row_number().over(w_rand))
+        .filter(F.col("rank") <= n_random)
+        .select("anchor_id", "pair_id", F.lit("rand").alias("kind"),
+                "cosine", "rank")
+    )
+    return hard.unionAll(rand)
+
+
+def mine_contrastive_pairs_oracle(
+    table: str,
+    anchor_pred: str,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    dup_threshold: float = 0.95,
+    n_random: int = 2,
+) -> str:
+    """DuckDB twin: same cosine, same md5 draw, same two windows."""
+    from presto_rakam_kafka_spark.operators.dedup import cosine_expr_duckdb
+
+    cos = f"round({cosine_expr_duckdb(f'a.{vec_col}', f'c.{vec_col}', dim)}, 6)"
+    draw = (
+        f"('0x' || substr(md5(CAST(a.{id_col} AS VARCHAR) || '#' || "
+        f"CAST(c.{id_col} AS VARCHAR)), 1, 8))::BIGINT"
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT a.{id_col} AS anchor_id, c.{id_col} AS pair_id,
+             {cos} AS cosine, {draw} AS _draw
+      FROM {table} a JOIN {table} c ON a.{id_col} != c.{id_col}
+      WHERE a.{anchor_pred}
+    ), hard AS (
+      SELECT anchor_id, pair_id, 'hard' AS kind, cosine, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY cosine DESC, pair_id) AS rank
+        FROM pairs WHERE cosine < {dup_threshold}
+      ) WHERE rank = 1
+    ), rand AS (
+      SELECT anchor_id, pair_id, 'rand' AS kind, cosine, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY _draw, pair_id) AS rank
+        FROM pairs
+      ) WHERE rank <= {n_random}
+    )
+    SELECT * FROM hard UNION ALL SELECT * FROM rand
+    """

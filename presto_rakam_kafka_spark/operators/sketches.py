@@ -778,16 +778,54 @@ def hll_rolling_users(
     finish verbatim. Exact counts join alongside from the distinct
     (day, user) pairs — the verification column, also never the raw
     corpus per anchor day."""
+    day_sketch = _hll_daily_registers(events, p)
+    pairs = events.select(
+        F.date_trunc("day", "ts").alias("uday"), "user_id"
+    ).distinct()
+    return _hll_rolling_finish(day_sketch, pairs, window_days, p)
+
+
+def _hll_daily_registers(events: DataFrame, p: int = HLL_P) -> DataFrame:
+    """(day, register) → max-rho: the stored per-day rollup the rolling
+    merge consumes. register-max is associative + commutative, so the
+    same expression folds as a complete-mode streaming aggregation."""
     m = 1 << p
-    c_lit, small = _hll_est_literals(m)
     reg, rho = _hll_exprs_spark("cast(user_id as string)", m)
-    day_sketch = (
+    return (
         events.selectExpr(
             "date_trunc('day', ts) as day", f"{reg} as reg", f"{rho} as rho"
         )
         .groupBy("day", "reg")
         .agg(F.max("rho").alias("m_day"))
     )
+
+
+def hll_rolling_users_from_pairs(
+    pairs: DataFrame, window_days: int = 7, p: int = HLL_P
+) -> DataFrame:
+    """The rolling finish driven entirely by the distinct (day, user)
+    PAIRS table — the shape the STREAMING twin drains (one
+    groupBy(day, user) fold serves both the registers and the exact
+    verification column; rho is a pure function of user_id, so
+    registers rebuilt from distinct pairs equal registers folded from
+    raw events). ``pairs`` columns: (uday TIMESTAMP, user_id)."""
+    m = 1 << p
+    reg, rho = _hll_exprs_spark("cast(user_id as string)", m)
+    day_sketch = (
+        pairs.selectExpr(
+            "uday as day", f"{reg} as reg", f"{rho} as rho"
+        )
+        .groupBy("day", "reg")
+        .agg(F.max("rho").alias("m_day"))
+    )
+    return _hll_rolling_finish(day_sketch, pairs, window_days, p)
+
+
+def _hll_rolling_finish(
+    day_sketch: DataFrame, pairs: DataFrame, window_days: int, p: int
+) -> DataFrame:
+    m = 1 << p
+    c_lit, small = _hll_est_literals(m)
     days = day_sketch.select("day").distinct()
     back = F.expr(f"INTERVAL {window_days - 1} DAYS")
     merged = (
@@ -815,9 +853,6 @@ def hll_rolling_users(
         (est_raw <= F.lit(small)) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(est_raw)
-    pairs = events.select(
-        F.date_trunc("day", "ts").alias("uday"), "user_id"
-    ).distinct()
     exact = (
         days.alias("d2")
         .join(

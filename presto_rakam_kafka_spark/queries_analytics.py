@@ -688,6 +688,35 @@ def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_hll_rolling_users",
+    oracle=sketches.hll_rolling_users_oracle("events"),
+)
+def stream_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous trailing-7-day distinct users (round 9): ONE
+    complete-mode streaming fold — distinct (day, user) pairs — serves
+    BOTH halves of the finish (rho is a pure function of user_id, so
+    the day registers rebuilt from drained pairs equal registers
+    folded from raw events; the exact verification column reads the
+    same pairs). Eleventh fold-then-finish rollup; identical oracle as
+    the batch row. State is distinct day×user pairs — what the exact
+    column needs anyway; a sketch-only dashboard would fold
+    `_hll_daily_registers` instead at days×16 rows of state."""
+    from presto_rakam_kafka_spark.queries import _drain, _events_stream
+
+    pairs = _drain(
+        _events_stream(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("day", "ts").alias("uday"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("uday", "user_id"),
+        "hll_rolling_pairs",
+        "complete",
+    )
+    return sketches.hll_rolling_users_from_pairs(pairs)
+
+
+@query(
     "events_hll_audience_overlap",
     oracle=sketches.hll_audience_overlap_oracle("events"),
 )

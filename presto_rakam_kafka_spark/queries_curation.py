@@ -1609,3 +1609,29 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates sharing one shuffle; never the O(len²) per-row
     expression form."""
     return token_entropy(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@query(
+    "pairs_contrastive_mining",
+    oracle=__import__(
+        "presto_rakam_kafka_spark.operators.similarity",
+        fromlist=["similarity"],
+    ).mine_contrastive_pairs_oracle(
+        "embeddings", "vec_id % 40 = 1", "embedding", "vec_id", dim=64
+    ),
+)
+def pairs_contrastive_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining (round 9): per anchor vector,
+    ONE hard negative (most-similar non-near-duplicate — cosine below
+    0.95, so paraphrases never get mislabeled negative) plus two
+    deterministic-random negatives drawn by the md5 of the id pair (a
+    seeded draw DuckDB replays exactly; a real RNG would never
+    hash-match). One broadcast-anchors corpus scan serves both legs;
+    the windows rank within anchors only. At 100 TB the hard leg swaps
+    brute force for the IVF-PQ index probe with the same contract
+    (operators/similarity.py:mine_contrastive_pairs)."""
+    from presto_rakam_kafka_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 40 == 1)
+    return sim.mine_contrastive_pairs(emb, anchors, "embedding", "vec_id")
