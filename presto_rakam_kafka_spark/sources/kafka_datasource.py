@@ -495,6 +495,9 @@ class KafkaSegmentWriter(DataSourceWriter):
             )
         )
         self._overwrite = overwrite
+        self._maintain_blooms = str(
+            options.get("maintainblooms", options.get("maintainBlooms", "false"))
+        ).lower() in ("true", "1", "yes")
         self._staging = os.path.join(self._path, f".staging-{uuid.uuid4().hex[:12]}")
 
     def write(self, iterator) -> _StagedFiles:
@@ -587,6 +590,21 @@ class KafkaSegmentWriter(DataSourceWriter):
         for fpath, target in renames:
             os.replace(fpath, target)
         shutil.rmtree(self._staging, ignore_errors=True)
+        _write_routing(self._path, "offset")
+        if self._maintain_blooms:
+            # point-lookup index upkeep rides the commit: index ONLY the
+            # segments this batch appended (plus any the sidecar set is
+            # missing — self-healing), costing O(new segments) per
+            # trigger. The sidecars are per-segment and atomically
+            # replaced, so a crash between renames and upkeep leaves an
+            # unindexed (slower, never incorrect) segment that the next
+            # commit or a manual update_key_blooms picks up.
+            touched = sorted(
+                {pid for msg in messages if msg is not None
+                 for _f, pid, _first in msg.files}
+            )
+            if touched:
+                update_key_blooms(self._path, partitions=touched)
 
     def abort(self, messages) -> None:
         import shutil
@@ -1410,6 +1428,7 @@ def write_segments(
 
     pdf = df.toPandas()
     os.makedirs(path, exist_ok=True)
+    _write_routing(path, "key" if route_by_key else "offset")
     if route_by_key:
         if pdf["key"].isna().any():
             raise KafkaLogLayoutError(
@@ -1701,6 +1720,36 @@ def update_key_blooms(
     return report
 
 
+_ROUTING = "_ROUTING.json"
+
+
+def _write_routing(path: str, route: str) -> None:
+    """Record how the producer placed records across partitions —
+    ``"key"`` (keyed producer: each key lives in exactly one partition)
+    or ``"offset"`` (round-robin/offset-routed: a key's records span
+    partitions). The point lookup reads this to decide whether it can
+    route each key to ONE partition or must consult all of them — on an
+    offset-routed log, single-partition routing silently returns a
+    STALE record (the key's latest may live elsewhere), the same
+    wrong-answer class as a mismatched num_partitions."""
+    import json as _json
+
+    tmp = os.path.join(path, f".{_ROUTING}.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump({"route": route}, fh)
+    os.replace(tmp, os.path.join(path, _ROUTING))
+
+
+def _read_routing(path: str) -> str | None:
+    import json as _json
+
+    rp = os.path.join(path, _ROUTING)
+    if not os.path.exists(rp):
+        return None
+    with open(rp) as fh:
+        return _json.load(fh).get("route")
+
+
 def _route_key(key: bytes, num_partitions: int) -> int:
     """The keyed-producer placement `write_segments(route_by_key=True)`
     uses: first 8 hex chars of md5, mod partition count."""
@@ -1790,6 +1839,7 @@ def lookup_latest(
     path: str,
     keys: list[bytes],
     num_partitions: int | None = None,
+    route: str | None = None,
 ) -> tuple[dict[bytes, tuple[int, bytes | None]], dict]:
     """Latest record per key — the compacted-topic POINT READ (ksqlDB
     pull-query / state-store shape). Per key: route to its partition
@@ -1809,11 +1859,22 @@ def lookup_latest(
     (the r8 form parsed the whole partition index per call)."""
     selected = _select_log_partitions(path, None)
     num_partitions = _validated_partition_count(selected, num_partitions)
+    if route is None:
+        route = _read_routing(path) or "key"
+    if route not in ("key", "offset"):
+        raise KafkaLogLayoutError(f"unknown log routing {route!r}")
     by_pid: dict[int, list[bytes]] = {}
     for k in keys:
-        by_pid.setdefault(_route_key(bytes(k), num_partitions), []).append(
-            bytes(k)
-        )
+        if route == "key":
+            pids = [_route_key(bytes(k), num_partitions)]
+        else:
+            # offset-routed log: a key's records span partitions, so the
+            # walk must consult all of them and keep the max-offset hit
+            # (single-partition routing here would silently serve a
+            # STALE record)
+            pids = range(num_partitions)
+        for pid in pids:
+            by_pid.setdefault(pid, []).append(bytes(k))
 
     results: dict[bytes, tuple[int, bytes | None]] = {}
     stats = {
@@ -1828,7 +1889,9 @@ def lookup_latest(
         stats["segments_total"] += len(files)
         if not want:
             continue
-        results.update(_lookup_walk(cur, files, set(want), stats))
+        for kb, hit in _lookup_walk(cur, files, set(want), stats).items():
+            if kb not in results or hit[0] > results[kb][0]:
+                results[kb] = hit
     return results, stats
 
 
@@ -1838,6 +1901,7 @@ def lookup_latest_spark(
     keys,
     num_partitions: int | None = None,
     with_stats: bool = False,
+    route: str | None = None,
 ):
     """Distributed point read for key TABLES — the enrichment-batch
     shape (`lookup_latest` is driver-side pyarrow: right for 1–100
@@ -1862,6 +1926,10 @@ def lookup_latest_spark(
 
     selected = _select_log_partitions(path, None)
     n = _validated_partition_count(selected, num_partitions)
+    if route is None:
+        route = _read_routing(path) or "key"
+    if route not in ("key", "offset"):
+        raise KafkaLogLayoutError(f"unknown log routing {route!r}")
     if not isinstance(keys, _SqlDataFrame):
         keys = spark.createDataFrame(
             [(bytes(k),) for k in keys], "key BINARY"
@@ -1896,16 +1964,37 @@ def lookup_latest_spark(
             ],
         )
 
-    routed = keys.dropna(subset=["key"]).dropDuplicates(["key"]).withColumn(
-        "_pid",
-        (
-            F.conv(F.substring(F.md5(F.col("key")), 1, 8), 16, 10)
-            .cast("long") % F.lit(n)
-        ).cast("int"),
-    )
+    uniq = keys.dropna(subset=["key"]).dropDuplicates(["key"])
+    if route == "key":
+        routed = uniq.withColumn(
+            "_pid",
+            (
+                F.conv(F.substring(F.md5(F.col("key")), 1, 8), 16, 10)
+                .cast("long") % F.lit(n)
+            ).cast("int"),
+        )
+    else:
+        # offset-routed log: every partition walks the full key set and
+        # the max-offset hit wins across partitions
+        pids = spark.createDataFrame([(i,) for i in range(n)], "_pid INT")
+        routed = uniq.crossJoin(F.broadcast(pids))
     out = routed.groupBy("_pid").applyInPandas(
         walk,
         "key BINARY, offset LONG, value BINARY, pid INT, "
         "segments_read LONG, index_bytes_read LONG",
     )
+    if route == "offset":
+        out = (
+            out.groupBy("key")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        "offset", "value", "pid",
+                        "segments_read", "index_bytes_read",
+                    ),
+                    "offset",
+                ).alias("_s")
+            )
+            .select("key", "_s.*")
+        )
     return out if with_stats else out.select("key", "offset", "value")

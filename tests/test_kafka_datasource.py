@@ -52,6 +52,7 @@ def test_partitions_one_split_per_segment(log_dir):
     n_segments = sum(
         1
         for p in os.listdir(log_dir)
+        if os.path.isdir(os.path.join(log_dir, p))
         for s in os.listdir(os.path.join(log_dir, p))
         if s.endswith(".parquet")
     )
@@ -1283,3 +1284,81 @@ def test_update_key_blooms_incremental_equals_rebuild(spark, tmp_path):
     # key "3": offsets o % 11 == 3 → max in [0,160) is 157
     assert hits[b"3"] == (157, b"v157")
     assert stats["segments_read"] == 1  # newest-first early stop
+
+
+def test_writer_maintains_bloom_index_on_commit(spark, tmp_path):
+    """maintainBlooms=true: every append commit incrementally indexes
+    the segments it just published (O(new segments) — update_key_blooms
+    through the writer), so point reads on a continuously-written log
+    never degrade to scans; a second append only indexes its own new
+    files, and the sidecars equal a from-scratch rebuild."""
+    import glob
+
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        KafkaSegmentDataSource,
+        build_key_blooms,
+        lookup_latest,
+    )
+
+    spark.dataSource.register(KafkaSegmentDataSource)
+    log = str(tmp_path / "autoblooms")
+
+    def frames(lo, hi):
+        return spark.createDataFrame(
+            [(o, str(o % 9).encode(), f"v{o}".encode(), None)
+             for o in range(lo, hi)],
+            "offset LONG, key BINARY, value BINARY, timestamp TIMESTAMP",
+        )
+
+    (
+        frames(0, 60).coalesce(1).write.format("kafka_segments")
+        .option("path", log).option("numPartitions", "2")
+        .option("maintainBlooms", "true").mode("append").save()
+    )
+    sidecars = sorted(
+        glob.glob(os.path.join(log, "partition=*", ".segment-*.bloom"))
+    )
+    assert sidecars, "commit did not build the index"
+    # the DSv2 writer is OFFSET-routed and records it in _ROUTING.json:
+    # the lookup autodetects and walks every partition, so the
+    # cross-partition latest record wins (a key-routed lookup here
+    # would silently serve the stale in-partition hit)
+    hits, stats = lookup_latest(log, [b"4"], num_partitions=2)
+    assert hits[b"4"] == (58, b"v58")
+    assert stats["blooms_read"] > 0  # served through the index
+
+    (
+        frames(60, 90).coalesce(1).write.format("kafka_segments")
+        .option("path", log).option("numPartitions", "2")
+        .option("maintainBlooms", "true").mode("append").save()
+    )
+    def all_sidecars():
+        return {
+            f: open(f, "rb").read()
+            for f in glob.glob(
+                os.path.join(log, "partition=*", ".segment-*.bloom")
+            )
+        }
+
+    incremental = all_sidecars()
+    assert len(incremental) > len(sidecars)
+    hits2, _ = lookup_latest(log, [b"4"], num_partitions=2)
+    assert hits2[b"4"] == (85, b"v85")
+    build_key_blooms(log)  # from-scratch rebuild must be byte-identical
+    assert all_sidecars() == incremental
+
+    # the distributed form autodetects the offset routing too and merges
+    # the max-offset hit across partitions
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        lookup_latest_spark,
+    )
+
+    got = {
+        bytes(r["key"]): (r["offset"],
+                          None if r["value"] is None else bytes(r["value"]))
+        for r in lookup_latest_spark(
+            spark, log, [b"4", b"7"], num_partitions=2
+        ).collect()
+    }
+    driver, _s = lookup_latest(log, [b"4", b"7"], num_partitions=2)
+    assert got == driver and got[b"4"] == (85, b"v85")
