@@ -175,6 +175,7 @@ HEADLINE = [
     "events_hll_rolling_users",
     "events_forecast_holt",
     "pairs_contrastive_mining",
+    "kafka_key_history",
 ]
 
 #: Indexed-ANN queries whose cost is two phases with different lifecycles:

@@ -1083,13 +1083,30 @@ def holt_forecast(
     series at ANY corpus size), and the horizon cross join all run on
     the tiny rollup. At 100 TB the daily-count table IS the stored
     rollup; re-forecasting is rollup-only work."""
+    daily = events.groupBy(
+        F.col(group_col), F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return holt_forecast_from_daily(
+        daily, horizon=horizon, alpha=alpha, beta=beta, group_col=group_col
+    )
+
+
+def holt_forecast_from_daily(
+    daily: DataFrame,
+    horizon: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    group_col: str = "event_type",
+) -> DataFrame:
+    """The Holt finish driven by a prebuilt DAILY-COUNT table
+    ``(group, day, y)`` — the frame the streaming twin drains (daily
+    counts are an associative fold, so the same groupBy runs as a
+    complete-mode streaming aggregation and this finish is shared
+    verbatim)."""
     import pandas as pd
 
     a, b_ = float(alpha), float(beta)
     one_a, one_b = 1.0 - a, 1.0 - b_
-    daily = events.groupBy(
-        F.col(group_col), F.date_trunc("day", "ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("y"))
     span = daily.groupBy(group_col).agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )
@@ -1099,9 +1116,22 @@ def holt_forecast(
             F.sequence("d0", "d1", F.expr("interval 1 day"))
         ).alias("day"),
     )
+    # rename the joined leg: grid derives FROM daily, and when daily is
+    # a drained streaming memory table the self-join's attributes
+    # conflict at analysis (the stream_cohort_ltv lesson)
+    d2 = daily.select(
+        F.col(group_col).alias("_g2"),
+        F.col("day").alias("_d2"),
+        F.col("y"),
+    )
     series = (
-        grid.join(daily, [group_col, "day"], "left")
+        grid.join(
+            d2,
+            (F.col(group_col) == F.col("_g2")) & (F.col("day") == F.col("_d2")),
+            "left",
+        )
         .withColumn("y", F.coalesce(F.col("y"), F.lit(0)).cast("double"))
+        .drop("_g2", "_d2")
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -717,6 +717,34 @@ def stream_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_forecast_holt",
+    oracle=__import__(
+        "presto_rakam_kafka_spark.operators.events", fromlist=["events"]
+    ).holt_forecast_oracle("events"),
+)
+def stream_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous forecasting (round 9): the daily-count table is an
+    associative fold (complete-mode streaming groupBy), and the drained
+    rollup feeds the SAME Holt finish as the batch row — twelfth
+    fold-then-finish rollup, identical oracle. The forecast updates
+    every trigger from days×series state, never rescanning the
+    stream's history."""
+    import presto_rakam_kafka_spark.operators.events as ev
+    from presto_rakam_kafka_spark.queries import _drain, _events_stream
+
+    daily = _drain(
+        _events_stream(spark, sf_dir)
+        .groupBy(
+            F.col("event_type"), F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("y")),
+        "holt_daily",
+        "complete",
+    )
+    return ev.holt_forecast_from_daily(daily)
+
+
+@query(
     "events_hll_audience_overlap",
     oracle=sketches.hll_audience_overlap_oracle("events"),
 )

@@ -779,6 +779,50 @@ def stream_enrich_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "epoch=*"))
 
 
+@query(
+    "kafka_key_history",
+    oracle="""
+    SELECT user_id, event_id AS offset,
+           (event_type = 'error') AS is_tombstone
+    FROM events WHERE user_id % 31 = 9
+    """,
+)
+def kafka_key_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR right-of-access / audit read (round 9): EVERY record for a
+    key set from the keyed segment log — the disclosure half next to
+    `purge_keys`' erasure half. Second consumer of the per-segment
+    bloom index: no early stop (history wants all occurrences), but
+    only bloom-positive segments are read — a key that touched k of N
+    segments costs k (+ FPR·N) data reads, not N. Tombstones (the
+    'error' delete markers) surface as is_tombstone=true, exactly the
+    disclosure a compacted topic owes about deletions. Oracle: the
+    same users' full event history from the raw table."""
+    import json as _json
+
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        lookup_history,
+    )
+
+    d = _keyed_log_dir(spark, sf_dir)
+    victims = [
+        str(r["user_id"]).encode()
+        for r in _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 31 == 9)
+        .select("user_id")
+        .distinct()
+        .collect()
+    ]
+    hist, _stats = lookup_history(d, victims, num_partitions=3)
+    rows = [
+        (int(k.decode()), off, v is None)
+        for k, recs in hist.items()
+        for off, v in recs
+    ]
+    return spark.createDataFrame(
+        rows, "user_id LONG, offset LONG, is_tombstone BOOLEAN"
+    )
+
+
 def _purged_log_dir(spark: SparkSession, sf_dir: str) -> str:
     """Key-routed events log with every user_id % 11 == 5 erased via
     `purge_keys` (the GDPR deletion request applied to the log itself)."""

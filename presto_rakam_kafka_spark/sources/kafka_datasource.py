@@ -1998,3 +1998,90 @@ def lookup_latest_spark(
             .select("key", "_s.*")
         )
     return out if with_stats else out.select("key", "offset", "value")
+
+
+def lookup_history(
+    path: str,
+    keys: list[bytes],
+    num_partitions: int | None = None,
+    route: str | None = None,
+) -> tuple[dict[bytes, list[tuple[int, bytes | None]]], dict]:
+    """FULL per-key history from the segment log — the GDPR
+    right-of-access / audit read (`purge_keys` is the erasure half;
+    this is the disclosure half): every record ever written for the
+    requested keys, in offset order, tombstones included as ``None``
+    values. The second consumer of the per-segment bloom index: unlike
+    the point read there is no early stop (history wants every
+    occurrence), but the walk still reads ONLY bloom-positive segments
+    — for a key that touched k of N segments, k + (FPR·N) data reads
+    instead of N. Routing follows the log's `_ROUTING.json` exactly
+    like :func:`lookup_latest`. Returns ``({key: [(offset, value),
+    …]}, stats)``."""
+    import pyarrow.parquet as pq
+
+    selected = _select_log_partitions(path, None)
+    num_partitions = _validated_partition_count(selected, num_partitions)
+    if route is None:
+        route = _read_routing(path) or "key"
+    if route not in ("key", "offset"):
+        raise KafkaLogLayoutError(f"unknown log routing {route!r}")
+    by_pid: dict[int, set[bytes]] = {}
+    for k in keys:
+        pids = (
+            [_route_key(bytes(k), num_partitions)]
+            if route == "key"
+            else range(num_partitions)
+        )
+        for pid in pids:
+            by_pid.setdefault(pid, set()).add(bytes(k))
+
+    results: dict[bytes, list[tuple[int, bytes | None]]] = {}
+    stats = {
+        "segments_total": 0,
+        "segments_read": 0,
+        "segments_bloom_skipped": 0,
+        "blooms_read": 0,
+        "index_bytes_read": 0,
+    }
+    for pid, _pdir, cur, files in selected:
+        want = by_pid.get(pid)
+        stats["segments_total"] += len(files)
+        if not want:
+            continue
+        for f in files:
+            candidates = want
+            bpath = os.path.join(cur, _bloom_sidecar_name(f))
+            if os.path.exists(bpath):
+                with open(bpath, "rb") as fh:
+                    payload = fh.read()
+                parsed = _bloom_parse(payload)
+                if parsed is not None:
+                    stats["blooms_read"] += 1
+                    stats["index_bytes_read"] += len(payload)
+                    m_bits, bits = parsed
+                    candidates = {
+                        k for k in want
+                        if _bloom_might_contain(bits, m_bits, k)
+                    }
+                    if not candidates:
+                        stats["segments_bloom_skipped"] += 1
+                        continue
+            stats["segments_read"] += 1
+            t = pq.read_table(
+                os.path.join(cur, f), columns=["offset", "key", "value"]
+            )
+            for off, k, v in zip(
+                t["offset"].to_pylist(),
+                t["key"].to_pylist(),
+                t["value"].to_pylist(),
+            ):
+                if k is None:
+                    continue
+                kb = bytes(k)
+                if kb in candidates:
+                    results.setdefault(kb, []).append(
+                        (off, None if v is None else bytes(v))
+                    )
+    for kb in results:
+        results[kb].sort(key=lambda t: t[0])
+    return results, stats

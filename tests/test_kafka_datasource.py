@@ -1362,3 +1362,49 @@ def test_writer_maintains_bloom_index_on_commit(spark, tmp_path):
     }
     driver, _s = lookup_latest(log, [b"4", b"7"], num_partitions=2)
     assert got == driver and got[b"4"] == (85, b"v85")
+
+
+def test_lookup_history_reads_only_bloom_positive_segments(spark, tmp_path):
+    """History read contract: every occurrence of the key is returned
+    in offset order (tombstones as None), and segments the bloom rules
+    out are never opened — for a key in k of N segments, data reads ≈ k
+    (+ the documented FPR slack), never N."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        build_key_blooms,
+        lookup_history,
+        write_segments,
+    )
+
+    # key "7" appears ONLY in rounds 0 and 4 (offsets 7 and 807);
+    # its round-4 record is a tombstone
+    frames = []
+    for rnd in range(5):
+        for k in range(200):
+            if k == 7 and rnd not in (0, 4):
+                continue
+            off = rnd * 200 + k
+            val = None if (k == 7 and rnd == 4) else f"v{off}".encode()
+            frames.append((off, str(k).encode(), val))
+    raw = spark.createDataFrame(
+        [(o, k, v, None) for o, k, v in frames],
+        "offset LONG, key BINARY, value BINARY, timestamp TIMESTAMP",
+    )
+    log = str(tmp_path / "histlog")
+    write_segments(raw, log, num_partitions=4, segment_rows=20,
+                   route_by_key=True)
+    build_key_blooms(log)
+
+    hist, stats = lookup_history(log, [b"7"])
+    assert hist[b"7"] == [(7, b"v7"), (807, None)]
+    # the key's partition holds 12 segments; "7" lives in 2. Bloom FPs
+    # are DETERMINISTIC per (key, key-set): this fixture's segments
+    # recycle the same ~47 keys every round, so one unlucky collision
+    # repeats across the similar segments (measured: 3 of 10 absent
+    # segments say maybe for this key) — the ~0.24% figure is the
+    # average over keys, not a per-key bound. The pruning claim is that
+    # reads ≪ segments, and skipped + read == the partition's total.
+    assert stats["segments_read"] <= 6, stats
+    assert stats["segments_bloom_skipped"] >= 5, stats
+    assert (
+        stats["segments_read"] + stats["segments_bloom_skipped"] == 12
+    ), stats
