@@ -174,8 +174,11 @@ HEADLINE = [
     "events_value_quantiles_log",
     "events_hll_rolling_users",
     "events_forecast_holt",
-    "pairs_contrastive_mining",
     "kafka_key_history",
+    # pairs_contrastive_mining is gate-only: its oracle-verifiable form
+    # is the anchors x corpus brute force (verification scale, like
+    # every brute-force counterpart); the 100 TB hard-negative leg is
+    # the IVF-PQ probe, benched via the sim_topk_ivfpq_* family.
 ]
 
 #: Indexed-ANN queries whose cost is two phases with different lifecycles:
