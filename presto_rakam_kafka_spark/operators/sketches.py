@@ -630,7 +630,11 @@ def value_histogram_log(
       quantization) lands in the single underflow bin −1.
 
     Domain: non-negative values (latency/revenue metrics); negatives
-    collapse into the underflow bin rather than erroring. Counts merge
+    collapse into the underflow bin rather than erroring. Upper bound:
+    ``v < 2^63 / 10^scale_digits`` (~9.2e12 at the default p=6) — past
+    it the BIGINT quantization overflows, where Spark's non-ANSI cast
+    nulls and DuckDB raises (an engine-divergence, the documented
+    bound; lower ``scale_digits`` for astronomical domains). Counts merge
     by addition exactly like the linear sketch (map-side combine,
     complete-mode streaming fold)."""
     S = int(sub_bins)

@@ -1597,7 +1597,9 @@ def _bloom_sweep_orphans(cur: str, live_segments: set[str]) -> None:
     reader, removed on the next build/update)."""
     live = {_bloom_sidecar_name(f) for f in live_segments}
     for e in os.listdir(cur):
-        if e.endswith(".bloom") and e.startswith(".") and e not in live:
+        if e.endswith(".bloom.tmp") and e.startswith("."):
+            os.remove(os.path.join(cur, e))  # crashed mid-write: stale
+        elif e.endswith(".bloom") and e.startswith(".") and e not in live:
             os.remove(os.path.join(cur, e))
     legacy = os.path.join(cur, "_KEYBLOOMS.json")
     if os.path.exists(legacy):
@@ -1851,8 +1853,11 @@ def lookup_latest(
     skip segments that cannot contain the key, and stop at the first
     (= highest-offset) hit. A key whose latest record is a tombstone
     reports value ``None``; an absent key is absent from the result.
-    Missing blooms degrade to scanning (correctness never depends on
-    the index). Returns ``(results, stats)`` where ``stats`` carries
+    ``route`` overrides the log's recorded placement (`_ROUTING.json`):
+    ``"key"`` routes each key to one partition, ``"offset"`` walks all
+    partitions and keeps the max-offset hit; unmarked logs default to
+    keyed. Missing blooms degrade to scanning (correctness never
+    depends on the index). Returns ``(results, stats)`` where ``stats`` carries
     segments_total / segments_read / segments_bloom_skipped /
     blooms_read / index_bytes_read — the pruning receipt: index bytes
     read scale with segments CONSULTED, not with the partition's log

@@ -565,10 +565,18 @@ def lookup_snapshot(spark, path: str, keys: list) -> DataFrame:
     nb = int(meta["num_buckets"])
     key_col = meta["key_col"]
     current, _ = _read_pointer(path)
+    if key_col is None:
+        # an unsharded legacy store records no key column — guessing
+        # one would silently filter the wrong attribute and report
+        # present keys absent (the lookup_latest num_partitions class
+        # of wrong answer). Fail loudly instead.
+        raise ValueError(
+            "lookup_snapshot requires a store initialized with key_col "
+            "(this store's _META.json records none)"
+        )
     if not nb:
         df = read_snapshot(spark, path)
-        return df.filter(F.col(df.columns[0]).isin(keys)) if not key_col \
-            else df.filter(F.col(key_col).isin(keys))
+        return df.filter(F.col(key_col).isin(keys))
 
     # the Python twin of operators/datasets.shard_expr: top 4 md5 hex
     # chars of str(key), mod num_buckets
