@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--users", type=int, default=200_000)
     ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--carry", choices=["link", "manifest"], default="link")
     args = ap.parse_args()
 
     spark = get_spark(app_name="cdc-scale-bench")
@@ -43,7 +44,8 @@ def main():
     base = events.select(
         "user_id", "event_id", "event_type", "ts", "value"
     ).limit(0)
-    cdc.init_snapshot(base, path, key_col="user_id", num_buckets=args.buckets)
+    cdc.init_snapshot(base, path, key_col="user_id", num_buckets=args.buckets,
+                      carry=args.carry)
     fn = cdc.cdc_batch_fn(path, "user_id", "ts", "event_id", delete_col="deleted")
 
     per = args.events // args.batches
@@ -98,6 +100,19 @@ def main():
     out["one_user_gen_files"] = nf
     out["one_user_gen_files_rewritten"] = nrw
     out["rewrite_fraction"] = round(rew / tot, 4) if tot else None
+    if args.carry == "manifest":
+        # round-9 receipt: untouched buckets are carried BY REFERENCE —
+        # count how many of the committed manifest's buckets point into
+        # PRIOR generations (never copied, never linked) vs freshly
+        # written in the one-user generation
+        man = cdc._read_manifest(path, cur)
+        fresh = sum(
+            1 for fs in man["buckets"].values()
+            if all(f.startswith(cur + "/") for f in fs)
+        )
+        out["manifest_buckets_total"] = len(man["buckets"])
+        out["manifest_buckets_fresh"] = fresh
+        out["manifest_buckets_referenced"] = len(man["buckets"]) - fresh
     print(json.dumps(out))
 
 
