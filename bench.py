@@ -174,6 +174,7 @@ HEADLINE = [
     "events_value_quantiles_log",
     "events_hll_rolling_users",
     "events_forecast_holt",
+    "events_audience_rule",
     "kafka_key_history",
     # pairs_contrastive_mining is gate-only: its oracle-verifiable form
     # is the anchors x corpus brute force (verification scale, like

@@ -1208,3 +1208,54 @@ def holt_forecast_oracle(
            fin.l + hs.h * fin.b AS forecast
     FROM fin, (SELECT unnest(generate_series(1, {horizon})) AS h) hs
     """
+
+
+def audience_rule(
+    events: DataFrame,
+    include_type: str = "purchase",
+    min_count: int = 3,
+    exclude_type: str = "error",
+    window_days: int = 30,
+) -> DataFrame:
+    """Audience builder — Rakam's segment-export feature: the user set
+    matching a behavioral INCLUDE rule (did ``include_type`` at least
+    ``min_count`` times within the trailing ``window_days`` ending at
+    the corpus max-ts) minus a behavioral EXCLUDE rule (did
+    ``exclude_type`` in the same window at all), with the evidence
+    columns an activation/export pipeline wants (count, first/last
+    occurrence, total value).
+
+    ONE corpus shuffle: the window filter is a scan predicate against
+    the broadcast max-ts scalar, both rules fold in a single per-user
+    conditional aggregate (count_if / max_by shapes — never two scans,
+    never a join between the include and exclude legs), and the
+    exclude is a HAVING on that aggregate, not an anti-join. Output is
+    user-bounded, corpus-independent."""
+    mx = F.broadcast(events.groupBy().agg(F.max("ts").alias("_max_ts")))
+    w = (
+        events.join(mx)
+        .filter(
+            F.col("ts")
+            >= F.col("_max_ts") - F.expr(f"INTERVAL {window_days} DAYS")
+        )
+        .filter(F.col("event_type").isin([include_type, exclude_type]))
+    )
+    inc = F.col("event_type") == include_type
+    agg = w.groupBy("user_id").agg(
+        F.sum(F.when(inc, 1).otherwise(0)).alias("n_include"),
+        F.sum(F.when(~inc, 1).otherwise(0)).alias("n_exclude"),
+        F.min(F.when(inc, F.col("ts"))).alias("first_ts"),
+        F.max(F.when(inc, F.col("ts"))).alias("last_ts"),
+        F.round(F.sum(F.when(inc, F.col("value")).otherwise(0.0)), 2).alias(
+            "sum_value"
+        ),
+    )
+    return agg.filter(
+        (F.col("n_include") >= min_count) & (F.col("n_exclude") == 0)
+    ).select(
+        "user_id",
+        F.col("n_include").cast("long").alias("n_events"),
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        "sum_value",
+    )

@@ -745,6 +745,44 @@ def stream_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_audience_rule",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS max_ts FROM events),
+    w AS (
+      SELECT e.* FROM events e, mx
+      WHERE e.ts >= mx.max_ts - INTERVAL 30 DAY
+        AND e.event_type IN ('purchase', 'error')
+    ),
+    agg AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_include,
+             sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS n_exclude,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_ts,
+             max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_ts,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS sum_value
+      FROM w GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_include AS BIGINT) AS n_events,
+           strftime(first_ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           sum_value
+    FROM agg WHERE n_include >= 3 AND n_exclude = 0
+    """,
+)
+def events_audience_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience builder (round 9) — Rakam's behavioral segment export:
+    users with ≥3 purchases in the trailing 30 days and ZERO 'error'
+    events in the same window, with activation evidence (count, first/
+    last purchase, total value). One corpus shuffle: both rules fold in
+    a single per-user conditional aggregate (the exclude is a HAVING,
+    never an anti-join), and the window bound is a scan predicate
+    against the broadcast max-ts scalar."""
+    import presto_rakam_kafka_spark.operators.events as ev
+
+    return ev.audience_rule(_t(spark, sf_dir, "events"))
+
+
+@query(
     "events_hll_audience_overlap",
     oracle=sketches.hll_audience_overlap_oracle("events"),
 )

@@ -249,8 +249,19 @@ def main():
         "lifecycle": ev.lifecycle,
         "rfm_segments": _rfm_segments,
         "value_quantiles": _value_quantiles,
-        # round 9: the eager_pin (persist, not localCheckpoint) receipt
+        # round 9: the eager_pin receipt + the log-scale sketch + the
+        # audience-builder fold
         "peak_concurrency": lambda e: ev.peak_concurrency(e, gap_minutes=30),
+        "value_quantiles_log": lambda e: __import__(
+            "presto_rakam_kafka_spark.operators.sketches",
+            fromlist=["sketches"],
+        ).quantiles_from_histogram_log(
+            __import__(
+                "presto_rakam_kafka_spark.operators.sketches",
+                fromlist=["sketches"],
+            ).value_histogram_log(e)
+        ),
+        "audience_rule": ev.audience_rule,
     }
     for name, fn in ops.items():
         if args.op and args.op != name:
