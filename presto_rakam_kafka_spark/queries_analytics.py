@@ -783,6 +783,91 @@ def events_audience_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_audience_rule",
+    oracle="""
+    WITH mx AS (
+      SELECT date_trunc('day', max(ts)) AS max_day FROM events
+      WHERE event_type IN ('purchase', 'error')
+    ),
+    w AS (
+      SELECT e.* FROM events e, mx
+      WHERE date_trunc('day', e.ts) >= mx.max_day - INTERVAL 29 DAY
+        AND e.event_type IN ('purchase', 'error')
+    ),
+    agg AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_include,
+             sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS n_exclude,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_ts,
+             max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_ts,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS sum_value
+      FROM w GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_include AS BIGINT) AS n_events,
+           strftime(first_ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           sum_value
+    FROM agg WHERE n_include >= 3 AND n_exclude = 0
+    """,
+)
+def stream_audience_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained audience (round 9): the per-user
+    conditional aggregate folds as a complete-mode streaming
+    aggregation over (user, type, DAY) cells — counts / min / max /
+    sum are all associative — and the include/exclude HAVING plus the
+    trailing-window cut run as the batch finish over the drained
+    state, anchored at the drained max day (never rescanning the
+    stream). THIRTEENTH fold-then-finish rollup. The window is
+    deliberately DAY-granular ("trailing 30 calendar days", the usual
+    product semantics) in BOTH engines: day cells are atomic, so no
+    cell can straddle the cut — an instant-granular cut over day cells
+    would silently drop a straddling cell's in-window rows (the batch
+    row `events_audience_rule` keeps the instant-cut semantics, where
+    it aggregates raw rows). State is user × type × active-days."""
+    from presto_rakam_kafka_spark.queries import _drain, _events_stream
+
+    cells = _drain(
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin(["purchase", "error"]))
+        .groupBy(
+            F.col("user_id"), F.col("event_type"),
+            F.date_trunc("day", "ts").alias("cday"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.sum("value").alias("sv"),
+        ),
+        "audience_cells",
+        "complete",
+    )
+    mx = F.broadcast(cells.groupBy().agg(F.max("cday").alias("_max_day")))
+    w = cells.join(mx).filter(
+        F.col("cday") >= F.col("_max_day") - F.expr("INTERVAL 29 DAYS")
+    )
+    inc = F.col("event_type") == "purchase"
+    agg = w.groupBy("user_id").agg(
+        F.sum(F.when(inc, F.col("n")).otherwise(0)).alias("n_include"),
+        F.sum(F.when(~inc, F.col("n")).otherwise(0)).alias("n_exclude"),
+        F.min(F.when(inc, F.col("min_ts"))).alias("first_ts"),
+        F.max(F.when(inc, F.col("max_ts"))).alias("last_ts"),
+        F.round(F.sum(F.when(inc, F.col("sv")).otherwise(0.0)), 2).alias(
+            "sum_value"
+        ),
+    )
+    return agg.filter(
+        (F.col("n_include") >= 3) & (F.col("n_exclude") == 0)
+    ).select(
+        "user_id",
+        F.col("n_include").cast("long").alias("n_events"),
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        "sum_value",
+    )
+
+
+@query(
     "events_hll_audience_overlap",
     oracle=sketches.hll_audience_overlap_oracle("events"),
 )
