@@ -9,6 +9,7 @@ doubles as the Rakam event-table analog with ``event_id`` as the
 from __future__ import annotations
 
 import os
+import re
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -131,43 +132,119 @@ STAGING_PREFIXES = (
     "cdc_shard_", "cdc_appid_", "cdc_manifest_", "ck_", "rck_",
 )
 
-#: Spark's own scratch (dead JVMs leave these behind); swept only at a
-#: much larger age so a concurrently-running session is never touched.
+#: Spark's own scratch (dead JVMs leave these behind); swept only when
+#: NO live JVM of this uid exists, never by age — a long-running
+#: session's top dir mtime is not refreshed while jobs run, so age is
+#: not evidence of death for these.
 SPARK_SCRATCH_PREFIXES = ("spark-", "blockmgr-", "ivy2-")
+
+#: Owner marker embedded in every staging name minted by
+#: :func:`staging_mkdtemp`: ``{prefix}p{pid}x{random}``. The sweep
+#: parses it back and treats owning-pid liveness — not mtime — as the
+#: evidence a dir is garbage.
+_PID_MARK = re.compile(r"p(\d+)x")
+
+
+def staging_mkdtemp(prefix: str, suffix: str = "", dir: str | None = None) -> str:
+    """``tempfile.mkdtemp`` with the creating pid embedded in the name
+    (``{prefix}p{pid}x{rand}``). Every staging dir this repo mints goes
+    through here so :func:`sweep_staging` can prove ownership: a dir
+    whose recorded pid is alive is NEVER swept (mtime says nothing
+    about liveness — a >1h gate run's fixture dirs are untouched after
+    creation), and one whose pid is dead is garbage regardless of
+    age."""
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=f"{prefix}p{os.getpid()}x", suffix=suffix,
+                            dir=dir)
+
+
+def _pid_alive(pid: int) -> bool:
+    """True when ``pid`` exists (EPERM = exists, owned by another uid —
+    treated alive: never sweep what we cannot prove dead)."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return True
+    return True
+
+
+def _live_java_for_uid() -> bool:
+    """True when any running process of THIS uid is a JVM (/proc scan).
+    Spark scratch (spark-*/blockmgr-*) carries no owner pid in its name,
+    so the only provable-dead condition is 'this user has zero JVMs'."""
+    me = os.getuid()
+    try:
+        pids = [p for p in os.listdir("/proc") if p.isdigit()]
+    except OSError:
+        return True  # can't prove anything → treat as live
+    for p in pids:
+        try:
+            if os.stat(f"/proc/{p}").st_uid != me:
+                continue
+            with open(f"/proc/{p}/comm") as fh:
+                if fh.read().strip() == "java":
+                    return True
+        except OSError:
+            continue
+    return False
 
 
 def sweep_staging(max_age_s: float = 3600.0,
                   spark_scratch_age_s: float = 86400.0) -> dict:
-    """Age-keyed temp-staging sweep, run by ``bench.py`` and the gate
-    runner BEFORE their cold pass: removes this repo's staging dirs
-    older than ``max_age_s`` (anything that old belongs to a finished
-    or dead run — live runs key their dirs by pid and touch them within
-    minutes) and Spark scratch older than a day. Returns
-    {"dirs_removed": n, "bytes_freed": b} so harnesses can log the
-    steady state."""
+    """Liveness-keyed temp-staging sweep, run by ``bench.py`` and the
+    gate runner BEFORE their cold pass. Removes ONLY dirs provably
+    owned by dead runs:
+
+    - repo staging dirs (``STAGING_PREFIXES``) carrying a
+      :func:`staging_mkdtemp` pid marker whose pid is DEAD — swept at
+      any age; a marker whose pid is alive (or owned by another uid,
+      which reports EPERM) is never touched, however old. Unmarked
+      entries matching the prefixes are left alone: in a shared tmpdir
+      a bare ``ck_``/``stream_`` name could belong to an unrelated
+      tool, and age is not proof of death (ADVICE r9).
+    - Spark scratch (``spark-``/``blockmgr-``/``ivy2-``) owned by this
+      uid, only when this uid has ZERO live JVMs — dead-JVM leftovers
+      by construction. ``spark_scratch_age_s`` is a secondary guard
+      against racing a JVM that is just starting.
+
+    Returns {"dirs_removed": n, "bytes_freed": b} so harnesses can log
+    the steady state."""
     import shutil
     import tempfile
     import time
 
     tmp = tempfile.gettempdir()
     now = time.time()
+    me = os.getuid()
     removed, freed = 0, 0
     try:
         entries = os.listdir(tmp)
     except OSError:
         return {"dirs_removed": 0, "bytes_freed": 0}
+    jvm_alive = None  # lazily computed once, only if scratch candidates exist
     for e in entries:
-        age_gate = None
-        if any(e.startswith(p) for p in STAGING_PREFIXES):
-            age_gate = max_age_s
-        elif any(e.startswith(p) for p in SPARK_SCRATCH_PREFIXES):
-            age_gate = spark_scratch_age_s
-        if age_gate is None:
-            continue
         fp = os.path.join(tmp, e)
-        try:
-            if now - os.path.getmtime(fp) <= age_gate:
+        sweep = False
+        if any(e.startswith(p) for p in STAGING_PREFIXES):
+            m = _PID_MARK.search(e)
+            sweep = bool(m) and not _pid_alive(int(m.group(1)))
+        elif any(e.startswith(p) for p in SPARK_SCRATCH_PREFIXES):
+            if jvm_alive is None:
+                jvm_alive = _live_java_for_uid()
+            try:
+                owned = os.stat(fp).st_uid == me
+                old = now - os.path.getmtime(fp) > spark_scratch_age_s
+            except OSError:
                 continue
+            sweep = owned and old and not jvm_alive
+        if not sweep:
+            continue
+        try:
             size = sum(
                 os.path.getsize(os.path.join(r, f))
                 for r, _d, fs in os.walk(fp) for f in fs

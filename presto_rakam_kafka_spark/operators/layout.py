@@ -30,6 +30,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from presto_rakam_kafka_spark.fixtures import staging_mkdtemp
 
 _LAYOUT_CACHE: dict[tuple[str, str], str] = {}
 
@@ -47,7 +48,7 @@ def stage_partitioned(
     key = (cache_key, f"part:{partition_col}")
     if key in _LAYOUT_CACHE and os.path.isdir(_LAYOUT_CACHE[key]):
         return _LAYOUT_CACHE[key]
-    path = tempfile.mkdtemp(prefix="layout_part_")
+    path = staging_mkdtemp("layout_part_")
     df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
     _LAYOUT_CACHE[key] = path
     return path
@@ -84,7 +85,7 @@ def stage_bucketed(
     # in THIS session's catalog, else re-stage
     if key in _LAYOUT_CACHE and spark.catalog.tableExists(table):
         return table
-    path = tempfile.mkdtemp(prefix=f"layout_bucket_{table}_")
+    path = staging_mkdtemp(f"layout_bucket_{table}_")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     (
         df.write.mode("overwrite")
@@ -148,7 +149,7 @@ def stage_sorted(
     )
     if key in _LAYOUT_CACHE and os.path.isdir(_LAYOUT_CACHE[key]):
         return _LAYOUT_CACHE[key]
-    path = tempfile.mkdtemp(prefix="layout_sorted_")
+    path = staging_mkdtemp("layout_sorted_")
     (
         df.repartitionByRange(num_ranges, F.col(sort_col))
         .sortWithinPartitions(sort_col)
@@ -232,7 +233,7 @@ def stage_zordered(
     )
     if key in _LAYOUT_CACHE and os.path.isdir(_LAYOUT_CACHE[key]):
         return _LAYOUT_CACHE[key]
-    path = tempfile.mkdtemp(prefix="layout_zorder_")
+    path = staging_mkdtemp("layout_zorder_")
     top = (1 << bits) - 1
     mm = df.agg(
         F.min(col_a).alias("a0"), F.max(col_a).alias("a1"),

@@ -623,8 +623,18 @@ def value_histogram_log(
       identical IEEE ops on both engines;
     - ``e = length(str(t)) − 1`` — the decimal exponent, EXACT via
       integer-to-string (never floor(log10) of a double);
-    - ``sub = (t · S) div 10^e ∈ [S, 10S)`` — the mantissa slot, exact
-      integer division (10^e built by string repeat, not pow);
+    - ``m = t div 10^max(e−9, 0)`` — the mantissa CAPPED at 10
+      significant digits (m < 10^10), so ``m · S`` can never overflow
+      BIGINT for ANY representable t (the naive ``t · S`` wrapped at
+      t > 2^63/S ≈ 5.8e11·10^p-quantized — INSIDE the documented
+      domain — where Spark's non-ANSI multiply silently flipped bins
+      while DuckDB raised, ADVICE r9);
+    - ``sub = (m · S) div 10^min(e, 9) ∈ [S, 10S)`` — the mantissa
+      slot, exact integer division (powers of 10 built by string
+      repeat, not pow). For e ≤ 9 this is bit-identical to the
+      uncapped ``(t · S) div 10^e``; above it the cap truncates the
+      slot boundary by < 10⁻⁹ relative — far below the 1/S bin width
+      and computed IDENTICALLY in both engines;
     - ``bin = e · 10S + sub`` — monotone in v, so the quantile finish
       orders by it directly. ``t ≤ 0`` (zero/negatives after
       quantization) lands in the single underflow bin −1.
@@ -632,11 +642,12 @@ def value_histogram_log(
     Domain: non-negative values (latency/revenue metrics); negatives
     collapse into the underflow bin rather than erroring. Upper bound:
     ``v < 2^63 / 10^scale_digits`` (~9.2e12 at the default p=6) — past
-    it the BIGINT quantization overflows, where Spark's non-ANSI cast
-    nulls and DuckDB raises (an engine-divergence, the documented
-    bound; lower ``scale_digits`` for astronomical domains). Counts merge
-    by addition exactly like the linear sketch (map-side combine,
-    complete-mode streaming fold)."""
+    it the BIGINT quantization itself overflows, where Spark's
+    non-ANSI cast nulls and DuckDB raises (the documented bound; lower
+    ``scale_digits`` for astronomical domains). Every value INSIDE the
+    bound now bins exactly, whole-domain (the binning arithmetic has
+    no overflow left). Counts merge by addition exactly like the
+    linear sketch (map-side combine, complete-mode streaming fold)."""
     S = int(sub_bins)
     return (
         df.filter(F.col(value_col).isNotNull())
@@ -650,11 +661,16 @@ def value_histogram_log(
             "_p10e",
             F.expr("cast(concat('1', repeat('0', _e)) as bigint)"),
         )
+        .withColumn("_eh", F.greatest(F.col("_e") - F.lit(9), F.lit(0)))
+        .withColumn(
+            "_p10eh",
+            F.expr("cast(concat('1', repeat('0', _eh)) as bigint)"),
+        )
         .withColumn(
             "bin",
             F.when(F.col("_t") <= 0, F.lit(-1).cast("long")).otherwise(
                 (F.col("_e").cast("long") * F.lit(10 * S))
-                + F.expr(f"(_t * {S}) div _p10e")
+                + F.expr(f"((_t div _p10eh) * {S}) div (_p10e div _p10eh)")
             ),
         )
         .groupBy(F.col(group_col), "bin")
@@ -673,9 +689,12 @@ def quantiles_from_histogram_log(
     machinery as :func:`quantiles_from_histogram`, but the estimate is
     the bin's UPPER log-spaced edge ``(sub+1)·10^e / (S·10^p)``
     reconstructed from the bin id with the same exact integer/string
-    arithmetic as the sketch (one BIGINT→DOUBLE cast + one double
-    division — identical IEEE in both engines). Relative error ≤ 1/S
-    by construction; the underflow bin estimates 10^-p."""
+    arithmetic as the sketch — each factor BIGINT→DOUBLE FIRST, then
+    one double multiply + one double divide (identical IEEE in both
+    engines; multiplying as BIGINT would overflow at e ≥ 17 since
+    (sub+1)·10^e reaches 1.6e20, the same wrap class as the sketch's
+    old t·S). Relative error ≤ 1/S by construction; the underflow bin
+    estimates 10^-p."""
     S = int(sub_bins)
     p_scale = float(10 ** scale_digits)
     w = Window.partitionBy(group_col).orderBy("bin")
@@ -690,9 +709,9 @@ def quantiles_from_histogram_log(
         F.col("bin") < 0, F.lit(1.0) / F.lit(p_scale)
     ).otherwise(
         F.expr(
-            f"cast((bin % {10 * S} + 1) * "
-            f"cast(concat('1', repeat('0', bin div {10 * S})) as bigint) "
-            f"as double)"
+            f"cast(bin % {10 * S} + 1 as double) * "
+            f"cast(cast(concat('1', repeat('0', bin div {10 * S})) "
+            f"as bigint) as double)"
         )
         / F.lit(float(S) * p_scale)
     )
@@ -723,9 +742,9 @@ def value_quantiles_log_oracle(
     tenp = 10 ** scale_digits
     edge = (
         f"CASE WHEN bin < 0 THEN CAST(1 AS DOUBLE) / {tenp} "
-        f"ELSE CAST((bin % {10 * S} + 1) * "
-        f"CAST('1' || repeat('0', CAST(bin // {10 * S} AS INT)) AS BIGINT) "
-        f"AS DOUBLE) / {float(S) * tenp} END"
+        f"ELSE CAST(bin % {10 * S} + 1 AS DOUBLE) * "
+        f"CAST(CAST('1' || repeat('0', CAST(bin // {10 * S} AS INT)) "
+        f"AS BIGINT) AS DOUBLE) / {float(S) * tenp} END"
     )
     picks = ", ".join(
         f"min(CASE WHEN cum >= ceil(tot * {q}) THEN {edge} END)"
@@ -737,15 +756,22 @@ def value_quantiles_log_oracle(
       SELECT {group_col},
              CAST(floor({value_col} * {float(tenp)}) AS BIGINT) AS t
       FROM {table} WHERE {value_col} IS NOT NULL
+    ), ex AS (
+      SELECT {group_col}, t,
+             length(CAST(t AS VARCHAR)) - 1 AS e,
+             CAST('1' || repeat('0', length(CAST(t AS VARCHAR)) - 1)
+                  AS BIGINT) AS p10e,
+             CAST('1' || repeat('0',
+                  greatest(length(CAST(t AS VARCHAR)) - 1 - 9, 0))
+                  AS BIGINT) AS p10eh
+      FROM base
     ), b AS (
       SELECT {group_col},
              CASE WHEN t <= 0 THEN CAST(-1 AS BIGINT)
-                  ELSE (length(CAST(t AS VARCHAR)) - 1) * {10 * S}
-                       + (t * {S}) // CAST(
-                           '1' || repeat('0', length(CAST(t AS VARCHAR)) - 1)
-                           AS BIGINT)
+                  ELSE e * {10 * S}
+                       + ((t // p10eh) * {S}) // (p10e // p10eh)
              END AS bin
-      FROM base
+      FROM ex
     ), hist AS (
       SELECT {group_col}, bin, count(*) AS n FROM b GROUP BY 1, 2
     ), c AS (

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from presto_rakam_kafka_spark.operators import events as ev
 from presto_rakam_kafka_spark.operators import sketches
 from presto_rakam_kafka_spark.queries import _t, query
+from presto_rakam_kafka_spark.fixtures import staging_mkdtemp
 
 
 @query(
@@ -1080,7 +1081,7 @@ def merge_upsert_orders_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # merge + generation flip; GC bounds the generation pile-up.
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     path = os.path.join(
-        tempfile.gettempdir(), f"merge_shard_{tag}_{os.getpid()}"
+        tempfile.gettempdir(), f"merge_shard_{tag}_p{os.getpid()}x"
     )
     if not os.path.exists(os.path.join(path, "_CURRENT")):
         cdc.init_snapshot(orders, path, key_col="o_orderkey", num_buckets=8)
@@ -1140,7 +1141,7 @@ def stream_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from presto_rakam_kafka_spark.queries import _events_stream
     from presto_rakam_kafka_spark.streaming import cdc
 
-    path = tempfile.mkdtemp(prefix="cdc_snap_")
+    path = staging_mkdtemp("cdc_snap_")
     base = (
         _t(spark, sf_dir, "events")
         .select("user_id", "event_id", "event_type", "ts", "value")
@@ -1154,7 +1155,7 @@ def stream_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         cdc.apply_cdc_stream(
             st, path, "user_id", "ts", "event_id", delete_col="deleted",
-            checkpoint=tempfile.mkdtemp(prefix="cdc_ckpt_"),
+            checkpoint=staging_mkdtemp("cdc_ckpt_"),
         )
         .trigger(availableNow=True)
         .start()
@@ -1194,7 +1195,7 @@ def stream_cdc_snapshot_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from presto_rakam_kafka_spark.queries import _events_stream
     from presto_rakam_kafka_spark.streaming import cdc
 
-    path = tempfile.mkdtemp(prefix="cdc_snap_")
+    path = staging_mkdtemp("cdc_snap_")
     base = (
         _t(spark, sf_dir, "events")
         .select("user_id", "event_id", "event_type", "ts", "value")
@@ -1210,7 +1211,7 @@ def stream_cdc_snapshot_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         cdc.apply_cdc_stream(
             st, path, "user_id", "ts", "event_id", delete_col="deleted",
-            checkpoint=tempfile.mkdtemp(prefix="cdc_ckpt_"),
+            checkpoint=staging_mkdtemp("cdc_ckpt_"),
         )
         .trigger(availableNow=True)
         .start()

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from presto_rakam_kafka_spark.queries import _t, query
+from presto_rakam_kafka_spark.fixtures import staging_mkdtemp
 
 _STREAM_SEQ = itertools.count()
 
@@ -35,7 +36,7 @@ def _segment_log_dir(spark: SparkSession, sf_dir: str) -> str:
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     d = os.path.join(
-        tempfile.gettempdir(), f"kafka_segments_{tag}_{os.getpid()}"
+        tempfile.gettempdir(), f"kafka_segments_{tag}_p{os.getpid()}x"
     )
     if os.path.isdir(os.path.join(d, "partition=0")):
         return d
@@ -332,7 +333,7 @@ def _avro_segment_log_dir(spark: SparkSession, sf_dir: str) -> str:
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     d = os.path.join(
-        tempfile.gettempdir(), f"kafka_segments_avro_{tag}_{os.getpid()}"
+        tempfile.gettempdir(), f"kafka_segments_avro_{tag}_p{os.getpid()}x"
     )
     if os.path.isdir(os.path.join(d, "partition=0")):
         return d
@@ -439,7 +440,7 @@ def _tpch_topic_dir(spark: SparkSession, sf_dir: str) -> str:
     from presto_rakam_kafka_spark.sources import loader
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    d = os.path.join(tempfile.gettempdir(), f"tpch_topic_{tag}_{os.getpid()}")
+    d = os.path.join(tempfile.gettempdir(), f"tpch_topic_{tag}_p{os.getpid()}x")
     if not os.path.isdir(os.path.join(d, "partition=0")):
         loader.load_tpch_topic(
             spark, sf_dir, "orders", d, num_partitions=3, segment_rows=500
@@ -501,7 +502,7 @@ def _compacted_log_dir(spark: SparkSession, sf_dir: str) -> str:
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     d = os.path.join(
-        tempfile.gettempdir(), f"kafka_compacted_{tag}_{os.getpid()}"
+        tempfile.gettempdir(), f"kafka_compacted_{tag}_p{os.getpid()}x"
     )
     if os.path.isdir(os.path.join(d, "partition=0")):
         return d
@@ -583,7 +584,7 @@ def _keyed_log_dir(spark: SparkSession, sf_dir: str) -> str:
     )
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    d = os.path.join(tempfile.gettempdir(), f"kafka_keyed_{tag}_{os.getpid()}")
+    d = os.path.join(tempfile.gettempdir(), f"kafka_keyed_{tag}_p{os.getpid()}x")
     if os.path.isdir(os.path.join(d, "partition=0")):
         return d
     raw = _t(spark, sf_dir, "events").select(
@@ -735,7 +736,7 @@ def stream_enrich_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     log_dir = _keyed_log_dir(spark, sf_dir)
-    out_dir = tempfile.mkdtemp(prefix="stream_enrich_")
+    out_dir = staging_mkdtemp("stream_enrich_")
     shutil.rmtree(out_dir, ignore_errors=True)
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -771,7 +772,7 @@ def stream_enrich_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         _events_stream(spark, sf_dir)
         .writeStream.foreachBatch(on_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_enrich_"))
+        .option("checkpointLocation", staging_mkdtemp("ckpt_enrich_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -832,7 +833,7 @@ def _purged_log_dir(spark: SparkSession, sf_dir: str) -> str:
     )
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    d = os.path.join(tempfile.gettempdir(), f"kafka_purged_{tag}_{os.getpid()}")
+    d = os.path.join(tempfile.gettempdir(), f"kafka_purged_{tag}_p{os.getpid()}x")
     if os.path.isdir(os.path.join(d, "partition=0")):
         return d
     ev = _t(spark, sf_dir, "events")

@@ -1855,8 +1855,12 @@ def lookup_latest(
     reports value ``None``; an absent key is absent from the result.
     ``route`` overrides the log's recorded placement (`_ROUTING.json`):
     ``"key"`` routes each key to one partition, ``"offset"`` walks all
-    partitions and keeps the max-offset hit; unmarked logs default to
-    keyed. Missing blooms degrade to scanning (correctness never
+    partitions and keeps the max-offset hit; logs WITHOUT a
+    `_ROUTING.json` (written before routing was recorded) default to
+    the conservative all-partitions ``"offset"`` walk — correct for
+    BOTH layouts, merely slower for keyed logs (a keyed default would
+    silently serve stale/absent records on a legacy offset-routed
+    store, ADVICE r9). Missing blooms degrade to scanning (correctness never
     depends on the index). Returns ``(results, stats)`` where ``stats`` carries
     segments_total / segments_read / segments_bloom_skipped /
     blooms_read / index_bytes_read — the pruning receipt: index bytes
@@ -1865,7 +1869,7 @@ def lookup_latest(
     selected = _select_log_partitions(path, None)
     num_partitions = _validated_partition_count(selected, num_partitions)
     if route is None:
-        route = _read_routing(path) or "key"
+        route = _read_routing(path) or "offset"
     if route not in ("key", "offset"):
         raise KafkaLogLayoutError(f"unknown log routing {route!r}")
     by_pid: dict[int, list[bytes]] = {}
@@ -1932,7 +1936,7 @@ def lookup_latest_spark(
     selected = _select_log_partitions(path, None)
     n = _validated_partition_count(selected, num_partitions)
     if route is None:
-        route = _read_routing(path) or "key"
+        route = _read_routing(path) or "offset"
     if route not in ("key", "offset"):
         raise KafkaLogLayoutError(f"unknown log routing {route!r}")
     if not isinstance(keys, _SqlDataFrame):
@@ -2027,7 +2031,7 @@ def lookup_history(
     selected = _select_log_partitions(path, None)
     num_partitions = _validated_partition_count(selected, num_partitions)
     if route is None:
-        route = _read_routing(path) or "key"
+        route = _read_routing(path) or "offset"
     if route not in ("key", "offset"):
         raise KafkaLogLayoutError(f"unknown log routing {route!r}")
     by_pid: dict[int, set[bytes]] = {}

@@ -477,19 +477,28 @@ def gc_snapshots(path: str, keep_last: int = 2) -> list[str]:
     # not directory containment). The victim's own manifest is always
     # removed, so time travel to it fails loudly even when its files
     # live on as references.
+    # Refcount on STORE-RELATIVE normalized paths, never joined absolute
+    # strings: manifests record relative paths while victims come from
+    # os.walk, and a non-normalized store path (trailing slash,
+    # 'dir/../dir', symlinked prefix) would make absolute strings
+    # disagree and delete a still-referenced data file (ADVICE r9).
+    store_root = os.path.realpath(path)
     retained = [g for g in gens if g not in victims]
     referenced: set[str] = set()
     for g in retained:
-        mpath = os.path.join(path, g, _MANIFEST)
+        mpath = os.path.join(store_root, g, _MANIFEST)
         if os.path.exists(mpath):
             with open(mpath) as fh:
-                referenced.update(_manifest_files(path, json.load(fh)))
+                man = json.load(fh)
+            rels = [f for fs in man["buckets"].values() for f in fs]
+            rels += man.get("extra", [])
+            referenced.update(os.path.normpath(r) for r in rels)
     for g in victims:
-        gdir = os.path.join(path, g)
+        gdir = os.path.join(store_root, g)
         for root, _dirs, files in os.walk(gdir, topdown=False):
             for f in files:
                 fp = os.path.join(root, f)
-                if fp not in referenced:
+                if os.path.relpath(fp, store_root) not in referenced:
                     os.remove(fp)
             if not os.listdir(root):
                 os.rmdir(root)

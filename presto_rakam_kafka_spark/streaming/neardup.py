@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from presto_rakam_kafka_spark.functions.hashing import jaccard_spark
+from presto_rakam_kafka_spark.fixtures import staging_mkdtemp
 from presto_rakam_kafka_spark.operators.dedup import (
     NUM_BANDS,
     _signatures_from_shingles,
@@ -93,8 +94,8 @@ def incremental_neardup(
     if rows_per_band is None:
         rows_per_band = derived_rows_per_band(threshold, num_bands)
     num_hashes = num_bands * rows_per_band
-    store = store_dir or tempfile.mkdtemp(prefix="neardup_store_")
-    out = out_dir or tempfile.mkdtemp(prefix="neardup_out_")
+    store = store_dir or staging_mkdtemp("neardup_store_")
+    out = out_dir or staging_mkdtemp("neardup_out_")
     buckets_dir = os.path.join(store, "buckets")
     shingles_dir = os.path.join(store, "shingles")
     jac = jaccard_spark("sh_flag", "sh_partner")
@@ -161,7 +162,7 @@ def incremental_neardup(
         ver.write.mode("overwrite").parquet(f"{shingles_dir}/epoch={epoch_id}")
         ver.unpersist()
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_neardup_")
+    ckpt = staging_mkdtemp("ckpt_neardup_")
     q = (
         stream_docs.writeStream.foreachBatch(process)
         .queryName("neardup_incremental")

@@ -20,6 +20,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from presto_rakam_kafka_spark.fixtures import staging_mkdtemp
 
 _STAGE_CACHE: dict[tuple[str, str, int], str] = {}
 
@@ -44,7 +45,7 @@ def stage_chunked_events(
     key = (sf_dir, table, num_chunks)
     if key in _STAGE_CACHE and os.path.isdir(_STAGE_CACHE[key]):
         return _STAGE_CACHE[key]
-    out_dir = tempfile.mkdtemp(prefix=f"stream_{table}_")
+    out_dir = staging_mkdtemp(f"stream_{table}_")
     # read_table normalizes fixture quirks (nanos → µs timestamps), so
     # the staged chunks are plain µs-timestamp parquet.
     from presto_rakam_kafka_spark.fixtures import read_table
@@ -67,7 +68,7 @@ def stage_chunked_events(
     import shutil
     import time as _time
 
-    flat = tempfile.mkdtemp(prefix=f"stream_{table}_flat_")
+    flat = staging_mkdtemp(f"stream_{table}_flat_")
     now = _time.time()
     for i in range(num_chunks):
         srcs = glob.glob(os.path.join(out_dir, f"chunk={i}", "*.parquet"))
@@ -102,7 +103,7 @@ def run_available_now(stream_df: DataFrame, name: str, output_mode: str) -> Data
     watermark, then stops — the batch-bounded replay of an unbounded
     query.
     """
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    ckpt = staging_mkdtemp(f"ckpt_{name}_")
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)

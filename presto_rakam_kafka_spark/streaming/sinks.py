@@ -17,6 +17,7 @@ from __future__ import annotations
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from presto_rakam_kafka_spark.fixtures import staging_mkdtemp
 
 
 def write_stream_parquet_exactly_once(
@@ -34,7 +35,7 @@ def write_stream_parquet_exactly_once(
             batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
         )
 
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix=f"ckpt_{query_name}_")
+    ckpt = checkpoint_dir or staging_mkdtemp(f"ckpt_{query_name}_")
     return (
         stream_df.writeStream.foreachBatch(write_batch)
         .queryName(query_name)

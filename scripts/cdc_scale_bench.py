@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from presto_rakam_kafka_spark.session import get_spark
 from presto_rakam_kafka_spark.streaming import cdc
 from scripts.events_scale_bench import build_events
+from presto_rakam_kafka_spark.fixtures import staging_mkdtemp
 
 
 def main():
@@ -40,7 +41,7 @@ def main():
     events = build_events(spark, args.events, args.users).localCheckpoint(
         eager=True
     )
-    path = tempfile.mkdtemp(prefix="cdc_scale_")
+    path = staging_mkdtemp("cdc_scale_")
     base = events.select(
         "user_id", "event_id", "event_type", "ts", "value"
     ).limit(0)

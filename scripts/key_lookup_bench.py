@@ -24,6 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession  # noqa: E402
+from presto_rakam_kafka_spark.fixtures import staging_mkdtemp  # noqa: E402
 
 from presto_rakam_kafka_spark.sources.kafka_datasource import (  # noqa: E402
     _bloom_build_bits,
@@ -43,7 +44,7 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    work = tempfile.mkdtemp(prefix="key_lookup_bench_")
+    work = staging_mkdtemp("key_lookup_bench_")
     out: dict = {}
 
     # --- log: 300k records, 100k distinct keys, 3 updates each -------

@@ -1408,3 +1408,34 @@ def test_lookup_history_reads_only_bloom_positive_segments(spark, tmp_path):
     assert (
         stats["segments_read"] + stats["segments_bloom_skipped"] == 12
     ), stats
+
+
+def test_unmarked_log_defaults_to_conservative_offset_walk(spark, tmp_path):
+    """Legacy logs (written before _ROUTING.json existed) carry no
+    routing record. Defaulting them to keyed routing would silently
+    serve stale/absent records when the log was actually offset-routed
+    (ADVICE r9) — so unmarked logs must take the all-partitions offset
+    walk, which is correct for BOTH layouts."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        _ROUTING,
+        build_key_blooms,
+        lookup_latest,
+        write_segments,
+    )
+
+    # an offset-routed log: key "4"'s records land in BOTH partitions
+    raw = spark.createDataFrame(
+        [(o, str(o % 9).encode(), f"v{o}".encode(), None)
+         for o in range(60)],
+        "offset LONG, key BINARY, value BINARY, timestamp TIMESTAMP",
+    )
+    log = str(tmp_path / "legacy_offsetlog")
+    write_segments(raw, log, num_partitions=2, segment_rows=10)
+    build_key_blooms(log)
+    os.remove(os.path.join(log, _ROUTING))  # simulate a pre-routing log
+
+    hits, stats = lookup_latest(log, [b"4"], num_partitions=2)
+    # keyed routing would consult only md5("4")'s partition and serve a
+    # stale hit; the conservative default walks both and finds 58
+    assert hits[b"4"] == (58, b"v58")
+    assert stats["segments_read"] >= 1

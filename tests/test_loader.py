@@ -12,12 +12,13 @@ from pyspark.sql import functions as F
 from presto_rakam_kafka_spark.fixtures import read_table
 from presto_rakam_kafka_spark.sources import loader
 from presto_rakam_kafka_spark.sources.kafka_datasource import KafkaSegmentDataSource
+from presto_rakam_kafka_spark.fixtures import staging_mkdtemp
 
 
 def test_tpch_roundtrip_many_segments_exact(spark, sf_dir):
     spark.dataSource.register(KafkaSegmentDataSource)
     src = read_table(spark, sf_dir, "lineitem")
-    path = tempfile.mkdtemp(prefix="tpch_topic_")
+    path = staging_mkdtemp("tpch_topic_")
 
     n = loader.load_tpch_topic(
         spark, sf_dir, "lineitem", path, num_partitions=3, segment_rows=100

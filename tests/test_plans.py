@@ -15,6 +15,7 @@ import re
 import pytest
 
 from presto_rakam_kafka_spark import queries as Q
+from presto_rakam_kafka_spark.fixtures import staging_mkdtemp
 
 
 def _plan(df) -> str:
@@ -343,7 +344,7 @@ def test_sorted_layout_skips_row_groups(spark, sf_dir):
     )
     sorted_path = layout.stage_sorted(spark, li, sf_dir, "l_orderkey")
     s_hit, s_total = layout.row_groups_overlapping(sorted_path, "l_orderkey", 1000, 2000)
-    natural = tempfile.mkdtemp(prefix="layout_natural_")
+    natural = staging_mkdtemp("layout_natural_")
     li.repartition(4).write.mode("overwrite").option(
         "parquet.block.size", str(128 * 1024)
     ).parquet(natural)

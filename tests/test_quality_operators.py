@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from presto_rakam_kafka_spark.fixtures import read_table
 from presto_rakam_kafka_spark.operators import quality
+from presto_rakam_kafka_spark.fixtures import staging_mkdtemp
 
 
 def _docs(spark, sf_dir):
@@ -390,8 +391,8 @@ def test_incremental_neardup_idempotent_replay(spark, sf_dir):
         spark, sf_dir, table="documents", num_chunks=3, order_col="doc_id"
     )
     schema = _docs(spark, sf_dir).schema
-    store = tempfile.mkdtemp(prefix="neardup_store_t_")
-    out = tempfile.mkdtemp(prefix="neardup_out_t_")
+    store = staging_mkdtemp("neardup_store_t_")
+    out = staging_mkdtemp("neardup_out_t_")
 
     def run():
         stream = runner.read_file_stream(spark, staged, schema)
@@ -827,3 +828,91 @@ def test_log_quantile_sketch_relative_error_and_bounded_state(spark):
     )
     h3 = {r["bin"]: r["n"] for r in sk.value_histogram_log(df3).collect()}
     assert h3[-1] == 2 and sum(h3.values()) == 3
+
+
+def test_log_quantile_sketch_whole_domain_no_overflow(spark):
+    """ADVICE r9: the old `(t·S) div 10^e` mantissa slot wrapped BIGINT
+    at t > 2^63/S (v > ~5.8e11 at defaults) — INSIDE the documented
+    domain — where Spark's non-ANSI multiply silently flipped bins
+    while DuckDB raised. The capped-mantissa form must (a) agree with
+    DuckDB bin-for-bin across the WHOLE documented domain including the
+    formerly-wrapping decades, and (b) stay bit-identical to the old
+    form for e ≤ 9 (the fixture domain — existing hash gates)."""
+    import duckdb
+
+    from presto_rakam_kafka_spark.operators import sketches as sk
+
+    # values straddling the old wrap point up to the documented bound
+    vals = [
+        1.5, 999.25, 5.79e11, 5.8e11, 5.81e11, 6.4e11, 9.9e11,
+        1.0e12, 3.7e12, 9.19e12, 9.2e12,
+    ]
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "event_type STRING, value DOUBLE"
+    )
+    df.createOrReplaceTempView("logdom_events")
+    spark_bins = {
+        (r["event_type"], r["bin"]): r["n"]
+        for r in sk.value_histogram_log(df).collect()
+    }
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register(
+        "logdom_events",
+        pd.DataFrame({"event_type": ["g"] * len(vals),
+                      "value": [float(v) for v in vals]}),
+    )
+    # the oracle's `b` CTE is the binning half — reuse it verbatim via
+    # the full oracle, which also exercises the double-first edge math
+    sql = sk.value_quantiles_log_oracle("logdom_events")
+    oracle = con.execute(sql).fetchall()
+    spark_row = sk.quantiles_from_histogram_log(
+        sk.value_histogram_log(df)
+    ).collect()[0]
+    assert len(oracle) == 1
+    g, n_rows, p50, p90, p99 = oracle[0]
+    assert n_rows == len(vals) == spark_row["n_rows"]
+    assert spark_row["p50"] == p50 and spark_row["p90"] == p90
+    assert spark_row["p99"] == p99
+    # bin-level parity: DuckDB's binning CTE vs Spark's sketch
+    duck_bins = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(f"""
+            WITH base AS (
+              SELECT event_type,
+                     CAST(floor(value * 1000000.0) AS BIGINT) AS t
+              FROM logdom_events WHERE value IS NOT NULL
+            ), ex AS (
+              SELECT event_type, t,
+                     length(CAST(t AS VARCHAR)) - 1 AS e,
+                     CAST('1' || repeat('0', length(CAST(t AS VARCHAR)) - 1)
+                          AS BIGINT) AS p10e,
+                     CAST('1' || repeat('0',
+                          greatest(length(CAST(t AS VARCHAR)) - 1 - 9, 0))
+                          AS BIGINT) AS p10eh
+              FROM base
+            )
+            SELECT event_type,
+                   CASE WHEN t <= 0 THEN CAST(-1 AS BIGINT)
+                        ELSE e * 160 + ((t // p10eh) * 16) // (p10e // p10eh)
+                   END AS bin, count(*) FROM ex GROUP BY 1, 2
+        """).fetchall()
+    }
+    assert spark_bins == duck_bins
+    # estimates stay within the 1/S relative-error contract out here too
+    sv = sorted(vals)
+    import math as _m
+
+    for q, est in ((0.5, p50), (0.9, p90), (0.99, p99)):
+        exact = sv[max(0, _m.ceil(q * len(sv)) - 1)]
+        assert est >= exact - 1e-6
+        assert (est - exact) / exact <= 1.0 / sk.LOG_QUANTILE_SUB_BINS + 1e-3
+
+    # (b) e ≤ 9 bins unchanged vs the uncapped formula
+    small = [v for v in vals if v < 1e4]
+    for v in small:
+        t = int(_m.floor(v * 1e6))
+        e = len(str(t)) - 1
+        old = e * 160 + (t * 16) // (10 ** e)
+        assert ("g", old) in spark_bins or v >= 1e4

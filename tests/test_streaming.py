@@ -17,6 +17,7 @@ from datetime import datetime
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from presto_rakam_kafka_spark.fixtures import staging_mkdtemp
 
 EVENT_SCHEMA = T.StructType(
     [
@@ -38,14 +39,14 @@ def _ts(hhmm: str) -> datetime:
 def _stage_batches(spark, batches):
     """Write each batch as one parquet file with increasing mtimes so
     maxFilesPerTrigger=1 replays them in order."""
-    d = tempfile.mkdtemp(prefix="stream_case_")
+    d = staging_mkdtemp("stream_case_")
     now = time.time()
     for i, rows in enumerate(batches):
         df = spark.createDataFrame(
             [(j, t, u, et, 1.0, None) for j, (t, u, et) in enumerate(rows)],
             EVENT_SCHEMA,
         )
-        tmp = tempfile.mkdtemp(prefix="stage_tmp_")
+        tmp = staging_mkdtemp("stage_tmp_")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         import glob
         import shutil
@@ -174,7 +175,7 @@ def test_foreachbatch_parquet_sink_exactly_once(spark, sf_dir):
     src = runner.read_file_stream(spark, d, schema).select(
         "event_id", "user_id", "event_type"
     )
-    out_dir = tempfile.mkdtemp(prefix="sink_out_")
+    out_dir = staging_mkdtemp("sink_out_")
     q = sinks.write_stream_parquet_exactly_once(src, out_dir)
     q.awaitTermination()
     got = sinks.read_sink(spark, out_dir)
@@ -292,7 +293,7 @@ def test_streaming_schema_evolution_per_microbatch(spark):
     ms.register("tpch", "events", [SchemaField("event_id", FieldType.LONG)])
 
     # Two chunks with different key sets, replayed as two triggers.
-    d = tempfile.mkdtemp(prefix="evolve_stream_")
+    d = staging_mkdtemp("evolve_stream_")
     batches = [
         [(1, _json.dumps({"k": 1}))],
         [(2, _json.dumps({"k": 2, "score": 0.5}))],
@@ -324,7 +325,7 @@ def test_streaming_schema_evolution_per_microbatch(spark):
         added = evolve_collection(ms, "tpch", "events", batch_df)
         seen.append([f.name for f in added])
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_evolve_")
+    ckpt = staging_mkdtemp("ckpt_evolve_")
     q = (
         stream.writeStream.foreachBatch(on_batch)
         .option("checkpointLocation", ckpt)
@@ -366,7 +367,7 @@ def test_stream_attribution_state_spans_microbatches(spark):
             (6, 9, "purchase", t("2024-01-05 00:00:00")),  # no touch ever
         ],
     ]
-    d = tempfile.mkdtemp(prefix="attr_stream_")
+    d = staging_mkdtemp("attr_stream_")
     now = time.time()
     for i, rows in enumerate(batches):
         stage = os.path.join(d, f"staging{i}")
@@ -385,7 +386,7 @@ def test_stream_attribution_state_spans_microbatches(spark):
         .parquet(d)
     )
     out = attribution_stream(stream)
-    ckpt = tempfile.mkdtemp(prefix="attr_ckpt_")
+    ckpt = staging_mkdtemp("attr_ckpt_")
     q = (
         out.writeStream.format("memory")
         .queryName("attr_x")
@@ -423,7 +424,7 @@ def test_export_stream_accumulates_manifest_and_verifies(spark, sf_dir):
     from presto_rakam_kafka_spark.operators import datasets as ds
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    src = tempfile.mkdtemp(prefix="export_stream_src_")
+    src = staging_mkdtemp("export_stream_src_")
     now = time.time()
     for i, pred in enumerate((F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1)):
         stage = os.path.join(src, f"staging{i}")
@@ -434,8 +435,8 @@ def test_export_stream_accumulates_manifest_and_verifies(spark, sf_dir):
         os.utime(dst, (now + i, now + i))
         shutil.rmtree(stage)
 
-    out = tempfile.mkdtemp(prefix="export_stream_out_")
-    ckpt = tempfile.mkdtemp(prefix="export_stream_ckpt_")
+    out = staging_mkdtemp("export_stream_out_")
+    ckpt = staging_mkdtemp("export_stream_ckpt_")
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
@@ -453,7 +454,7 @@ def test_export_stream_accumulates_manifest_and_verifies(spark, sf_dir):
 
     with open(os.path.join(out, "_MANIFEST.json")) as f:
         streamed = _json.load(f)
-    batch_path = tempfile.mkdtemp(prefix="export_batch_ref_")
+    batch_path = staging_mkdtemp("export_batch_ref_")
     batch = ds.export_dataset(docs, batch_path, "text", "doc_id", num_shards=4)
     assert {int(k): v for k, v in streamed["shards"].items()} == batch["shards"]
     assert streamed["total_docs"] == batch["total_docs"]
@@ -480,7 +481,7 @@ def test_export_batch_replay_is_exactly_once(spark, sf_dir):
     b0 = docs.filter(F.col("doc_id") % 2 == 0)
     b1 = docs.filter(F.col("doc_id") % 2 == 1)
 
-    out = tempfile.mkdtemp(prefix="export_replay_")
+    out = staging_mkdtemp("export_replay_")
     fn = ds.export_batch_fn(out, "text", "doc_id", num_shards=4)
     fn(b0, 0)
     fn(b1, 1)
@@ -609,7 +610,7 @@ def test_stream_attribution_state_ttl_resets_carry(spark):
     ]
 
     def run(build):
-        d = tempfile.mkdtemp(prefix="attr_ttl_")
+        d = staging_mkdtemp("attr_ttl_")
         now = time.time()
         for i, rows in enumerate(batches):
             stage = os.path.join(d, f"staging{i}")
@@ -632,7 +633,7 @@ def test_stream_attribution_state_ttl_resets_carry(spark):
             .writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+            .option("checkpointLocation", staging_mkdtemp("ck_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -666,7 +667,7 @@ def test_cdc_batch_replay_and_crash_recovery(spark):
     t0 = dt.datetime(2024, 6, 1, 10, 0)
     sch = "k LONG, v STRING, ts TIMESTAMP, seq LONG, deleted BOOLEAN"
     base = spark.createDataFrame([(1, "base1", t0, 0, False)], sch).drop("deleted")
-    path = tempfile.mkdtemp(prefix="cdc_test_")
+    path = staging_mkdtemp("cdc_test_")
     cdc.init_snapshot(base, path, key_col="k", num_buckets=4)
     fn = cdc.cdc_batch_fn(path, "k", "ts", "seq", delete_col="deleted")
 
@@ -717,7 +718,7 @@ def test_cdc_snapshot_gc_keeps_current_and_window(spark):
     t0 = dt.datetime(2024, 6, 1, 10, 0)
     sch = "k LONG, v STRING, ts TIMESTAMP, seq LONG, deleted BOOLEAN"
     base = spark.createDataFrame([(1, "b", t0, 0, False)], sch).drop("deleted")
-    path = tempfile.mkdtemp(prefix="cdc_gc_")
+    path = staging_mkdtemp("cdc_gc_")
     cdc.init_snapshot(base, path, key_col="k", num_buckets=4)
     fn = cdc.cdc_batch_fn(path, "k", "ts", "seq", delete_col="deleted")
     for e in range(3):
@@ -763,7 +764,7 @@ def test_funnel_ttl_bounds_state_rows(spark):
             .writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+            .option("checkpointLocation", staging_mkdtemp("ck_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -798,7 +799,7 @@ def test_cdc_snapshot_time_travel(spark):
     t0 = dt.datetime(2024, 6, 1, 10, 0)
     sch = "k LONG, v STRING, ts TIMESTAMP, seq LONG, deleted BOOLEAN"
     base = spark.createDataFrame([(1, "b", t0, 0, False)], sch).drop("deleted")
-    path = tempfile.mkdtemp(prefix="cdc_tt_")
+    path = staging_mkdtemp("cdc_tt_")
     cdc.init_snapshot(base, path, key_col="k", num_buckets=4)
     fn = cdc.cdc_batch_fn(path, "k", "ts", "seq", delete_col="deleted")
     fn(spark.createDataFrame([(2, "x", t0, 1, False)], sch), 0)
@@ -872,7 +873,7 @@ def test_cdc_sharded_merge_rewrites_only_touched_buckets(spark):
     base = spark.createDataFrame(
         [(k, f"v{k}", t0, 0, False) for k in range(200)], sch
     ).drop("deleted")
-    path = tempfile.mkdtemp(prefix="cdc_shard_")
+    path = staging_mkdtemp("cdc_shard_")
     cdc.init_snapshot(base, path, key_col="k", num_buckets=8)
     fn = cdc.cdc_batch_fn(path, "k", "ts", "seq", delete_col="deleted")
 
@@ -926,7 +927,7 @@ def test_cdc_appid_restart_is_not_swallowed_as_replay(spark):
     t0 = dt.datetime(2024, 6, 1, 10, 0)
     sch = "k LONG, v STRING, ts TIMESTAMP, seq LONG, deleted BOOLEAN"
     base = spark.createDataFrame([(1, "base", t0, 0, False)], sch).drop("deleted")
-    path = tempfile.mkdtemp(prefix="cdc_appid_")
+    path = staging_mkdtemp("cdc_appid_")
     cdc.init_snapshot(base, path, key_col="k", num_buckets=4)
 
     mk = lambda rows: spark.createDataFrame(rows, sch)  # noqa: E731
@@ -977,7 +978,7 @@ def test_cdc_manifest_mode_references_untouched_buckets(spark):
     base = spark.createDataFrame(
         [(k, f"v{k}", t0, 0, False) for k in range(200)], sch
     ).drop("deleted")
-    path = tempfile.mkdtemp(prefix="cdc_manifest_")
+    path = staging_mkdtemp("cdc_manifest_")
     cdc.init_snapshot(base, path, key_col="k", num_buckets=8,
                       carry="manifest")
     fn = cdc.cdc_batch_fn(path, "k", "ts", "seq", delete_col="deleted")
@@ -1060,7 +1061,7 @@ def test_export_manifest_epochs_list_migrates_to_txns(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     b0 = docs.filter("doc_id % 2 = 0")
     b1 = docs.filter("doc_id % 2 = 1")
-    path = tempfile.mkdtemp(prefix="export_migrate_")
+    path = staging_mkdtemp("export_migrate_")
     fn = ds.export_batch_fn(path, "text", "doc_id", num_shards=4)
     fn(b0, 0)
     fn(b1, 1)
@@ -1110,7 +1111,7 @@ def test_cdc_rebase_snapshot_self_contained_and_gc(spark):
     base = spark.createDataFrame(
         [(k, f"v{k}", t0, 0, False) for k in range(100)], sch
     ).drop("deleted")
-    path = tempfile.mkdtemp(prefix="cdc_rebase_")
+    path = staging_mkdtemp("cdc_rebase_")
     cdc.init_snapshot(base, path, key_col="k", num_buckets=8,
                       carry="manifest")
     fn = cdc.cdc_batch_fn(path, "k", "ts", "seq", delete_col="deleted")
@@ -1161,7 +1162,7 @@ def test_lookup_snapshot_prunes_to_touched_buckets(spark):
         [(k, f"v{k}", t0, 0, False) for k in range(300)], sch
     ).drop("deleted")
     for carry in ("link", "manifest"):
-        path = tempfile.mkdtemp(prefix=f"cdc_lk_{carry}_")
+        path = staging_mkdtemp(f"cdc_lk_{carry}_")
         cdc.init_snapshot(base, path, key_col="k", num_buckets=16,
                           carry=carry)
         got = {
@@ -1175,3 +1176,44 @@ def test_lookup_snapshot_prunes_to_touched_buckets(spark):
         n_full = full.inputFiles()
         n_probe = probe.inputFiles()
         assert len(n_probe) < len(n_full), (carry, len(n_probe), len(n_full))
+
+
+def test_cdc_gc_refcount_survives_non_normalized_store_path(spark):
+    """gc_snapshots refcounting must compare STORE-RELATIVE normalized
+    paths (ADVICE r9): GC'ing the same manifest-mode store through a
+    trailing-slash / 'dir/../dir' alias of its path must never delete a
+    data file a retained manifest still references."""
+    import datetime as dt
+    import os
+
+    from presto_rakam_kafka_spark.streaming import cdc
+
+    t0 = dt.datetime(2024, 6, 1, 10, 0)
+    sch = "k LONG, v STRING, ts TIMESTAMP, seq LONG, deleted BOOLEAN"
+    base = spark.createDataFrame(
+        [(k, f"v{k}", t0, 0, False) for k in range(64)], sch
+    ).drop("deleted")
+    path = staging_mkdtemp("cdc_gcnorm_")
+    cdc.init_snapshot(base, path, key_col="k", num_buckets=8,
+                      carry="manifest")
+    fn = cdc.cdc_batch_fn(path, "k", "ts", "seq", delete_col="deleted")
+    fn(spark.createDataFrame([(7, "CHANGED", t0, 1, False)], sch), 0)
+    fn(spark.createDataFrame([(11, "ALSO", t0, 1, False)], sch), 1)
+
+    # every alias of the store path: trailing slash, parent-hop, both
+    base_name = os.path.basename(path)
+    aliases = [
+        path + "/",
+        os.path.join(os.path.dirname(path), "..",
+                     os.path.basename(os.path.dirname(path)), base_name),
+    ]
+    for alias in aliases:
+        removed = cdc.gc_snapshots(alias, keep_last=1)
+        if removed:
+            break
+    # the current generation must still read intact: every referenced
+    # file (including carried-by-reference gen-0 files inside the
+    # victim dirs) survives
+    snap = {r["k"]: r["v"] for r in cdc.read_snapshot(spark, path).collect()}
+    assert snap[7] == "CHANGED" and snap[11] == "ALSO" and len(snap) == 64
+    assert all(snap[k] == f"v{k}" for k in range(64) if k not in (7, 11))
