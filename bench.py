@@ -178,8 +178,9 @@ HEADLINE = [
     "kafka_key_history",
     # pairs_contrastive_mining is gate-only: its oracle-verifiable form
     # is the anchors x corpus brute force (verification scale, like
-    # every brute-force counterpart); the 100 TB hard-negative leg is
-    # the IVF-PQ probe, benched via the sim_topk_ivfpq_* family.
+    # every brute-force counterpart); the benched form is the indexed
+    # miner below (round 10 — hard leg via the IVF-PQ probe).
+    "pairs_contrastive_indexed",
 ]
 
 #: Indexed-ANN queries whose cost is two phases with different lifecycles:
@@ -229,6 +230,9 @@ def _register_ann_stagers() -> None:
     # index (same stage_ivfpq_index geometry), so its query run times
     # the pure pandas-codec probe
     ANN_STAGERS["sim_topk_ivfpq_serving"] = _refined
+    # the indexed miner probes the same stored-vector index, so its
+    # query run times hard-leg probe + rand-leg draws, not the build
+    ANN_STAGERS["pairs_contrastive_indexed"] = _refined
 
 #: The round-3-era query set, frozen: every round reports this subtotal
 #: unchanged so round-over-round comparisons never mix query-set drift

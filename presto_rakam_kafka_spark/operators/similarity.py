@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from presto_rakam_kafka_spark.functions.hashing import hyperplanes
 from presto_rakam_kafka_spark.operators.dedup import cosine_expr, cosine_expr_duckdb
+from presto_rakam_kafka_spark.fixtures import staging_mkdtemp
 
 NUM_PLANES = 4  # 16 buckets — sized for the fixture corpus (~500-5k vecs)
 
@@ -1274,6 +1275,119 @@ def ivfpq_refined_oracle(
     """
 
 
+def mine_contrastive_pairs_indexed_oracle(
+    table: str,
+    anchor_pred: str,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    dup_threshold: float = 0.95,
+    n_random: int = 2,
+    num_centroids: int = NUM_CENTROIDS,
+    nprobe: int = NUM_PROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    hard_overfetch: int = 8,
+    refine_factor: int = 4,
+) -> str:
+    """DuckDB twin of the INDEX-PROBED miner: the
+    :func:`ivfpq_refined_oracle` pipeline (coarse routing, ADC
+    candidates, exact-cosine refine) cut at the overfetch size, then
+    the dup-threshold filter + top-1 — replaying the hard leg's
+    index-bounded candidate set EXACTLY (not a recall bound: the probe
+    is deterministic, so the oracle reproduces it value-for-value).
+    The random leg is the shared md5-draw window."""
+    from presto_rakam_kafka_spark.operators.dedup import cosine_expr_duckdb
+
+    cents = ivf_centroids(num_centroids, dim)
+    sub_dim = dim // m
+    books = pq_centroids(m, ksub, sub_dim)
+
+    dcols = [f"d{i}" for i in range(num_centroids)]
+    dot_sel = [
+        f"({d}) AS {c}" for d, c in zip(_dots_duckdb(vec_col, cents), dcols)
+    ]
+    adj_sel, qd_sel = [], []
+    for j in range(m):
+        dots = _dots_duckdb(_pq_sub_duckdb(vec_col, j, sub_dim), books[j])
+        for c, d in enumerate(dots):
+            half_norm = round(sum(v * v for v in books[j][c]) / 2.0, 6)
+            adj_sel.append(f"(({d}) - {half_norm}) AS a_{j}_{c}")
+            qd_sel.append(f"({d}) AS qd_{j}_{c}")
+    code_cols = [
+        f"({_argmax_rank_case([f'a_{j}_{c}' for c in range(ksub)], 0)}) AS code{j}"
+        for j in range(m)
+    ]
+    probe_selects = " UNION ALL ".join(
+        f"SELECT {id_col} AS query_id,"
+        f" ({_argmax_rank_case(dcols, r)}) AS list_id,"
+        f" {vec_col} AS _qvec,"
+        f" {', '.join(f'qd_{j}_{c}' for j in range(m) for c in range(ksub))}"
+        f" FROM cd2 WHERE {anchor_pred}"
+        for r in range(nprobe)
+    )
+    lookups = [
+        "(CASE c.code" + str(j) + " "
+        + " ".join(f"WHEN {cc} THEN q.qd_{j}_{cc}" for cc in range(ksub))
+        + " END)"
+        for j in range(m)
+    ]
+    score = _left_assoc_sum(lookups)
+    cos = cosine_expr_duckdb("_qvec", "_nvec", dim)
+    rcos = f"round({cosine_expr_duckdb(f'a.{vec_col}', f'c.{vec_col}', dim)}, 6)"
+    draw = (
+        f"('0x' || substr(md5(CAST(a.{id_col} AS VARCHAR) || '#' || "
+        f"CAST(c.{id_col} AS VARCHAR)), 1, 8))::BIGINT"
+    )
+    return f"""
+    WITH cd2 AS (
+      SELECT {id_col}, {vec_col}, {", ".join(dot_sel)}, {", ".join(adj_sel)},
+             {", ".join(qd_sel)}
+      FROM {table}),
+    coded AS (
+      SELECT {id_col} AS neighbor_id, {vec_col} AS _nvec,
+             ({_argmax_rank_case(dcols, 0)}) AS list_id,
+             {", ".join(code_cols)}
+      FROM cd2),
+    qtab AS ({probe_selects}),
+    cand AS (
+      SELECT query_id, neighbor_id, _qvec, _nvec FROM (
+        SELECT q.query_id, c.neighbor_id, q._qvec, c._nvec,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY round({score}, 6) DESC, c.neighbor_id) AS arank
+        FROM qtab q JOIN coded c
+          ON q.list_id = c.list_id AND q.query_id != c.neighbor_id)
+      WHERE arank <= {hard_overfetch * refine_factor}),
+    refined AS (
+      SELECT query_id, neighbor_id, cosine FROM (
+        SELECT query_id, neighbor_id,
+               round({cos}, 6) AS cosine,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY round({cos}, 6) DESC, neighbor_id) AS rr
+        FROM cand)
+      WHERE rr <= {hard_overfetch}),
+    hard AS (
+      SELECT anchor_id, pair_id, 'hard' AS kind, cosine, rank FROM (
+        SELECT query_id AS anchor_id, neighbor_id AS pair_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM refined WHERE cosine < {dup_threshold})
+      WHERE rank = 1),
+    rpairs AS (
+      SELECT a.{id_col} AS anchor_id, c.{id_col} AS pair_id,
+             {rcos} AS cosine, {draw} AS _draw
+      FROM {table} a JOIN {table} c ON a.{id_col} != c.{id_col}
+      WHERE a.{anchor_pred}),
+    rand AS (
+      SELECT anchor_id, pair_id, 'rand' AS kind, cosine, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY _draw, pair_id) AS rank
+        FROM rpairs
+      ) WHERE rank <= {n_random})
+    SELECT * FROM hard UNION ALL SELECT * FROM rand
+    """
+
+
 def fit_pq_books(
     df: DataFrame,
     vec_col: str,
@@ -1358,7 +1472,7 @@ def stage_ivfpq_index(
     )
     if key in _INDEX_CACHE and os.path.isdir(_INDEX_CACHE[key]):
         return _INDEX_CACHE[key]
-    path = tempfile.mkdtemp(prefix="ivfpq_index_")
+    path = staging_mkdtemp("ivfpq_index_")
     coded = ivfpq_code_corpus(
         corpus, vec_col, id_col, dim, num_centroids=num_centroids, m=m, ksub=ksub,
         centroids=centroids, books=books, keep_vector=store_vectors,
@@ -1590,7 +1704,7 @@ def stage_ivfpq_index_upserted(
     key = (cache_key, f"ivfpq_upsert:{vec_col}:{num_centroids}:{m}:{ksub}")
     if key in _INDEX_CACHE and os.path.isdir(_INDEX_CACHE[key]):
         return _INDEX_CACHE[key]
-    path = tempfile.mkdtemp(prefix="ivfpq_inc_")
+    path = staging_mkdtemp("ivfpq_inc_")
     init_ivfpq_index(
         spark, base, path, vec_col, id_col, dim,
         num_centroids=num_centroids, m=m, ksub=ksub,
@@ -1648,6 +1762,14 @@ def gc_ivfpq_index(path: str) -> list[str]:
 # ---------------------------------------------------------------------
 
 
+#: Random-draw expression shared by both miner modes: md5 of the id
+#: pair — a seeded draw DuckDB replays exactly, unlike any RNG.
+_PAIR_DRAW = (
+    "cast(conv(substr(md5(concat(cast(anchor_id as string), '#', "
+    "cast(pair_id as string))), 1, 8), 16, 10) as bigint)"
+)
+
+
 def mine_contrastive_pairs(
     corpus: DataFrame,
     anchors: DataFrame,
@@ -1655,6 +1777,16 @@ def mine_contrastive_pairs(
     id_col: str,
     dup_threshold: float = 0.95,
     n_random: int = 2,
+    spark=None,
+    index_path: str | None = None,
+    dim: int | None = None,
+    nprobe: int = NUM_PROBE,
+    hard_overfetch: int = 8,
+    refine_factor: int = 4,
+    num_centroids: int = NUM_CENTROIDS,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    probe_codec: str = "expr",
 ) -> DataFrame:
     """Training-pair mining for embedding/reranker models: per ANCHOR,
     one HARD negative (the most-similar corpus vector that is NOT a
@@ -1664,13 +1796,39 @@ def mine_contrastive_pairs(
     anchor/candidate id pair — a seeded draw both engines replay
     exactly, unlike any RNG).
 
-    ONE corpus scan serves both legs: anchors broadcast against the
-    corpus produce (cosine, draw-hash) per pair, then two tiny
-    windows — hard = top-1 by cosine among non-dups, random = top-n by
-    hash — rank within anchors only. At 100 TB the hard-negative leg
-    swaps the brute-force cosine for the IVF-PQ index probe
-    (`ivfpq_topk_from_index` + a dup-threshold filter) with the same
-    output contract; the random leg is already index-free."""
+    **Default (oracle-verifiable, fixture scale):** ONE corpus scan
+    serves both legs — anchors broadcast against the corpus produce
+    (cosine, draw-hash) per pair, then two windows rank within
+    anchors. Exact but |corpus|×|anchors|: every anchor's window
+    partition holds one row per corpus document.
+
+    **Indexed (the 100 TB path — VERDICT r9 next-1):** pass
+    ``index_path=`` (a persisted IVF-PQ index built with
+    ``store_vectors=True`` — `stage_ivfpq_index`/`init_ivfpq_index`),
+    ``spark=`` and ``dim=``. The hard leg then routes through the
+    BOUNDED index probe — `probe_lists_for` computes the anchors'
+    probe-list union driver-side, `ivfpq_topk_from_index` keeps
+    ``hard_overfetch·refine_factor`` ADC candidates per anchor from
+    the partition-pruned lists, exact cosine re-ranks the overfetch
+    set, and the dup-threshold filter + top-1 pick the hard negative —
+    per-anchor cost ∝ probed lists, never the corpus (the
+    `profile_orders_approx` discipline: the scale swap is a FLAG with
+    the same output contract, recall-bounded by nprobe/overfetch
+    exactly like `sim_topk_ivfpq_refined` vs `sim_topk_bruteforce`).
+    The random leg drops cosine from its corpus pass entirely (md5
+    only), picks the n winners per anchor, and computes cosine on the
+    anchors×n_random winner set alone."""
+    if index_path is not None:
+        if spark is None or dim is None:
+            raise ValueError(
+                "index_path mining needs spark= and dim= (the probe "
+                "router and ADC geometry)"
+            )
+        return _mine_contrastive_pairs_indexed(
+            spark, corpus, anchors, vec_col, id_col, index_path, dim,
+            dup_threshold, n_random, nprobe, hard_overfetch,
+            refine_factor, num_centroids, m, ksub, probe_codec,
+        )
     from presto_rakam_kafka_spark.operators.dedup import cosine_expr
 
     a = F.broadcast(
@@ -1682,15 +1840,11 @@ def mine_contrastive_pairs(
         F.col(id_col).alias("pair_id"), F.col(vec_col).alias("c_emb")
     )
     cos = F.round(F.expr(cosine_expr("a_emb", "c_emb")), 6)
-    draw = F.expr(
-        "cast(conv(substr(md5(concat(cast(anchor_id as string), '#', "
-        "cast(pair_id as string))), 1, 8), 16, 10) as bigint)"
-    )
     pairs = (
         c.crossJoin(a)
         .filter(F.col("pair_id") != F.col("anchor_id"))
-        .select("anchor_id", "pair_id", cos.alias("cosine"),
-                draw.alias("_draw"))
+        .select("anchor_id", "pair_id", cos.alias("cosine"))
+        .withColumn("_draw", F.expr(_PAIR_DRAW))
     )
     w_hard = Window.partitionBy("anchor_id").orderBy(
         F.desc("cosine"), F.asc("pair_id")
@@ -1710,6 +1864,106 @@ def mine_contrastive_pairs(
         .filter(F.col("rank") <= n_random)
         .select("anchor_id", "pair_id", F.lit("rand").alias("kind"),
                 "cosine", "rank")
+    )
+    return hard.unionAll(rand)
+
+
+def _mine_contrastive_pairs_indexed(
+    spark,
+    corpus: DataFrame,
+    anchors: DataFrame,
+    vec_col: str,
+    id_col: str,
+    index_path: str,
+    dim: int,
+    dup_threshold: float,
+    n_random: int,
+    nprobe: int,
+    hard_overfetch: int,
+    refine_factor: int,
+    num_centroids: int,
+    m: int,
+    ksub: int,
+    probe_codec: str,
+) -> DataFrame:
+    """The index-probed miner (see :func:`mine_contrastive_pairs`).
+    Hard leg = pruned-scan probe + refine + dup filter; random leg =
+    md5-only corpus pass (no cosine until the winners are picked)."""
+    import os
+
+    from presto_rakam_kafka_spark.operators.dedup import cosine_expr
+
+    index = (
+        read_ivfpq_index(spark, index_path)
+        if os.path.exists(os.path.join(index_path, "_CURRENT"))
+        else spark.read.parquet(index_path)
+    )
+    lists = probe_lists_for(
+        anchors, vec_col, dim, num_centroids=num_centroids, nprobe=nprobe
+    )
+    # hard leg: top-overfetch by EXACT cosine from the probed lists,
+    # then the dup filter and the final top-1 — candidate volume per
+    # anchor is hard_overfetch·refine_factor rows out of the pruned
+    # scan, independent of corpus size
+    overfetched = ivfpq_topk_from_index(
+        index, anchors, vec_col, id_col, dim, k=hard_overfetch,
+        num_centroids=num_centroids, nprobe=nprobe, m=m, ksub=ksub,
+        prune_lists=lists, refine_factor=refine_factor,
+        probe_codec=probe_codec,
+    )
+    w_hard = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    hard = (
+        overfetched.filter(F.col("cosine") < F.lit(dup_threshold))
+        .withColumn("_r", F.row_number().over(w_hard))
+        .filter(F.col("_r") == 1)
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("neighbor_id").alias("pair_id"),
+            F.lit("hard").alias("kind"),
+            "cosine",
+            F.lit(1).alias("rank"),
+        )
+    )
+    # random leg: the corpus pass carries ONLY ids + the md5 draw (no
+    # vectors, no cosine); cosine is computed afterwards on the
+    # anchors×n_random winner set
+    a_ids = F.broadcast(anchors.select(F.col(id_col).alias("anchor_id")))
+    draws = (
+        corpus.select(F.col(id_col).alias("pair_id"))
+        .crossJoin(a_ids)
+        .filter(F.col("pair_id") != F.col("anchor_id"))
+        .withColumn("_draw", F.expr(_PAIR_DRAW))
+    )
+    w_rand = Window.partitionBy("anchor_id").orderBy(
+        F.asc("_draw"), F.asc("pair_id")
+    )
+    winners = (
+        draws.withColumn("rank", F.row_number().over(w_rand))
+        .filter(F.col("rank") <= n_random)
+        .select("anchor_id", "pair_id", "rank")
+    )
+    a_vecs = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("a_emb")
+        )
+    )
+    rand = (
+        winners.join(
+            corpus.select(
+                F.col(id_col).alias("pair_id"), F.col(vec_col).alias("c_emb")
+            ),
+            "pair_id",
+        )
+        .join(a_vecs, "anchor_id")
+        .select(
+            "anchor_id",
+            "pair_id",
+            F.lit("rand").alias("kind"),
+            F.round(F.expr(cosine_expr("a_emb", "c_emb")), 6).alias("cosine"),
+            "rank",
+        )
     )
     return hard.unionAll(rand)
 

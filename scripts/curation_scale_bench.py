@@ -74,6 +74,45 @@ def build_embeddings(spark, n: int, dim: int = 64):
     )
 
 
+_EMB_CACHE: dict[int, object] = {}
+_IDX_CACHE: dict[int, str] = {}
+
+
+def _bench_embeddings(spark, n: int):
+    if n not in _EMB_CACHE:
+        emb = build_embeddings(spark, n).persist()
+        emb.count()
+        _EMB_CACHE[n] = emb
+    return _EMB_CACHE[n]
+
+
+def _stage_miner_index(spark, n: int) -> str:
+    from presto_rakam_kafka_spark.operators import similarity as sim
+
+    if n not in _IDX_CACHE:
+        _IDX_CACHE[n] = sim.stage_ivfpq_index(
+            spark, _bench_embeddings(spark, n), f"curation_bench_{n}",
+            "embedding", "vec_id", dim=64, store_vectors=True,
+        )
+    return _IDX_CACHE[n]
+
+
+def _mine(spark, n: int, index_path):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from presto_rakam_kafka_spark.operators import similarity as sim
+
+    emb = _bench_embeddings(spark, n)
+    step = max(n // 64, 1)
+    anchors = emb.filter(F.col("vec_id") % step == 1)
+    if index_path is None:
+        return sim.mine_contrastive_pairs(emb, anchors, "embedding", "vec_id")
+    return sim.mine_contrastive_pairs(
+        emb, anchors, "embedding", "vec_id",
+        spark=spark, index_path=index_path, dim=64,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=100_000)
@@ -147,6 +186,20 @@ def main() -> None:
             threshold=0.98,
             num_centroids=32,
         ),
+        # round 10: contrastive-miner hard-leg receipt — brute form is
+        # |anchors|x|corpus| cosine + a corpus-sized per-anchor window;
+        # the indexed form probes the persisted IVF-PQ index (pruned
+        # scan of nprobe/num_centroids of the coded corpus + refine on
+        # overfetch rows/anchor). The union's rand branch is pruned by
+        # the kind filter (literal-false branch), so each op times its
+        # hard leg only. Index build is staged OUTSIDE the timing
+        # (build-once/probe-many). Run: --op pairs_hard_indexed.
+        "pairs_hard_brute": lambda: _mine(spark, args.docs, None).filter(
+            "kind = 'hard'"
+        ),
+        "pairs_hard_indexed": lambda: _mine(
+            spark, args.docs, _stage_miner_index(spark, args.docs)
+        ).filter("kind = 'hard'"),
     }
     names = [args.op] if args.op else list(ops)
     for name in names:

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from presto_rakam_kafka_spark.fixtures import read_table
 from presto_rakam_kafka_spark.operators import dedup, multimodal, similarity
+from presto_rakam_kafka_spark.fixtures import staging_mkdtemp
 
 
 def test_exact_dedup_idempotent(spark, sf_dir):
@@ -789,7 +790,7 @@ def test_ivfpq_upsert_equals_rebuild_and_orphan_invisible(spark, sf_dir):
     delta = emb.filter(F.col("vec_id") % 2 == 1)
     q = emb.filter(F.col("vec_id") < 5)
 
-    path = tempfile.mkdtemp(prefix="ivfpq_inc_test_")
+    path = staging_mkdtemp("ivfpq_inc_test_")
     sim.init_ivfpq_index(spark, base, path, "embedding", "vec_id", dim=64)
     sim.upsert_ivfpq_index(spark, delta, path, "embedding", "vec_id", dim=64)
 
@@ -851,11 +852,11 @@ def test_streaming_ivfpq_index_equals_batch_rebuild(spark, sf_dir):
     base = emb.filter(F.col("vec_id") % 3 == 0)
     q = emb.filter(F.col("vec_id") < 5)
 
-    path = tempfile.mkdtemp(prefix="ivfpq_stream_idx_")
+    path = staging_mkdtemp("ivfpq_stream_idx_")
     sim.init_ivfpq_index(spark, base, path, "embedding", "vec_id", dim=64)
 
     # stage the other two residue classes as two files → two triggers
-    src = tempfile.mkdtemp(prefix="ivfpq_stream_src_")
+    src = staging_mkdtemp("ivfpq_stream_src_")
     now = time.time()
     for i, residue in enumerate((1, 2)):
         stage = os.path.join(src, f"staging{i}")
@@ -873,7 +874,7 @@ def test_streaming_ivfpq_index_equals_batch_rebuild(spark, sf_dir):
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    ckpt = tempfile.mkdtemp(prefix="ivfpq_stream_ckpt_")
+    ckpt = staging_mkdtemp("ivfpq_stream_ckpt_")
     query = (
         index_stream(stream, path, "embedding", "vec_id", dim=64, checkpoint=ckpt)
         .trigger(availableNow=True)
@@ -917,7 +918,7 @@ def test_ivfpq_compaction_preserves_probes_and_gc_removes_dead_deltas(spark, sf_
 
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    path = tempfile.mkdtemp(prefix="ivfpq_compact_test_")
+    path = staging_mkdtemp("ivfpq_compact_test_")
     sim.init_ivfpq_index(
         spark, emb.filter(F.col("vec_id") % 2 == 0), path,
         "embedding", "vec_id", dim=64,
@@ -1066,7 +1067,7 @@ def test_export_dataset_manifest_roundtrip(spark, sf_dir):
     from presto_rakam_kafka_spark.operators import datasets as ds
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    path = tempfile.mkdtemp(prefix="export_ds_")
+    path = staging_mkdtemp("export_ds_")
     manifest = ds.export_dataset(docs, path, "text", "doc_id", num_shards=4)
     assert manifest["total_docs"] == docs.count()
     assert set(manifest["shards"]) == {0, 1, 2, 3}
@@ -1076,7 +1077,7 @@ def test_export_dataset_manifest_roundtrip(spark, sf_dir):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
 
     # determinism: a re-export lands every doc in the same shard
-    path2 = tempfile.mkdtemp(prefix="export_ds2_")
+    path2 = staging_mkdtemp("export_ds2_")
     m2 = ds.export_dataset(docs, path2, "text", "doc_id", num_shards=4)
     assert m2["shards"] == manifest["shards"]
 
@@ -1102,7 +1103,7 @@ def test_ivfpq_epoch_upsert_replay_is_noop(spark, sf_dir):
     base = emb.filter(F.col("vec_id") % 2 == 0)
     delta = emb.filter(F.col("vec_id") % 2 == 1)
 
-    path = tempfile.mkdtemp(prefix="ivfpq_epoch_replay_")
+    path = staging_mkdtemp("ivfpq_epoch_replay_")
     sim.init_ivfpq_index(spark, base, path, "embedding", "vec_id", dim=64)
     name = sim.upsert_ivfpq_index(
         spark, delta, path, "embedding", "vec_id", dim=64,
@@ -1267,3 +1268,60 @@ def test_split_leakage_safe_no_cluster_straddles(spark, sf_dir):
     )
     assert per_group.filter("n_splits > 1").count() == 0
     assert per_group.filter("n_docs > 1").count() > 0  # fixture has near-dups
+
+
+def test_contrastive_indexed_hard_leg_is_index_bounded(spark, sf_dir):
+    """The miner's 100 TB flag (VERDICT r9 next-1): with index_path=
+    the hard leg routes through the partition-pruned IVF-PQ probe —
+    never the |corpus|x|anchors| crossJoin — while the random leg's
+    corpus pass carries only ids + the md5 draw. Contract vs brute
+    force: rand rows IDENTICAL (same seeded draw), hard rows are
+    non-near-duplicates whose cosine never exceeds the brute optimum,
+    with high agreement at fixture scale (the recall relationship of
+    sim_topk_ivfpq_refined to sim_topk_bruteforce)."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from presto_rakam_kafka_spark.operators import similarity as sim
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 40 == 1)
+    path = sim.stage_ivfpq_index(
+        spark, emb, sf_dir, "embedding", "vec_id", dim=64, store_vectors=True
+    )
+    brute = sim.mine_contrastive_pairs(emb, anchors, "embedding", "vec_id")
+    indexed = sim.mine_contrastive_pairs(
+        emb, anchors, "embedding", "vec_id",
+        spark=spark, index_path=path, dim=64,
+    )
+    b = {(r["anchor_id"], r["kind"], r["rank"]): (r["pair_id"], r["cosine"])
+         for r in brute.collect()}
+    i = {(r["anchor_id"], r["kind"], r["rank"]): (r["pair_id"], r["cosine"])
+         for r in indexed.collect()}
+
+    # rand leg: bit-identical
+    assert {k: v for k, v in b.items() if k[1] == "rand"} == \
+           {k: v for k, v in i.items() if k[1] == "rand"}
+
+    # hard leg: every indexed pick is a non-dup and never beats brute
+    hard_b = {k[0]: v for k, v in b.items() if k[1] == "hard"}
+    hard_i = {k[0]: v for k, v in i.items() if k[1] == "hard"}
+    assert set(hard_i) <= set(hard_b)
+    agree = 0
+    for a_id, (pid, cos) in hard_i.items():
+        assert cos < 0.95
+        assert cos <= hard_b[a_id][1] + 1e-9
+        agree += pid == hard_b[a_id][0]
+    # fixture-scale recall: the probed top-overfetch usually contains
+    # the brute optimum (same relationship the refined probe receipts)
+    assert len(hard_i) >= 0.9 * len(hard_b), (len(hard_i), len(hard_b))
+    assert agree >= 0.5 * len(hard_i), (agree, len(hard_i))
+
+    # plan shape: the index scan is partition-pruned to the anchors'
+    # probe lists, and the rand leg's corpus pass is vector-free (its
+    # embeddings scan reads ONLY vec_id — column pruning receipt)
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan[:3000]
+    assert re.search(r"ReadSchema: struct<vec_id:bigint>(?!,)", plan), \
+        "rand-leg corpus pass still reads the vector column"
