@@ -824,6 +824,45 @@ def kafka_key_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "kafka_key_history_spark",
+    oracle="""
+    SELECT user_id, event_id AS offset,
+           (event_type = 'error') AS is_tombstone
+    FROM events WHERE user_id % 31 = 9
+    """,
+)
+def kafka_key_history_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED history read (round 10, VERDICT r9 next-3):
+    `lookup_history`'s driver-side walk is right for a handful of GDPR
+    subjects but wrong for a 100k-key audit batch — here the key set
+    never touches the driver (built in the plan), each key routes to
+    its partition JVM-side, and the bloom-pruned full walks run in
+    Arrow tasks (`lookup_history_spark`), segment reads ∝
+    bloom-positive segments. Same oracle as the driver form; row
+    equality incl. tombstones is equality-tested in
+    tests/test_kafka_datasource.py."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        lookup_history_spark,
+    )
+
+    d = _keyed_log_dir(spark, sf_dir)
+    keys = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 31 == 9)
+        .select(
+            F.col("user_id").cast("string").cast("binary").alias("key")
+        )
+        .distinct()
+    )
+    hist = lookup_history_spark(spark, d, keys, num_partitions=3)
+    return hist.select(
+        F.col("key").cast("string").cast("long").alias("user_id"),
+        "offset",
+        F.col("value").isNull().alias("is_tombstone"),
+    )
+
+
 def _purged_log_dir(spark: SparkSession, sf_dir: str) -> str:
     """Key-routed events log with every user_id % 11 == 5 erased via
     `purge_keys` (the GDPR deletion request applied to the log itself)."""

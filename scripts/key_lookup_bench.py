@@ -9,16 +9,25 @@ Claims measured:
 (b) per-probe time is FLAT in segment row count — uint8-bitset byte
     probes are O(1), where the r8 Python-bigint shift was O(m_bits);
 (c) the distributed form (`lookup_latest_spark`) serves a 100k-key
-    batch with total segment scans ∝ segments, not keys × segments.
+    batch with total segment scans ∝ segments, not keys × segments;
+(d) the distributed HISTORY read (`lookup_history_spark`, round 10)
+    serves a 100k-key audit batch with segment reads ∝ bloom-positive
+    segments;
+(e) ``--route offset`` (round 10, VERDICT r9 next-5): the same
+    receipts on an OFFSET-ROUTED log — every partition's bloom chain
+    is walked and the max-offset hit wins, so the stale-read class is
+    impossible by construction (asserted: all 100k latest offsets
+    equal the known per-key maximum, which single-partition routing
+    would get wrong for ~2/3 of keys here).
 
-Run: python scripts/key_lookup_bench.py
+Run: python scripts/key_lookup_bench.py [--route key|offset]
 """
 
+import argparse
 import json
 import os
 import shutil
 import sys
-import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -30,6 +39,7 @@ from presto_rakam_kafka_spark.sources.kafka_datasource import (  # noqa: E402
     _bloom_build_bits,
     _bloom_might_contain,
     build_key_blooms,
+    lookup_history_spark,
     lookup_latest,
     lookup_latest_spark,
     write_segments,
@@ -37,6 +47,10 @@ from presto_rakam_kafka_spark.sources.kafka_datasource import (  # noqa: E402
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--route", choices=("key", "offset"), default="key")
+    args = ap.parse_args()
+    route_by_key = args.route == "key"
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
         .config("spark.sql.shuffle.partitions", "32")
@@ -59,11 +73,12 @@ def main() -> None:
     log = os.path.join(work, "log")
     t0 = time.time()
     write_segments(raw, log, num_partitions=3, segment_rows=1000,
-                   route_by_key=True)
+                   route_by_key=route_by_key)
     t1 = time.time()
     build_key_blooms(log)
     t2 = time.time()
     out["log"] = {
+        "route": args.route,
         "rows": n_rows, "keys": n_keys, "segment_rows": 1000,
         "write_s": round(t1 - t0, 2), "index_build_s": round(t2 - t1, 2),
         "index_bytes_total": sum(
@@ -140,6 +155,53 @@ def main() -> None:
         "segments_total": segs_total,
         "naive_keys_x_segments": len(batch) * segs_total,
     }
+
+    if not route_by_key:
+        # (e) stale reads impossible by construction: key k's records
+        # sit at offsets k, k+100k, k+200k — offset-routing scatters
+        # them across partitions (100000 % 3 = 1), so keyed
+        # single-partition routing would serve a stale hit for ~2/3 of
+        # keys; the offset walk must return the true max for ALL keys
+        stale = sum(
+            1 for r in rows_out
+            if r["offset"] != int(bytes(r["key"]).decode()) + 2 * n_keys
+        )
+        out["spark_batch_100k"]["stale_hits"] = stale
+        assert stale == 0, f"{stale} stale reads on the offset walk"
+        # small-batch driver stats: reads ∝ partitions × bloom-positive
+        # segments (the honest offset-walk cost shape). 5 CLUSTERED
+        # keys → each key lives in exactly 3 of the 300 segments, so
+        # ~15 (+FPR) reads out of 300 — a spread batch would be
+        # bloom-positive everywhere, which is data shape, not a miss.
+        small = [str(k).encode() for k in range(5)]
+        _h, s_small = lookup_latest(log, small)
+        out["offset_walk_small_batch"] = {
+            "keys": len(small),
+            "segments_read": s_small["segments_read"],
+            "segments_bloom_skipped": s_small["segments_bloom_skipped"],
+            "segments_total": s_small["segments_total"],
+            "blooms_read": s_small["blooms_read"],
+        }
+        assert s_small["segments_read"] < s_small["segments_total"] // 4
+
+    # --- (d) distributed history read, 100k-key audit batch ----------
+    t0 = time.time()
+    hres = lookup_history_spark(spark, log, batch, with_stats=True)
+    hrows = hres.collect()
+    hwall = time.time() - t0
+    hseg = {}
+    for r in hrows:
+        hseg[r["pid"]] = r["segments_read"]
+    out["history_batch_100k"] = {
+        "keys": len(batch),
+        "occurrences": len(hrows),
+        "wall_s": round(hwall, 2),
+        "segments_read_total": sum(hseg.values()),
+        "segments_total": segs_total,
+        "naive_keys_x_segments": len(batch) * segs_total,
+    }
+    # every key has exactly 3 occurrences in this log
+    assert len(hrows) == 3 * n_keys, len(hrows)
 
     print(json.dumps(out, indent=2))
     shutil.rmtree(work, ignore_errors=True)

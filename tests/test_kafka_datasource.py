@@ -1439,3 +1439,77 @@ def test_unmarked_log_defaults_to_conservative_offset_walk(spark, tmp_path):
     # stale hit; the conservative default walks both and finds 58
     assert hits[b"4"] == (58, b"v58")
     assert stats["segments_read"] >= 1
+
+
+def test_lookup_history_spark_equals_driver_form(spark, tmp_path):
+    """Distributed history read (VERDICT r9 next-3): row-equal to the
+    driver form — every occurrence, offset included, tombstones as
+    NULL values, absent keys absent — on BOTH routings (keyed log:
+    keys route in the plan; offset-routed: every partition's walk
+    unions). DataFrame key input works without collecting keys."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        build_key_blooms,
+        lookup_history,
+        lookup_history_spark,
+        write_segments,
+    )
+
+    def frames():
+        rows = []
+        for rnd in range(4):
+            for k in range(50):
+                off = rnd * 50 + k
+                val = None if (k % 7 == 0 and rnd == 3) else f"v{off}".encode()
+                rows.append((off, str(k % 13).encode(), val, None))
+        return spark.createDataFrame(
+            rows, "offset LONG, key BINARY, value BINARY, timestamp TIMESTAMP"
+        )
+
+    probe = [b"7", b"0", b"12", b"999"]  # present x3 + absent
+    for route_by_key in (True, False):
+        log = str(tmp_path / f"histlog_{int(route_by_key)}")
+        write_segments(frames(), log, num_partitions=3, segment_rows=20,
+                       route_by_key=route_by_key)
+        build_key_blooms(log)
+        driver, _stats = lookup_history(log, probe, num_partitions=3)
+        got: dict = {}
+        for r in lookup_history_spark(
+            spark, log, probe, num_partitions=3
+        ).collect():
+            got.setdefault(bytes(r["key"]), []).append(
+                (r["offset"], None if r["value"] is None else bytes(r["value"]))
+            )
+        for k in got:
+            got[k].sort(key=lambda t: t[0])
+        assert got == driver, route_by_key
+        assert b"999" not in got
+        # tombstones survive the round trip as None values
+        assert any(v is None for v in dict(got[b"7"]).values())
+
+        # DataFrame key input: same result, keys never collected
+        kdf = spark.createDataFrame([(k,) for k in probe], "key BINARY")
+        got2 = {}
+        for r in lookup_history_spark(spark, log, kdf,
+                                      num_partitions=3).collect():
+            got2.setdefault(bytes(r["key"]), []).append(
+                (r["offset"], None if r["value"] is None else bytes(r["value"]))
+            )
+        for k in got2:
+            got2[k].sort(key=lambda t: t[0])
+        assert got2 == driver
+
+    # stats surface: segment reads proportional to bloom-positive
+    # segments, never the whole log
+    log = str(tmp_path / "histlog_1")
+    st = (
+        lookup_history_spark(spark, log, [b"7"], num_partitions=3,
+                             with_stats=True)
+        .select("pid", "segments_read").distinct().collect()
+    )
+    total_segments = sum(
+        1 for p in range(3)
+        for f in os.listdir(os.path.join(log, f"partition={p}"))
+        if f.startswith("segment-") and f.endswith(".parquet")
+    )
+    read = sum(r["segments_read"] for r in st)
+    assert 0 < read < total_segments, (read, total_segments)
