@@ -693,28 +693,31 @@ def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=sketches.hll_rolling_users_oracle("events"),
 )
 def stream_hll_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Continuous trailing-7-day distinct users (round 9): ONE
-    complete-mode streaming fold — distinct (day, user) pairs — serves
-    BOTH halves of the finish (rho is a pure function of user_id, so
-    the day registers rebuilt from drained pairs equal registers
-    folded from raw events; the exact verification column reads the
-    same pairs). Eleventh fold-then-finish rollup; identical oracle as
-    the batch row. State is distinct day×user pairs — what the exact
-    column needs anyway; a sketch-only dashboard would fold
+    """Continuous trailing-7-day distinct users. Round 10 (VERDICT r9
+    next-2): the fold is now EMIT-ON-CLOSE with bounded state — anchor
+    days the stream's max day has passed are emitted to an append
+    store per trigger, and pairs too old for any unemitted anchor are
+    evicted, so live state is (window + open days) × daily users, not
+    stream lifetime (state-size test asserts the bound; the emitted ∪
+    live-tail union is row-equal to the unbounded finish). rho is a
+    pure function of user_id, so day registers rebuilt from distinct
+    pairs equal registers folded from raw events — one fold serves the
+    sketch AND the exact verification column. Identical oracle as the
+    batch row. A sketch-only dashboard would fold
     `_hll_daily_registers` instead at days×16 rows of state."""
-    from presto_rakam_kafka_spark.queries import _drain, _events_stream
+    from presto_rakam_kafka_spark.queries import _events_stream
+    from presto_rakam_kafka_spark.streaming import rollup
 
-    pairs = _drain(
-        _events_stream(spark, sf_dir)
-        .groupBy(
-            F.date_trunc("day", "ts").alias("uday"), F.col("user_id")
-        )
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .select("uday", "user_id"),
+    return rollup.run_rolling_pairs(
+        _events_stream(spark, sf_dir),
+        lambda b: b.select(
+            F.date_trunc("day", "ts").alias("uday"), "user_id"
+        ).distinct(),
+        sketches.hll_rolling_users_from_pairs,
+        "uday",
+        7,
         "hll_rolling_pairs",
-        "complete",
     )
-    return sketches.hll_rolling_users_from_pairs(pairs)
 
 
 @query(
@@ -812,36 +815,53 @@ def events_audience_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_audience_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Continuously-maintained audience (round 9): the per-user
-    conditional aggregate folds as a complete-mode streaming
-    aggregation over (user, type, DAY) cells — counts / min / max /
-    sum are all associative — and the include/exclude HAVING plus the
-    trailing-window cut run as the batch finish over the drained
-    state, anchored at the drained max day (never rescanning the
-    stream). THIRTEENTH fold-then-finish rollup. The window is
-    deliberately DAY-granular ("trailing 30 calendar days", the usual
-    product semantics) in BOTH engines: day cells are atomic, so no
-    cell can straddle the cut — an instant-granular cut over day cells
-    would silently drop a straddling cell's in-window rows (the batch
-    row `events_audience_rule` keeps the instant-cut semantics, where
-    it aggregates raw rows). State is user × type × active-days."""
-    from presto_rakam_kafka_spark.queries import _drain, _events_stream
+    """Continuously-maintained audience: the per-user conditional
+    aggregate folds over (user, type, DAY) cells — counts / min / max
+    / sum are all associative — and the include/exclude HAVING plus
+    the trailing-window cut run as the batch finish over the final
+    state, anchored at its max day (never rescanning the stream).
+    Round 10 (VERDICT r9 next-2): the fold's state is COMPACTED TO THE
+    LIVE WINDOW every trigger (`run_windowed_cells`) — a cell older
+    than the running max day − 29 can never re-enter the final
+    trailing window (max day is monotone), so eviction is exactly
+    output-preserving and state is bounded by 30 days × active keys,
+    not stream lifetime (state-size test asserts the bound). The
+    window is deliberately DAY-granular ("trailing 30 calendar days",
+    the usual product semantics) in BOTH engines: day cells are
+    atomic, so no cell can straddle the cut (the batch row
+    `events_audience_rule` keeps instant-cut semantics, where it
+    aggregates raw rows)."""
+    from presto_rakam_kafka_spark.queries import _events_stream
+    from presto_rakam_kafka_spark.streaming import rollup
 
-    cells = _drain(
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type").isin(["purchase", "error"]))
-        .groupBy(
-            F.col("user_id"), F.col("event_type"),
-            F.date_trunc("day", "ts").alias("cday"),
+    def cell_fn(batch: DataFrame) -> DataFrame:
+        return (
+            batch.filter(F.col("event_type").isin(["purchase", "error"]))
+            .groupBy(
+                F.col("user_id"), F.col("event_type"),
+                F.date_trunc("day", "ts").alias("cday"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("ts").alias("min_ts"),
+                F.max("ts").alias("max_ts"),
+                F.sum("value").alias("sv"),
+            )
         )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("ts").alias("min_ts"),
-            F.max("ts").alias("max_ts"),
-            F.sum("value").alias("sv"),
-        ),
+
+    cells = rollup.run_windowed_cells(
+        _events_stream(spark, sf_dir),
+        cell_fn,
+        ["user_id", "event_type", "cday"],
+        [
+            F.sum("n").alias("n"),
+            F.min("min_ts").alias("min_ts"),
+            F.max("max_ts").alias("max_ts"),
+            F.sum("sv").alias("sv"),
+        ],
+        "cday",
+        30,
         "audience_cells",
-        "complete",
     )
     mx = F.broadcast(cells.groupBy().agg(F.max("cday").alias("_max_day")))
     w = cells.join(mx).filter(

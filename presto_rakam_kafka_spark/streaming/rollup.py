@@ -1,0 +1,249 @@
+"""Bounded-state streaming rollups (round 10, VERDICT r9 next-2).
+
+The fold-then-finish pattern keeps a streaming aggregation's state in
+Spark's complete-mode store, which grows with STREAM LIFETIME even when
+the finish only consumes a trailing window — on an unbounded production
+stream the state store, not the data, becomes the scale limit. This
+module gives window-bounded finishes a fold whose state is bounded by
+(live-window days × keys):
+
+* :func:`run_windowed_cells` — per-trigger compaction of the cell
+  store to the live window. Correct for finishes that cut a trailing
+  window anchored at the FINAL max day (`stream_audience_rule`): the
+  running max day is monotone, so a cell evicted at trigger t (older
+  than max_day(t) − window) can never re-enter the final window —
+  eviction is exactly output-preserving.
+
+* :func:`run_rolling_pairs` — emit-on-close for finishes that output a
+  per-anchor-day SERIES (`stream_hll_rolling_users`): anchor day d
+  needs pairs from [d−w+1, d]; once the stream's max day passes d (the
+  time-ordered replay guarantees no more day-d events; production
+  would add a watermark slack), d's row is emitted to an append store
+  and every pair too old for any unemitted anchor is evicted. The
+  emitted ∪ live-tail union equals the unbounded finish row-for-row.
+
+Both folds follow the repo's exactly-once discipline: each trigger
+writes a fresh ``gen-{epoch}`` state generation and commits it with an
+atomic ``_CURRENT`` pointer flip carrying the (app_id, epoch) txn
+record — a replayed epoch within one checkpoint lineage is a no-op
+(pointer unchanged), and a fresh checkpoint presents a fresh app_id
+(the r8 lesson: epoch-only keys swallow new streams as replays).
+
+Which rollups need this: window-bounded finishes (trailing-N-day
+audiences, rolling distincts). Lifetime-bounded rollups — retention
+triangles, cohort LTV, daily series for forecasting — keep state that
+IS the answer (days × small keys), which grows with calendar days, not
+stream volume; they stay complete-mode folds by design (SCALE_NOTES
+§bounded-rollups).
+
+Reference basis: the reference engine is batch-over-log only
+(`kafka/KafkaRecordSet.java` scans segments; no streaming state at
+all) — this bounds the beyond-reference streaming tier.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from presto_rakam_kafka_spark.fixtures import staging_mkdtemp
+
+_CURRENT = "_CURRENT"
+
+
+def _read_pointer(path: str) -> tuple[str | None, dict, str | None]:
+    """(current_gen, txns, emitted_thru) — all None/empty on a fresh
+    store."""
+    p = os.path.join(path, _CURRENT)
+    if not os.path.exists(p):
+        return None, {}, None
+    with open(p) as fh:
+        d = json.load(fh)
+    return d.get("gen"), d.get("txns", {}), d.get("emitted_thru")
+
+
+def _flip_pointer(
+    path: str, gen: str, txns: dict, emitted_thru: str | None = None
+) -> None:
+    tmp = os.path.join(path, f".{_CURRENT}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"gen": gen, "txns": txns, "emitted_thru": emitted_thru}, fh)
+    os.replace(tmp, os.path.join(path, _CURRENT))
+
+
+def _gc_gens(path: str, keep: str) -> None:
+    """Drop every state generation but the pointed one (plus anything
+    newer — an in-flight epoch about to commit)."""
+    for e in sorted(os.listdir(path)):
+        if e.startswith("gen-") and e < keep:
+            shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+
+
+def run_windowed_cells(
+    stream_df: DataFrame,
+    cell_fn,
+    group_cols: list[str],
+    merge_exprs: list,
+    day_col: str,
+    window_days: int,
+    name: str,
+    path: str | None = None,
+    app_id: str = "default",
+) -> DataFrame:
+    """Drain ``stream_df`` through a foreachBatch fold whose state is
+    compacted to the live trailing window every trigger, and return
+    the final cell store as a DataFrame.
+
+    ``cell_fn(batch_df) -> cells`` builds the per-batch cells (the
+    same groupBy the complete-mode fold ran); ``group_cols`` name the
+    cell key (including ``day_col``); ``merge_exprs`` re-aggregate
+    cells across triggers (sum/min/max — each must be associative with
+    the batch aggregate). State after every trigger holds ONLY cells
+    with ``day_col >= max(day_col) - (window_days-1)`` — bounded by
+    live-window days × keys, not stream lifetime. The per-trigger max
+    day is a one-row driver scalar (a bounded fit)."""
+    spark = stream_df.sparkSession
+    store = path or staging_mkdtemp(f"rollup_{name}_")
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        cur, txns, _e = _read_pointer(store)
+        if txns.get(app_id, -1) >= epoch_id:
+            return  # replayed epoch: exact no-op
+        cells = cell_fn(batch_df)
+        if cur is not None:
+            prev = spark.read.parquet(os.path.join(store, cur))
+            cells = prev.unionByName(cells)
+        merged = cells.groupBy(*group_cols).agg(*merge_exprs)
+        mx = merged.agg(F.max(day_col).alias("m")).collect()[0]["m"]
+        if mx is not None:
+            merged = merged.filter(
+                F.col(day_col)
+                >= F.lit(mx) - F.expr(f"INTERVAL {window_days - 1} DAYS")
+            )
+        gen = f"gen-{int(epoch_id):010d}"
+        merged.write.mode("overwrite").parquet(os.path.join(store, gen))
+        txns = dict(txns)
+        txns[app_id] = int(epoch_id)
+        _flip_pointer(store, gen, txns)
+        _gc_gens(store, gen)
+
+    q = (
+        stream_df.writeStream.foreachBatch(on_batch)
+        .queryName(name)
+        .option("checkpointLocation", staging_mkdtemp(f"ckpt_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cur, _t, _e = _read_pointer(store)
+    if cur is None:  # empty stream
+        return cell_fn(
+            spark.createDataFrame([], stream_df.schema)
+        ).groupBy(*group_cols).agg(*merge_exprs)
+    return spark.read.parquet(os.path.join(store, cur))
+
+
+def run_rolling_pairs(
+    stream_df: DataFrame,
+    pair_fn,
+    finish_fn,
+    day_col: str,
+    window_days: int,
+    name: str,
+    path: str | None = None,
+    app_id: str = "default",
+) -> DataFrame:
+    """Drain ``stream_df`` through an emit-on-close rolling fold and
+    return the full per-anchor-day series (emitted rows ∪ the live
+    tail) — row-equal to ``finish_fn`` over the unbounded pair set.
+
+    ``pair_fn(batch_df) -> pairs`` builds the per-batch distinct
+    (day, key) pairs (column ``day_col`` is the TIMESTAMP day);
+    ``finish_fn(pairs) -> series`` computes the per-anchor-day output
+    with a STRING ``day`` column (yyyy-MM-dd). Per trigger: anchor
+    days strictly before the running max day are CLOSED (time-ordered
+    replay; production adds a watermark slack), their rows are emitted
+    to an epoch-keyed append store, and every pair too old for any
+    unemitted anchor (``day < close_thru+1 - (window_days-1)``) is
+    evicted — live state is bounded by (window + open days) × daily
+    keys, not stream lifetime."""
+    spark = stream_df.sparkSession
+    store = path or staging_mkdtemp(f"rollup_{name}_")
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        cur, txns, emitted_thru = _read_pointer(store)
+        if txns.get(app_id, -1) >= epoch_id:
+            return  # replayed epoch: exact no-op
+        pairs = pair_fn(batch_df)
+        if cur is not None:
+            prev = spark.read.parquet(os.path.join(store, cur, "pairs"))
+            pairs = prev.unionByName(pairs).distinct()
+        else:
+            pairs = pairs.distinct()
+        mx = pairs.agg(F.max(day_col).alias("m")).collect()[0]["m"]
+        gen = f"gen-{int(epoch_id):010d}"
+        gdir = os.path.join(store, gen)
+        new_thru = emitted_thru
+        if mx is not None:
+            close_thru = mx - _dt.timedelta(days=1)
+            close_str = close_thru.strftime("%Y-%m-%d")
+            if emitted_thru is None or close_str > emitted_thru:
+                series = finish_fn(pairs).filter(
+                    F.col("day") <= F.lit(close_str)
+                )
+                if emitted_thru is not None:
+                    series = series.filter(F.col("day") > F.lit(emitted_thru))
+                series.write.mode("overwrite").parquet(
+                    os.path.join(store, "emitted", f"epoch={int(epoch_id)}")
+                )
+                new_thru = close_str
+            # evict pairs no unemitted anchor can need: the smallest
+            # unemitted anchor is close_thru+1, whose window starts at
+            # close_thru+1-(window_days-1)
+            keep_from = close_thru + _dt.timedelta(days=2 - window_days)
+            pairs = pairs.filter(
+                F.col(day_col)
+                >= F.to_timestamp(F.lit(keep_from.strftime("%Y-%m-%d")))
+            )
+        pairs.write.mode("overwrite").parquet(os.path.join(gdir, "pairs"))
+        txns = dict(txns)
+        txns[app_id] = int(epoch_id)
+        _flip_pointer(store, gen, txns, new_thru)
+        _gc_gens(store, gen)
+
+    q = (
+        stream_df.writeStream.foreachBatch(on_batch)
+        .queryName(name)
+        .option("checkpointLocation", staging_mkdtemp(f"ckpt_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cur, _t, emitted_thru = _read_pointer(store)
+    if cur is None:
+        return finish_fn(pair_fn(spark.createDataFrame([], stream_df.schema)))
+    live = spark.read.parquet(os.path.join(store, cur, "pairs"))
+    tail = finish_fn(live)
+    if emitted_thru is not None:
+        tail = tail.filter(F.col("day") > F.lit(emitted_thru))
+    emitted_dir = os.path.join(store, "emitted")
+    if os.path.isdir(emitted_dir):
+        emitted = spark.read.parquet(os.path.join(emitted_dir, "epoch=*"))
+        return emitted.unionByName(tail)
+    return tail
+
+
+def live_state_size(spark, path: str) -> int:
+    """Rows in the CURRENT state generation — the state-bound receipt
+    the tests assert against (live-window cells, not lifetime)."""
+    cur, _t, _e = _read_pointer(path)
+    if cur is None:
+        return 0
+    gdir = os.path.join(path, cur)
+    sub = os.path.join(gdir, "pairs")
+    return spark.read.parquet(sub if os.path.isdir(sub) else gdir).count()

@@ -1217,3 +1217,151 @@ def test_cdc_gc_refcount_survives_non_normalized_store_path(spark):
     snap = {r["k"]: r["v"] for r in cdc.read_snapshot(spark, path).collect()}
     assert snap[7] == "CHANGED" and snap[11] == "ALSO" and len(snap) == 64
     assert all(snap[k] == f"v{k}" for k in range(64) if k not in (7, 11))
+
+
+def _staged_day_stream(spark, rows, schema, num_chunks=4, tag="bounded"):
+    """Stage `rows` as time-ordered parquet chunks (one per trigger)
+    and return the stream DF — the stage_chunked_events shape for
+    synthetic data."""
+    import glob
+    import shutil
+    import time as _time
+
+    from pyspark.sql import Window as W
+
+    from presto_rakam_kafka_spark.streaming import runner
+
+    df = spark.createDataFrame(rows, schema)
+    chunked = df.withColumn(
+        "_chunk", F.ntile(num_chunks).over(W.orderBy("ts")) - 1
+    )
+    work = staging_mkdtemp(f"stream_{tag}_stage_")
+    flat = staging_mkdtemp(f"stream_{tag}_")
+    now = _time.time()
+    for i in range(num_chunks):
+        part = chunked.filter(F.col("_chunk") == i).drop("_chunk")
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(work, f"chunk={i}")
+        )
+        srcs = glob.glob(os.path.join(work, f"chunk={i}", "*.parquet"))
+        assert len(srcs) == 1
+        dst = os.path.join(flat, f"part-{i:05d}.parquet")
+        shutil.copy(srcs[0], dst)
+        os.utime(dst, (now + i, now + i))
+    shutil.rmtree(work)
+    return runner.read_file_stream(spark, flat, df.schema)
+
+
+def test_rolling_pairs_fold_state_is_window_bounded(spark):
+    """VERDICT r9 next-2: the emit-on-close rolling fold's live state
+    is bounded by (window + open days) x daily keys — NOT stream
+    lifetime — while its emitted+tail output is row-equal to the
+    unbounded finish."""
+    import datetime as dt
+
+    from presto_rakam_kafka_spark.operators import sketches as sk
+    from presto_rakam_kafka_spark.streaming import rollup
+
+    days, users = 100, 20
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (t0 + dt.timedelta(days=d), (d * 31 + u) % 57)
+        for d in range(days) for u in range(users)
+    ]
+    stream = _staged_day_stream(
+        spark, rows, "ts TIMESTAMP, user_id LONG", tag="roll"
+    )
+    store = staging_mkdtemp("rollup_test_hll_")
+    out = rollup.run_rolling_pairs(
+        stream,
+        lambda b: b.select(
+            F.date_trunc("day", "ts").alias("uday"), "user_id"
+        ).distinct(),
+        sk.hll_rolling_users_from_pairs,
+        "uday",
+        7,
+        "hll_bounded_test",
+        path=store,
+    )
+    got = {r["day"]: (r["n_exact"], r["est"]) for r in out.collect()}
+
+    # unbounded reference over the same rows
+    batch_pairs = spark.createDataFrame(
+        rows, "ts TIMESTAMP, user_id LONG"
+    ).select(F.date_trunc("day", "ts").alias("uday"), "user_id").distinct()
+    ref = {
+        r["day"]: (r["n_exact"], r["est"])
+        for r in sk.hll_rolling_users_from_pairs(batch_pairs).collect()
+    }
+    assert got == ref and len(got) == days
+
+    # THE BOUND: live pairs cover at most window+open days x daily
+    # keys; lifetime would be days x users-per-day
+    live = rollup.live_state_size(spark, store)
+    assert live <= 8 * users, live
+    assert live < (days * users) / 10, live
+
+
+def test_windowed_cells_fold_state_is_window_bounded(spark):
+    """VERDICT r9 next-2: the per-trigger-compacted cell fold retains
+    only live-window cells (max running day - 29), and merging partial
+    cells across triggers reproduces the unbounded fold's cells
+    exactly."""
+    import datetime as dt
+
+    from presto_rakam_kafka_spark.streaming import rollup
+
+    days, users = 90, 10
+    t0 = dt.datetime(2024, 1, 1, 8, 0)
+    rows = []
+    for d in range(days):
+        for u in range(users):
+            # two events per (user, day): partial cells must merge
+            for j in (0, 1):
+                rows.append(
+                    (t0 + dt.timedelta(days=d, hours=j), u,
+                     "purchase" if (u + d) % 3 else "error",
+                     float(u + d + j))
+                )
+    sch = "ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+    stream = _staged_day_stream(spark, rows, sch, tag="cells")
+    store = staging_mkdtemp("rollup_test_cells_")
+
+    def cell_fn(b):
+        return b.groupBy(
+            "user_id", "event_type", F.date_trunc("day", "ts").alias("cday")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.sum("value").alias("sv"),
+        )
+
+    cells = rollup.run_windowed_cells(
+        stream, cell_fn,
+        ["user_id", "event_type", "cday"],
+        [F.sum("n").alias("n"), F.min("min_ts").alias("min_ts"),
+         F.max("max_ts").alias("max_ts"), F.sum("sv").alias("sv")],
+        "cday", 30, "cells_bounded_test", path=store,
+    )
+    got = {
+        (r["user_id"], r["event_type"], r["cday"]):
+        (r["n"], r["min_ts"], r["max_ts"], r["sv"])
+        for r in cells.collect()
+    }
+    # reference: the unbounded fold cut to the final trailing window
+    batch = spark.createDataFrame(rows, sch)
+    ref_all = cell_fn(batch)
+    mx = ref_all.agg(F.max("cday")).collect()[0][0]
+    ref = {
+        (r["user_id"], r["event_type"], r["cday"]):
+        (r["n"], r["min_ts"], r["max_ts"], r["sv"])
+        for r in ref_all.filter(
+            F.col("cday") >= F.lit(mx) - F.expr("INTERVAL 29 DAYS")
+        ).collect()
+    }
+    assert got == ref
+    # THE BOUND: 30 window days x keys, not 90 lifetime days
+    live = rollup.live_state_size(spark, store)
+    assert live <= 30 * users, live
+    assert live < len(rows) / 2
