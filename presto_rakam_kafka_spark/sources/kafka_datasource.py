@@ -54,6 +54,7 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     LessThan,
     LessThanOrEqual,
@@ -309,6 +310,12 @@ class KafkaSegmentReader(DataSourceReader):
         # itself is returned to Spark for exact row evaluation.
         self._ts_lo = None
         self._ts_hi = None
+        # key equality/IN conjuncts (round 10, VERDICT r9 next-4): the
+        # ksqlDB pull-query surface for SQL — `WHERE key IN (…)` routes
+        # the scan through the per-segment bloom index (and, on a
+        # key-routed log, partition routing) instead of a full scan.
+        # None = no key conjunct pushed.
+        self._keys: set[bytes] | None = None
 
     # -- A4: offset conjuncts clamp the scan; timestamp conjuncts prune
     # segments by footer ts stats (the `offsetsForTimes` analog — a
@@ -333,6 +340,24 @@ class KafkaSegmentReader(DataSourceReader):
                     self._clamp_end(f.value + 1)
                 else:
                     remaining.append(f)
+                continue
+            if col in (("key",), ["key"], "key"):
+                # Key conjuncts PRUNE (partition routing + per-segment
+                # bloom probes at plan time) but are ALWAYS handed back:
+                # blooms are probabilistic and surviving segments hold
+                # other keys — Spark's row filter is the exact check.
+                vals = None
+                if isinstance(f, EqualTo):
+                    vals = [f.value]
+                elif isinstance(f, In):
+                    vals = list(f.value)
+                if vals is not None and all(
+                    isinstance(v, (bytes, bytearray)) for v in vals
+                ):
+                    ks = {bytes(v) for v in vals}
+                    # AND-semantics: intersect with any prior conjunct
+                    self._keys = ks if self._keys is None else self._keys & ks
+                remaining.append(f)
                 continue
             if col in (("timestamp",), ["timestamp"], "timestamp"):
                 v = _normalize_ts(getattr(f, "value", None))
@@ -378,6 +403,26 @@ class KafkaSegmentReader(DataSourceReader):
             return False
         return True
 
+    def _bloom_overlaps(self, fpath: str) -> bool:
+        """False iff the segment's bloom sidecar proves NO pushed key
+        can be in it. Sidecar-less segments are kept — the index is an
+        optimization, never a semantic filter."""
+        bpath = os.path.join(
+            os.path.dirname(fpath),
+            _bloom_sidecar_name(os.path.basename(fpath)),
+        )
+        if not os.path.exists(bpath):
+            return True
+        with open(bpath, "rb") as fh:
+            payload = fh.read()
+        parsed = _bloom_parse(payload)
+        if parsed is None:
+            return True
+        m_bits, bits = parsed
+        return any(
+            _bloom_might_contain(bits, m_bits, k) for k in self._keys
+        )
+
     # -- A2/A3: segment enumeration → splits ---------------------------
     def partitions(self) -> list[OffsetSplit]:
         # Parquet footer stats give each segment's offset span — the
@@ -385,8 +430,21 @@ class KafkaSegmentReader(DataSourceReader):
         # per segment, driver-side only. Stats-less segments scan the
         # conservative full span (never silently pruned).
         by_pid = _enumerate_segments(self._path)
+        # Key-conjunct routing (VERDICT r9 next-4): on a KEY-routED log
+        # every requested key lives in exactly one partition — other
+        # partitions never plan a split. Offset-routed or unmarked logs
+        # keep every partition (correct for both layouts; bloom pruning
+        # below still applies). Falls back to the full scan when the
+        # log is unindexed (a missing sidecar keeps its segment).
+        keep_pids = None
+        if self._keys:
+            if _read_routing(self._path) == "key":
+                n = len(by_pid)
+                keep_pids = {_route_key(k, n) for k in self._keys}
         segments: list[tuple[int, str, int, int]] = []  # (pid, file, lo, hi+1)
         for pid in sorted(by_pid):
+            if keep_pids is not None and pid not in keep_pids:
+                continue
             for fpath, lo, hi, _nrows in by_pid[pid]:
                 # ts-stat pruning first (one extra footer read per
                 # segment, only when a ts bound was pushed): a segment
@@ -394,6 +452,12 @@ class KafkaSegmentReader(DataSourceReader):
                 # split — WHERE ts >= X becomes segment pruning, the
                 # consumer `offsetsForTimes` analog.
                 if not self._ts_overlaps(fpath):
+                    continue
+                # per-segment bloom probe: a sidecar that says "no key
+                # in this conjunct can be here" prunes the segment at
+                # plan time; a missing/unparsable sidecar keeps it
+                # (correctness never depends on the index)
+                if self._keys and not self._bloom_overlaps(fpath):
                     continue
                 if lo is None:
                     segments.append((pid, fpath, 0, 2**62))

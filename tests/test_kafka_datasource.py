@@ -1513,3 +1513,102 @@ def test_lookup_history_spark_equals_driver_form(spark, tmp_path):
     )
     read = sum(r["segments_read"] for r in st)
     assert 0 < read < total_segments, (read, total_segments)
+
+
+def test_key_in_pushdown_plans_only_bloom_surviving_segments(spark, tmp_path):
+    """SQL key pushdown (VERDICT r9 next-4): a `key IN (…)` conjunct
+    reaches `KafkaSegmentReader.pushFilters`, routes to the keys'
+    partitions on a key-routed log, probes each segment's bloom at
+    PLAN time, and only bloom-surviving segments plan splits. The
+    filter is also handed back (exact row check). Fallbacks: unindexed
+    log → full scan; offset-routed log → all partitions, blooms still
+    prune; bloom-negative key set → empty scan, zero rows."""
+    from pyspark.sql.datasource import In
+
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        KafkaSegmentDataSource,
+        KafkaSegmentReader,
+        build_key_blooms,
+        write_segments,
+    )
+
+    # key "7" appears ONLY in rounds 0 and 4 of 6 (sparse → blooms bite)
+    rows = []
+    for rnd in range(6):
+        for k in range(40):
+            if k == 7 and rnd not in (0, 4):
+                continue
+            off = rnd * 40 + k
+            rows.append((off, str(k).encode(), f"v{off}".encode(), None))
+    raw = spark.createDataFrame(
+        rows, "offset LONG, key BINARY, value BINARY, timestamp TIMESTAMP"
+    )
+    log = str(tmp_path / "pushlog")
+    write_segments(raw, log, num_partitions=2, segment_rows=20,
+                   route_by_key=True)
+    build_key_blooms(log)
+
+    def splits_for(filters, path):
+        r = KafkaSegmentReader({"path": path})
+        rem = list(r.pushFilters(list(filters)))
+        # key filters are ALWAYS returned for exact row evaluation
+        assert len(rem) == len(filters)
+        return r.partitions()
+
+    full = splits_for([], log)
+    pruned = splits_for([In(("key",), (b"7",))], log)
+    # partition routing alone halves the plan; blooms cut further
+    assert len(pruned) < len(full) / 2, (len(pruned), len(full))
+    # one partition's segment dirs only
+    assert len({s.partition_id for s in pruned}) == 1
+
+    # end-to-end SQL equality with the unpruned scan
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(KafkaSegmentDataSource)
+    view = spark.read.format("kafka_segments").option("path", log).load()
+    view.createOrReplaceTempView("pushlog")
+    got = spark.sql(
+        "SELECT offset FROM pushlog WHERE key IN (CAST('7' AS BINARY))"
+    ).collect()
+    assert sorted(r["offset"] for r in got) == [7, 167]
+
+    # bloom-negative key: planned away entirely, still zero rows
+    absent = splits_for([In(("key",), (b"zzz-absent",))], log)
+    assert len(absent) <= 1  # the single empty split
+    n = spark.sql(
+        "SELECT count(*) AS n FROM pushlog "
+        "WHERE key = CAST('zzz-absent' AS BINARY)"
+    ).collect()[0]["n"]
+    assert n == 0
+
+    # offset-routed log: all partitions consulted, blooms still prune
+    log2 = str(tmp_path / "pushlog_offset")
+    write_segments(raw, log2, num_partitions=2, segment_rows=20)
+    build_key_blooms(log2)
+    full2 = splits_for([], log2)
+    # keys "6"/"7" land at offsets rnd*40+{6,7} → opposite parities →
+    # both partitions hold hits; no partition may be routed away
+    pruned2 = splits_for([In(("key",), (b"6", b"7"))], log2)
+    assert len({s.partition_id for s in pruned2}) == 2
+    assert len(pruned2) < len(full2), (len(pruned2), len(full2))
+
+    # unindexed log: graceful full-scan fallback, same answers
+    log3 = str(tmp_path / "pushlog_noidx")
+    write_segments(raw, log3, num_partitions=2, segment_rows=20,
+                   route_by_key=True)
+    full3 = splits_for([], log3)
+    # routing still prunes partitions (layout metadata, no index), but
+    # within the routed partition every segment survives
+    pruned3 = splits_for([In(("key",), (b"7",))], log3)
+    routed_pid = {s.partition_id for s in pruned3}
+    assert len(routed_pid) == 1
+    per_pid_full = sum(
+        1 for s in full3 if s.partition_id in routed_pid
+    )
+    assert len(pruned3) == per_pid_full
+    view3 = spark.read.format("kafka_segments").option("path", log3).load()
+    view3.createOrReplaceTempView("pushlog3")
+    got3 = spark.sql(
+        "SELECT offset FROM pushlog3 WHERE key IN (CAST('7' AS BINARY))"
+    ).collect()
+    assert sorted(r["offset"] for r in got3) == [7, 167]
