@@ -128,6 +128,7 @@ class EventCatalog:
         value_format: str = "json",
         min_splits: int = 0,
         avro_writer_schema: str | None = None,
+        expose_key: bool = False,
     ) -> None:
         """Register a table backed by the native ``kafka_segments``
         DataSource: ``table(..., offset_ranges=...)`` then routes through
@@ -136,7 +137,12 @@ class EventCatalog:
         OLD writer schema for payloads that predate the metastore's
         current fields — schema evolution resolves in the decode
         (``KafkaConnectorPageSource.java:82-123`` +
-        ``PageDatumReader.java:68-93`` in one scan)."""
+        ``PageDatumReader.java:68-93`` in one scan). ``expose_key``
+        adds a fourth hidden column ``_key`` (the raw Kafka key —
+        compacted-topic tables): ``WHERE _key IN (…)`` on the decoded
+        table pushes through to bloom-index segment pruning (round
+        10; the reference's hidden columns stay the canonical three,
+        KafkaMetadata.java:165-167 — `_key` is opt-in per table)."""
         from presto_rakam_kafka_spark.sources.kafka_datasource import (
             KafkaSegmentsEventSource,
         )
@@ -149,6 +155,7 @@ class EventCatalog:
                 value_format=value_format,
                 min_splits=min_splits,
                 avro_writer_schema=avro_writer_schema,
+                expose_key=expose_key,
             ),
         )
 
@@ -206,7 +213,12 @@ class EventCatalog:
             )
         df = source.scan(self.spark, project, collection, fields, offset_ranges)
         if include_hidden:
-            ordered = list(HIDDEN_COLUMNS) + [f.name.lower() for f in fields]
+            # the reference's three system columns, plus the opt-in
+            # `_key` when the source exposes it (compacted-topic tables)
+            hidden = list(HIDDEN_COLUMNS)
+            if "_key" in df.columns:
+                hidden.append("_key")
+            ordered = hidden + [f.name.lower() for f in fields]
             return df.select(*ordered)
         return df.select(*[f.name.lower() for f in fields])
 

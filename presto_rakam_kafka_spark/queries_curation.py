@@ -33,6 +33,8 @@ of ``operators/quality.py`` for the 100 TB argument per operator).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1671,3 +1673,64 @@ def pairs_contrastive_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, anchors, "embedding", "vec_id",
         spark=spark, index_path=path, dim=EMBED_DIM,
     )
+
+
+@query(
+    "stream_pairs_contrastive",
+    oracle=__import__(
+        "presto_rakam_kafka_spark.operators.similarity",
+        fromlist=["similarity"],
+    ).mine_contrastive_pairs_indexed_oracle(
+        "embeddings", "vec_id % 40 = 1", "embedding", "vec_id", dim=EMBED_DIM
+    ),
+)
+def stream_pairs_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS pair mining (round 10) — the training-data-refresh
+    loop as a stream: anchors arrive in micro-batches (the embeddings
+    table replayed in vec_id order), and each trigger mines ONLY the
+    batch's new anchors against the persisted IVF-PQ index — per-batch
+    cost ∝ batch anchors × probed lists, never corpus × all anchors —
+    appending pairs to an epoch-keyed store (idempotent overwrite per
+    epoch, the exactly-once discipline everywhere else). Batches
+    partition the anchor set, the index is static, and mining is
+    per-anchor independent, so the union over epochs equals the batch
+    indexed miner row-for-row — the oracle IS
+    `pairs_contrastive_indexed`'s, unchanged. State in the streaming
+    engine: none (the pair store and index are the state, on disk)."""
+    from presto_rakam_kafka_spark.fixtures import read_table, staging_mkdtemp
+    from presto_rakam_kafka_spark.operators import similarity as sim
+    from presto_rakam_kafka_spark.streaming import runner
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = sim.stage_ivfpq_index(
+        spark, emb, sf_dir, "embedding", "vec_id", dim=EMBED_DIM,
+        store_vectors=True,
+    )
+    d = runner.stage_chunked_events(
+        spark, sf_dir, "embeddings", num_chunks=4, order_col="vec_id"
+    )
+    schema = read_table(spark, sf_dir, "embeddings").schema
+    anchors_stream = runner.read_file_stream(spark, d, schema).filter(
+        F.col("vec_id") % 40 == 1
+    )
+    out = staging_mkdtemp("stream_pairs_")
+
+    def on_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        pairs = sim.mine_contrastive_pairs(
+            emb, batch, "embedding", "vec_id",
+            spark=spark, index_path=path, dim=EMBED_DIM,
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(out, f"epoch={int(epoch_id)}")
+        )
+
+    q = (
+        anchors_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", staging_mkdtemp("ckpt_stream_pairs_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(out, "epoch=*"))

@@ -877,6 +877,64 @@ def kafka_key_pushdown_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kafka_key_pushdown_catalog",
+    oracle="""
+    SELECT user_id, event_id AS offset, event_type,
+           round(sum(value), 2) AS sum_value, count(*) AS n
+    FROM events
+    WHERE user_id % 41 = 5 AND event_type != 'error'
+    GROUP BY user_id, event_id, event_type
+    """,
+)
+def kafka_key_pushdown_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pull query over the CATALOG-DECODED table (round 10): the
+    keyed log registers with ``expose_key=True``, so the decoded table
+    carries the raw Kafka key as the opt-in hidden column ``_key``
+    next to the reference's three (KafkaMetadata.java:165-167), and a
+    plain SQL ``WHERE _key IN (…)`` on USER-FACING columns pushes
+    through the decode projection to `pushFilters` key pruning —
+    partition routing + per-segment bloom probes before any task
+    launches (plan-asserted in tests/test_kafka_datasource.py).
+    Tombstones (NULL payloads) never decode, so the table shows live
+    records only — the compacted-topic read semantics."""
+    from presto_rakam_kafka_spark.catalog import EventCatalog
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.metastore import InMemoryMetastore
+
+    d = _keyed_log_dir(spark, sf_dir)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    ms = InMemoryMetastore()
+    catalog = EventCatalog(spark, ms)
+    ms.register_struct(
+        "tpch",
+        "events_keyed",
+        read_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .schema,
+    )
+    catalog.register_kafka_segments(
+        "tpch", "events_keyed", d, expose_key=True
+    )
+    view = catalog.sql_view("tpch", "events_keyed")
+    victims = sorted(
+        int(r["user_id"])
+        for r in _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 41 == 5)
+        .select("user_id")
+        .distinct()
+        .collect()
+    )
+    in_list = ", ".join(f"CAST('{u}' AS BINARY)" for u in victims)
+    return spark.sql(f"""
+        SELECT user_id, _offset AS offset, event_type,
+               round(sum(value), 2) AS sum_value, count(*) AS n
+        FROM {view}
+        WHERE _key IN ({in_list})
+        GROUP BY user_id, _offset, event_type
+    """)
+
+
+@query(
     "kafka_key_history_spark",
     oracle="""
     SELECT user_id, event_id AS offset,

@@ -110,8 +110,16 @@ class KafkaEventSource:
 
     def _decode(
         self, spark: SparkSession, raw: DataFrame, project: str, collection: str,
-        fields: list[SchemaField],
+        fields: list[SchemaField], extra_raw_cols: dict[str, str] | None = None,
     ) -> DataFrame:
+        """``extra_raw_cols`` maps raw-frame columns to extra HIDDEN
+        output columns (e.g. ``{"key": "_key"}`` — the compacted-topic
+        key surface, round 10): they pass through the decode as plain
+        aliases, so a filter on the hidden name pushes through the
+        projection to the raw scan (`pushFilters` key pruning)."""
+        extra_raw_cols = extra_raw_cols or {}
+        extras = [F.col(src).alias(dst) for src, dst in extra_raw_cols.items()]
+        extra_names = list(extra_raw_cols.values())
         schema = fields_to_struct(fields)
         if self.value_format == "avro":
             avro_schema = _struct_to_avro_json(schema, name=collection)
@@ -129,6 +137,7 @@ class KafkaEventSource:
                         F.col("value"), avro_schema, {"mode": "PERMISSIVE"}
                     ).alias("r"),
                     F.col("topic"),
+                    *extras,
                 )
                 # A14 for Avro: PERMISSIVE from_avro nulls the struct on
                 # decode failure — drop and keep scanning.
@@ -139,6 +148,13 @@ class KafkaEventSource:
                 # mapInPandas (universality over throughput — the JVM
                 # branch above is the production fast path). Returns
                 # flat columns, so hidden-column synthesis happens here.
+                if extra_raw_cols:
+                    raise NotImplementedError(
+                        "extra_raw_cols (expose_key) needs the JVM "
+                        "spark-avro decode; the pure-Python fallback "
+                        "does not thread raw columns through its "
+                        "mapInPandas schema"
+                    )
                 return self._decode_avro_python(
                     raw, schema, avro_schema, project, collection
                 )
@@ -159,6 +175,7 @@ class KafkaEventSource:
                     {"columnNameOfCorruptRecord": "_corrupt_record"},
                 ).alias("r"),
                 F.col("topic"),
+                *extras,
             )
             # Corrupt-record tolerance (A14): drop the whole message,
             # keep scanning (KafkaConnectorPageSource.java:300-308).
@@ -171,6 +188,7 @@ class KafkaEventSource:
             "_offset",
             F.lit(project).alias("project"),
             F.lit(collection).alias("collection"),
+            *extra_names,
             "r.*",
         )
 

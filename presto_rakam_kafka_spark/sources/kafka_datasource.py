@@ -869,6 +869,12 @@ class KafkaSegmentsEventSource:
     #: evolution input to ``compile_read_plan`` (aliases, promotions,
     #: defaults). None = writer equals the reader schema.
     avro_writer_schema: str | None = None
+    #: Expose the raw Kafka KEY as a fourth hidden column ``_key``
+    #: (round 10): the compacted-topic table surface — `WHERE _key IN
+    #: (…)` on the DECODED table pushes through the projection to
+    #: `KafkaSegmentReader.pushFilters` key pruning (the ksqlDB
+    #: pull-query over user-facing columns).
+    expose_key: bool = False
 
     def scan(
         self,
@@ -904,7 +910,10 @@ class KafkaSegmentsEventSource:
             value_format=self.value_format,
             avro_writer_schema=self.avro_writer_schema,
         )
-        return codec._decode(spark, raw, project, collection, fields)
+        return codec._decode(
+            spark, raw, project, collection, fields,
+            extra_raw_cols={"key": "_key"} if self.expose_key else None,
+        )
 
     def stream(
         self,

@@ -1612,3 +1612,85 @@ def test_key_in_pushdown_plans_only_bloom_surviving_segments(spark, tmp_path):
         "SELECT offset FROM pushlog3 WHERE key IN (CAST('7' AS BINARY))"
     ).collect()
     assert sorted(r["offset"] for r in got3) == [7, 167]
+
+
+def test_catalog_pull_query_prunes_through_decode_projection(spark, tmp_path):
+    """expose_key=True (round 10): the catalog-decoded table carries
+    the raw Kafka key as the opt-in hidden column `_key`; a pull query
+    on USER columns with `WHERE _key IN (…)` pushes through the decode
+    projection to pushFilters key pruning — the scan stage launches
+    exactly the bloom-surviving splits, not the full log. `_key` never
+    appears on non-exposing tables (reference hidden-column parity)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+    from pyspark.sql.datasource import In
+
+    from presto_rakam_kafka_spark.catalog import EventCatalog
+    from presto_rakam_kafka_spark.metastore import InMemoryMetastore
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        KafkaSegmentReader,
+        build_key_blooms,
+        write_segments,
+    )
+
+    rows = []
+    for rnd in range(6):
+        for k in range(40):
+            if k == 7 and rnd not in (0, 4):
+                continue
+            off = rnd * 40 + k
+            rows.append((off, str(k).encode(),
+                         _json.dumps({"uid": k, "v": float(off)}).encode(),
+                         None))
+    raw = spark.createDataFrame(
+        rows, "offset LONG, key BINARY, value BINARY, timestamp TIMESTAMP"
+    )
+    log = str(tmp_path / "catpush")
+    write_segments(raw, log, num_partitions=2, segment_rows=20,
+                   route_by_key=True)
+    build_key_blooms(log)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+    ms = InMemoryMetastore()
+    cat = EventCatalog(spark, ms)
+    ms.register_struct("t", "klog", T.StructType([
+        T.StructField("uid", T.LongType()), T.StructField("v", T.DoubleType())
+    ]))
+    cat.register_kafka_segments("t", "klog", log, expose_key=True)
+    view = cat.sql_view("t", "klog")
+
+    sc = spark.sparkContext
+    sc.setJobGroup("catpush_probe", "catpush_probe")
+    try:
+        got = spark.sql(
+            f"SELECT uid, _offset FROM {view} "
+            "WHERE _key IN (CAST('7' AS BINARY))"
+        ).collect()
+    finally:
+        sc.setJobGroup(None, None)
+    assert sorted((r["uid"], r["_offset"]) for r in got) == [(7, 7), (7, 167)]
+
+    # the scan stage launched exactly the bloom-surviving split count
+    st = sc.statusTracker()
+    task_counts = set()
+    for j in st.getJobIdsForGroup("catpush_probe"):
+        for s in st.getJobInfo(j).stageIds:
+            si = st.getStageInfo(s)
+            if si:
+                task_counts.add(si.numTasks)
+    r_pruned = KafkaSegmentReader({"path": log})
+    r_pruned.pushFilters([In(("key",), (b"7",))])
+    expected = len(r_pruned.partitions())
+    r_full = KafkaSegmentReader({"path": log})
+    r_full.pushFilters([])
+    full = len(r_full.partitions())
+    assert expected < full / 3
+    assert expected in task_counts, (expected, task_counts)
+    assert full not in task_counts, (full, task_counts)
+
+    # hidden-column parity: _key is opt-in — a non-exposing table of
+    # the same log shows exactly the reference's three system columns
+    cat.register_kafka_segments("t", "klog", log, expose_key=False)
+    cols = cat.table("t", "klog", include_hidden=True).columns
+    assert cols == ["_offset", "project", "collection", "uid", "v"]
