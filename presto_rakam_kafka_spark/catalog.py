@@ -129,6 +129,8 @@ class EventCatalog:
         min_splits: int = 0,
         avro_writer_schema: str | None = None,
         expose_key: bool = False,
+        wire_format: str = "raw",
+        schema_registry: dict | None = None,
     ) -> None:
         """Register a table backed by the native ``kafka_segments``
         DataSource: ``table(..., offset_ranges=...)`` then routes through
@@ -156,6 +158,8 @@ class EventCatalog:
                 min_splits=min_splits,
                 avro_writer_schema=avro_writer_schema,
                 expose_key=expose_key,
+                wire_format=wire_format,
+                schema_registry=schema_registry,
             ),
         )
 

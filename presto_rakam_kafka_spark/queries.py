@@ -180,6 +180,136 @@ def avro_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "avro_confluent_wire_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(user_id) AS BIGINT) AS sum_users,
+           round(sum(value), 2) AS sum_value
+    FROM events WHERE event_id < 3000
+    GROUP BY event_type
+    """,
+)
+def avro_confluent_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFLUENT WIRE FORMAT end-to-end (round 10, beyond-reference):
+    one topic interleaves records serialized under TWO writer schema
+    versions, each framed as 0x00 magic + 4-byte BE schema id + Avro
+    datum (the public Confluent wire format), plus injected corrupt
+    frames (unknown id, bad magic, truncated header). The decode
+    resolves each record against its OWN id from a static registry
+    snapshot, applies full reader resolution per version (v3: aliases
+    + int->long promotion + writer-only skip; v9: name-matched long ids
+    + a different writer-only field), and drops the corrupt frames
+    under A14 — the aggregate must equal plain SQL over the source
+    parquet, proving per-id dispatch loses and invents nothing. The
+    reference decodes one table-configured writer schema
+    (``KafkaConnectorPageSource.java:89``); interleaved registry
+    versions are what a real Confluent estate ships."""
+    import pandas as pd
+
+    from presto_rakam_kafka_spark.metastore import SchemaField
+    from presto_rakam_kafka_spark.sources import avro_codec
+    from presto_rakam_kafka_spark.sources.kafka import KafkaEventSource
+    from presto_rakam_kafka_spark.types import FieldType
+    from pyspark.sql import types as T
+
+    writer_v3 = (
+        '{"type": "record", "name": "event_v3", "fields": ['
+        '{"name": "uid", "type": "int"},'
+        '{"name": "etype", "type": ["null", "string"]},'
+        '{"name": "value", "type": ["null", "double"]},'
+        '{"name": "legacy", "type": "string"}]}'
+    )
+    writer_v9 = (
+        '{"type": "record", "name": "event_v9", "fields": ['
+        '{"name": "user_id", "type": "long"},'
+        '{"name": "event_type", "type": ["null", "string"]},'
+        '{"name": "value", "type": ["null", "double"]},'
+        '{"name": "channel", "type": "string"}]}'
+    )
+    reader_fields = [
+        SchemaField("user_id", FieldType.LONG, aliases=("uid",)),
+        SchemaField("event_type", FieldType.STRING, aliases=("etype",)),
+        SchemaField("value", FieldType.DOUBLE),
+        SchemaField("missing_col", FieldType.DOUBLE),  # reader-only default
+    ]
+
+    events = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 3000)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+    raw_schema = T.StructType(
+        [
+            T.StructField("key", T.BinaryType()),
+            T.StructField("value", T.BinaryType()),
+            T.StructField("topic", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+        ]
+    )
+
+    def encode_batches(batches):
+        w3 = avro_codec.parse_schema(writer_v3)
+        w9 = avro_codec.parse_schema(writer_v9)
+        for pdf in batches:
+            payloads, offsets = [], []
+            for _, row in pdf.iterrows():
+                eid = int(row["event_id"])
+                val = None if pd.isna(row["value"]) else float(row["value"])
+                out = bytearray()
+                if eid % 2 == 0:
+                    avro_codec._encode_value(
+                        {"uid": int(row["user_id"]), "etype": row["event_type"],
+                         "value": val, "legacy": "dropped-by-reader"},
+                        w3, out,
+                    )
+                    frame = avro_codec.wrap_confluent(3, bytes(out))
+                else:
+                    avro_codec._encode_value(
+                        {"user_id": int(row["user_id"]),
+                         "event_type": row["event_type"], "value": val,
+                         "channel": "web"},
+                        w9, out,
+                    )
+                    frame = avro_codec.wrap_confluent(9, bytes(out))
+                payloads.append(frame)
+                offsets.append(eid)
+                if eid % 500 == 0:
+                    # corrupt neighbors: unknown registry id, bad magic,
+                    # truncated header -- all must DROP, not fail or skew
+                    payloads.append(avro_codec.wrap_confluent(99, bytes(out)))
+                    offsets.append(1_000_000 + eid)
+                    payloads.append(b"\x17" + frame[1:])
+                    offsets.append(2_000_000 + eid)
+                    payloads.append(b"\x00\x00")
+                    offsets.append(3_000_000 + eid)
+            yield pd.DataFrame(
+                {
+                    "key": [None] * len(payloads),
+                    "value": payloads,
+                    "topic": "tpch_events",
+                    "partition": 0,
+                    "offset": offsets,
+                }
+            )
+
+    raw = events.mapInPandas(encode_batches, schema=raw_schema)
+    src = KafkaEventSource(
+        bootstrap_servers="none:9092",
+        value_format="avro",
+        wire_format="confluent",
+        schema_registry={3: writer_v3, 9: writer_v9},
+    )
+    decoded = src._decode(spark, raw, "tpch", "events", reader_fields)
+    return decoded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("sum_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
     "count_star",
     oracle="SELECT count(*) AS n FROM lineitem",
 )

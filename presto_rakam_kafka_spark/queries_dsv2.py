@@ -1051,3 +1051,310 @@ def kafka_log_purged_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("_offset").alias("first_offset"),
         F.max("_offset").alias("last_offset"),
     )
+
+
+# ---------------------------------------------------------------------
+# Rollup + live-tail serving (round 10): the continuous-query shape
+# ---------------------------------------------------------------------
+
+_SERVE_ORACLE = """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """
+
+_SERVE_GROUP = ["day", "event_type"]
+
+
+def _serve_cell_fn(df_raw: DataFrame) -> DataFrame:
+    """Raw frames → mergeable partial cells keyed (day, event_type):
+    count + RAW sum (rounding belongs to the finish — rounding partials
+    would double-round after a merge)."""
+    v = F.from_json(
+        F.col("value").cast("string"),
+        "event_id LONG, user_id LONG, event_type STRING, value DOUBLE",
+    )
+    rows = (
+        df_raw.select(
+            F.date_format("timestamp", "yyyy-MM-dd").alias("day"),
+            v.alias("r"),
+        )
+        .select("day", "r.event_type", "r.value")
+        .filter(F.col("event_type").isNotNull())
+    )
+    return rows.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value_raw"),
+    )
+
+
+def _serve_merge_exprs() -> list:
+    return [
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value_raw").alias("sum_value_raw"),
+    ]
+
+
+def _serve_finish(cells: DataFrame) -> DataFrame:
+    return cells.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value_raw"), 2).alias("sum_value"),
+    )
+
+
+@query("events_serve_rollup_tail", oracle=_SERVE_ORACLE)
+def events_serve_rollup_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + LIVE-TAIL SERVING (round 10) — the continuous-query
+    product shape the reference's users build on top of it (the
+    connector itself rescans the log per query,
+    ``KafkaRecordSet.java:79-138``; Rakam materializes continuous
+    queries so dashboards don't). A serving store holds partial
+    (day, event_type) cells covering offsets below a committed
+    per-partition HWM; the query answers with
+    finish(merge(cells ∪ cells(tail beyond HWM))) — the tail scan's
+    ``offset >= hwm`` bound reaches ``pushFilters``, so covered
+    segments never plan splits (plan-asserted in
+    ``tests/test_serving.py``). Here maintenance covers offsets
+    < 2000 and serving folds the remaining ~80% of the log live; the
+    result must equal plain SQL over the whole events table."""
+    from presto_rakam_kafka_spark.streaming.serving import (
+        maintain_rollup,
+        serve_rollup_tail,
+    )
+
+    log_dir = _segment_log_dir(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    store = os.path.join(
+        tempfile.gettempdir(), f"serve_store_{tag}_p{os.getpid()}x"
+    )
+    if not os.path.exists(os.path.join(store, "_CURRENT")):
+        maintain_rollup(
+            spark, log_dir, store, _serve_cell_fn, _SERVE_GROUP,
+            _serve_merge_exprs(), day_col="day", up_to=2000,
+        )
+    return serve_rollup_tail(
+        spark, log_dir, store, _serve_cell_fn, _SERVE_GROUP,
+        _serve_merge_exprs(), finish_fn=_serve_finish,
+    )
+
+
+@query("stream_serve_rollup", oracle=_SERVE_ORACLE)
+def stream_serve_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS maintenance + late-data serving: the serving store is
+    maintained by the ``kafka_segments`` STREAMING reader (size-bounded
+    micro-batches via maxRowsPerBatch, foreachBatch fold, (app_id,
+    epoch) txns → exactly-once under replay), then MORE data lands in
+    the log after the stream drains — the serve answers exactly over
+    rollup + the newly-landed tail without re-folding the store.
+    Per-trigger maintenance I/O is bounded by the batch plus the day
+    buckets it touches (untouched days carry by manifest reference —
+    the `streaming/cdc.py` object-store discipline)."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        KafkaSegmentDataSource,
+        write_segments,
+    )
+    from presto_rakam_kafka_spark.streaming.serving import (
+        run_rollup_maintenance,
+        serve_rollup_tail,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    log_dir = os.path.join(
+        tempfile.gettempdir(), f"serve_stream_log_{tag}_p{os.getpid()}x"
+    )
+    store = os.path.join(
+        tempfile.gettempdir(), f"serve_stream_store_{tag}_p{os.getpid()}x"
+    )
+
+    def raw_frames(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("event_id").alias("offset"),
+            F.lit(None).cast("binary").alias("key"),
+            F.to_json(F.struct("event_id", "user_id", "event_type", "value"))
+            .cast("binary")
+            .alias("value"),
+            F.col("ts").alias("timestamp"),
+        )
+
+    if not os.path.exists(os.path.join(store, "_CURRENT")):
+        events = _t(spark, sf_dir, "events")
+        write_segments(
+            raw_frames(events.filter(F.col("event_id") < 6000)),
+            log_dir, num_partitions=3, segment_rows=500,
+        )
+        spark.dataSource.register(KafkaSegmentDataSource)
+        stream_raw = (
+            spark.readStream.format("kafka_segments")
+            .option("path", log_dir)
+            .option("maxRowsPerBatch", 2000)
+            .load()
+        )
+        run_rollup_maintenance(
+            stream_raw, store, _serve_cell_fn, _SERVE_GROUP,
+            _serve_merge_exprs(), day_col="day",
+            name=f"serve_rollup_{next(_STREAM_SEQ)}",
+        )
+        # late data: more of the log lands AFTER the maintenance drain
+        write_segments(
+            raw_frames(events.filter(F.col("event_id") >= 6000)),
+            log_dir, num_partitions=3, segment_rows=500,
+        )
+    return serve_rollup_tail(
+        spark, log_dir, store, _serve_cell_fn, _SERVE_GROUP,
+        _serve_merge_exprs(), finish_fn=_serve_finish,
+    )
+
+
+# ---------------------------------------------------------------------
+# Confluent-framed segment log through the catalog (round 10)
+# ---------------------------------------------------------------------
+
+#: Second registry version: new field names (no aliases needed), long
+#: ids, and a writer-only `channel` the reader skips.
+_AVRO_WIRE_V7 = (
+    '{"type": "record", "name": "event_v7", "fields": ['
+    '{"name": "user_id", "type": "long"},'
+    '{"name": "event_type", "type": ["null", "string"]},'
+    '{"name": "value", "type": ["null", "double"]},'
+    '{"name": "priority", "type": {"type": "enum", "name": "prio7",'
+    ' "symbols": ["LOW", "HIGH"]}},'
+    '{"name": "channel", "type": "string"}]}'
+)
+
+
+def _wire_segment_log_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per sf) a CONFLUENT-FRAMED Avro segment
+    log: even event_ids serialize under registry id 3 (the v1 writer —
+    old names, int ids), odd under id 7 (the v7 writer — new names,
+    long ids), each datum wrapped in the 0x00+id wire frame. Every
+    ``event_id % 500 == 250`` frame is corrupted IN PLACE (unknown
+    registry id or flipped magic byte) — inside the scanned range, so
+    the A14 drop policy is load-bearing for the oracle match."""
+    import pandas as pd
+
+    from presto_rakam_kafka_spark.sources import avro_codec
+    from presto_rakam_kafka_spark.sources.kafka_datasource import write_segments
+    from pyspark.sql import types as T
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    d = os.path.join(
+        tempfile.gettempdir(), f"kafka_segments_wire_{tag}_p{os.getpid()}x"
+    )
+    if os.path.isdir(os.path.join(d, "partition=0")):
+        return d
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    raw_schema = T.StructType(
+        [
+            T.StructField("offset", T.LongType()),
+            T.StructField("key", T.BinaryType()),
+            T.StructField("value", T.BinaryType()),
+            T.StructField("timestamp", T.TimestampType()),
+        ]
+    )
+
+    def encode_batches(batches):
+        w3 = avro_codec.parse_schema(_AVRO_WRITER_V1)
+        w7 = avro_codec.parse_schema(_AVRO_WIRE_V7)
+        for pdf in batches:
+            payloads = []
+            for _, row in pdf.iterrows():  # fixture ENCODER, not a decode path
+                eid = int(row["event_id"])
+                val = None if pd.isna(row["value"]) else float(row["value"])
+                prio = "HIGH" if (val or 0.0) > 10 else "LOW"
+                out = bytearray()
+                if eid % 2 == 0:
+                    avro_codec._encode_value(
+                        {"uid": int(row["user_id"]), "etype": row["event_type"],
+                         "value": val, "priority": prio,
+                         "legacy": "dropped-by-reader"},
+                        w3, out,
+                    )
+                    frame = avro_codec.wrap_confluent(3, bytes(out))
+                else:
+                    avro_codec._encode_value(
+                        {"user_id": int(row["user_id"]),
+                         "event_type": row["event_type"], "value": val,
+                         "priority": prio, "channel": "web"},
+                        w7, out,
+                    )
+                    frame = avro_codec.wrap_confluent(7, bytes(out))
+                if eid % 500 == 250:
+                    # corrupt INSIDE the scanned range: the A14 drop is
+                    # what keeps the oracle match honest
+                    frame = (avro_codec.wrap_confluent(99, bytes(out))
+                             if eid % 1000 == 250 else b"\x13" + frame[1:])
+                payloads.append(frame)
+            yield pd.DataFrame(
+                {
+                    "offset": pdf["event_id"],
+                    "key": [None] * len(pdf),
+                    "value": payloads,
+                    "timestamp": pdf["ts"],
+                }
+            )
+
+    raw = events.mapInPandas(encode_batches, schema=raw_schema)
+    write_segments(raw, d, num_partitions=3, segment_rows=500)
+    return d
+
+
+@query(
+    "catalog_confluent_wire_agg",
+    oracle=f"""
+    SELECT event_type,
+           CASE WHEN value > 10 THEN 'HIGH' ELSE 'LOW' END AS priority,
+           count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_users,
+           round(sum(value), 2) AS sum_value,
+           min(event_id) AS first_offset, max(event_id) AS last_offset
+    FROM events
+    WHERE event_id >= {_LO} AND event_id < {_HI}
+      AND event_id % 500 <> 250
+    GROUP BY event_type, CASE WHEN value > 10 THEN 'HIGH' ELSE 'LOW' END
+    """,
+)
+def catalog_confluent_wire_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFLUENT WIRE FORMAT through the full catalog chain (round 10):
+    a segment log whose payloads interleave registry ids 3 and 7 (v1
+    writer: aliases + int→long + enum + writer-only skip; v7 writer:
+    name-matched fields + a different writer-only skip) plus in-range
+    corrupt frames — registered with
+    ``register_kafka_segments(wire_format="confluent",
+    schema_registry=…)``, scanned with an offset range that Catalyst
+    pushes into segment pruning, decoded per-id by
+    ``compile_wire_read_plan``, corrupt frames dropped (A14). The
+    oracle excludes exactly the corrupted offsets (every ``event_id %
+    500 == 250`` in range), so the decode provably drops those and
+    ONLY those. Beyond-reference: the reference decodes one
+    table-configured writer schema
+    (``KafkaConnectorPageSource.java:89``); a Confluent-serialized
+    topic carries its schema ids in-band."""
+    from presto_rakam_kafka_spark.catalog import EventCatalog
+    from presto_rakam_kafka_spark.metastore import InMemoryMetastore
+    from presto_rakam_kafka_spark.plans.offset_pushdown import extract_offset_ranges
+
+    log_dir = _wire_segment_log_dir(spark, sf_dir)
+    ms = InMemoryMetastore()
+    catalog = EventCatalog(spark, ms)
+    ms.register("tpch", "events", _avro_reader_fields())
+    catalog.register_kafka_segments(
+        "tpch",
+        "events",
+        log_dir,
+        value_format="avro",
+        wire_format="confluent",
+        schema_registry={3: _AVRO_WRITER_V1, 7: _AVRO_WIRE_V7},
+    )
+    ranges, residual = extract_offset_ranges([("between", (_LO, _HI - 1))])
+    assert not residual
+    df = catalog.table("tpch", "events", include_hidden=True, offset_ranges=ranges)
+    return df.groupBy("event_type", "priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("sum_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("_offset").alias("first_offset"),
+        F.max("_offset").alias("last_offset"),
+    )

@@ -95,6 +95,18 @@ class KafkaEventSource:
     #: from the table description (KafkaConnectorPageSource.java:89);
     #: when None the reader schema doubles as writer (no evolution).
     avro_writer_schema: str | None = None
+    #: ``"raw"`` — each message is a bare Avro datum under ONE writer
+    #: schema (the reference's model). ``"confluent"`` — messages carry
+    #: the Confluent wire frame (0x00 magic + 4-byte BE schema id +
+    #: datum) and each record's writer schema is resolved from
+    #: ``schema_registry`` per id, so one topic interleaves schema
+    #: versions. Beyond-reference: the de-facto Kafka serialization on
+    #: real estates; JVM ``from_avro`` cannot dispatch per record, so
+    #: this path always decodes through the engine's codec.
+    wire_format: str = "raw"
+    #: id → writer schema JSON for ``wire_format="confluent"`` (a
+    #: static registry snapshot; see avro_codec.SchemaRegistry).
+    schema_registry: dict[int, str] | None = None
 
     def _reader(self, spark: SparkSession, streaming: bool):
         reader = (
@@ -123,6 +135,25 @@ class KafkaEventSource:
         schema = fields_to_struct(fields)
         if self.value_format == "avro":
             avro_schema = _struct_to_avro_json(schema, name=collection)
+            if self.wire_format == "confluent":
+                # Per-record schema-id dispatch is inexpressible in JVM
+                # from_avro (one writer schema per call) — the codec's
+                # wire plan decodes and resolves per id.
+                if extra_raw_cols:
+                    raise NotImplementedError(
+                        "extra_raw_cols (expose_key) is not supported "
+                        "with wire_format='confluent' (codec decode "
+                        "path; same restriction as the raw-Avro "
+                        "fallback)"
+                    )
+                if self.schema_registry is None:
+                    raise ValueError(
+                        "wire_format='confluent' requires schema_registry"
+                    )
+                return self._decode_avro_python(
+                    raw, schema, avro_schema, project, collection,
+                    registry=self.schema_registry,
+                )
             if avro_available(spark):
                 from pyspark.sql.avro.functions import from_avro
 
@@ -193,7 +224,8 @@ class KafkaEventSource:
         )
 
     def _decode_avro_python(
-        self, raw: DataFrame, schema, reader_json: str, project: str, collection: str
+        self, raw: DataFrame, schema, reader_json: str, project: str,
+        collection: str, registry: dict[int, str] | None = None,
     ) -> DataFrame:
         """Fallback Avro decode: the engine's pure-Python binary codec
         (:mod:`.avro_codec`) applied per record inside ``mapInPandas``.
@@ -204,6 +236,12 @@ class KafkaEventSource:
         (``PageDatumReader.java:68-93,137-138``), and corrupt records
         dropped without failing the scan (A14,
         ``KafkaConnectorPageSource.java:300-308``).
+
+        ``registry`` switches to the Confluent wire format: each
+        message's 5-byte frame names its OWN writer schema id, decoded
+        through per-id compiled plans (avro_codec.compile_wire_read_plan).
+        A bad frame, unknown id, or unresolvable (writer, reader) pair
+        is a corrupt record under the same A14 drop policy.
         """
         import pandas as pd
         from pyspark.sql import types as T
@@ -211,6 +249,12 @@ class KafkaEventSource:
         from presto_rakam_kafka_spark.sources import avro_codec
 
         writer_json = self.avro_writer_schema or reader_json
+        registry_json = (
+            None
+            if registry is None
+            else {int(k): (v if isinstance(v, str) else json.dumps(v))
+                  for k, v in registry.items()}
+        )
         names = [f.name for f in schema.fields]
         out_schema = T.StructType(
             [T.StructField("_offset", T.LongType()), *schema.fields]
@@ -223,7 +267,14 @@ class KafkaEventSource:
             # resolver cache, PageDatumReader.java:58-93). The per-record
             # loop only drives the compiled closures. ~2.9× over the
             # interpreted decode (SCALE_NOTES.md §avro-decode).
-            decode_one = avro_codec.compile_read_plan(writer_json, reader_json)
+            if registry_json is not None:
+                decode_one = avro_codec.compile_wire_read_plan(
+                    avro_codec.SchemaRegistry(registry_json), reader_json
+                )
+            else:
+                decode_one = avro_codec.compile_read_plan(
+                    writer_json, reader_json
+                )
             for pdf in batches:
                 # Columnar assembly (dict-of-lists): one pandas column
                 # per field beats a DataFrame built from per-record

@@ -875,6 +875,11 @@ class KafkaSegmentsEventSource:
     #: `KafkaSegmentReader.pushFilters` key pruning (the ksqlDB
     #: pull-query over user-facing columns).
     expose_key: bool = False
+    #: ``"confluent"`` decodes each payload's 5-byte wire frame against
+    #: ``schema_registry`` (id → writer schema JSON) — the registry-
+    #: serialized topic surface (see sources/kafka.py / avro_codec).
+    wire_format: str = "raw"
+    schema_registry: dict | None = None
 
     def scan(
         self,
@@ -909,6 +914,8 @@ class KafkaSegmentsEventSource:
             bootstrap_servers="none:9092",
             value_format=self.value_format,
             avro_writer_schema=self.avro_writer_schema,
+            wire_format=self.wire_format,
+            schema_registry=self.schema_registry,
         )
         return codec._decode(
             spark, raw, project, collection, fields,
@@ -942,6 +949,8 @@ class KafkaSegmentsEventSource:
             bootstrap_servers="none:9092",
             value_format=self.value_format,
             avro_writer_schema=self.avro_writer_schema,
+            wire_format=self.wire_format,
+            schema_registry=self.schema_registry,
         )
         return codec._decode(spark, reader.load(), project, collection, fields)
 

@@ -1,0 +1,394 @@
+"""Materialized rollup + live-tail serving (the continuous-query shape).
+
+The reference serves EVERY query by rescanning the log from the pushed
+offset bound (``KafkaRecordSet.java:79-138`` — there is no state between
+queries); Rakam's product on top of it materializes "continuous queries"
+so dashboards don't pay a full scan per refresh. This module is that
+serving shape, Spark-first:
+
+* a **serving store** holds mergeable PARTIAL aggregate cells
+  (count/sum/min/max) keyed by ``(day, group keys)``, plus the
+  per-partition log offsets the cells already cover (the HWM) — all
+  committed together in one atomic pointer flip, so cells and coverage
+  can never disagree;
+* **maintenance** (:func:`maintain_rollup` batch, or
+  :func:`run_rollup_maintenance` as a streaming foreachBatch fold)
+  folds ONLY the log tail beyond the stored HWM into the store.
+  Per-trigger I/O is ∝ new segments (the tail scan pushes
+  ``offset >= min(hwm)`` into split planning — the same pre-scan
+  pruning as ``plans/offset_pushdown.py``) + touched days: each
+  generation rewrites only the day buckets the tail touched and
+  carries every other day's files BY REFERENCE in a per-generation
+  ``_MANIFEST.json`` (the object-store-safe Delta/Iceberg carry,
+  same discipline as ``streaming/cdc.py`` carry="manifest");
+* **serving** (:func:`serve_rollup_tail`) answers with
+  ``finish(merge(stored cells ∪ cells(uncovered tail)))`` — exact over
+  the full log at the cost of (cells + tail segments), never a full
+  rescan. A fresh store degrades to exactly the reference's behavior
+  (whole-log scan); a fully-maintained store reads zero log segments
+  past the HWM (the planner emits one empty split).
+
+Aggregates must be split into algebraic partials: the per-batch
+``cell_fn`` computes them (count, raw sums, min/max), ``merge_exprs``
+re-aggregate cells across triggers, and the serve-time ``finish_fn``
+derives the presentation values (avg = sum/n, rounding) — finishing
+early would double-round and double-count, the classic partial-agg
+mistake.
+
+At 100 TB: the store is (days × group keys) cells — dashboard-sized,
+orders of magnitude below the log; maintenance cost per trigger is
+bounded by trigger data; serve cost is bounded by cells + data landed
+since the last maintenance tick. Offsets here are the log's global
+fixture offsets, but coverage is tracked PER PARTITION (Kafka's actual
+offset model), so nothing assumes global monotonicity across
+partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from presto_rakam_kafka_spark.fixtures import staging_mkdtemp
+
+_CURRENT = "_CURRENT"
+_MANIFEST = "_MANIFEST.json"
+
+
+# ---------------------------------------------------------------------
+# Store plumbing: pointer (gen + txns + HWM) and per-generation manifest
+# ---------------------------------------------------------------------
+
+
+def _read_pointer(store: str) -> tuple[str | None, dict, dict]:
+    """(current_gen, txns, hwm) — (None, {}, {}) on a fresh store.
+    ``hwm[partition] = first offset NOT yet folded into the cells``."""
+    p = os.path.join(store, _CURRENT)
+    if not os.path.exists(p):
+        return None, {}, {}
+    with open(p) as fh:
+        d = json.load(fh)
+    return d.get("gen"), d.get("txns", {}), {
+        int(k): int(v) for k, v in d.get("hwm", {}).items()
+    }
+
+
+def _flip_pointer(store: str, gen: str, txns: dict, hwm: dict) -> None:
+    tmp = os.path.join(store, f".{_CURRENT}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"gen": gen, "txns": txns,
+             "hwm": {str(k): int(v) for k, v in hwm.items()}},
+            fh, sort_keys=True,
+        )
+    os.replace(tmp, os.path.join(store, _CURRENT))
+
+
+def _write_manifest(gdir: str, days: dict[str, list[str]]) -> None:
+    """``days`` maps day → data files RELATIVE TO THE STORE ROOT; an
+    entry may point into a PRIOR generation (carry by reference)."""
+    tmp = os.path.join(gdir, f".{_MANIFEST}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"days": {d: sorted(fs) for d, fs in days.items()}},
+                  fh, sort_keys=True)
+    os.replace(tmp, os.path.join(gdir, _MANIFEST))
+
+
+def _read_manifest(store: str, gen: str) -> dict[str, list[str]]:
+    with open(os.path.join(store, gen, _MANIFEST)) as fh:
+        return json.load(fh)["days"]
+
+
+def _day_files(store: str, gen: str, day: str) -> list[str]:
+    """Store-relative data files of one freshly-written day bucket."""
+    ddir = os.path.join(store, gen, f"_day={day}")
+    if not os.path.isdir(ddir):
+        return []
+    return [
+        os.path.join(gen, f"_day={day}", f)
+        for f in sorted(os.listdir(ddir))
+        if f.endswith(".parquet")
+    ]
+
+
+def read_store_cells(spark: SparkSession, store: str) -> DataFrame | None:
+    """The committed partial-aggregate cells (None on a fresh store).
+    The ``_day`` bucket dir is a layout detail — the day lives in the
+    data as a regular column, so reading by explicit file list (the
+    manifest may point across generations) loses nothing."""
+    gen, _txns, _hwm = _read_pointer(store)
+    if gen is None:
+        return None
+    files = [
+        os.path.join(store, f)
+        for fs in _read_manifest(store, gen).values()
+        for f in fs
+    ]
+    if not files:
+        return None
+    return spark.read.parquet(*files)
+
+
+def _gc_generations(store: str, keep_gen: str) -> None:
+    """Drop generations no retained manifest references (refcounted,
+    store-relative paths — the `streaming/cdc.py` GC discipline)."""
+    live = {keep_gen}
+    for fs in _read_manifest(store, keep_gen).values():
+        for rel in fs:
+            live.add(rel.split(os.sep, 1)[0])
+    for e in sorted(os.listdir(store)):
+        if e.startswith("gen-") and e not in live and e < keep_gen:
+            shutil.rmtree(os.path.join(store, e), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------
+# Tail scan: the uncovered log suffix, pruned at plan time
+# ---------------------------------------------------------------------
+
+
+def _tail_scan(
+    spark: SparkSession, log_dir: str, hwm: dict, up_to: int | None = None
+) -> DataFrame:
+    """Raw frames not yet covered by the store: ``offset >= min(hwm)``
+    is a plain conjunct Catalyst hands to ``pushFilters`` (segments
+    wholly below it never plan splits); the exact per-partition
+    residual (coverage is per partition) is a tiny OR chain over the
+    pointer's HWM map — JVM-side, no driver loop over data."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        KafkaSegmentDataSource,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(KafkaSegmentDataSource)
+    df = spark.read.format("kafka_segments").option("path", log_dir).load()
+    if hwm:
+        df = df.filter(F.col("offset") >= int(min(hwm.values())))
+        cond = None
+        for p, h in hwm.items():
+            c = (F.col("partition") == int(p)) & (F.col("offset") >= int(h))
+            cond = c if cond is None else (cond | c)
+        known = F.col("partition").isin([int(p) for p in hwm])
+        df = df.filter(~known | cond)
+    if up_to is not None:
+        df = df.filter(F.col("offset") < int(up_to))
+    return df
+
+
+def _log_end_offsets(log_dir: str) -> dict[int, int]:
+    """{partition: next offset after the last segment} — driver-side
+    footer metadata only (the consumer-position read)."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        _enumerate_segments,
+    )
+
+    ends: dict[int, int] = {}
+    for pid, segs in _enumerate_segments(log_dir).items():
+        hi = 0
+        for _f, _lo, seg_hi, _n in segs:
+            if seg_hi is not None:
+                hi = max(hi, int(seg_hi))
+        ends[pid] = hi
+    return ends
+
+
+# ---------------------------------------------------------------------
+# Maintenance: fold the tail into the store
+# ---------------------------------------------------------------------
+
+
+def _fold_cells(
+    spark: SparkSession,
+    store: str,
+    new_cells: DataFrame,
+    new_hwm: dict,
+    epoch: int,
+    app_id: str,
+    group_cols: list[str],
+    merge_exprs: list,
+    day_col: str,
+) -> None:
+    """Merge ``new_cells`` into the store and commit (cells, HWM, txn)
+    in one pointer flip. Only day buckets present in ``new_cells`` are
+    rewritten; every other day carries by manifest reference."""
+    gen_prev, txns, _hwm = _read_pointer(store)
+    touched = [
+        r[day_col]
+        for r in new_cells.select(day_col).distinct().collect()
+        if r[day_col] is not None
+    ]
+    prev_days: dict[str, list[str]] = (
+        _read_manifest(store, gen_prev) if gen_prev is not None else {}
+    )
+    gen = f"gen-{int(epoch):010d}"
+    gdir = os.path.join(store, gen)
+    days: dict[str, list[str]] = {
+        d: fs for d, fs in prev_days.items() if d not in touched
+    }
+    if touched:
+        merged = new_cells
+        carry_files = [
+            os.path.join(store, f)
+            for d in touched
+            for f in prev_days.get(d, [])
+        ]
+        if carry_files:
+            prev_touched = spark.read.parquet(*carry_files).filter(
+                F.col(day_col).isin(touched)
+            )
+            merged = merged.unionByName(prev_touched)
+        merged = merged.groupBy(*group_cols).agg(*merge_exprs)
+        (
+            merged.withColumn("_day", F.col(day_col))
+            .repartition(max(1, len(touched)), "_day")
+            .write.mode("overwrite")
+            .partitionBy("_day")
+            .parquet(gdir)
+        )
+        for d in touched:
+            days[d] = _day_files(store, gen, d)
+    else:
+        os.makedirs(gdir, exist_ok=True)
+    _write_manifest(gdir, days)
+    txns = dict(txns)
+    txns[app_id] = int(epoch)
+    _flip_pointer(store, gen, txns, new_hwm)
+    _gc_generations(store, gen)
+
+
+def maintain_rollup(
+    spark: SparkSession,
+    log_dir: str,
+    store: str,
+    cell_fn,
+    group_cols: list[str],
+    merge_exprs: list,
+    day_col: str = "day",
+    up_to: int | None = None,
+    app_id: str = "maintain",
+) -> dict:
+    """One batch maintenance tick: fold the log tail beyond the stored
+    HWM (optionally clamped to ``offset < up_to`` — the fixture's way
+    of leaving a live tail) into the cell store. Returns the committed
+    HWM map. Re-running with nothing new is a metadata no-op (the tail
+    scan plans a single empty split; no generation is written)."""
+    os.makedirs(store, exist_ok=True)
+    _gen, txns, hwm = _read_pointer(store)
+    ends = _log_end_offsets(log_dir)
+    new_hwm = dict(hwm)
+    for p, end in ends.items():
+        target = end if up_to is None else min(int(up_to), end)
+        new_hwm[p] = max(hwm.get(p, 0), target)
+    if new_hwm == hwm and _gen is not None:
+        return hwm
+    cap = max(new_hwm.values()) if up_to is not None else None
+    tail = _tail_scan(spark, log_dir, hwm, up_to=cap)
+    if up_to is not None:
+        # exact per-partition upper bound (the global cap is the
+        # pushdown bound; partitions may cover to different offsets)
+        cond = None
+        for p, h in new_hwm.items():
+            c = (F.col("partition") == int(p)) & (F.col("offset") < int(h))
+            cond = c if cond is None else (cond | c)
+        if cond is not None:
+            tail = tail.filter(cond)
+    epoch = txns.get(app_id, -1) + 1
+    _fold_cells(
+        spark, store, cell_fn(tail), new_hwm, epoch, app_id,
+        group_cols, merge_exprs, day_col,
+    )
+    return new_hwm
+
+
+def run_rollup_maintenance(
+    stream_raw: DataFrame,
+    store: str,
+    cell_fn,
+    group_cols: list[str],
+    merge_exprs: list,
+    day_col: str = "day",
+    name: str = "rollup_maintenance",
+    app_id: str = "stream",
+    max_triggers: int = 200,
+) -> None:
+    """Continuous maintenance: drain a raw-frame STREAM (the
+    ``kafka_segments`` streaming reader) through a foreachBatch fold of
+    the same store. Coverage advances from the batch's own offsets
+    (max+1 per partition observed — a partitions-sized driver scalar),
+    and the (app_id, epoch) txn record makes a replayed epoch an exact
+    no-op, so the store is exactly-once under restart.
+
+    Python stream sources fall back to single-batch execution under
+    ``Trigger.AvailableNow`` (each trigger takes ONE rate-limited
+    batch), so the drain restarts the query against a shared
+    checkpoint until the source stops advancing — each restart is one
+    bounded maintenance epoch, the production cadence in miniature."""
+    spark = stream_raw.sparkSession
+    os.makedirs(store, exist_ok=True)
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # trailing no-data trigger: no coverage to commit
+        _gen, txns, hwm = _read_pointer(store)
+        if txns.get(app_id, -1) >= epoch_id:
+            return  # replayed epoch
+        seen = batch_df.groupBy("partition").agg(
+            F.max("offset").alias("mx")
+        ).collect()
+        new_hwm = dict(hwm)
+        for r in seen:
+            new_hwm[int(r["partition"])] = max(
+                new_hwm.get(int(r["partition"]), 0), int(r["mx"]) + 1
+            )
+        _fold_cells(
+            spark, store, cell_fn(batch_df), new_hwm, int(epoch_id),
+            app_id, group_cols, merge_exprs, day_col,
+        )
+
+    ckpt = staging_mkdtemp(f"ckpt_{name}_")
+    prev_state: tuple | None = None
+    for _ in range(max_triggers):
+        q = (
+            stream_raw.writeStream.foreachBatch(on_batch)
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _gen, _txns, hwm = _read_pointer(store)
+        state = tuple(sorted(hwm.items()))
+        if state == prev_state:
+            break
+        prev_state = state
+
+
+# ---------------------------------------------------------------------
+# Serving: stored cells ∪ uncovered tail, finished at read time
+# ---------------------------------------------------------------------
+
+
+def serve_rollup_tail(
+    spark: SparkSession,
+    log_dir: str,
+    store: str,
+    cell_fn,
+    group_cols: list[str],
+    merge_exprs: list,
+    finish_fn=None,
+) -> DataFrame:
+    """Answer the rollup EXACTLY over the full log without a full scan:
+    committed cells ∪ cells(tail beyond the committed HWM), merged and
+    finished. The tail scan's offset bound comes from the SAME pointer
+    read as the cells — a torn view (cells newer than HWM or vice
+    versa) is impossible by construction."""
+    _gen, _txns, hwm = _read_pointer(store)
+    cells = read_store_cells(spark, store)
+    tail_cells = cell_fn(_tail_scan(spark, log_dir, hwm))
+    merged = (
+        tail_cells if cells is None else cells.unionByName(tail_cells)
+    ).groupBy(*group_cols).agg(*merge_exprs)
+    return finish_fn(merged) if finish_fn is not None else merged

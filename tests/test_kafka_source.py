@@ -494,3 +494,151 @@ def test_partition_discovery_failure_raises(spark):
     src = KafkaEventSource(bootstrap_servers="unreachable:9092")
     with pytest.raises(PartitionDiscoveryError, match="partitions"):
         src._discover_partitions(spark, "web_pageview")
+
+
+# ---------------------------------------------------------------------
+# Confluent wire format (round 10)
+# ---------------------------------------------------------------------
+
+_W_V1 = (
+    '{"type": "record", "name": "m1", "fields": ['
+    '{"name": "uid", "type": "int"}, {"name": "tag", "type": "string"}]}'
+)
+_W_V2 = (
+    '{"type": "record", "name": "m2", "fields": ['
+    '{"name": "user_id", "type": "long"},'
+    '{"name": "extra", "type": "double"}]}'
+)
+_READER = (
+    '{"type": "record", "name": "m", "fields": ['
+    '{"name": "user_id", "type": "long", "aliases": ["uid"]},'
+    '{"name": "tag", "type": "string", "default": "none"}]}'
+)
+
+
+def _frame(schema_json, schema_id, rec):
+    from presto_rakam_kafka_spark.sources import avro_codec
+
+    out = bytearray()
+    avro_codec._encode_value(
+        rec, avro_codec.parse_schema(schema_json), out
+    )
+    return avro_codec.wrap_confluent(schema_id, bytes(out))
+
+
+def test_wire_unwrap_roundtrip_and_errors():
+    from presto_rakam_kafka_spark.sources import avro_codec
+
+    frame = avro_codec.wrap_confluent(1234567, b"datum")
+    assert frame[:1] == b"\x00" and len(frame) == 10
+    assert avro_codec.unwrap_confluent(frame) == (1234567, b"datum")
+    with pytest.raises(avro_codec.AvroDecodeError, match="magic"):
+        avro_codec.unwrap_confluent(b"\x01" + frame[1:])
+    with pytest.raises(avro_codec.AvroDecodeError, match="short"):
+        avro_codec.unwrap_confluent(b"\x00\x00\x00")
+
+
+def test_wire_plan_dispatches_per_id_with_resolution():
+    """One decode plan handles interleaved schema versions: v1 needs
+    alias + int→long promotion, v2 needs a reader default + a
+    writer-only skip; an unknown id and a non-record registry entry
+    fail loudly."""
+    from presto_rakam_kafka_spark.sources import avro_codec
+
+    reg = avro_codec.SchemaRegistry({1: _W_V1, 2: _W_V2})
+    decode = avro_codec.compile_wire_read_plan(reg, _READER)
+    assert decode(_frame(_W_V1, 1, {"uid": 7, "tag": "a"})) == {
+        "user_id": 7, "tag": "a"
+    }
+    assert decode(_frame(_W_V2, 2, {"user_id": 9, "extra": 1.5})) == {
+        "user_id": 9, "tag": "none"
+    }
+    with pytest.raises(avro_codec.AvroDecodeError, match="not in registry"):
+        decode(_frame(_W_V1, 3, {"uid": 7, "tag": "a"}))
+    with pytest.raises(avro_codec.AvroSchemaError, match="record"):
+        avro_codec.SchemaRegistry(
+            {1: '{"type": "enum", "name": "e", "symbols": ["A"]}'}
+        )
+
+
+def test_wire_plan_compiles_once_per_id(monkeypatch):
+    """Per-id plan cache: 1000 interleaved records across two ids cost
+    exactly two plan compilations (the per-task amortization that makes
+    the codec viable as a batch decode path)."""
+    from presto_rakam_kafka_spark.sources import avro_codec
+
+    calls = []
+    real = avro_codec._compile_record_plan
+
+    def counting(writer, reader):
+        calls.append(writer["name"])
+        return real(writer, reader)
+
+    monkeypatch.setattr(avro_codec, "_compile_record_plan", counting)
+    reg = avro_codec.SchemaRegistry({1: _W_V1, 2: _W_V2})
+    decode = avro_codec.compile_wire_read_plan(reg, _READER)
+    f1 = _frame(_W_V1, 1, {"uid": 7, "tag": "a"})
+    f2 = _frame(_W_V2, 2, {"user_id": 9, "extra": 1.5})
+    for i in range(500):
+        decode(f1)
+        decode(f2)
+    assert sorted(calls) == ["m1", "m2"]
+
+
+def test_wire_decode_end_to_end_drops_corrupt(spark):
+    """KafkaEventSource(wire_format='confluent'): interleaved versions
+    decode, corrupt frames (unknown id / bad magic / truncated / bare
+    datum without frame) drop under A14, and config errors raise."""
+    from pyspark.sql import types as T
+
+    from presto_rakam_kafka_spark.metastore import SchemaField
+    from presto_rakam_kafka_spark.sources import avro_codec
+    from presto_rakam_kafka_spark.sources.kafka import KafkaEventSource
+    from presto_rakam_kafka_spark.types import FieldType
+
+    good = [
+        (0, _frame(_W_V1, 1, {"uid": 10, "tag": "x"})),
+        (1, _frame(_W_V2, 2, {"user_id": 20, "extra": 0.5})),
+        (2, _frame(_W_V1, 1, {"uid": 30, "tag": "y"})),
+    ]
+    out = bytearray()
+    avro_codec._encode_value(
+        {"uid": 5, "tag": "z"}, avro_codec.parse_schema(_W_V1), out
+    )
+    bad = [
+        (10, avro_codec.wrap_confluent(77, bytes(out))),  # unknown id
+        (11, b"\x09" + _frame(_W_V1, 1, {"uid": 1, "tag": "q"})[1:]),
+        (12, b"\x00\x00\x00"),  # truncated header
+        (13, bytes(out)),  # bare datum, no frame (magic will mismatch)
+    ]
+    raw = spark.createDataFrame(
+        [(None, v, "t_e", 0, off) for off, v in good + bad],
+        T.StructType([
+            T.StructField("key", T.BinaryType()),
+            T.StructField("value", T.BinaryType()),
+            T.StructField("topic", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+        ]),
+    )
+    fields = [
+        SchemaField("user_id", FieldType.LONG, aliases=("uid",)),
+        SchemaField("tag", FieldType.STRING),
+    ]
+    src = KafkaEventSource(
+        bootstrap_servers="none:9092",
+        value_format="avro",
+        wire_format="confluent",
+        schema_registry={1: _W_V1, 2: _W_V2},
+    )
+    rows = src._decode(spark, raw, "p", "c", fields).collect()
+    # v2 lacks `tag` → the (nullable) reader default; corrupt frames gone
+    assert sorted((r["_offset"], r["user_id"], r["tag"]) for r in rows) == [
+        (0, 10, "x"), (1, 20, None), (2, 30, "y"),
+    ]
+
+    with pytest.raises(ValueError, match="schema_registry"):
+        KafkaEventSource(
+            bootstrap_servers="none:9092", value_format="avro",
+            wire_format="confluent",
+        )._decode(spark, raw, "p", "c", fields)

@@ -1,0 +1,295 @@
+"""Rollup + live-tail serving (streaming/serving.py, round 10).
+
+The serving contract: finish(merge(stored cells ∪ cells(tail beyond the
+committed HWM))) is EXACT over the full log, the tail scan plans splits
+only for uncovered segments (offset pushdown), maintenance rewrites only
+touched day buckets (manifest carry for the rest), and the (cells, HWM,
+txn) commit is atomic — a crash mid-maintenance serves the old
+generation, never a torn view.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from presto_rakam_kafka_spark.streaming.serving import (
+    _read_manifest,
+    _read_pointer,
+    maintain_rollup,
+    read_store_cells,
+    run_rollup_maintenance,
+    serve_rollup_tail,
+)
+
+GROUP = ["day", "event_type"]
+
+
+def _cells(df_raw):
+    v = F.from_json(
+        F.col("value").cast("string"), "event_type STRING, value DOUBLE"
+    )
+    rows = df_raw.select(
+        F.date_format("timestamp", "yyyy-MM-dd").alias("day"), v.alias("r")
+    ).select("day", "r.event_type", "r.value")
+    return rows.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+    )
+
+
+def _merge():
+    return [F.sum("n").alias("n"), F.sum("s").alias("s")]
+
+
+def _finish(cells):
+    return cells.select("day", "event_type", "n", F.round("s", 2).alias("s"))
+
+
+def _write_log(spark, sf_dir, path, lo=0, hi=None, segment_rows=150):
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.sources.kafka_datasource import write_segments
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") >= lo)
+    if hi is not None:
+        ev = ev.filter(F.col("event_id") < hi)
+    raw = ev.select(
+        F.col("event_id").alias("offset"),
+        F.lit(None).cast("binary").alias("key"),
+        F.to_json(F.struct("event_type", "value")).cast("binary").alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    write_segments(raw, path, num_partitions=3, segment_rows=segment_rows)
+
+
+def _expected(spark, sf_dir, hi=None):
+    from presto_rakam_kafka_spark.fixtures import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    if hi is not None:
+        ev = ev.filter(F.col("event_id") < hi)
+    return {
+        (r["day"], r["event_type"]): (r["n"], r["s"])
+        for r in ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+
+
+def _got(df):
+    return {
+        (r["day"], r["event_type"]): (r["n"], r["s"]) for r in df.collect()
+    }
+
+
+def test_serve_equals_full_scan(spark, sf_dir, tmp_path):
+    """Maintained cells + live tail == plain aggregation of the whole
+    log; a FRESH store (nothing maintained) degrades to exactly the
+    full scan the reference does."""
+    log = str(tmp_path / "log")
+    _write_log(spark, sf_dir, log, hi=600)
+    store = str(tmp_path / "store")
+
+    fresh = serve_rollup_tail(
+        spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+    )
+    assert _got(fresh) == _expected(spark, sf_dir, hi=600)
+
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=300)
+    served = serve_rollup_tail(
+        spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+    )
+    assert _got(served) == _expected(spark, sf_dir, hi=600)
+    # the store really covers only the maintained prefix
+    _gen, _txns, hwm = _read_pointer(store)
+    assert set(hwm.values()) == {300}
+    stored = _finish(read_store_cells(spark, store))
+    assert _got(stored) == _expected(spark, sf_dir, hi=300)
+
+
+def test_tail_scan_plans_only_uncovered_segments(spark, sf_dir, tmp_path):
+    """The serve-time tail scan launches exactly the splits whose
+    segments reach past the HWM — covered segments are pruned at PLAN
+    time (pushFilters), not filtered after a read."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        _enumerate_segments,
+    )
+
+    log = str(tmp_path / "log")
+    _write_log(spark, sf_dir, log, hi=900, segment_rows=100)
+    store = str(tmp_path / "store")
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=600)
+
+    segs = _enumerate_segments(log)
+    n_total = sum(len(s) for s in segs.values())
+    n_tail = sum(
+        1 for ss in segs.values() for (_f, _lo, hi, _n) in ss if hi > 600
+    )
+    assert 0 < n_tail < n_total / 2
+
+    sc = spark.sparkContext
+    sc.setJobGroup("serve_tail_probe", "serve_tail_probe")
+    try:
+        serve_rollup_tail(
+            spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+        ).collect()
+    finally:
+        sc.setJobGroup(None, None)
+    st = sc.statusTracker()
+    task_counts = set()
+    for j in st.getJobIdsForGroup("serve_tail_probe"):
+        info = st.getJobInfo(j)
+        if info is None:
+            continue
+        for s in info.stageIds:
+            si = st.getStageInfo(s)
+            if si:
+                task_counts.add(si.numTasks)
+    assert n_tail in task_counts, (n_tail, task_counts)
+    assert n_total not in task_counts, (n_total, task_counts)
+
+
+def test_incremental_maintenance_carries_untouched_days(spark, sf_dir, tmp_path):
+    """Second maintenance tick folds ONLY the new tail: day buckets the
+    tail didn't touch carry by manifest reference into the new
+    generation (no rewrite), and the merged cells equal a one-shot
+    fold of the full log."""
+    log = str(tmp_path / "log")
+    _write_log(spark, sf_dir, log)  # the full events table
+    store = str(tmp_path / "store")
+
+    # events are time-ordered by offset, so a low cut covers only the
+    # earliest days; the follow-up covers the rest
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=120)
+    gen1, txns1, _ = _read_pointer(store)
+    man1 = _read_manifest(store, gen1)
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge())
+    gen2, txns2, hwm2 = _read_pointer(store)
+    assert gen2 != gen1
+    man2 = _read_manifest(store, gen2)
+
+    tail_days = {
+        r["day"]
+        for r in spark.read.parquet(log + "/partition=*")
+        .filter(F.col("offset") >= 120)
+        .select(F.date_format("timestamp", "yyyy-MM-dd").alias("day"))
+        .distinct()
+        .collect()
+    }
+    untouched = set(man1) - tail_days
+    assert untouched, "fixture must leave at least one untouched day"
+    for d in untouched:
+        assert man2[d] == man1[d]  # carried by reference, same files
+        assert all(f.startswith(gen1) for f in man2[d])
+    for d in tail_days & set(man2):
+        assert all(f.startswith(gen2) for f in man2[d])
+
+    # merged cells == one-shot fold over the whole log
+    one_shot = str(tmp_path / "oneshot")
+    maintain_rollup(spark, log, one_shot, _cells, GROUP, _merge())
+    assert _got(_finish(read_store_cells(spark, store))) == _got(
+        _finish(read_store_cells(spark, one_shot))
+    )
+    # serve on a fully-maintained store reads an empty tail
+    served = serve_rollup_tail(
+        spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+    )
+    assert _got(served) == _expected(spark, sf_dir)
+
+
+def test_re_maintenance_is_metadata_noop(spark, sf_dir, tmp_path):
+    """Nothing new in the log → no generation written, pointer
+    untouched (the idle dashboard tick costs metadata only)."""
+    log = str(tmp_path / "log")
+    _write_log(spark, sf_dir, log, hi=300)
+    store = str(tmp_path / "store")
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge())
+    gen1, txns1, hwm1 = _read_pointer(store)
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge())
+    gen2, txns2, hwm2 = _read_pointer(store)
+    assert (gen1, txns1, hwm1) == (gen2, txns2, hwm2)
+
+
+def test_hwm_never_regresses(spark, sf_dir, tmp_path):
+    """A maintenance call with an up_to BELOW the committed HWM must
+    not un-cover cells (coverage is monotone)."""
+    log = str(tmp_path / "log")
+    _write_log(spark, sf_dir, log, hi=400)
+    store = str(tmp_path / "store")
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=300)
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=100)
+    _gen, _txns, hwm = _read_pointer(store)
+    assert set(hwm.values()) == {300}
+    served = serve_rollup_tail(
+        spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+    )
+    assert _got(served) == _expected(spark, sf_dir, hi=400)
+
+
+def test_crash_mid_maintenance_serves_old_generation(spark, sf_dir, tmp_path):
+    """A maintenance crash AFTER writing a generation but BEFORE the
+    pointer flip leaves the store serving the previous (consistent)
+    cells+HWM pair — the stray directory is invisible."""
+    log = str(tmp_path / "log")
+    _write_log(spark, sf_dir, log, hi=500)
+    store = str(tmp_path / "store")
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=250)
+    gen1, txns1, hwm1 = _read_pointer(store)
+    before = _got(
+        serve_rollup_tail(
+            spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+        )
+    )
+    # simulate the crash: stray half-written generation, no flip
+    stray = os.path.join(store, "gen-0000000099")
+    os.makedirs(os.path.join(stray, "_day=1999-01-01"))
+    with open(os.path.join(stray, "_MANIFEST.json"), "w") as fh:
+        json.dump({"days": {}}, fh)
+    assert _read_pointer(store)[0] == gen1
+    after = _got(
+        serve_rollup_tail(
+            spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+        )
+    )
+    assert after == before == _expected(spark, sf_dir, hi=500)
+
+
+def test_streaming_maintenance_multi_epoch(spark, sf_dir, tmp_path):
+    """The streaming fold drains in multiple bounded epochs (restart
+    per AvailableNow trigger), commits exactly-once, and leaves a
+    store whose cells equal the one-shot batch fold; the post-drain
+    serve reads an empty tail."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        KafkaSegmentDataSource,
+    )
+
+    log = str(tmp_path / "log")
+    _write_log(spark, sf_dir, log, hi=600, segment_rows=100)
+    store = str(tmp_path / "store")
+    spark.dataSource.register(KafkaSegmentDataSource)
+    stream_raw = (
+        spark.readStream.format("kafka_segments")
+        .option("path", log)
+        .option("maxRowsPerBatch", 150)
+        .load()
+    )
+    run_rollup_maintenance(
+        stream_raw, store, _cells, GROUP, _merge(), name="t_serve_stream"
+    )
+    gen, txns, hwm = _read_pointer(store)
+    assert txns["stream"] >= 3  # 600 rows / 150-row cap → ≥4 epochs
+    one_shot = str(tmp_path / "oneshot")
+    maintain_rollup(spark, log, one_shot, _cells, GROUP, _merge())
+    assert _got(_finish(read_store_cells(spark, store))) == _got(
+        _finish(read_store_cells(spark, one_shot))
+    )
+    _g2, _t2, hwm_b = _read_pointer(one_shot)
+    assert hwm == hwm_b  # coverage from batch offsets == log ends
+    served = serve_rollup_tail(
+        spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+    )
+    assert _got(served) == _expected(spark, sf_dir, hi=600)
