@@ -1,0 +1,230 @@
+"""Embedding post-processing: per-dimension statistics, variance-based
+whitening, distributed covariance/PCA, matryoshka truncation.
+
+Training-data pipelines don't just SEARCH embeddings (operators/
+similarity.py) — they also re-shape them: center/scale features before
+clustering or dedup, compress dimensions before indexing (PCA, the
+classical step before IVF-PQ trains well), and truncate
+matryoshka-trained embeddings to a cheaper prefix. The reference engine
+has no vector surface at all (its values are Avro scalars,
+``KafkaConnectorPageSource.java``); this module is north-star territory
+shaped by public practice (PCA whitening for retrieval embeddings,
+Jégou et al.'s PQ preprocessing; matryoshka representation learning).
+
+Scale shapes, explicitly:
+
+* :func:`dim_stats` — ``posexplode`` + groupBy(dim). The explode is a
+  64× row blowup, but it feeds a PARTIAL aggregate: each map task
+  combines to ≤dim rows before the exchange, so the shuffle is
+  (tasks × dim) rows regardless of input size. All JVM codegen.
+* :func:`covariance_matrix` — per-batch numpy Gram partials
+  (X^T X, ΣX, n) inside Arrow ``mapInPandas``, combined on the driver
+  (dim² doubles — KB-scale). One data pass, one GEMM per batch, no
+  shuffle at all; the right shape when dim² work per row would drown
+  the explode path (dim ≥ a few hundred).
+* :func:`whiten_topvar` — stats are a dim-sized driver fit (a bounded
+  collect), the projection is a literal-folded JVM expression: no UDF
+  in the per-row path.
+* :func:`pca_project` — numpy matmul per Arrow batch against a
+  broadcast (k × dim) component matrix; expression-tree projection
+  would be k·dim codegen terms, which stops being reasonable past
+  ~10³ — the Pandas path is the scale path, vectorized end-to-end.
+* :func:`matryoshka` — slice + renormalize, pure JVM
+  (``slice``/``aggregate``/``transform``), shuffle-free.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dim_stats(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Per-dimension (dim, n, mu, var) — sample variance, matching
+    ``var_samp``. Output is dim rows: the fit every whitening/scaling
+    step starts from."""
+    flat = df.select(F.posexplode(F.col(col)).alias("dim", "x"))
+    return flat.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mu"),
+        F.var_samp("x").alias("var"),
+    )
+
+
+def top_variance_dims(df: DataFrame, k: int, col: str = "embedding"):
+    """The k highest-variance dimensions with their (mu, std) —
+    deterministic under ties (dim index breaks them). A dim-sized
+    driver fit: the collect is bounded by the embedding width, never
+    by the row count."""
+    stats = (
+        dim_stats(df, col)
+        .orderBy(F.col("var").desc(), F.col("dim"))
+        .limit(k)
+        .collect()
+    )
+    return [
+        (int(r["dim"]), float(r["mu"]), math.sqrt(float(r["var"])))
+        for r in stats
+    ]
+
+
+def whiten_topvar(
+    df: DataFrame,
+    k: int,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    fit_df: DataFrame | None = None,
+) -> DataFrame:
+    """Diagonal whitening on the k highest-variance dims: output is
+    LONG form (id, dim, z) with z = (x[dim] − mu)/std. The fit is the
+    bounded driver collect above; the transform is literal-folded
+    ``getItem`` arithmetic — whole-stage codegen, no UDF, no shuffle.
+    ``fit_df`` fits the statistics on a different frame than the one
+    being transformed (fit on the corpus, transform a probe slice —
+    fitting on the slice would be train/serve skew)."""
+    fit = top_variance_dims(fit_df if fit_df is not None else df, k, col)
+    legs = [
+        F.struct(
+            F.lit(d).alias("dim"),
+            ((F.col(col).getItem(d) - F.lit(mu)) / F.lit(std)).alias("z"),
+        )
+        for d, mu, std in fit
+    ]
+    return df.select(
+        F.col(id_col), F.explode(F.array(*legs)).alias("s")
+    ).select(id_col, "s.dim", "s.z")
+
+
+def covariance_matrix(df: DataFrame, dim: int, col: str = "embedding"):
+    """Sample covariance (dim × dim numpy array) in ONE shuffle-free
+    pass: each Arrow batch contributes (X^T X, ΣX, n) partials — a
+    GEMM per batch — and the driver folds the per-task partials
+    (tasks × dim² doubles; KB–MB, bounded by cluster size not data).
+    cov = (S − n·μμᵀ)/(n−1), the textbook two-pass-free form."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        S = np.zeros((dim, dim), dtype=np.float64)
+        s = np.zeros(dim, dtype=np.float64)
+        n = 0
+        for pdf in batches:
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[col]],
+                dtype=np.float64,
+            )
+            if X.size == 0:
+                continue
+            S += X.T @ X
+            s += X.sum(axis=0)
+            n += X.shape[0]
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "S": [S.reshape(-1).tolist()]}
+        )
+
+    rows = (
+        df.select(col)
+        .mapInPandas(
+            partials, schema="n LONG, s ARRAY<DOUBLE>, S ARRAY<DOUBLE>"
+        )
+        .collect()
+    )
+    import numpy as np  # noqa: F811 — worker-side import above is separate
+
+    n = sum(r["n"] for r in rows)
+    if n < 2:
+        raise ValueError(f"covariance needs ≥2 rows, got {n}")
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    S = np.sum([np.asarray(r["S"]).reshape(dim, dim) for r in rows], axis=0)
+    mu = s / n
+    return (S - n * np.outer(mu, mu)) / (n - 1), mu, n
+
+
+def pca_components(df: DataFrame, dim: int, k: int, col: str = "embedding"):
+    """Top-k principal components from the distributed covariance: the
+    eigensolve is a driver-side dim×dim ``eigh`` (dim ≤ a few thousand
+    — microseconds next to the data pass). Deterministic sign
+    convention: each component's largest-|coefficient| entry is made
+    positive (eigh's sign is otherwise arbitrary). Returns
+    (components (k × dim), mu, explained_variance (k,))."""
+    import numpy as np
+
+    cov, mu, _n = covariance_matrix(df, dim, col)
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T  # (k, dim)
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return comps, mu, w[order]
+
+
+def pca_project(
+    df: DataFrame,
+    components,
+    mu,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project each embedding onto the (k × dim) components: one numpy
+    matmul per Arrow batch against the closure-captured matrix
+    (broadcast with the serialized task — KBs). Vectorized end-to-end;
+    the expression-tree alternative is k·dim codegen terms, fine at
+    64×8, unreasonable at 1024×256."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(components, dtype=np.float64)
+    m = np.asarray(mu, dtype=np.float64)
+
+    def project(batches):
+        for pdf in batches:
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[col]],
+                dtype=np.float64,
+            )
+            Z = (
+                (X - m) @ C.T
+                if X.size
+                else np.zeros((0, C.shape[0]))
+            )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], out_col: [z.tolist() for z in Z]}
+            )
+
+    return df.select(id_col, col).mapInPandas(
+        project, schema=f"{id_col} LONG, {out_col} ARRAY<DOUBLE>"
+    )
+
+
+def matryoshka(
+    df: DataFrame,
+    prefix: int,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "emb",
+) -> DataFrame:
+    """Truncate to the first ``prefix`` dims and L2-renormalize (the
+    matryoshka-representation serving trick: a trained prefix IS a
+    valid lower-dim embedding after renorm). Pure JVM:
+    slice → aggregate(x²) → transform divide; zero-norm prefixes yield
+    NULL rather than a division blowup."""
+    sliced = F.slice(F.col(col), 1, prefix)
+    nrm = F.sqrt(
+        F.aggregate(
+            sliced,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(
+            nrm > F.lit(0.0),
+            F.transform(sliced, lambda x: x.cast("double") / nrm),
+        ).alias(out_col),
+    )

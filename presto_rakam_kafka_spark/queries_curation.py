@@ -1734,3 +1734,137 @@ def stream_pairs_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(os.path.join(out, "epoch=*"))
+
+
+# ---------------------------------------------------------------------
+# Embedding post-processing (round 10): stats, whitening, covariance,
+# matryoshka truncation — operators/embeddings.py
+# ---------------------------------------------------------------------
+
+
+@query(
+    "embeddings_dim_stats",
+    oracle="""
+    SELECT dim, n, round(mu, 6) AS mu, round(v, 6) AS v
+    FROM (
+      SELECT dim, count(*) AS n, avg(x) AS mu, var_samp(x) AS v
+      FROM (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                   unnest(embedding) AS x
+            FROM embeddings)
+      GROUP BY dim)
+    """,
+)
+def embeddings_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature statistics — the fit step before any
+    whitening/scaling of an embedding column. posexplode feeds a
+    PARTIAL aggregate: each map task combines to ≤dim rows before the
+    exchange, so the shuffle is (tasks × dim) rows however large the
+    table; all JVM codegen (no UDF)."""
+    from presto_rakam_kafka_spark.operators import embeddings as emb_ops
+
+    emb = _t(spark, sf_dir, "embeddings")
+    stats = emb_ops.dim_stats(emb)
+    return stats.select(
+        "dim",
+        "n",
+        F.round("mu", 6).alias("mu"),
+        F.round("var", 6).alias("v"),
+    )
+
+
+@query(
+    "embeddings_whiten_topvar",
+    oracle="""
+    WITH stats AS (
+      SELECT dim, avg(x) AS mu, var_samp(x) AS v
+      FROM (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                   unnest(embedding) AS x
+            FROM embeddings)
+      GROUP BY dim),
+    top AS (SELECT dim, mu, v FROM stats ORDER BY v DESC, dim LIMIT 8)
+    SELECT e.vec_id, t.dim,
+           round((e.embedding[t.dim + 1] - t.mu) / sqrt(t.v), 5) AS z
+    FROM embeddings e CROSS JOIN top t
+    WHERE e.vec_id < 50
+    """,
+)
+def embeddings_whiten_topvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal whitening on the 8 highest-variance dims (deterministic
+    tie-break by dim index): the fit is a dim-sized driver collect (a
+    bounded fit, never data-sized), the transform is literal-folded
+    getItem arithmetic in whole-stage codegen — no UDF in the per-row
+    path. Long-form output keeps the oracle hash array-free."""
+    from presto_rakam_kafka_spark.operators import embeddings as emb_ops
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # fit on the FULL table, transform the probe rows — refitting on
+    # the filtered slice would be train/serve skew
+    z = emb_ops.whiten_topvar(
+        emb.filter(F.col("vec_id") < 50), k=8, fit_df=emb
+    )
+    return z.select("vec_id", "dim", F.round("z", 5).alias("z"))
+
+
+@query(
+    "embeddings_covariance_probe",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS x
+      FROM embeddings)
+    SELECT i.dim AS di, j.dim AS dj, round(covar_samp(i.x, j.x), 6) AS c
+    FROM flat i JOIN flat j USING (vec_id)
+    WHERE i.dim < 8 AND j.dim < 8
+    GROUP BY i.dim, j.dim
+    """,
+)
+def embeddings_covariance_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed covariance pass that PCA trains on, gated on its
+    top-left 8×8 block: per-Arrow-batch numpy Gram partials (X^T X, ΣX,
+    n — one GEMM per batch, no shuffle), folded on the driver into
+    cov = (S − n·μμᵀ)/(n−1). The oracle replays it as pairwise
+    covar_samp over the exploded table — quadratic in dim and only
+    viable at fixture scale, which is exactly why the engine's pass
+    isn't shaped like that."""
+    from presto_rakam_kafka_spark.operators import embeddings as emb_ops
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cov, _mu, _n = emb_ops.covariance_matrix(emb, dim=EMBED_DIM)
+    rows = [
+        (di, dj, round(float(cov[di, dj]), 6))
+        for di in range(8)
+        for dj in range(8)
+    ]
+    return spark.createDataFrame(rows, "di INT, dj INT, c DOUBLE")
+
+
+@query(
+    "embeddings_matryoshka16",
+    oracle="""
+    WITH cut AS (
+      -- x is FLOAT; square in DOUBLE like the engine does, or the
+      -- norm drifts at the 6th decimal
+      SELECT vec_id, embedding[1:16] AS p,
+             sqrt(list_sum(list_transform(embedding[1:16],
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings WHERE vec_id < 40)
+    SELECT vec_id, generate_subscripts(p, 1) - 1 AS dim,
+           round(CAST(unnest(p) AS DOUBLE) / nrm, 6) AS val
+    FROM cut WHERE nrm > 0
+    """,
+)
+def embeddings_matryoshka16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation: the first 16 dims, L2-renormalized — a
+    trained prefix IS a valid lower-dim embedding after renorm (the
+    MRL serving trick; cheap ANN tiers use the prefix, full-dim
+    refines). Pure JVM slice → aggregate(x²) → transform divide,
+    shuffle-free; long-form output for the hash."""
+    from presto_rakam_kafka_spark.operators import embeddings as emb_ops
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    cut = emb_ops.matryoshka(emb, prefix=16)
+    return (
+        cut.filter(F.col("emb").isNotNull())
+        .select("vec_id", F.posexplode("emb").alias("dim", "val"))
+        .select("vec_id", "dim", F.round("val", 6).alias("val"))
+    )

@@ -1,0 +1,117 @@
+"""operators/embeddings.py — the parts the DuckDB gate can't replay
+(eigensolves) plus plan-shape assertions for the parts it can.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from presto_rakam_kafka_spark.fixtures import read_table
+from presto_rakam_kafka_spark.operators import embeddings as E
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def X(emb):
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    return np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+
+
+def test_covariance_matches_numpy(emb, X):
+    cov, mu, n = E.covariance_matrix(emb, dim=DIM)
+    assert n == X.shape[0]
+    np.testing.assert_allclose(mu, X.mean(axis=0), atol=1e-12)
+    np.testing.assert_allclose(cov, np.cov(X, rowvar=False), atol=1e-10)
+
+
+def test_pca_components_orthonormal_deterministic(emb, X):
+    comps, mu, ev = E.pca_components(emb, dim=DIM, k=8)
+    assert comps.shape == (8, DIM)
+    # orthonormal rows
+    np.testing.assert_allclose(comps @ comps.T, np.eye(8), atol=1e-10)
+    # explained variance sorted descending and positive
+    assert all(ev[i] >= ev[i + 1] for i in range(7)) and ev[-1] > 0
+    # sign convention: largest-|coef| entry positive → re-run identical
+    comps2, _mu2, _ev2 = E.pca_components(emb, dim=DIM, k=8)
+    np.testing.assert_allclose(comps, comps2, atol=0)
+    # matches a local eigh of the numpy covariance (up to the same
+    # sign convention, which both sides apply)
+    w, v = np.linalg.eigh(np.cov(X, rowvar=False))
+    order = np.argsort(w)[::-1][:8]
+    ref = v[:, order].T
+    for i in range(8):
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    np.testing.assert_allclose(comps, ref, atol=1e-8)
+    np.testing.assert_allclose(ev, w[order], atol=1e-10)
+
+
+def test_pca_project_matches_numpy(spark, emb, X):
+    comps, mu, _ev = E.pca_components(emb, dim=DIM, k=4)
+    out = (
+        E.pca_project(emb, comps, mu)
+        .orderBy("vec_id")
+        .collect()
+    )
+    Z = np.asarray([r["pca"] for r in out])
+    np.testing.assert_allclose(Z, (X - mu) @ comps.T, atol=1e-10)
+    # projection variance along component k == its eigenvalue
+    _c8, _m8, ev = E.pca_components(emb, dim=DIM, k=4)
+    np.testing.assert_allclose(Z.var(axis=0, ddof=1), ev, rtol=1e-8)
+
+
+def test_whiten_normalizes_fit_frame(emb):
+    """Whitened coordinates of the FIT frame have mean ≈ 0 and sample
+    variance ≈ 1 per chosen dim (the definition of the transform)."""
+    z = E.whiten_topvar(emb, k=4)
+    stats = z.groupBy("dim").agg(
+        F.avg("z").alias("m"), F.var_samp("z").alias("v")
+    ).collect()
+    assert len(stats) == 4
+    for r in stats:
+        assert abs(r["m"]) < 1e-9
+        assert abs(r["v"] - 1.0) < 1e-9
+
+
+def test_whiten_and_matryoshka_stay_jvm_side(emb):
+    """The per-row transforms are codegen projections — no Python UDF
+    node may appear in either plan (the fit collect happens before the
+    plan is built and is dim-bounded)."""
+    for df in (
+        E.whiten_topvar(emb, k=4),
+        E.matryoshka(emb, prefix=16),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "FlatMapsInPandas" not in plan
+
+
+def test_matryoshka_unit_norm_and_prefix(emb, X):
+    out = E.matryoshka(emb, prefix=16).collect()
+    got = {r["vec_id"]: np.asarray(r["emb"]) for r in out if r["emb"]}
+    ids = sorted(got)
+    for i, vid in enumerate(ids[:50]):
+        v = got[vid]
+        assert v.shape == (16,)
+        np.testing.assert_allclose(np.linalg.norm(v), 1.0, atol=1e-9)
+    # direction preserved: renormalized prefix is parallel to the raw one
+    row0 = X[0][:16]
+    np.testing.assert_allclose(
+        got[0], row0 / np.linalg.norm(row0), atol=1e-6
+    )
+
+
+def test_covariance_needs_two_rows(spark, emb):
+    one = emb.limit(1)
+    with pytest.raises(ValueError, match="2 rows"):
+        E.covariance_matrix(one, dim=DIM)
