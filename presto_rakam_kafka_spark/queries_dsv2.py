@@ -1358,3 +1358,117 @@ def catalog_confluent_wire_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("_offset").alias("first_offset"),
         F.max("_offset").alias("last_offset"),
     )
+
+
+def _hll_oracle_serve_distinct() -> str:
+    from presto_rakam_kafka_spark.operators.sketches import (
+        HLL_P,
+        RHO_CAP,
+        _hll_est_literals,
+        _hll_exprs_duckdb,
+    )
+
+    m = 1 << HLL_P
+    reg, rho = _hll_exprs_duckdb("CAST(user_id AS VARCHAR)", m)
+    c_lit, small = _hll_est_literals(m)
+    return f"""
+    WITH probes AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             {reg} AS reg, {rho} AS rho
+      FROM events),
+    cells AS (
+      SELECT day, reg, max(rho) AS m_day FROM probes GROUP BY day, reg),
+    state AS (
+      SELECT day,
+             CAST(sum(1::BIGINT << ({RHO_CAP} - m_day)) AS BIGINT) AS sum_present,
+             count(*) AS regs_used
+      FROM cells GROUP BY day)
+    SELECT day,
+           round(CASE WHEN {c_lit} / (sum_present + ({m} - regs_used) * (1::BIGINT << {RHO_CAP})) <= {small}
+                       AND ({m} - regs_used) > 0
+                      THEN {m}.0 * ln({m}.0 / ({m} - regs_used))
+                      ELSE {c_lit} / (sum_present + ({m} - regs_used) * (1::BIGINT << {RHO_CAP}))
+                 END, 2) AS est,
+           CAST(regs_used AS BIGINT) AS regs_used
+    FROM state
+    """
+
+
+@query("events_serve_rollup_distinct", oracle=_hll_oracle_serve_distinct())
+def events_serve_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT-COUNT serving over the rollup+tail store (round 10):
+    the cells are per-(day, register) HLL max-rho rows — a NON-algebraic
+    aggregate made servable because register-max is associative and
+    commutative, exactly how Druid/Rakam serve distinct users per day
+    without ever re-touching raw events. Maintenance folds the covered
+    log prefix into ≤ days×m register cells; the serve merges stored
+    registers with the live tail's registers and runs the HLL estimator
+    (linear-counting small-range correction included) at read time.
+    The oracle replays register folding and estimation bit-for-bit in
+    DuckDB over the whole events table."""
+    from presto_rakam_kafka_spark.operators.sketches import (
+        HLL_P,
+        RHO_CAP,
+        _hll_est_literals,
+        _hll_exprs_spark,
+    )
+    from presto_rakam_kafka_spark.streaming.serving import (
+        maintain_rollup,
+        serve_rollup_tail,
+    )
+
+    m = 1 << HLL_P
+    reg, rho = _hll_exprs_spark("cast(user_id as string)", m)
+
+    def cell_fn(df_raw: DataFrame) -> DataFrame:
+        v = F.from_json(
+            F.col("value").cast("string"),
+            "event_id LONG, user_id LONG, event_type STRING, value DOUBLE",
+        )
+        rows = df_raw.select(
+            F.date_format("timestamp", "yyyy-MM-dd").alias("day"),
+            v.getField("user_id").alias("user_id"),
+        ).filter(F.col("user_id").isNotNull())
+        return rows.selectExpr("day", f"{reg} as reg", f"{rho} as rho").groupBy(
+            "day", "reg"
+        ).agg(F.max("rho").alias("m_day"))
+
+    merge_exprs = [F.max("m_day").alias("m_day")]
+
+    def finish(cells: DataFrame) -> DataFrame:
+        c_lit, small = _hll_est_literals(m)
+        state = cells.groupBy("day").agg(
+            F.sum(
+                F.expr(f"shiftleft(cast(1 as bigint), {RHO_CAP} - m_day)")
+            ).alias("sum_present"),
+            F.count(F.lit(1)).alias("regs_used"),
+        )
+        est_raw = F.expr(
+            f"{c_lit} / (sum_present + ({m} - regs_used) * "
+            f"shiftleft(cast(1 as bigint), {RHO_CAP}))"
+        )
+        zeros = F.lit(m) - F.col("regs_used")
+        est = F.when(
+            (est_raw <= F.lit(small)) & (zeros > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+        ).otherwise(est_raw)
+        return state.select(
+            "day",
+            F.round(est, 2).alias("est"),
+            F.col("regs_used").cast("long").alias("regs_used"),
+        )
+
+    log_dir = _segment_log_dir(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    store = os.path.join(
+        tempfile.gettempdir(), f"serve_hll_store_{tag}_p{os.getpid()}x"
+    )
+    if not os.path.exists(os.path.join(store, "_CURRENT")):
+        maintain_rollup(
+            spark, log_dir, store, cell_fn, ["day", "reg"], merge_exprs,
+            day_col="day", up_to=2000,
+        )
+    return serve_rollup_tail(
+        spark, log_dir, store, cell_fn, ["day", "reg"], merge_exprs,
+        finish_fn=finish,
+    )
