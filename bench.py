@@ -181,6 +181,20 @@ HEADLINE = [
     # every brute-force counterpart); the benched form is the indexed
     # miner below (round 10 — hard leg via the IVF-PQ probe).
     "pairs_contrastive_indexed",
+    # round 10: rollup+tail serving (store maintenance is the
+    # ingest-time job and is pre-staged in warmup — cold times the
+    # SERVE: stored cells + pushdown-pruned tail), the Confluent-framed
+    # catalog scan, and the embedding post-processing passes.
+    # stream_serve_rollup / avro_confluent_wire_roundtrip stay
+    # gate-only (stream-replay / python-encode fixture overhead is not
+    # a batch scale path).
+    "events_serve_rollup_tail",
+    "events_serve_rollup_distinct",
+    "catalog_confluent_wire_agg",
+    "embeddings_dim_stats",
+    "embeddings_whiten_topvar",
+    "embeddings_covariance_probe",
+    "embeddings_matryoshka16",
 ]
 
 #: Indexed-ANN queries whose cost is two phases with different lifecycles:
@@ -344,6 +358,15 @@ def main() -> None:
     # update_key_blooms per trigger); the point-read queries should time
     # the READ, not the one-time fixture construction
     _qd._keyed_log_dir(spark, SF_DIR)
+    # the Confluent-framed log and the serving stores follow the same
+    # rule: fixture/ingest construction happens at warmup (maintenance
+    # is the ingest-time job — the streaming fold owns it in
+    # production); the benched serve queries time cells + live tail.
+    # The query calls below run maintenance eagerly but leave the
+    # serve DataFrame lazy (nothing is collected here).
+    _qd._wire_segment_log_dir(spark, SF_DIR)
+    _qd.events_serve_rollup_tail(spark, SF_DIR)
+    _qd.events_serve_rollup_distinct(spark, SF_DIR)
     # Warm the Python DataSource worker path too (separate worker kind
     # from the Arrow pool below): one tiny kafka_segments scan pays the
     # planner/worker spin-up that a long-lived cluster pays once.

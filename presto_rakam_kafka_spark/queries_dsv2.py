@@ -1116,13 +1116,16 @@ def events_serve_rollup_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     finish(merge(cells ∪ cells(tail beyond HWM))) — the tail scan's
     ``offset >= hwm`` bound reaches ``pushFilters``, so covered
     segments never plan splits (plan-asserted in
-    ``tests/test_serving.py``). Here maintenance covers offsets
-    < 2000 and serving folds the remaining ~80% of the log live; the
-    result must equal plain SQL over the whole events table."""
+    ``tests/test_serving.py``). Here maintenance covers 80% of the
+    log (proportional at every sf) and serving folds the remaining
+    20% live; the result must equal plain SQL over the whole events
+    table."""
     from presto_rakam_kafka_spark.streaming.serving import (
         maintain_rollup,
         serve_rollup_tail,
     )
+
+    from presto_rakam_kafka_spark.streaming.serving import _log_end_offsets
 
     log_dir = _segment_log_dir(spark, sf_dir)
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
@@ -1130,9 +1133,13 @@ def events_serve_rollup_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"serve_store_{tag}_p{os.getpid()}x"
     )
     if not os.path.exists(os.path.join(store, "_CURRENT")):
+        # cover 80% of the log whatever the sf — the serve then folds a
+        # REAL minority tail (a fixed cut would be 2% coverage at sf0.1
+        # and the serve would degrade to a near-full scan)
+        cut = int(0.8 * max(_log_end_offsets(log_dir).values()))
         maintain_rollup(
             spark, log_dir, store, _serve_cell_fn, _SERVE_GROUP,
-            _serve_merge_exprs(), day_col="day", up_to=2000,
+            _serve_merge_exprs(), day_col="day", up_to=cut,
         )
     return serve_rollup_tail(
         spark, log_dir, store, _serve_cell_fn, _SERVE_GROUP,
@@ -1458,15 +1465,18 @@ def events_serve_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("regs_used").cast("long").alias("regs_used"),
         )
 
+    from presto_rakam_kafka_spark.streaming.serving import _log_end_offsets
+
     log_dir = _segment_log_dir(spark, sf_dir)
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     store = os.path.join(
         tempfile.gettempdir(), f"serve_hll_store_{tag}_p{os.getpid()}x"
     )
     if not os.path.exists(os.path.join(store, "_CURRENT")):
+        cut = int(0.8 * max(_log_end_offsets(log_dir).values()))
         maintain_rollup(
             spark, log_dir, store, cell_fn, ["day", "reg"], merge_exprs,
-            day_col="day", up_to=2000,
+            day_col="day", up_to=cut,
         )
     return serve_rollup_tail(
         spark, log_dir, store, cell_fn, ["day", "reg"], merge_exprs,

@@ -223,7 +223,13 @@ def _fold_cells(
     prev_days: dict[str, list[str]] = (
         _read_manifest(store, gen_prev) if gen_prev is not None else {}
     )
-    gen = f"gen-{int(epoch):010d}"
+    # Generation names are a STORE-level sequence (previous + 1), not
+    # the app-scoped epoch: a batch top-up and a streaming maintainer
+    # share one store, and epoch numbers collide across app_ids — a
+    # gen named by epoch could overwrite the CURRENT generation.
+    # Replay protection stays with the (app_id, epoch) txn record.
+    seq = 0 if gen_prev is None else int(gen_prev.split("-")[1]) + 1
+    gen = f"gen-{seq:010d}"
     gdir = os.path.join(store, gen)
     days: dict[str, list[str]] = {
         d: fs for d, fs in prev_days.items() if d not in touched

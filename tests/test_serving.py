@@ -293,3 +293,27 @@ def test_streaming_maintenance_multi_epoch(spark, sf_dir, tmp_path):
         spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
     )
     assert _got(served) == _expected(spark, sf_dir, hi=600)
+
+
+def test_mixed_app_ids_share_one_store(spark, sf_dir, tmp_path):
+    """A batch top-up and a second maintainer (different app_id, its
+    own epoch numbering restarting at 0) share the store: generation
+    names are a store-level sequence, so the second app's epoch-0
+    commit must not overwrite the first app's current generation."""
+    log = str(tmp_path / "log")
+    _write_log(spark, sf_dir, log, hi=400)
+    store = str(tmp_path / "store")
+    maintain_rollup(
+        spark, log, store, _cells, GROUP, _merge(), up_to=200, app_id="a"
+    )
+    gen1, txns1, _ = _read_pointer(store)
+    maintain_rollup(
+        spark, log, store, _cells, GROUP, _merge(), app_id="b"
+    )
+    gen2, txns2, hwm2 = _read_pointer(store)
+    assert gen2 > gen1  # sequence advanced, nothing clobbered
+    assert txns2 == {"a": 0, "b": 0}  # per-app replay records coexist
+    served = serve_rollup_tail(
+        spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+    )
+    assert _got(served) == _expected(spark, sf_dir, hi=400)
