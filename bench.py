@@ -195,6 +195,8 @@ HEADLINE = [
     "embeddings_whiten_topvar",
     "embeddings_covariance_probe",
     "embeddings_matryoshka16",
+    "events_serve_rollup_quantiles",
+    "sql_over_serving_view",
 ]
 
 #: Indexed-ANN queries whose cost is two phases with different lifecycles:
@@ -367,6 +369,7 @@ def main() -> None:
     _qd._wire_segment_log_dir(spark, SF_DIR)
     _qd.events_serve_rollup_tail(spark, SF_DIR)
     _qd.events_serve_rollup_distinct(spark, SF_DIR)
+    _qd.events_serve_rollup_quantiles(spark, SF_DIR)
     # Warm the Python DataSource worker path too (separate worker kind
     # from the Arrow pool below): one tiny kafka_segments scan pays the
     # planner/worker spin-up that a long-lived cluster pays once.

@@ -610,7 +610,7 @@ LOG_QUANTILE_SCALE_DIGITS = 6
 
 def value_histogram_log(
     df: DataFrame,
-    group_col: str = "event_type",
+    group_col: str | list = "event_type",
     value_col: str = "value",
     sub_bins: int = LOG_QUANTILE_SUB_BINS,
     scale_digits: int = LOG_QUANTILE_SCALE_DIGITS,
@@ -673,7 +673,15 @@ def value_histogram_log(
                 + F.expr(f"((_t div _p10eh) * {S}) div (_p10e div _p10eh)")
             ),
         )
-        .groupBy(F.col(group_col), "bin")
+        .groupBy(
+            *[
+                F.col(c)
+                for c in (
+                    [group_col] if isinstance(group_col, str) else group_col
+                )
+            ],
+            "bin",
+        )
         .agg(F.count(F.lit(1)).alias("n"))
     )
 

@@ -1482,3 +1482,110 @@ def events_serve_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, log_dir, store, cell_fn, ["day", "reg"], merge_exprs,
         finish_fn=finish,
     )
+
+
+@query(
+    "events_serve_rollup_quantiles",
+    oracle=None,  # set below — reuses the sketch module's oracle builder
+)
+def events_serve_rollup_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE serving over the rollup+tail store: the cells are the
+    log-scale histogram sketch's (day, event_type, bin) counts — the
+    third mergeable aggregate family through the same store (algebraic
+    sums, HLL registers, and now histogram bins; counts merge by
+    addition, so maintenance folds and the serve-time day-merge are
+    exact). The finish sums bins across days and runs the
+    deterministic quantile estimate (p50/p90/p99, relative error
+    ≤ 1/16) — a continuously-maintained p99 dashboard that never
+    rescans covered segments. The oracle is the UNCHANGED log-sketch
+    replay over the whole events table: serving merged over days must
+    equal the direct histogram bit-for-bit."""
+    from presto_rakam_kafka_spark.operators import sketches
+    from presto_rakam_kafka_spark.streaming.serving import (
+        _log_end_offsets,
+        maintain_rollup,
+        serve_rollup_tail,
+    )
+
+    def cell_fn(df_raw: DataFrame) -> DataFrame:
+        v = F.from_json(
+            F.col("value").cast("string"),
+            "event_id LONG, user_id LONG, event_type STRING, value DOUBLE",
+        )
+        rows = df_raw.select(
+            F.date_format("timestamp", "yyyy-MM-dd").alias("day"),
+            v.getField("event_type").alias("event_type"),
+            v.getField("value").alias("value"),
+        ).filter(F.col("event_type").isNotNull())
+        return sketches.value_histogram_log(
+            rows, group_col=["day", "event_type"]
+        )
+
+    merge_exprs = [F.sum("n").alias("n")]
+
+    def finish(cells: DataFrame) -> DataFrame:
+        hist = cells.groupBy("event_type", "bin").agg(
+            F.sum("n").alias("n")
+        )
+        return sketches.quantiles_from_histogram_log(hist)
+
+    log_dir = _segment_log_dir(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    store = os.path.join(
+        tempfile.gettempdir(), f"serve_q_store_{tag}_p{os.getpid()}x"
+    )
+    if not os.path.exists(os.path.join(store, "_CURRENT")):
+        cut = int(0.8 * max(_log_end_offsets(log_dir).values()))
+        maintain_rollup(
+            spark, log_dir, store, cell_fn,
+            ["day", "event_type", "bin"], merge_exprs,
+            day_col="day", up_to=cut,
+        )
+    return serve_rollup_tail(
+        spark, log_dir, store, cell_fn,
+        ["day", "event_type", "bin"], merge_exprs, finish_fn=finish,
+    )
+
+
+def _set_serve_quantiles_oracle() -> None:
+    from presto_rakam_kafka_spark.operators import sketches
+    from presto_rakam_kafka_spark.queries import ORACLES
+
+    ORACLES["events_serve_rollup_quantiles"] = (
+        sketches.value_quantiles_log_oracle("events")
+    )
+
+
+_set_serve_quantiles_oracle()
+
+
+@query(
+    "sql_over_serving_view",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d'))
+             AS n_days,
+           count(*) AS n_events,
+           max(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS last_day
+    FROM events GROUP BY event_type
+    """,
+)
+def sql_over_serving_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain SQL over the CONTINUOUSLY-MAINTAINED table: the served
+    rollup registers as a temp view and a user's ad-hoc SQL (regroup,
+    distinct days, latest day) runs on top — Rakam's continuous-query
+    product surface: the dashboard queries a table that costs
+    (cells + live tail), not a log rescan, and the SQL layer doesn't
+    know or care. The oracle regroups the raw events directly."""
+    served = events_serve_rollup_tail(spark, sf_dir)
+    served.createOrReplaceTempView("serving_events_daily")
+    return spark.sql(
+        """
+        SELECT event_type,
+               count(1) AS n_days,
+               sum(n_events) AS n_events,
+               max(day) AS last_day
+        FROM serving_events_daily
+        GROUP BY event_type
+        """
+    )
