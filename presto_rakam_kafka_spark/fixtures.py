@@ -130,6 +130,11 @@ STAGING_PREFIXES = (
     "ivfpq_index_", "ivfpq_inc_", "neardup_store_", "neardup_out_",
     "key_lookup_bench_", "cdc_scale_", "cdc_test_", "cdc_gc_", "cdc_tt_",
     "cdc_shard_", "cdc_appid_", "cdc_manifest_", "ck_", "rck_",
+    # round 10: serving stores + their fixture logs, the wire-framed
+    # log, and the serving-bench staging (all minted pid-marked)
+    "serve_store_", "serve_hll_store_", "serve_q_store_",
+    "serve_stream_log_", "serve_stream_store_", "kafka_segments_wire_",
+    "serve_bench_log_", "serve_bench_store_", "rollup_",
 )
 
 #: Spark's own scratch (dead JVMs leave these behind); swept only when

@@ -133,15 +133,31 @@ def read_store_cells(spark: SparkSession, store: str) -> DataFrame | None:
     return spark.read.parquet(*files)
 
 
-def _gc_generations(store: str, keep_gen: str) -> None:
-    """Drop generations no retained manifest references (refcounted,
-    store-relative paths — the `streaming/cdc.py` GC discipline)."""
-    live = {keep_gen}
-    for fs in _read_manifest(store, keep_gen).values():
-        for rel in fs:
-            live.add(rel.split(os.sep, 1)[0])
-    for e in sorted(os.listdir(store)):
-        if e.startswith("gen-") and e not in live and e < keep_gen:
+def _gc_generations(store: str, keep_gen: str, grace: int = 1) -> None:
+    """Drop generations that no retained manifest references
+    (refcounted via store-relative paths — the `streaming/cdc.py` GC
+    discipline). ``grace`` additionally retains the newest N superseded
+    generations AND everything their manifests reference: a serve that
+    resolved the pointer just before a maintenance commit must still
+    find its files (read-then-delete race), so the previous generation
+    survives one tick before collection."""
+    gens = sorted(
+        e for e in os.listdir(store) if e.startswith("gen-")
+    )
+    superseded = [g for g in gens if g < keep_gen]
+    keep = {keep_gen} | {g for g in gens if g > keep_gen}  # + in-flight
+    keep.update(superseded[-grace:])
+    live = set(keep)
+    for g in sorted(keep):
+        try:
+            man = _read_manifest(store, g)
+        except (FileNotFoundError, KeyError, ValueError):
+            continue
+        for fs in man.values():
+            for rel in fs:
+                live.add(rel.split(os.sep, 1)[0])
+    for e in gens:
+        if e not in live:
             shutil.rmtree(os.path.join(store, e), ignore_errors=True)
 
 

@@ -317,3 +317,28 @@ def test_mixed_app_ids_share_one_store(spark, sf_dir, tmp_path):
         spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
     )
     assert _got(served) == _expected(spark, sf_dir, hi=400)
+
+
+def test_gc_keeps_one_superseded_generation(spark, sf_dir, tmp_path):
+    """A serve that resolved the pointer just before a maintenance
+    commit must still find its generation: GC retains the newest
+    superseded generation for one tick (plus everything any retained
+    manifest references), collecting it only on the NEXT commit."""
+    log = str(tmp_path / "log")
+    _write_log(spark, sf_dir, log, hi=300)
+    store = str(tmp_path / "store")
+    # three ticks inside the same day → every fold rewrites the only
+    # touched day, so superseded generations are NOT carry-referenced
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=10)
+    gen0, _, _ = _read_pointer(store)
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=20)
+    gen1, _, _ = _read_pointer(store)
+    assert os.path.isdir(os.path.join(store, gen0))  # grace: one tick
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=30)
+    gen2, _, _ = _read_pointer(store)
+    assert not os.path.isdir(os.path.join(store, gen0))  # collected
+    assert os.path.isdir(os.path.join(store, gen1))  # new grace holder
+    served = serve_rollup_tail(
+        spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+    )
+    assert _got(served) == _expected(spark, sf_dir, hi=300)
