@@ -414,3 +414,51 @@ def serve_rollup_tail(
         tail_cells if cells is None else cells.unionByName(tail_cells)
     ).groupBy(*group_cols).agg(*merge_exprs)
     return finish_fn(merged) if finish_fn is not None else merged
+
+
+def rebuild_rollup(
+    spark: SparkSession,
+    log_dir: str,
+    store: str,
+    cell_fn,
+    group_cols: list[str],
+    merge_exprs: list,
+    day_col: str = "day",
+    app_id: str = "rebuild",
+) -> dict:
+    """Backfill: re-fold the ENTIRE log into one fresh generation and
+    atomically swap it in — the recovery path when the cell logic
+    changed (new measure, bug fix) or the store is suspect. Ignores
+    existing cells entirely; readers see the old generation until the
+    single pointer flip, then the rebuilt one (no torn view, same
+    guarantee as incremental maintenance). Cost is one full log fold —
+    the same price the reference pays for EVERY query."""
+    os.makedirs(store, exist_ok=True)
+    gen_prev, txns, _hwm = _read_pointer(store)
+    new_hwm = _log_end_offsets(log_dir)
+    cells = cell_fn(_tail_scan(spark, log_dir, {}))
+    merged = cells.groupBy(*group_cols).agg(*merge_exprs)
+    seq = 0 if gen_prev is None else int(gen_prev.split("-")[1]) + 1
+    gen = f"gen-{seq:010d}"
+    gdir = os.path.join(store, gen)
+    touched = [
+        r[day_col]
+        for r in merged.select(day_col).distinct().collect()
+        if r[day_col] is not None
+    ]
+    if touched:
+        (
+            merged.withColumn("_day", F.col(day_col))
+            .repartition(max(1, len(touched)), "_day")
+            .write.mode("overwrite")
+            .partitionBy("_day")
+            .parquet(gdir)
+        )
+    else:
+        os.makedirs(gdir, exist_ok=True)
+    _write_manifest(gdir, {d: _day_files(store, gen, d) for d in touched})
+    txns = dict(txns)
+    txns[app_id] = txns.get(app_id, -1) + 1
+    _flip_pointer(store, gen, txns, new_hwm)
+    _gc_generations(store, gen)
+    return new_hwm

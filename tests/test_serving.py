@@ -342,3 +342,51 @@ def test_gc_keeps_one_superseded_generation(spark, sf_dir, tmp_path):
         spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
     )
     assert _got(served) == _expected(spark, sf_dir, hi=300)
+
+
+def test_rebuild_replaces_suspect_cells(spark, sf_dir, tmp_path):
+    """rebuild_rollup re-folds the whole log into one fresh generation
+    and swaps it in atomically: a corrupted cell store (simulated by
+    doctoring the committed cells) is fully repaired, coverage jumps
+    to the log end, and the serve equals truth again."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from presto_rakam_kafka_spark.streaming.serving import rebuild_rollup
+
+    log = str(tmp_path / "log")
+    _write_log(spark, sf_dir, log, hi=400)
+    store = str(tmp_path / "store")
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=200)
+
+    # doctor one committed cell file (the "bug in cell logic" stand-in)
+    gen, _t, _h = _read_pointer(store)
+    man = _read_manifest(store, gen)
+    victim = os.path.join(store, next(iter(man.values()))[0])
+    pdf = pq.read_table(victim).to_pandas()
+    pdf.loc[0, "n"] = 10_000_000
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), victim)
+    crc = os.path.join(
+        os.path.dirname(victim), "." + os.path.basename(victim) + ".crc"
+    )
+    if os.path.exists(crc):  # Hadoop local-FS checksum sidecar
+        os.remove(crc)
+    broken = serve_rollup_tail(
+        spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+    )
+    assert _got(broken) != _expected(spark, sf_dir, hi=400)
+
+    rebuild_rollup(spark, log, store, _cells, GROUP, _merge())
+    gen2, txns2, hwm2 = _read_pointer(store)
+    from presto_rakam_kafka_spark.streaming.serving import _log_end_offsets
+
+    assert gen2 > gen and txns2["rebuild"] == 0
+    assert hwm2 == _log_end_offsets(log)  # coverage = per-partition ends
+    fixed = serve_rollup_tail(
+        spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+    )
+    assert _got(fixed) == _expected(spark, sf_dir, hi=400)
+    # rebuilt generation is self-contained: no carry references
+    man2 = _read_manifest(store, gen2)
+    assert all(f.startswith(gen2) for fs in man2.values() for f in fs)
