@@ -130,7 +130,9 @@ def read_store_cells(spark: SparkSession, store: str) -> DataFrame | None:
     ]
     if not files:
         return None
-    return spark.read.parquet(*files)
+    # mergeSchema: generations written before a cell-schema migration
+    # lack the new measure columns — merge them in as nullable
+    return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
 def _gc_generations(store: str, keep_gen: str, grace: int = 1) -> None:
@@ -261,7 +263,13 @@ def _fold_cells(
             prev_touched = spark.read.parquet(*carry_files).filter(
                 F.col(day_col).isin(touched)
             )
-            merged = merged.unionByName(prev_touched)
+            # allowMissingColumns: a NEW measure added to cell_fn must
+            # not strand the store — old cells read the column as NULL
+            # (sum-merge treats null as absent; the finish decides how
+            # pre-migration days present)
+            merged = merged.unionByName(
+                prev_touched, allowMissingColumns=True
+            )
         merged = merged.groupBy(*group_cols).agg(*merge_exprs)
         (
             merged.withColumn("_day", F.col(day_col))
@@ -411,7 +419,9 @@ def serve_rollup_tail(
     cells = read_store_cells(spark, store)
     tail_cells = cell_fn(_tail_scan(spark, log_dir, hwm))
     merged = (
-        tail_cells if cells is None else cells.unionByName(tail_cells)
+        tail_cells
+        if cells is None
+        else cells.unionByName(tail_cells, allowMissingColumns=True)
     ).groupBy(*group_cols).agg(*merge_exprs)
     return finish_fn(merged) if finish_fn is not None else merged
 

@@ -390,3 +390,49 @@ def test_rebuild_replaces_suspect_cells(spark, sf_dir, tmp_path):
     # rebuilt generation is self-contained: no carry references
     man2 = _read_manifest(store, gen2)
     assert all(f.startswith(gen2) for fs in man2.values() for f in fs)
+
+
+def test_cell_schema_evolution_adds_measure(spark, sf_dir, tmp_path):
+    """Adding a measure to cell_fn mid-life must not strand the store:
+    old generations read the new column as NULL (mergeSchema), the
+    union is name-matched with missing columns allowed, and counts
+    stay exact across the migration. Pre-migration days present the
+    new measure as NULL — honest, not fabricated."""
+    log = str(tmp_path / "log")
+    _write_log(spark, sf_dir, log, hi=400)
+    store = str(tmp_path / "store")
+
+    def cells_v1(df_raw):  # count only
+        v = F.from_json(F.col("value").cast("string"), "event_type STRING")
+        return (
+            df_raw.select(
+                F.date_format("timestamp", "yyyy-MM-dd").alias("day"),
+                v.getField("event_type").alias("event_type"),
+            )
+            .groupBy("day", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    maintain_rollup(spark, log, store, cells_v1, GROUP,
+                    [F.sum("n").alias("n")], up_to=200)
+
+    # migration: the v2 cells add a sum measure
+    merge_v2 = [F.sum("n").alias("n"), F.sum("s").alias("s")]
+    maintain_rollup(spark, log, store, _cells, GROUP, merge_v2)
+    served = serve_rollup_tail(
+        spark, log, store, _cells, GROUP, merge_v2,
+        finish_fn=lambda c: c.select(
+            "day", "event_type", "n", F.round("s", 2).alias("s")
+        ),
+    )
+    got = _got(served)
+    want = _expected(spark, sf_dir, hi=400)
+    assert set(got) == set(want)
+    for k, (n, s) in want.items():
+        assert got[k][0] == n  # counts exact across the migration
+    # pre-migration-only days carry NULL for the new measure; days
+    # touched after the migration have real sums
+    pre_only = {k for k in got if got[k][1] is None}
+    assert pre_only, "some day cells must predate the migration"
+    post = {k for k in got if got[k][1] is not None}
+    assert post, "some day cells must postdate the migration"
