@@ -918,3 +918,150 @@ def compile_wire_read_plan(registry: "SchemaRegistry", reader_schema: str | dict
         return plan(datum)
 
     return decode_one
+
+
+def compat_issues(
+    writer: str | dict | list, reader: str | dict | list, path: str = "$"
+) -> list[str]:
+    """Why ``reader`` could NOT read data written under ``writer`` —
+    empty list = resolvable. A STATIC walk of the Avro spec's "Schema
+    Resolution" rules (the same rules the decode applies per datum, but
+    checked up front over the whole schema): this is the vetting a
+    schema registry performs before accepting a new version, so an
+    incompatible producer is rejected at REGISTRATION time instead of
+    surfacing as per-record decode drops in every consumer."""
+    w = parse_schema(writer) if isinstance(writer, str) else writer
+    r = parse_schema(reader) if isinstance(reader, str) else reader
+    issues: list[str] = []
+
+    # writer union: ANY branch may have been written → every branch
+    # must be readable
+    if isinstance(w, list):
+        for b in w:
+            issues += compat_issues(b, r, f"{path}<{b.get('type', '?')}>")
+        return issues
+    # reader union, writer concrete: some branch must accept it
+    if isinstance(r, list):
+        if any(not compat_issues(w, b, path) for b in r):
+            return []
+        return [f"{path}: writer {w['type']} matches no reader union branch"]
+
+    wt, rt = w["type"], r["type"]
+    if wt in _PRIMITIVES:
+        if rt not in _PROMOTIONS.get(wt, ()):  # includes exact match
+            return [f"{path}: cannot promote writer {wt} to reader {rt}"]
+        return []
+    if wt == "enum":
+        if rt == "string":
+            return []  # enum-as-string (the engine's VARCHAR read)
+        if rt != "enum":
+            return [f"{path}: writer enum vs reader {rt}"]
+        missing = [s for s in w["symbols"] if s not in r["symbols"]]
+        if missing and "default" not in r:
+            return [
+                f"{path}: writer enum symbols {missing} absent from reader "
+                "and reader has no default symbol"
+            ]
+        return []
+    if wt == "fixed":
+        if rt != "fixed" or w.get("size") != r.get("size"):
+            return [f"{path}: fixed size/type mismatch"]
+        return []
+    if wt == "array":
+        if rt != "array":
+            return [f"{path}: writer array vs reader {rt}"]
+        return compat_issues(w["items"], r["items"], path + "[]")
+    if wt == "map":
+        if rt != "map":
+            return [f"{path}: writer map vs reader {rt}"]
+        return compat_issues(w["values"], r["values"], path + "{}")
+    if wt == "record":
+        if rt != "record":
+            return [f"{path}: writer record vs reader {rt}"]
+        index = _reader_field_index(r)
+        matched: set[str] = set()
+        for wf in w["fields"]:
+            rf = index.get(wf["name"])
+            if rf is None:
+                continue  # writer-only: skipped byte-exactly, always ok
+            matched.add(rf["name"])
+            issues += compat_issues(
+                wf["type"], rf["type"], f"{path}.{rf['name']}"
+            )
+        for rf in r["fields"]:
+            if rf["name"] in matched:
+                continue
+            ft = rf["type"]
+            nullable = isinstance(ft, list) and any(
+                b["type"] == "null" for b in ft
+            )
+            if "default" not in rf and not nullable:
+                issues.append(
+                    f"{path}.{rf['name']}: absent from writer and has no "
+                    "default"
+                )
+        return issues
+    return [f"{path}: unsupported writer type {wt}"]
+
+
+#: Registry compatibility modes (Confluent's public names): which
+#: (writer, reader) directions must resolve when version N+1 arrives.
+#: BACKWARD — new schema READS data written under the prior one(s);
+#: FORWARD — prior reader(s) still read data the new schema writes;
+#: FULL — both; NONE — anything goes. *_TRANSITIVE checks all retained
+#: versions, not just the latest.
+_COMPAT_MODES = {
+    "NONE", "BACKWARD", "FORWARD", "FULL",
+    "BACKWARD_TRANSITIVE", "FORWARD_TRANSITIVE", "FULL_TRANSITIVE",
+}
+
+
+def _registry_add(
+    self: "SchemaRegistry",
+    schema_id: int,
+    schema: str | dict,
+    compatibility: str = "BACKWARD",
+) -> None:
+    """Register a new version AFTER vetting it against the retained
+    ones under ``compatibility`` — raises :class:`AvroSchemaError`
+    listing every violated resolution rule. The check the real
+    registry service runs server-side; here it guards the static
+    snapshot the executors decode with."""
+    mode = compatibility.upper()
+    if mode not in _COMPAT_MODES:
+        raise AvroSchemaError(f"unknown compatibility mode {compatibility!r}")
+    sch = parse_schema(schema)
+    if not (isinstance(sch, dict) and sch.get("type") == "record"):
+        raise AvroSchemaError("registry schema must be a record")
+    if int(schema_id) in self._schemas:
+        raise AvroSchemaError(f"schema id {schema_id} already registered")
+    if mode != "NONE" and self._schemas:
+        transitive = mode.endswith("_TRANSITIVE")
+        base = mode.split("_")[0]
+        against = (
+            sorted(self._schemas)
+            if transitive
+            else [max(self._schemas)]
+        )
+        issues: list[str] = []
+        for vid in against:
+            prev = self._schemas[vid]
+            if base in ("BACKWARD", "FULL"):
+                issues += [
+                    f"BACKWARD vs id {vid}: {m}"
+                    for m in compat_issues(prev, sch)
+                ]
+            if base in ("FORWARD", "FULL"):
+                issues += [
+                    f"FORWARD vs id {vid}: {m}"
+                    for m in compat_issues(sch, prev)
+                ]
+        if issues:
+            raise AvroSchemaError(
+                f"schema id {schema_id} is not {mode}-compatible: "
+                + "; ".join(issues)
+            )
+    self._schemas[int(schema_id)] = sch
+
+
+SchemaRegistry.add = _registry_add

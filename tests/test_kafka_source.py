@@ -642,3 +642,108 @@ def test_wire_decode_end_to_end_drops_corrupt(spark):
             bootstrap_servers="none:9092", value_format="avro",
             wire_format="confluent",
         )._decode(spark, raw, "p", "c", fields)
+
+
+def test_compat_issues_resolution_rules():
+    """Static schema-resolution vetting mirrors what the decode does
+    per datum: promotions and alias matches pass; lost fields without
+    defaults, narrowing promotions, and shrunken enums fail with
+    path-qualified reasons."""
+    from presto_rakam_kafka_spark.sources import avro_codec as A
+
+    v1 = (
+        '{"type": "record", "name": "r", "fields": ['
+        '{"name": "a", "type": "int"},'
+        '{"name": "b", "type": {"type": "enum", "name": "e",'
+        ' "symbols": ["X", "Y"]}},'
+        '{"name": "c", "type": {"type": "array", "items": "int"}}]}'
+    )
+    # widen int->long, enum superset, array items widened: compatible
+    ok = (
+        '{"type": "record", "name": "r", "fields": ['
+        '{"name": "a", "type": "long"},'
+        '{"name": "b", "type": {"type": "enum", "name": "e",'
+        ' "symbols": ["X", "Y", "Z"]}},'
+        '{"name": "c", "type": {"type": "array", "items": "double"}},'
+        '{"name": "d", "type": "string", "default": "dd"}]}'
+    )
+    assert A.compat_issues(v1, ok) == []
+    # narrowing long->int, enum shrunk, new field without default
+    bad = (
+        '{"type": "record", "name": "r", "fields": ['
+        '{"name": "a", "type": "long"},'
+        '{"name": "b", "type": {"type": "enum", "name": "e",'
+        ' "symbols": ["X"]}},'
+        '{"name": "c", "type": {"type": "array", "items": "int"}},'
+        '{"name": "d", "type": "string"}]}'
+    )
+    # v1 reading `bad`'s data: d is writer-only (skipped), enum X ⊂ v1's
+    # symbols, BUT a narrows long→int — exactly one issue, path-named
+    issues = A.compat_issues(bad, v1)
+    assert len(issues) == 1 and "$.a" in issues[0] and "promote" in issues[0]
+    issues2 = A.compat_issues(
+        '{"type": "record", "name": "r", "fields": ['
+        '{"name": "a", "type": "long"}]}',
+        '{"type": "record", "name": "r", "fields": ['
+        '{"name": "a", "type": "int"}]}',
+    )
+    assert issues2 and "promote" in issues2[0]
+    # missing-without-default + shrunken enum, both path-qualified
+    issues3 = A.compat_issues(v1, bad)
+    assert any("$.d" in m and "no" in m for m in issues3)
+    assert any("$.b" in m and "Y" in m for m in issues3)
+
+
+def test_registry_add_enforces_compatibility():
+    from presto_rakam_kafka_spark.sources import avro_codec as A
+
+    v1 = (
+        '{"type": "record", "name": "m", "fields": ['
+        '{"name": "uid", "type": "int"}]}'
+    )
+    reg = A.SchemaRegistry({1: v1})
+    # BACKWARD ok: new version widens + adds defaulted field
+    reg.add(2, (
+        '{"type": "record", "name": "m", "fields": ['
+        '{"name": "uid", "type": "long"},'
+        '{"name": "tag", "type": "string", "default": "none"}]}'
+    ), compatibility="BACKWARD")
+    assert reg.ids() == [1, 2]
+    # BACKWARD violation: required field the old writer never wrote
+    with pytest.raises(A.AvroSchemaError, match="BACKWARD"):
+        reg.add(3, (
+            '{"type": "record", "name": "m", "fields": ['
+            '{"name": "uid", "type": "long"},'
+            '{"name": "req", "type": "string"}]}'
+        ), compatibility="BACKWARD")
+    # FORWARD violation: the OLD readers (id 2) cannot read data
+    # missing their non-defaulted uid? uid has no default in v2 —
+    # dropping uid from the new writer breaks FORWARD
+    with pytest.raises(A.AvroSchemaError, match="FORWARD"):
+        reg.add(3, (
+            '{"type": "record", "name": "m", "fields": ['
+            '{"name": "tag", "type": "string", "default": "none"}]}'
+        ), compatibility="FORWARD")
+    # NONE: anything goes, duplicate ids still rejected
+    reg.add(3, '{"type": "record", "name": "q", "fields": []}',
+            compatibility="NONE")
+    with pytest.raises(A.AvroSchemaError, match="already"):
+        reg.add(3, v1, compatibility="NONE")
+    # TRANSITIVE checks all retained versions, not just the latest:
+    # id 3 (empty record) is the latest; BACKWARD alone passes against
+    # it, BACKWARD_TRANSITIVE must still flag v1's uid narrowing
+    reg2 = A.SchemaRegistry({1: (
+        '{"type": "record", "name": "m", "fields": ['
+        '{"name": "x", "type": "long"}]}'
+    ), 2: '{"type": "record", "name": "m", "fields": []}'})
+    narrowing = (
+        '{"type": "record", "name": "m", "fields": ['
+        '{"name": "x", "type": ["null", "int"], "default": null}]}'
+    )
+    reg2.add(4, narrowing, compatibility="BACKWARD")  # vs id 2 only: ok
+    reg3 = A.SchemaRegistry({1: (
+        '{"type": "record", "name": "m", "fields": ['
+        '{"name": "x", "type": "long"}]}'
+    ), 2: '{"type": "record", "name": "m", "fields": []}'})
+    with pytest.raises(A.AvroSchemaError, match="BACKWARD vs id 1"):
+        reg3.add(4, narrowing, compatibility="BACKWARD_TRANSITIVE")
