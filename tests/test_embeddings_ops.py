@@ -115,3 +115,14 @@ def test_covariance_needs_two_rows(spark, emb):
     one = emb.limit(1)
     with pytest.raises(ValueError, match="2 rows"):
         E.covariance_matrix(one, dim=DIM)
+
+
+def test_dim_stats_partial_aggregates_before_exchange(emb):
+    """The explode's 64× row blowup must be combined map-side: the plan
+    is Generate → partial HashAggregate → Exchange(dim) → final, so
+    the shuffle carries ≤ tasks×dim rows however large the table."""
+    plan = E.dim_stats(emb)._jdf.queryExecution().executedPlan().toString()
+    gen = plan.find("Generate posexplode")
+    partial = plan.find("partial_avg")
+    exch = plan.find("Exchange hashpartitioning(dim")
+    assert gen > partial > exch > 0  # executed bottom-up: printed top-down
