@@ -197,6 +197,7 @@ HEADLINE = [
     "embeddings_matryoshka16",
     "events_serve_rollup_quantiles",
     "sql_over_serving_view",
+    "events_serve_rollup_day",
 ]
 
 #: Indexed-ANN queries whose cost is two phases with different lifecycles:

@@ -1589,3 +1589,50 @@ def sql_over_serving_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         """
     )
+
+
+@query(
+    "events_serve_rollup_day",
+    oracle="""
+    SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE strftime(date_trunc('day', ts), '%Y-%m-%d') = '2024-01-25'
+    GROUP BY event_type
+    """,
+)
+def events_serve_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SINGLE-TILE refresh: one day's rollup at the cost of one
+    manifest day bucket + a doubly-pruned tail — ``offset >= hwm``
+    drops covered segments AND the day's [start, next) timestamp
+    bounds drop tail segments whose footer ts stats miss the day (the
+    offsetsForTimes-analog pruning, both at PLAN time). The dashboard
+    path: refreshing one tile must not scan the other 29 days on
+    either the stored or the live side. Same store as
+    `events_serve_rollup_tail` (80% covered); oracle = that day's
+    slice of the raw table."""
+    from presto_rakam_kafka_spark.streaming.serving import (
+        _log_end_offsets,
+        maintain_rollup,
+        serve_rollup_day,
+    )
+
+    log_dir = _segment_log_dir(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    store = os.path.join(
+        tempfile.gettempdir(), f"serve_store_{tag}_p{os.getpid()}x"
+    )
+    if not os.path.exists(os.path.join(store, "_CURRENT")):
+        cut = int(0.8 * max(_log_end_offsets(log_dir).values()))
+        maintain_rollup(
+            spark, log_dir, store, _serve_cell_fn, _SERVE_GROUP,
+            _serve_merge_exprs(), day_col="day", up_to=cut,
+        )
+    day = serve_rollup_day(
+        spark, log_dir, store, "2024-01-25", _serve_cell_fn,
+        _SERVE_GROUP, _serve_merge_exprs(),
+    )
+    return day.select(
+        "event_type",
+        "n_events",
+        F.round("sum_value_raw", 2).alias("sum_value"),
+    )

@@ -472,3 +472,55 @@ def rebuild_rollup(
     _flip_pointer(store, gen, txns, new_hwm)
     _gc_generations(store, gen)
     return new_hwm
+
+
+def serve_rollup_day(
+    spark: SparkSession,
+    log_dir: str,
+    store: str,
+    day: str,
+    cell_fn,
+    group_cols: list[str],
+    merge_exprs: list,
+    finish_fn=None,
+    day_col: str = "day",
+) -> DataFrame:
+    """Single-tile refresh: the rollup for ONE day at the cost of one
+    manifest day bucket + a doubly-pruned tail. The stored side reads
+    only ``day``'s files (manifest lookup — no scan of other days);
+    the tail side combines BOTH prune axes: ``offset >= hwm`` (covered
+    segments out) AND ``timestamp >= day`` (segments whose footer ts
+    stats end before the day out — the offsetsForTimes-analog pruning
+    of ``KafkaSegmentReader._ts_overlaps``). Day cells are closed by
+    event time, so the residual day filter after the segment prune is
+    exact."""
+    gen, _txns, hwm = _read_pointer(store)
+    stored = None
+    if gen is not None:
+        files = [
+            os.path.join(store, f)
+            for f in _read_manifest(store, gen).get(day, [])
+        ]
+        if files:
+            stored = spark.read.option("mergeSchema", "true").parquet(*files)
+            # a day bucket holds exactly one day, but stay exact if a
+            # caller hand-built a store with coarser buckets
+            stored = stored.filter(F.col(day_col) == day)
+    import datetime as _dt
+
+    nxt = (
+        _dt.date.fromisoformat(day) + _dt.timedelta(days=1)
+    ).isoformat()
+    # both bounds as plain literals so each reaches pushFilters'
+    # footer-ts pruning (an arithmetic expression would not)
+    tail = (
+        _tail_scan(spark, log_dir, hwm)
+        .filter(F.col("timestamp") >= F.to_timestamp(F.lit(day)))
+        .filter(F.col("timestamp") < F.to_timestamp(F.lit(nxt)))
+    )
+    tail_cells = cell_fn(tail).filter(F.col(day_col) == day)
+    merged = (
+        tail_cells if stored is None
+        else stored.unionByName(tail_cells, allowMissingColumns=True)
+    ).groupBy(*group_cols).agg(*merge_exprs)
+    return finish_fn(merged) if finish_fn is not None else merged

@@ -436,3 +436,73 @@ def test_cell_schema_evolution_adds_measure(spark, sf_dir, tmp_path):
     assert pre_only, "some day cells must predate the migration"
     post = {k for k in got if got[k][1] is not None}
     assert post, "some day cells must postdate the migration"
+
+
+def test_day_serve_prunes_both_axes_and_is_exact(spark, sf_dir, tmp_path):
+    """serve_rollup_day reads one manifest day bucket plus a tail
+    pruned on BOTH axes: segments below the HWM are out (offset) and
+    tail segments whose footer ts stats miss the day are out
+    (timestamp) — asserted at the split-planning level; the result is
+    the exact day slice whether the day is fully covered, fully in the
+    tail, or straddling the cut."""
+    import datetime as dt
+
+    from pyspark.sql.datasource import GreaterThanOrEqual as GTE
+    from pyspark.sql.datasource import LessThan as LT
+
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        KafkaSegmentReader,
+    )
+    from presto_rakam_kafka_spark.streaming.serving import serve_rollup_day
+
+    log = str(tmp_path / "log")
+    _write_log(spark, sf_dir, log, segment_rows=100)  # the full table
+    store = str(tmp_path / "store")
+    # cut ≈ 60% → ~Jan 19; events are time-ordered by offset
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=600)
+    _g, _t, hwm = _read_pointer(store)
+
+    def day_slice(day):
+        from presto_rakam_kafka_spark.fixtures import read_table
+
+        ev = read_table(spark, sf_dir, "events").filter(
+            F.date_format("ts", "yyyy-MM-dd") == day
+        )
+        return {
+            (r["day"], r["event_type"]): (r["n"], r["s"])
+            for r in ev.groupBy(
+                F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("s"),
+            )
+            .collect()
+        }
+
+    for day in ("2024-01-05", "2024-01-19", "2024-01-28"):
+        got = _got(
+            serve_rollup_day(
+                spark, log, store, day, _cells, GROUP, _merge(),
+                finish_fn=_finish,
+            )
+        )
+        assert got == day_slice(day), day
+
+    # planning-level: the day-bounded tail plans strictly fewer splits
+    # than the offset-bounded tail, which plans fewer than the full log
+    lo = min(hwm.values())
+    r_full = KafkaSegmentReader({"path": log})
+    r_full.pushFilters([])
+    r_off = KafkaSegmentReader({"path": log})
+    r_off.pushFilters([GTE(("offset",), lo)])
+    r_day = KafkaSegmentReader({"path": log})
+    r_day.pushFilters([
+        GTE(("offset",), lo),
+        GTE(("timestamp",), dt.datetime(2024, 1, 28)),
+        LT(("timestamp",), dt.datetime(2024, 1, 29)),
+    ])
+    n_full = len(r_full.partitions())
+    n_off = len(r_off.partitions())
+    n_day = len(r_day.partitions())
+    assert n_day < n_off < n_full, (n_day, n_off, n_full)
