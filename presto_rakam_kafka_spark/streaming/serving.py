@@ -314,17 +314,24 @@ def maintain_rollup(
         new_hwm[p] = max(hwm.get(p, 0), target)
     if new_hwm == hwm and _gen is not None:
         return hwm
-    cap = max(new_hwm.values()) if up_to is not None else None
-    tail = _tail_scan(spark, log_dir, hwm, up_to=cap)
-    if up_to is not None:
-        # exact per-partition upper bound (the global cap is the
-        # pushdown bound; partitions may cover to different offsets)
-        cond = None
-        for p, h in new_hwm.items():
-            c = (F.col("partition") == int(p)) & (F.col("offset") < int(h))
-            cond = c if cond is None else (cond | c)
-        if cond is not None:
-            tail = tail.filter(cond)
+    # The scan is ALWAYS bounded above by the coverage about to be
+    # committed — never open-ended: a producer appending between the
+    # driver's segment listing and the executor scan would otherwise
+    # have its rows folded NOW but not covered by new_hwm, and the next
+    # tick would fold them again (double count). Global cap for the
+    # pushdown, exact per-partition residual (partitions cover to
+    # different offsets).
+    tail = _tail_scan(
+        spark, log_dir, hwm, up_to=max(new_hwm.values())
+    )
+    cond = None
+    for p, h in new_hwm.items():
+        c = (F.col("partition") == int(p)) & (F.col("offset") < int(h))
+        cond = c if cond is None else (cond | c)
+    if cond is not None:
+        # the OR chain also excludes partitions unseen at listing time
+        # (they match no leg) — their rows fold next tick
+        tail = tail.filter(cond)
     epoch = txns.get(app_id, -1) + 1
     _fold_cells(
         spark, store, cell_fn(tail), new_hwm, epoch, app_id,
@@ -446,7 +453,16 @@ def rebuild_rollup(
     os.makedirs(store, exist_ok=True)
     gen_prev, txns, _hwm = _read_pointer(store)
     new_hwm = _log_end_offsets(log_dir)
-    cells = cell_fn(_tail_scan(spark, log_dir, {}))
+    # bound the scan by the coverage being committed (same
+    # append-during-tick discipline as maintain_rollup)
+    scan = _tail_scan(spark, log_dir, {}, up_to=max(new_hwm.values()))
+    cond = None
+    for p, h in new_hwm.items():
+        c = (F.col("partition") == int(p)) & (F.col("offset") < int(h))
+        cond = c if cond is None else (cond | c)
+    if cond is not None:
+        scan = scan.filter(cond)
+    cells = cell_fn(scan)
     merged = cells.groupBy(*group_cols).agg(*merge_exprs)
     seq = 0 if gen_prev is None else int(gen_prev.split("-")[1]) + 1
     gen = f"gen-{seq:010d}"

@@ -506,3 +506,30 @@ def test_day_serve_prunes_both_axes_and_is_exact(spark, sf_dir, tmp_path):
     n_off = len(r_off.partitions())
     n_day = len(r_day.partitions())
     assert n_day < n_off < n_full, (n_day, n_off, n_full)
+
+
+def test_append_during_tick_never_double_counts(spark, sf_dir, tmp_path, monkeypatch):
+    """A producer appending between the driver's segment listing and
+    the executor scan must not corrupt the store: the fold is bounded
+    by the coverage being committed, so late rows are EXCLUDED now and
+    folded exactly once on the next tick. Simulated by pinning the
+    listing to a stale snapshot while the log already holds more."""
+    from presto_rakam_kafka_spark.streaming import serving as S
+
+    log = str(tmp_path / "log")
+    _write_log(spark, sf_dir, log, hi=300)
+    stale_ends = S._log_end_offsets(log)
+    # the "append during the tick": more rows land before the scan runs
+    _write_log(spark, sf_dir, log, lo=300, hi=500)
+    store = str(tmp_path / "store")
+    monkeypatch.setattr(S, "_log_end_offsets", lambda _p: dict(stale_ends))
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge())
+    _g, _t, hwm = _read_pointer(store)
+    assert hwm == stale_ends  # coverage == what the listing saw
+    stored = _finish(read_store_cells(spark, store))
+    assert _got(stored) == _expected(spark, sf_dir, hi=300)  # no leak
+    monkeypatch.undo()
+    # next tick folds the late rows exactly once
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge())
+    stored2 = _finish(read_store_cells(spark, store))
+    assert _got(stored2) == _expected(spark, sf_dir, hi=500)
