@@ -533,3 +533,45 @@ def test_append_during_tick_never_double_counts(spark, sf_dir, tmp_path, monkeyp
     maintain_rollup(spark, log, store, _cells, GROUP, _merge())
     stored2 = _finish(read_store_cells(spark, store))
     assert _got(stored2) == _expected(spark, sf_dir, hi=500)
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_random_maintenance_schedule_always_serves_truth(
+    spark, sf_dir, tmp_path, seed
+):
+    """Metamorphic check: WHATEVER maintenance schedule ran — random
+    cuts, regressions, idle ticks, a rebuild — the serve must equal
+    the plain full-log aggregation after every step. Deterministic
+    per-seed schedules (no runtime randomness)."""
+    import random
+
+    from presto_rakam_kafka_spark.streaming.serving import rebuild_rollup
+
+    rng = random.Random(seed)
+    log = str(tmp_path / "log")
+    _write_log(spark, sf_dir, log, hi=500)
+    store = str(tmp_path / "store")
+    want = _expected(spark, sf_dir, hi=500)
+    ops = []
+    for _ in range(4):
+        r = rng.random()
+        if r < 0.55:
+            ops.append(("maintain", rng.randrange(0, 600)))
+        elif r < 0.8:
+            ops.append(("maintain", None))
+        else:
+            ops.append(("rebuild", None))
+    for op, cut in ops:
+        if op == "maintain":
+            maintain_rollup(
+                spark, log, store, _cells, GROUP, _merge(), up_to=cut
+            )
+        else:
+            rebuild_rollup(spark, log, store, _cells, GROUP, _merge())
+        got = _got(
+            serve_rollup_tail(
+                spark, log, store, _cells, GROUP, _merge(),
+                finish_fn=_finish,
+            )
+        )
+        assert got == want, (op, cut)
