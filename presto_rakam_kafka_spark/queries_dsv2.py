@@ -1636,3 +1636,56 @@ def events_serve_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("sum_value_raw", 2).alias("sum_value"),
     )
+
+
+@query(
+    "stream_from_timestamp",
+    oracle=f"""
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           min(event_id) AS first_offset
+    FROM events
+    WHERE ts >= TIMESTAMP '{_TS_CUT}'
+    GROUP BY event_type
+    """,
+)
+def stream_from_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``startingTimestamp`` on the STREAMING reader (the Spark Kafka
+    source's option of the same name): the first consumer position per
+    partition is resolved by the ``offsetsForTimes`` analog — footer
+    ts stats narrow candidate segments, an (offset, timestamp)-only
+    read finds the exact earliest qualifying offset — then the stream
+    replays from there ("replay from Tuesday 14:00" without knowing
+    any offset). The fixture log is time-ordered, so the drained
+    aggregate must equal plain SQL with the same event-time bound."""
+    from presto_rakam_kafka_spark.metastore import SchemaField
+    from presto_rakam_kafka_spark.sources.kafka import KafkaEventSource
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        KafkaSegmentDataSource,
+    )
+    from presto_rakam_kafka_spark.streaming.runner import run_available_now
+    from presto_rakam_kafka_spark.types import FieldType
+
+    spark.dataSource.register(KafkaSegmentDataSource)
+    log_dir = _segment_log_dir(spark, sf_dir)
+    raw = (
+        spark.readStream.format("kafka_segments")
+        .option("path", log_dir)
+        .option("startingTimestamp", _TS_CUT)
+        .load()
+    )
+    fields = [
+        SchemaField("event_id", FieldType.LONG),
+        SchemaField("user_id", FieldType.LONG),
+        SchemaField("event_type", FieldType.STRING),
+        SchemaField("value", FieldType.DOUBLE),
+    ]
+    src = KafkaEventSource(bootstrap_servers="none:9092", value_format="json")
+    decoded = src._decode(spark, raw, "tpch", "events", fields)
+    agg = decoded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("_offset").alias("first_offset"),
+    )
+    name = f"stream_from_ts_{next(_STREAM_SEQ)}"
+    return run_available_now(agg, name, "complete")

@@ -722,6 +722,21 @@ class KafkaSegmentStreamReader(DataSourceStreamReader):
         if start not in ("earliest", "latest"):
             raise ValueError(f"startingOffsets must be earliest|latest, got {start}")
         self._starting = start
+        # startingTimestamp (the Spark Kafka source's option of the
+        # same name): resolve the first position per partition via the
+        # offsetsForTimes analog. Mutually exclusive with an explicit
+        # startingOffsets, exactly like the JVM source.
+        ts_opt = options.get(
+            "startingtimestamp", options.get("startingTimestamp")
+        )
+        if ts_opt is not None and (
+            "startingoffsets" in options or "startingOffsets" in options
+        ):
+            raise ValueError(
+                "startingTimestamp and startingOffsets are mutually "
+                "exclusive (same contract as the Kafka source)"
+            )
+        self._starting_ts = ts_opt
         self._max_rows = int(
             options.get("maxrowsperbatch", options.get("maxRowsPerBatch", 0))
         )
@@ -755,6 +770,22 @@ class KafkaSegmentStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         segs = self._segments()
+        if self._starting_ts is not None:
+            import datetime as _dtmod
+
+            t = _dtmod.datetime.fromisoformat(self._starting_ts)
+            seek = offsets_for_times(self._path, t)
+            # a partition with nothing at/after the timestamp starts at
+            # its END (offsetsForTimes returned null → latest, the
+            # Kafka source's resolution), so only future appends replay
+            off = {}
+            for pid, s in segs.items():
+                resolved = seek.get(pid)
+                if resolved is None:
+                    resolved = max((hi for _, _, hi, _ in s), default=0)
+                off[str(pid)] = int(resolved)
+            self._pos = dict(off)
+            return off
         if self._starting == "latest":
             off = {
                 str(pid): max((hi for _, _, hi, _ in s), default=0)

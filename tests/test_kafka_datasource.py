@@ -1694,3 +1694,54 @@ def test_catalog_pull_query_prunes_through_decode_projection(spark, tmp_path):
     cat.register_kafka_segments("t", "klog", log, expose_key=False)
     cols = cat.table("t", "klog", include_hidden=True).columns
     assert cols == ["_offset", "project", "collection", "uid", "v"]
+
+
+def test_stream_reader_starting_timestamp(spark, sf_dir, tmp_path):
+    """startingTimestamp resolves the first consumer position per
+    partition via the offsetsForTimes analog; a timestamp past the
+    log's end starts at latest (null → latest, the Kafka source's
+    resolution); combining it with startingOffsets raises."""
+    import datetime as dt
+
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        KafkaSegmentStreamReader,
+        offsets_for_times,
+    )
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 600)
+    raw = ev.select(
+        F.col("event_id").alias("offset"),
+        F.lit(None).cast("binary").alias("key"),
+        F.col("event_type").cast("binary").alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    log = str(tmp_path / "log")
+    write_segments(raw, log, num_partitions=2, segment_rows=200)
+
+    cut = "2024-01-10 00:00:00"
+    rdr = KafkaSegmentStreamReader(
+        {"path": log, "startingTimestamp": cut}
+    )
+    init = rdr.initialOffset()
+    seek = offsets_for_times(log, dt.datetime(2024, 1, 10))
+    assert init == {str(p): o for p, o in seek.items()}
+    # every replayed frame is at/after the cut; nothing qualifying lost
+    end = rdr.latestOffset()
+    n = sum(
+        b.num_rows for s in rdr.partitions(init, end) for b in rdr.read(s)
+    )
+    expected = ev.filter(F.col("ts") >= F.lit(cut).cast("timestamp")).count()
+    assert n == expected
+
+    far = KafkaSegmentStreamReader(
+        {"path": log, "startingTimestamp": "2030-01-01 00:00:00"}
+    )
+    init_far = far.initialOffset()
+    # null resolution → latest: nothing replays from the existing log
+    assert init_far == far.latestOffset()
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        KafkaSegmentStreamReader(
+            {"path": log, "startingTimestamp": cut,
+             "startingOffsets": "earliest"}
+        )
