@@ -1745,3 +1745,52 @@ def test_stream_reader_starting_timestamp(spark, sf_dir, tmp_path):
             {"path": log, "startingTimestamp": cut,
              "startingOffsets": "earliest"}
         )
+
+
+def test_stream_survives_compaction_between_triggers(spark, sf_dir, tmp_path):
+    """Consumer positions are OFFSETS, not files: a size compaction
+    that rewrites many small segments into few big ones between two
+    triggers must not lose or re-deliver a single row — the next
+    batch plans [committed, end) against the NEW segment layout."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        KafkaSegmentStreamReader,
+        compact_segments,
+    )
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 600)
+    raw = ev.select(
+        F.col("event_id").alias("offset"),
+        F.lit(None).cast("binary").alias("key"),
+        F.col("event_type").cast("binary").alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    log = str(tmp_path / "log")
+    write_segments(raw, log, num_partitions=2, segment_rows=50)
+
+    rdr = KafkaSegmentStreamReader({"path": log, "maxRowsPerBatch": "200"})
+    pos = rdr.initialOffset()
+    seen: list[int] = []
+
+    def drain_one(reader, start):
+        end = reader.latestOffset()
+        if end == start:
+            return start, False
+        for s in reader.partitions(start, end):
+            for b in reader.read(s):
+                seen.extend(b.column("offset").to_pylist())
+        return end, True
+
+    pos, _ = drain_one(rdr, pos)  # first bounded batch
+    # between triggers: the log compacts 12 small segments → few big
+    compact_segments(log, target_rows=10_000)
+    # a restart builds a FRESH reader over the compacted layout; the
+    # committed position carries over (checkpoint analog)
+    rdr2 = KafkaSegmentStreamReader({"path": log, "maxRowsPerBatch": "200"})
+    for _ in range(50):
+        pos, progressed = drain_one(rdr2, pos)
+        if not progressed:
+            break
+    assert sorted(seen) == sorted(
+        r["event_id"] for r in ev.select("event_id").collect()
+    )
+    assert len(seen) == len(set(seen))  # exactly-once across the rewrite
