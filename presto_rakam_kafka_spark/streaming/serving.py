@@ -540,3 +540,57 @@ def serve_rollup_day(
         else stored.unionByName(tail_cells, allowMissingColumns=True)
     ).groupBy(*group_cols).agg(*merge_exprs)
     return finish_fn(merged) if finish_fn is not None else merged
+
+
+def serve_rollup_range(
+    spark: SparkSession,
+    log_dir: str,
+    store: str,
+    start_day: str,
+    end_day: str,
+    cell_fn,
+    group_cols: list[str],
+    merge_exprs: list,
+    finish_fn=None,
+    day_col: str = "day",
+) -> DataFrame:
+    """Date-range serve (the dashboard date picker): manifest lookup
+    of exactly the days in ``[start_day, end_day]`` on the stored side,
+    the same two-axis prune (offset ≥ HWM + the range's timestamp
+    bounds) on the tail side. Cost ∝ (days in range) + (tail segments
+    overlapping the range), independent of the days outside it."""
+    import datetime as _dtmod
+
+    gen, _txns, hwm = _read_pointer(store)
+    stored = None
+    if gen is not None:
+        man = _read_manifest(store, gen)
+        files = [
+            os.path.join(store, f)
+            for d, fs in man.items()
+            if start_day <= d <= end_day
+            for f in fs
+        ]
+        if files:
+            stored = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*files)
+                .filter(F.col(day_col).between(start_day, end_day))
+            )
+    nxt = (
+        _dtmod.date.fromisoformat(end_day) + _dtmod.timedelta(days=1)
+    ).isoformat()
+    tail = (
+        _tail_scan(spark, log_dir, hwm)
+        .filter(F.col("timestamp") >= F.to_timestamp(F.lit(start_day)))
+        .filter(F.col("timestamp") < F.to_timestamp(F.lit(nxt)))
+    )
+    tail_cells = cell_fn(tail).filter(
+        F.col(day_col).between(start_day, end_day)
+    )
+    merged = (
+        tail_cells
+        if stored is None
+        else stored.unionByName(tail_cells, allowMissingColumns=True)
+    ).groupBy(*group_cols).agg(*merge_exprs)
+    return finish_fn(merged) if finish_fn is not None else merged

@@ -575,3 +575,44 @@ def test_random_maintenance_schedule_always_serves_truth(
             )
         )
         assert got == want, (op, cut)
+
+
+def test_range_serve_exact_across_coverage_states(spark, sf_dir, tmp_path):
+    """serve_rollup_range == the direct aggregation of the range,
+    whether the range is fully stored, fully tail, or straddling; the
+    stored side reads only the range's manifest days."""
+    from presto_rakam_kafka_spark.streaming.serving import serve_rollup_range
+
+    log = str(tmp_path / "log")
+    _write_log(spark, sf_dir, log)
+    store = str(tmp_path / "store")
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=600)
+
+    def range_slice(lo, hi):
+        from presto_rakam_kafka_spark.fixtures import read_table
+
+        ev = read_table(spark, sf_dir, "events").filter(
+            F.date_format("ts", "yyyy-MM-dd").between(lo, hi)
+        )
+        return {
+            (r["day"], r["event_type"]): (r["n"], r["s"])
+            for r in ev.groupBy(
+                F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("s"))
+            .collect()
+        }
+
+    for lo, hi in (
+        ("2024-01-03", "2024-01-08"),   # fully stored
+        ("2024-01-17", "2024-01-22"),   # straddles the ~60% cut
+        ("2024-01-26", "2024-01-29"),   # fully in the tail
+    ):
+        got = _got(
+            serve_rollup_range(
+                spark, log, store, lo, hi, _cells, GROUP, _merge(),
+                finish_fn=_finish,
+            )
+        )
+        assert got == range_slice(lo, hi), (lo, hi)
