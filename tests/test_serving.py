@@ -616,3 +616,86 @@ def test_range_serve_exact_across_coverage_states(spark, sf_dir, tmp_path):
             )
         )
         assert got == range_slice(lo, hi), (lo, hi)
+
+
+def test_streaming_maintenance_is_family_generic_hll(spark, sf_dir, tmp_path):
+    """run_rollup_maintenance accepts ANY mergeable cell family: HLL
+    register cells (merge = register max) folded from the stream in
+    bounded epochs equal the one-shot batch fold, and the estimator
+    finish over the drained store matches the estimator over cells
+    built directly from the raw table."""
+    from presto_rakam_kafka_spark.operators.sketches import (
+        HLL_P,
+        _hll_exprs_spark,
+    )
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        KafkaSegmentDataSource,
+    )
+
+    m = 1 << HLL_P
+    reg, rho = _hll_exprs_spark("cast(uid as string)", m)
+
+    def hll_cells(df_raw):
+        v = F.from_json(F.col("value").cast("string"), "uid LONG")
+        rows = df_raw.select(
+            F.date_format("timestamp", "yyyy-MM-dd").alias("day"),
+            v.getField("uid").alias("uid"),
+        ).filter(F.col("uid").isNotNull())
+        return rows.selectExpr("day", f"{reg} as reg", f"{rho} as rho").groupBy(
+            "day", "reg"
+        ).agg(F.max("rho").alias("m_day"))
+
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.sources.kafka_datasource import write_segments
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    raw = ev.select(
+        F.col("event_id").alias("offset"),
+        F.lit(None).cast("binary").alias("key"),
+        F.to_json(F.struct(F.col("user_id").alias("uid"))).cast("binary")
+        .alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    log = str(tmp_path / "log")
+    write_segments(raw, log, num_partitions=3, segment_rows=100)
+
+    merge = [F.max("m_day").alias("m_day")]
+    store = str(tmp_path / "store")
+    spark.dataSource.register(KafkaSegmentDataSource)
+    stream_raw = (
+        spark.readStream.format("kafka_segments")
+        .option("path", log)
+        .option("maxRowsPerBatch", 150)
+        .load()
+    )
+    run_rollup_maintenance(
+        stream_raw, store, hll_cells, ["day", "reg"], merge,
+        name="t_serve_hll_stream",
+    )
+    _g, txns, _h = _read_pointer(store)
+    assert txns["stream"] >= 2  # multiple bounded epochs folded registers
+
+    one_shot = str(tmp_path / "oneshot")
+    maintain_rollup(spark, log, one_shot, hll_cells, ["day", "reg"], merge)
+    streamed = {
+        (r["day"], r["reg"]): r["m_day"]
+        for r in read_store_cells(spark, store).collect()
+    }
+    batch = {
+        (r["day"], r["reg"]): r["m_day"]
+        for r in read_store_cells(spark, one_shot).collect()
+    }
+    assert streamed == batch  # register-max is epoch-order-independent
+    # and equals registers built directly from the raw table
+    direct = {
+        (r["day"], r["reg"]): r["m_day"]
+        for r in ev.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.col("user_id").alias("uid"),
+        )
+        .selectExpr("day", f"{reg} as reg", f"{rho} as rho")
+        .groupBy("day", "reg")
+        .agg(F.max("rho").alias("m_day"))
+        .collect()
+    }
+    assert streamed == direct
