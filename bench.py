@@ -198,6 +198,7 @@ HEADLINE = [
     "events_serve_rollup_quantiles",
     "sql_over_serving_view",
     "events_serve_rollup_day",
+    "events_serve_rollup_stats",
 ]
 
 #: Indexed-ANN queries whose cost is two phases with different lifecycles:
@@ -371,6 +372,7 @@ def main() -> None:
     _qd.events_serve_rollup_tail(spark, SF_DIR)
     _qd.events_serve_rollup_distinct(spark, SF_DIR)
     _qd.events_serve_rollup_quantiles(spark, SF_DIR)
+    _qd.events_serve_rollup_stats(spark, SF_DIR)
     # Warm the Python DataSource worker path too (separate worker kind
     # from the Arrow pool below): one tiny kafka_segments scan pays the
     # planner/worker spin-up that a long-lived cluster pays once.

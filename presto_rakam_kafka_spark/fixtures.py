@@ -135,6 +135,7 @@ STAGING_PREFIXES = (
     "serve_store_", "serve_hll_store_", "serve_q_store_",
     "serve_stream_log_", "serve_stream_store_", "kafka_segments_wire_",
     "serve_bench_log_", "serve_bench_store_", "rollup_",
+    "serve_stats_store_",
 )
 
 #: Spark's own scratch (dead JVMs leave these behind); swept only when

@@ -1689,3 +1689,81 @@ def stream_from_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_from_ts_{next(_STREAM_SEQ)}"
     return run_available_now(agg, name, "complete")
+
+
+@query(
+    "events_serve_rollup_stats",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_serve_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full algebraic partial set through the serving store: count and
+    sum merge by addition, min/max by min/max — all four fold across
+    maintenance ticks and the live tail without re-touching covered
+    data. (avg stays OUT of the hash gate on purpose: it is
+    division-derived, and a half-ulp sum difference between engines
+    can straddle the rounding boundary — derive it client-side from
+    the served n and sum.)"""
+    from presto_rakam_kafka_spark.streaming.serving import (
+        _log_end_offsets,
+        maintain_rollup,
+        serve_rollup_tail,
+    )
+
+    def cell_fn(df_raw: DataFrame) -> DataFrame:
+        v = F.from_json(
+            F.col("value").cast("string"),
+            "event_id LONG, user_id LONG, event_type STRING, value DOUBLE",
+        )
+        rows = (
+            df_raw.select(
+                F.date_format("timestamp", "yyyy-MM-dd").alias("day"),
+                v.alias("r"),
+            )
+            .select("day", "r.event_type", "r.value")
+            .filter(F.col("event_type").isNotNull())
+        )
+        return rows.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value_raw"),
+            F.min("value").alias("min_value_raw"),
+            F.max("value").alias("max_value_raw"),
+        )
+
+    merge_exprs = [
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value_raw").alias("sum_value_raw"),
+        F.min("min_value_raw").alias("min_value_raw"),
+        F.max("max_value_raw").alias("max_value_raw"),
+    ]
+
+    def finish(cells: DataFrame) -> DataFrame:
+        return cells.select(
+            "day",
+            "event_type",
+            "n_events",
+            F.round("sum_value_raw", 2).alias("sum_value"),
+            F.round("min_value_raw", 2).alias("min_value"),
+            F.round("max_value_raw", 2).alias("max_value"),
+        )
+
+    log_dir = _segment_log_dir(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    store = os.path.join(
+        tempfile.gettempdir(), f"serve_stats_store_{tag}_p{os.getpid()}x"
+    )
+    if not os.path.exists(os.path.join(store, "_CURRENT")):
+        cut = int(0.8 * max(_log_end_offsets(log_dir).values()))
+        maintain_rollup(
+            spark, log_dir, store, cell_fn, _SERVE_GROUP, merge_exprs,
+            day_col="day", up_to=cut,
+        )
+    return serve_rollup_tail(
+        spark, log_dir, store, cell_fn, _SERVE_GROUP, merge_exprs,
+        finish_fn=finish,
+    )
