@@ -57,6 +57,70 @@ from presto_rakam_kafka_spark.fixtures import staging_mkdtemp
 
 _CURRENT = "_CURRENT"
 _MANIFEST = "_MANIFEST.json"
+_LOCK = "_MAINTENANCE_LOCK"
+
+
+class ConcurrentMaintenanceError(RuntimeError):
+    """A second maintainer attached to a store whose lock is held by a
+    LIVE process — proceeding would race the generation sequence (both
+    writers derive the same next name and the later overwrite clobbers
+    the earlier commit's files: a lost update)."""
+
+
+class _store_lock:
+    """pid-liveness maintenance lock: O_EXCL create of ``_LOCK`` with
+    the owning pid; a lock held by a dead pid is stolen (a crashed
+    maintainer must not brick the store), a live one raises. Serving
+    never takes the lock — reads go through the atomic pointer."""
+
+    def __init__(self, store: str):
+        self._path = os.path.join(store, _LOCK)
+
+    def __enter__(self):
+        import errno
+
+        me = str(os.getpid()).encode()
+        while True:
+            try:
+                fd = os.open(self._path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, me)
+                os.close(fd)
+                return self
+            except OSError as exc:
+                if exc.errno != errno.EEXIST:
+                    raise
+            try:
+                with open(self._path) as fh:
+                    holder = int(fh.read().strip() or "0")
+            except (OSError, ValueError):
+                holder = 0
+            if holder and _pid_alive_for_lock(holder):
+                raise ConcurrentMaintenanceError(
+                    f"store is being maintained by live pid {holder} "
+                    f"({self._path}); run one maintainer per store"
+                )
+            # stale lock of a dead maintainer: steal by removal + retry
+            try:
+                os.remove(self._path)
+            except FileNotFoundError:
+                pass
+
+    def __exit__(self, *exc):
+        try:
+            os.remove(self._path)
+        except FileNotFoundError:
+            pass
+        return False
+
+
+def _pid_alive_for_lock(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except OSError:
+        return True  # EPERM etc.: exists, not ours — treat as alive
+    return True
 
 
 # ---------------------------------------------------------------------
@@ -306,6 +370,17 @@ def maintain_rollup(
     HWM map. Re-running with nothing new is a metadata no-op (the tail
     scan plans a single empty split; no generation is written)."""
     os.makedirs(store, exist_ok=True)
+    with _store_lock(store):
+        return _maintain_locked(
+            spark, log_dir, store, cell_fn, group_cols, merge_exprs,
+            day_col, up_to, app_id,
+        )
+
+
+def _maintain_locked(
+    spark, log_dir, store, cell_fn, group_cols, merge_exprs,
+    day_col, up_to, app_id,
+) -> dict:
     _gen, txns, hwm = _read_pointer(store)
     ends = _log_end_offsets(log_dir)
     new_hwm = dict(hwm)
@@ -369,21 +444,22 @@ def run_rollup_maintenance(
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return  # trailing no-data trigger: no coverage to commit
-        _gen, txns, hwm = _read_pointer(store)
-        if txns.get(app_id, -1) >= epoch_id:
-            return  # replayed epoch
-        seen = batch_df.groupBy("partition").agg(
-            F.max("offset").alias("mx")
-        ).collect()
-        new_hwm = dict(hwm)
-        for r in seen:
-            new_hwm[int(r["partition"])] = max(
-                new_hwm.get(int(r["partition"]), 0), int(r["mx"]) + 1
+        with _store_lock(store):
+            _gen, txns, hwm = _read_pointer(store)
+            if txns.get(app_id, -1) >= epoch_id:
+                return  # replayed epoch
+            seen = batch_df.groupBy("partition").agg(
+                F.max("offset").alias("mx")
+            ).collect()
+            new_hwm = dict(hwm)
+            for r in seen:
+                new_hwm[int(r["partition"])] = max(
+                    new_hwm.get(int(r["partition"]), 0), int(r["mx"]) + 1
+                )
+            _fold_cells(
+                spark, store, cell_fn(batch_df), new_hwm, int(epoch_id),
+                app_id, group_cols, merge_exprs, day_col,
             )
-        _fold_cells(
-            spark, store, cell_fn(batch_df), new_hwm, int(epoch_id),
-            app_id, group_cols, merge_exprs, day_col,
-        )
 
     ckpt = staging_mkdtemp(f"ckpt_{name}_")
     prev_state: tuple | None = None
@@ -451,6 +527,16 @@ def rebuild_rollup(
     guarantee as incremental maintenance). Cost is one full log fold —
     the same price the reference pays for EVERY query."""
     os.makedirs(store, exist_ok=True)
+    with _store_lock(store):
+        return _rebuild_locked(
+            spark, log_dir, store, cell_fn, group_cols, merge_exprs,
+            day_col, app_id,
+        )
+
+
+def _rebuild_locked(
+    spark, log_dir, store, cell_fn, group_cols, merge_exprs, day_col, app_id
+) -> dict:
     gen_prev, txns, _hwm = _read_pointer(store)
     new_hwm = _log_end_offsets(log_dir)
     # bound the scan by the coverage being committed (same

@@ -699,3 +699,40 @@ def test_streaming_maintenance_is_family_generic_hll(spark, sf_dir, tmp_path):
         .collect()
     }
     assert streamed == direct
+
+
+def test_maintenance_lock_excludes_live_steals_dead(spark, sf_dir, tmp_path):
+    """One maintainer per store: a lock held by a LIVE pid raises
+    (racing the generation sequence is a lost update); a crashed
+    maintainer's stale lock is stolen so the store never bricks.
+    Serving never takes the lock."""
+    from presto_rakam_kafka_spark.streaming.serving import (
+        ConcurrentMaintenanceError,
+    )
+
+    log = str(tmp_path / "log")
+    _write_log(spark, sf_dir, log, hi=300)
+    store = str(tmp_path / "store")
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=100)
+
+    lock = os.path.join(store, "_MAINTENANCE_LOCK")
+    with open(lock, "w") as fh:  # simulate a LIVE concurrent maintainer
+        fh.write(str(os.getpid()))
+    with pytest.raises(ConcurrentMaintenanceError, match="live pid"):
+        maintain_rollup(spark, log, store, _cells, GROUP, _merge())
+    # reads are lock-free
+    assert read_store_cells(spark, store) is not None
+    serve_rollup_tail(
+        spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+    ).collect()
+
+    with open(lock, "w") as fh:  # crashed maintainer: dead pid
+        fh.write("999999999")
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge())  # steals
+    assert not os.path.exists(lock)  # released after the commit
+    got = _got(
+        serve_rollup_tail(
+            spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+        )
+    )
+    assert got == _expected(spark, sf_dir, hi=300)
