@@ -199,6 +199,11 @@ HEADLINE = [
     "sql_over_serving_view",
     "events_serve_rollup_day",
     "events_serve_rollup_stats",
+    # round 11: pull query by group key — stored side reads only
+    # matching parquet row groups, tail side filters cells pre-merge.
+    # stream_confluent_wire_agg stays gate-only (stream-replay
+    # fixture overhead, like every stream_* row).
+    "events_serve_rollup_keyed",
 ]
 
 #: Indexed-ANN queries whose cost is two phases with different lifecycles:
@@ -356,12 +361,22 @@ def main() -> None:
     # production logs are written by Kafka, not by the query.
     from presto_rakam_kafka_spark import queries_dsv2 as _qd
 
+    # ALL staged-fixture construction is timed here as ``staging_s``
+    # and reported separately (VERDICT r10 #5): r10 billed the purged /
+    # compacted log builds (write_segments + purge rewrite + bloom and
+    # index builds) to the first query that touched them, which made
+    # `kafka_log_purged_scan` read 1.98→4.91 s round-over-round with an
+    # unchanged plan. Production logs are written by Kafka and their
+    # indexes at ingest; the bench queries time scan+plan.
+    t_staging = time.perf_counter()
     log_dir = _qd._segment_log_dir(spark, SF_DIR)
     # same rationale for the KEYED log + its bloom index: Kafka writes
     # the log and the index is built at ingest (build_key_blooms /
     # update_key_blooms per trigger); the point-read queries should time
     # the READ, not the one-time fixture construction
     _qd._keyed_log_dir(spark, SF_DIR)
+    _qd._compacted_log_dir(spark, SF_DIR)
+    _qd._purged_log_dir(spark, SF_DIR)
     # the Confluent-framed log and the serving stores follow the same
     # rule: fixture/ingest construction happens at warmup (maintenance
     # is the ingest-time job — the streaming fold owns it in
@@ -373,6 +388,7 @@ def main() -> None:
     _qd.events_serve_rollup_distinct(spark, SF_DIR)
     _qd.events_serve_rollup_quantiles(spark, SF_DIR)
     _qd.events_serve_rollup_stats(spark, SF_DIR)
+    staging_s = round(time.perf_counter() - t_staging, 3)
     # Warm the Python DataSource worker path too (separate worker kind
     # from the Arrow pool below): one tiny kafka_segments scan pays the
     # planner/worker spin-up that a long-lived cluster pays once.
@@ -471,6 +487,7 @@ def main() -> None:
         ),
         "shared_warm": round(sum(warm[n] for n in SHARED if n in warm), 3),
         "canary_range_sum_cold": canary_cold,
+        "staging_s": staging_s,
         "staging_swept": swept,
         "canary_range_sum_warm": canary_warm,
     }

@@ -71,14 +71,11 @@ def dsv2_offset_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from presto_rakam_kafka_spark.metastore import SchemaField
     from presto_rakam_kafka_spark.sources.kafka import KafkaEventSource
     from presto_rakam_kafka_spark.sources.kafka_datasource import (
-        KafkaSegmentDataSource,
+        ensure_segments_source,
     )
     from presto_rakam_kafka_spark.types import FieldType
 
-    # Registration is idempotent; the pushdown conf is runtime-settable
-    # and may be absent from a foreign (driver) session.
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(KafkaSegmentDataSource)
+    ensure_segments_source(spark)
 
     log_dir = _segment_log_dir(spark, sf_dir)
     raw = (
@@ -261,12 +258,11 @@ def dsv2_ts_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from presto_rakam_kafka_spark.metastore import SchemaField
     from presto_rakam_kafka_spark.sources.kafka import KafkaEventSource
     from presto_rakam_kafka_spark.sources.kafka_datasource import (
-        KafkaSegmentDataSource,
+        ensure_segments_source,
     )
     from presto_rakam_kafka_spark.types import FieldType
 
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(KafkaSegmentDataSource)
+    ensure_segments_source(spark)
     log_dir = _segment_log_dir(spark, sf_dir)
     raw = (
         spark.read.format("kafka_segments")
@@ -850,12 +846,11 @@ def kafka_key_pushdown_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     column (producer-opaque bytes — the compacted-topic table shape);
     decoded user-field predicates pushdown separately via `_offset`."""
     d = _keyed_log_dir(spark, sf_dir)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     from presto_rakam_kafka_spark.sources.kafka_datasource import (
-        KafkaSegmentDataSource,
+        ensure_segments_source,
     )
 
-    spark.dataSource.register(KafkaSegmentDataSource)
+    ensure_segments_source(spark)
     spark.read.format("kafka_segments").option("path", d).load() \
         .createOrReplaceTempView("events_keyed_log")
     victims = sorted(
@@ -902,7 +897,6 @@ def kafka_key_pushdown_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from presto_rakam_kafka_spark.metastore import InMemoryMetastore
 
     d = _keyed_log_dir(spark, sf_dir)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     ms = InMemoryMetastore()
     catalog = EventCatalog(spark, ms)
     ms.register_struct(
@@ -1524,8 +1518,15 @@ def events_serve_rollup_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     merge_exprs = [F.sum("n").alias("n")]
 
     def finish(cells: DataFrame) -> DataFrame:
-        hist = cells.groupBy("event_type", "bin").agg(
-            F.sum("n").alias("n")
+        from presto_rakam_kafka_spark.operators.ranks import eager_pin
+
+        # the quantile finish consumes the histogram TWICE (cumulative
+        # ranks + per-group totals) — unpinned, each action re-runs the
+        # serve's tail scan through the Python source. The merged cells
+        # are (days × types × bins) rows — KBs — so pinning them costs
+        # nothing and halves the tail I/O (VERDICT r10 #7).
+        hist = eager_pin(
+            cells.groupBy("event_type", "bin").agg(F.sum("n").alias("n"))
         )
         return sketches.quantiles_from_histogram_log(hist)
 
@@ -1766,4 +1767,109 @@ def events_serve_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serve_rollup_tail(
         spark, log_dir, store, cell_fn, _SERVE_GROUP, merge_exprs,
         finish_fn=finish,
+    )
+
+
+@query(
+    "stream_confluent_wire_agg",
+    oracle="""
+    SELECT event_type,
+           CASE WHEN value > 10 THEN 'HIGH' ELSE 'LOW' END AS priority,
+           count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_users,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE event_id % 500 <> 250
+    GROUP BY event_type, CASE WHEN value > 10 THEN 'HIGH' ELSE 'LOW' END
+    """,
+)
+def stream_confluent_wire_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFLUENT WIRE FORMAT through the STREAMING reader (VERDICT r10
+    #6): the same interleaved-registry-id log as
+    ``catalog_confluent_wire_agg`` (ids 3 and 7 alternating per record,
+    corrupt frames inside the range), but read via
+    ``catalog.stream(...)`` → the ``kafka_segments`` streaming source →
+    per-MICRO-BATCH wire decode. Each size-bounded batch carries BOTH
+    schema ids, so the per-id compiled read plans are exercised inside
+    every micro-batch (plans compile lazily per task and are reused
+    across batches by the worker), and corrupt frames drop under the
+    same A14 policy mid-stream. The drained complete-mode aggregate
+    must equal batch SQL over the original events minus exactly the
+    corrupted offsets — the streaming twin of the batch wire row."""
+    from presto_rakam_kafka_spark.catalog import EventCatalog
+    from presto_rakam_kafka_spark.metastore import InMemoryMetastore
+    from presto_rakam_kafka_spark.streaming.runner import drain_available_now
+
+    log_dir = _wire_segment_log_dir(spark, sf_dir)
+    ms = InMemoryMetastore()
+    catalog = EventCatalog(spark, ms)
+    ms.register("tpch", "events", _avro_reader_fields())
+    catalog.register_kafka_segments(
+        "tpch",
+        "events",
+        log_dir,
+        value_format="avro",
+        wire_format="confluent",
+        schema_registry={3: _AVRO_WRITER_V1, 7: _AVRO_WIRE_V7},
+    )
+    sdf = catalog.stream("tpch", "events", max_rows_per_batch=3000)
+    agg = sdf.groupBy("event_type", "priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("sum_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    name = f"wire_stream_{next(_STREAM_SEQ)}"
+    # drain_available_now, not run_available_now: with maxRowsPerBatch
+    # set, the Python source's single-batch fallback would stop after
+    # ONE 3000-row batch — the restart drain replays every batch
+    return drain_available_now(agg, name, "complete")
+
+
+@query(
+    "events_serve_rollup_keyed",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events WHERE event_type = 'click' GROUP BY 1
+    """,
+)
+def events_serve_rollup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PULL QUERY BY GROUP KEY over the serving store (VERDICT r10 #8):
+    the dashboard filter ``WHERE event_type = 'click'`` pushes into
+    BOTH serve legs — the stored side reads the cell parquet with the
+    predicate in the scan (``PushedFilters: [EqualTo(event_type,
+    click)]``, so row-group statistics skip non-matching groups without
+    decoding; plan-asserted in tests/test_serving.py), the tail side
+    filters its freshly-built cells before the merge. Cost scales with
+    the KEY's cells + the uncovered tail, not the full key space.
+    Filtering cells by a group-key predicate commutes with the
+    cell merge, so the serve stays exact: the oracle is plain filtered
+    SQL over the whole events table. Reuses the 80%-covered store of
+    ``events_serve_rollup_tail`` — the point of a pull query is hitting
+    the SAME store many dashboards share."""
+    from presto_rakam_kafka_spark.streaming.serving import (
+        _log_end_offsets,
+        maintain_rollup,
+        serve_rollup_tail,
+    )
+
+    log_dir = _segment_log_dir(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    store = os.path.join(
+        tempfile.gettempdir(), f"serve_store_{tag}_p{os.getpid()}x"
+    )
+    if not os.path.exists(os.path.join(store, "_CURRENT")):
+        cut = int(0.8 * max(_log_end_offsets(log_dir).values()))
+        maintain_rollup(
+            spark, log_dir, store, _serve_cell_fn, _SERVE_GROUP,
+            _serve_merge_exprs(), day_col="day", up_to=cut,
+        )
+    served = serve_rollup_tail(
+        spark, log_dir, store, _serve_cell_fn, _SERVE_GROUP,
+        _serve_merge_exprs(),
+        cell_filter=F.col("event_type") == "click",
+    )
+    return served.select(
+        "day",
+        "n_events",
+        F.round(F.col("sum_value_raw"), 2).alias("sum_value"),
     )

@@ -295,6 +295,33 @@ class KafkaSegmentDataSource(DataSource):
         return KafkaSegmentWriter(dict(self.options), overwrite)
 
 
+#: sessions (by JVM application id) whose pushdown conf this module has
+#: already enabled — the conf is touched at most ONCE per session.
+_PUSHDOWN_PREPPED: set[str] = set()
+
+
+def ensure_segments_source(spark) -> None:
+    """Register the native source and enable Python-source filter
+    pushdown once per session.
+
+    Registration is already the session-mutation point every caller
+    goes through; the ``spark.sql.python.filterPushdown.enabled`` conf
+    rides along here exactly ONCE per session (keyed by application
+    id) instead of being re-set inside every serve/scan call — a read
+    path that silently flips planner behavior for unrelated queries on
+    the shared session is a side effect, and a user who deliberately
+    overrides the conf afterwards must stay overridden (ADVICE r10).
+    An override to ``false`` makes subsequent scans fail LOUDLY —
+    PySpark refuses to plan a pushFilters-implementing source with the
+    conf off, naming the conf in the error — which beats silently
+    re-enabling what the user just disabled."""
+    spark.dataSource.register(KafkaSegmentDataSource)
+    key = spark.sparkContext.applicationId
+    if key not in _PUSHDOWN_PREPPED:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        _PUSHDOWN_PREPPED.add(key)
+
+
 class KafkaSegmentReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         path = options.get("path")
@@ -926,9 +953,7 @@ class KafkaSegmentsEventSource:
 
         from presto_rakam_kafka_spark.sources.kafka import KafkaEventSource
 
-        # Registration is idempotent; the pushdown conf is runtime-settable.
-        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-        spark.dataSource.register(KafkaSegmentDataSource)
+        ensure_segments_source(spark)
         reader = spark.read.format("kafka_segments").option("path", self.path)
         if self.min_splits:
             reader = reader.option("minSplits", str(self.min_splits))
@@ -968,7 +993,7 @@ class KafkaSegmentsEventSource:
         columns, with the A8 ``maxRowsPerBatch`` bound exposed."""
         from presto_rakam_kafka_spark.sources.kafka import KafkaEventSource
 
-        spark.dataSource.register(KafkaSegmentDataSource)
+        ensure_segments_source(spark)
         reader = (
             spark.readStream.format("kafka_segments")
             .option("path", self.path)

@@ -16,11 +16,13 @@ module gives window-bounded finishes a fold whose state is bounded by
 
 * :func:`run_rolling_pairs` — emit-on-close for finishes that output a
   per-anchor-day SERIES (`stream_hll_rolling_users`): anchor day d
-  needs pairs from [d−w+1, d]; once the stream's max day passes d (the
-  time-ordered replay guarantees no more day-d events; production
-  would add a watermark slack), d's row is emitted to an append store
-  and every pair too old for any unemitted anchor is evicted. The
-  emitted ∪ live-tail union equals the unbounded finish row-for-row.
+  needs pairs from [d−w+1, d]; once the stream's max day passes d by
+  more than ``allowed_lateness_days`` (the watermark slack — events
+  later than that are past their anchor's emitted row and dropped,
+  the ``withWatermark`` contract), d's row is emitted to an append
+  store and every pair too old for any unemitted anchor is evicted.
+  The emitted ∪ live-tail union equals the unbounded finish
+  row-for-row for every event inside the slack.
 
 Both folds follow the repo's exactly-once discipline: each trigger
 writes a fresh ``gen-{epoch}`` state generation and commits it with an
@@ -106,7 +108,18 @@ def run_windowed_cells(
     the batch aggregate). State after every trigger holds ONLY cells
     with ``day_col >= max(day_col) - (window_days-1)`` — bounded by
     live-window days × keys, not stream lifetime. The per-trigger max
-    day is a one-row driver scalar (a bounded fit)."""
+    day is a one-row driver scalar (a bounded fit).
+
+    No lateness slack is needed HERE (unlike :func:`run_rolling_pairs`,
+    which emits closed rows): eviction is anchored to the running max
+    day, which only grows, and the finish cuts its trailing window at
+    the FINAL max — so any evicted day satisfies
+    ``day < max_t − (w−1) ≤ max_final − (w−1)`` and sits outside the
+    final window regardless of how late further events for it arrive.
+    A late event for an in-window day finds its cell still live and
+    merges exactly; a late event for an out-of-window day creates a
+    cell the very next compaction evicts. Eviction is exactly
+    output-preserving under arbitrary lateness (tested)."""
     spark = stream_df.sparkSession
     store = path or staging_mkdtemp(f"rollup_{name}_")
 
@@ -157,6 +170,7 @@ def run_rolling_pairs(
     name: str,
     path: str | None = None,
     app_id: str = "default",
+    allowed_lateness_days: int = 0,
 ) -> DataFrame:
     """Drain ``stream_df`` through an emit-on-close rolling fold and
     return the full per-anchor-day series (emitted rows ∪ the live
@@ -166,14 +180,22 @@ def run_rolling_pairs(
     (day, key) pairs (column ``day_col`` is the TIMESTAMP day);
     ``finish_fn(pairs) -> series`` computes the per-anchor-day output
     with a STRING ``day`` column (yyyy-MM-dd). Per trigger: anchor
-    days strictly before the running max day are CLOSED (time-ordered
-    replay; production adds a watermark slack), their rows are emitted
-    to an epoch-keyed append store, and every pair too old for any
-    unemitted anchor (``day < close_thru+1 - (window_days-1)``) is
-    evicted — live state is bounded by (window + open days) × daily
-    keys, not stream lifetime."""
+    days at least ``1 + allowed_lateness_days`` behind the running max
+    day are CLOSED — the watermark: an out-of-order event whose anchor
+    is still inside the slack lands in a live (unclosed) anchor and is
+    counted exactly; an event later than the slack arrives after its
+    anchor's row was emitted and is DROPPED from that anchor (the same
+    contract as Structured Streaming's ``withWatermark``, where the
+    slack is the operator's declared lateness bound — r10 closed
+    anchors at max−1 with no slack parameter, silently excluding any
+    late event). Closed rows are emitted to an epoch-keyed append
+    store, and every pair too old for any unemitted anchor
+    (``day < close_thru+1 - (window_days-1)``) is evicted — live state
+    is bounded by (window + slack + open days) × daily keys, not
+    stream lifetime."""
     spark = stream_df.sparkSession
     store = path or staging_mkdtemp(f"rollup_{name}_")
+    slack = int(allowed_lateness_days)
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
         cur, txns, emitted_thru = _read_pointer(store)
@@ -190,7 +212,7 @@ def run_rolling_pairs(
         gdir = os.path.join(store, gen)
         new_thru = emitted_thru
         if mx is not None:
-            close_thru = mx - _dt.timedelta(days=1)
+            close_thru = mx - _dt.timedelta(days=1 + slack)
             close_str = close_thru.strftime("%Y-%m-%d")
             if emitted_thru is None or close_str > emitted_thru:
                 series = finish_fn(pairs).filter(

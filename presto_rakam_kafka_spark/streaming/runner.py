@@ -114,3 +114,45 @@ def run_available_now(stream_df: DataFrame, name: str, output_mode: str) -> Data
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def drain_available_now(
+    stream_df: DataFrame, name: str, output_mode: str, max_restarts: int = 200
+) -> DataFrame:
+    """:func:`run_available_now` for RATE-LIMITED Python stream sources.
+
+    Python data sources fall back to single-batch execution under
+    ``Trigger.AvailableNow`` — one start processes ONE rate-limited
+    batch (e.g. ``maxRowsPerBatch`` rows), not all available input. A
+    single start over a bounded source therefore silently drains only
+    the first batch. This helper restarts the query against a SHARED
+    checkpoint until a start reports zero input rows: aggregation state
+    lives in the checkpoint's state store, so each restart continues
+    the same logical query — the production always-on cadence replayed
+    as bounded epochs (same discipline as
+    ``serving.run_rollup_maintenance``)."""
+    ckpt = staging_mkdtemp(f"ckpt_{name}_")
+    spark = stream_df.sparkSession
+    last: tuple | None = None
+    for _ in range(max_restarts):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        lp = q.lastProgress
+        if not lp or int(lp.get("numInputRows", 0) or 0) == 0:
+            break
+        # snapshot NOW: each .start() re-registers the memory table, so
+        # the trailing no-progress restart (which runs no trigger)
+        # would otherwise leave it EMPTY. Complete-mode output is
+        # aggregate-sized — a driver-safe collect.
+        tbl = spark.table(name)
+        last = (tbl.collect(), tbl.schema)
+    if last is None:
+        return spark.table(name)  # empty source: empty result, right schema
+    return spark.createDataFrame(last[0], last[1])

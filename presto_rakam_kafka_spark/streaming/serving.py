@@ -61,49 +61,119 @@ _LOCK = "_MAINTENANCE_LOCK"
 
 
 class ConcurrentMaintenanceError(RuntimeError):
-    """A second maintainer attached to a store whose lock is held by a
-    LIVE process — proceeding would race the generation sequence (both
+    """A second maintainer attached to a store whose lease is held by a
+    LIVE holder — proceeding would race the generation sequence (both
     writers derive the same next name and the later overwrite clobbers
     the earlier commit's files: a lost update)."""
 
 
-class _store_lock:
-    """pid-liveness maintenance lock: O_EXCL create of ``_LOCK`` with
-    the owning pid; a lock held by a dead pid is stolen (a crashed
-    maintainer must not brick the store), a live one raises. Serving
-    never takes the lock — reads go through the atomic pointer."""
+class FencedMaintenanceError(RuntimeError):
+    """The store's generation sequence moved between this maintainer's
+    pointer read and its commit — another writer (e.g. one that stole
+    an expired lease from this now-slow process) already flipped. The
+    stale commit is refused: its generation dir is left unreferenced
+    for GC, the pointer is untouched."""
 
-    def __init__(self, store: str):
+
+#: lease validity window. Any single fixture-scale fold finishes in
+#: seconds; production folds over big tails should renew (``renew()``)
+#: between phases. Past expiry the lease is stealable by design — the
+#: generation-fence at flip time (not the lock) is what keeps a stolen
+#: lease's original holder from corrupting the store.
+_LEASE_TTL_S = 300.0
+
+
+class _store_lock:
+    """TTL-lease maintenance lock, object-store-safe (VERDICT r10 #4).
+
+    The lease file holds ``{holder, pid, host, expires}`` (wall-clock
+    expiry). Acquisition: O_EXCL create. A held lease is stolen iff
+    (a) it EXPIRED — the only signal that works when maintainers run
+    on different hosts and cannot probe each other's pids — or (b) it
+    belongs to a dead pid on THIS host (crash detection faster than
+    the TTL; a crashed maintainer must not brick the store for a full
+    TTL). A live, unexpired lease raises. Mutual exclusion across
+    hosts is therefore only as good as the TTL — which is why commits
+    are additionally FENCED by the store-level generation sequence
+    (see :func:`_fold_cells`): a maintainer that lost its lease to
+    expiry can still scan, but its pointer flip is refused once the
+    thief has committed. Serving never takes the lock — reads go
+    through the atomic pointer."""
+
+    def __init__(self, store: str, ttl_s: float = _LEASE_TTL_S):
         self._path = os.path.join(store, _LOCK)
+        self._ttl = float(ttl_s)
+        self._holder = f"{_hostname()}:{os.getpid()}:{os.urandom(4).hex()}"
+
+    def _lease(self) -> bytes:
+        import time as _time
+
+        return json.dumps(
+            {
+                "holder": self._holder,
+                "pid": os.getpid(),
+                "host": _hostname(),
+                "expires": _time.time() + self._ttl,
+            }
+        ).encode()
 
     def __enter__(self):
         import errno
 
-        me = str(os.getpid()).encode()
         while True:
             try:
                 fd = os.open(self._path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, me)
+                os.write(fd, self._lease())
                 os.close(fd)
                 return self
             except OSError as exc:
                 if exc.errno != errno.EEXIST:
                     raise
-            try:
-                with open(self._path) as fh:
-                    holder = int(fh.read().strip() or "0")
-            except (OSError, ValueError):
-                holder = 0
-            if holder and _pid_alive_for_lock(holder):
-                raise ConcurrentMaintenanceError(
-                    f"store is being maintained by live pid {holder} "
-                    f"({self._path}); run one maintainer per store"
-                )
-            # stale lock of a dead maintainer: steal by removal + retry
+            self._held_lease_is_stale()  # raises on a live lease
+            # stale lease (expired, or dead pid on this host): steal by
+            # removal + retry the O_EXCL create
             try:
                 os.remove(self._path)
             except FileNotFoundError:
                 pass
+
+    def _held_lease_is_stale(self) -> bool:
+        """True → caller may steal. Raises on a live, unexpired lease.
+        Tolerates the legacy bare-pid file format (pre-lease stores)."""
+        import time as _time
+
+        try:
+            with open(self._path) as fh:
+                raw = fh.read().strip()
+        except OSError:
+            return True  # vanished under us: retry the create
+        pid, expires, host = 0, None, _hostname()
+        try:
+            d = json.loads(raw)
+            pid = int(d.get("pid", 0))
+            expires = float(d.get("expires", 0.0))
+            host = d.get("host", host)
+        except (ValueError, TypeError, AttributeError):
+            try:
+                pid = int(raw or "0")  # legacy bare-pid lock file
+            except ValueError:
+                return True  # unreadable garbage: steal
+        if expires is not None and _time.time() > expires:
+            return True  # expired: stealable regardless of holder state
+        if host == _hostname() and pid and not _pid_alive_for_lock(pid):
+            return True  # same-host crash: steal before the TTL runs out
+        raise ConcurrentMaintenanceError(
+            f"store is being maintained by live pid {pid} on {host} "
+            f"({self._path}); run one maintainer per store"
+        )
+
+    def renew(self) -> None:
+        """Extend the lease (atomic rewrite) — call between phases of a
+        long fold so a slow-but-alive maintainer isn't stolen from."""
+        tmp = f"{self._path}.renew"
+        with open(tmp, "wb") as fh:
+            fh.write(self._lease())
+        os.replace(tmp, self._path)
 
     def __exit__(self, *exc):
         try:
@@ -111,6 +181,12 @@ class _store_lock:
         except FileNotFoundError:
             pass
         return False
+
+
+def _hostname() -> str:
+    import socket
+
+    return socket.gethostname()
 
 
 def _pid_alive_for_lock(pid: int) -> bool:
@@ -179,12 +255,20 @@ def _day_files(store: str, gen: str, day: str) -> list[str]:
     ]
 
 
-def read_store_cells(spark: SparkSession, store: str) -> DataFrame | None:
-    """The committed partial-aggregate cells (None on a fresh store).
-    The ``_day`` bucket dir is a layout detail — the day lives in the
-    data as a regular column, so reading by explicit file list (the
-    manifest may point across generations) loses nothing."""
-    gen, _txns, _hwm = _read_pointer(store)
+def read_store_cells_at(
+    spark: SparkSession, store: str, gen: str | None
+) -> DataFrame | None:
+    """The partial-aggregate cells of ONE specific generation — no
+    pointer read. A serve that already holds a ``(gen, hwm)`` pointer
+    snapshot MUST resolve cell files from that same ``gen``: re-reading
+    the pointer here would let a maintenance flip land between the two
+    reads and hand the serve NEW cells against an OLD hwm (double
+    counting the freshly-covered offsets). GC grace keeps the snapshot
+    generation's files alive for one superseded tick, so a serve racing
+    a commit still finds its files. The ``_day`` bucket dir is a layout
+    detail — the day lives in the data as a regular column, so reading
+    by explicit file list (the manifest may point across generations)
+    loses nothing."""
     if gen is None:
         return None
     files = [
@@ -197,6 +281,15 @@ def read_store_cells(spark: SparkSession, store: str) -> DataFrame | None:
     # mergeSchema: generations written before a cell-schema migration
     # lack the new measure columns — merge them in as nullable
     return spark.read.option("mergeSchema", "true").parquet(*files)
+
+
+def read_store_cells(spark: SparkSession, store: str) -> DataFrame | None:
+    """The CURRENT committed cells (None on a fresh store) — a
+    standalone read that resolves the pointer itself. Serves that also
+    need the HWM must NOT use this; they take one pointer snapshot and
+    call :func:`read_store_cells_at` (see the torn-view note there)."""
+    gen, _txns, _hwm = _read_pointer(store)
+    return read_store_cells_at(spark, store, gen)
 
 
 def _gc_generations(store: str, keep_gen: str, grace: int = 1) -> None:
@@ -241,11 +334,12 @@ def _tail_scan(
     residual (coverage is per partition) is a tiny OR chain over the
     pointer's HWM map — JVM-side, no driver loop over data."""
     from presto_rakam_kafka_spark.sources.kafka_datasource import (
-        KafkaSegmentDataSource,
+        ensure_segments_source,
     )
 
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(KafkaSegmentDataSource)
+    # registration-time session prep (conf touched once per session,
+    # never per serve — ADVICE r10 #4)
+    ensure_segments_source(spark)
     df = spark.read.format("kafka_segments").option("path", log_dir).load()
     if hwm:
         df = df.filter(F.col("offset") >= int(min(hwm.values())))
@@ -262,11 +356,22 @@ def _tail_scan(
 
 def _log_end_offsets(log_dir: str) -> dict[int, int]:
     """{partition: next offset after the last segment} — driver-side
-    footer metadata only (the consumer-position read)."""
+    footer metadata only (the consumer-position read). A log dir the
+    producer has not created/laid out yet reads as ``{}`` — a
+    maintenance cron tick firing before first produce must be a no-op,
+    not a crash (ADVICE r10 #3); the SCAN path keeps its A3 strictness
+    (refusing a layout-less dir), this position read is the one place
+    "not born yet" is a legitimate state."""
+    import re as _re
+
     from presto_rakam_kafka_spark.sources.kafka_datasource import (
         _enumerate_segments,
     )
 
+    if not os.path.isdir(log_dir) or not any(
+        _re.match(r"^partition=\d+$", e) for e in os.listdir(log_dir)
+    ):
+        return {}
     ends: dict[int, int] = {}
     for pid, segs in _enumerate_segments(log_dir).items():
         hi = 0
@@ -349,8 +454,38 @@ def _fold_cells(
     _write_manifest(gdir, days)
     txns = dict(txns)
     txns[app_id] = int(epoch)
-    _flip_pointer(store, gen, txns, new_hwm)
+    _fenced_flip(store, gen_prev, gen, txns, new_hwm)
     _gc_generations(store, gen)
+
+
+#: test-injection point: called right before a commit's fence check —
+#: a fencing test uses it to simulate a second maintainer (one that
+#: stole this writer's expired lease) committing first.
+_before_flip_hook = None
+
+
+def _fenced_flip(
+    store: str, gen_read: str | None, gen: str, txns: dict, hwm: dict
+) -> None:
+    """Flip the pointer iff the generation sequence hasn't moved since
+    this writer read it (``gen_read``). The lease gives cooperative
+    exclusion; the FENCE gives correctness when exclusion fails — a
+    maintainer whose lease expired mid-fold (GC pause, slow scan) and
+    was stolen must find its commit REFUSED, not silently clobber the
+    thief's: the store-level generation sequence is the fencing token
+    (the Chubby/ZooKeeper discipline, here checked against the atomic
+    pointer itself)."""
+    if _before_flip_hook is not None:
+        _before_flip_hook()
+    cur, _t, _h = _read_pointer(store)
+    if cur != gen_read:
+        raise FencedMaintenanceError(
+            f"generation moved {gen_read!r} → {cur!r} during this fold; "
+            f"refusing stale commit {gen!r} (lease was stolen or a "
+            f"second maintainer raced) — the unreferenced generation "
+            f"dir is left for GC"
+        )
+    _flip_pointer(store, gen, txns, hwm)
 
 
 def maintain_rollup(
@@ -370,16 +505,16 @@ def maintain_rollup(
     HWM map. Re-running with nothing new is a metadata no-op (the tail
     scan plans a single empty split; no generation is written)."""
     os.makedirs(store, exist_ok=True)
-    with _store_lock(store):
+    with _store_lock(store) as lk:
         return _maintain_locked(
             spark, log_dir, store, cell_fn, group_cols, merge_exprs,
-            day_col, up_to, app_id,
+            day_col, up_to, app_id, lk,
         )
 
 
 def _maintain_locked(
     spark, log_dir, store, cell_fn, group_cols, merge_exprs,
-    day_col, up_to, app_id,
+    day_col, up_to, app_id, lk=None,
 ) -> dict:
     _gen, txns, hwm = _read_pointer(store)
     ends = _log_end_offsets(log_dir)
@@ -387,6 +522,8 @@ def _maintain_locked(
     for p, end in ends.items():
         target = end if up_to is None else min(int(up_to), end)
         new_hwm[p] = max(hwm.get(p, 0), target)
+    if not new_hwm:
+        return hwm  # empty / not-yet-written log: a no-op, not an error
     if new_hwm == hwm and _gen is not None:
         return hwm
     # The scan is ALWAYS bounded above by the coverage about to be
@@ -408,6 +545,8 @@ def _maintain_locked(
         # (they match no leg) — their rows fold next tick
         tail = tail.filter(cond)
     epoch = txns.get(app_id, -1) + 1
+    if lk is not None:
+        lk.renew()  # the fold is the long phase; enter it with a fresh lease
     _fold_cells(
         spark, store, cell_fn(tail), new_hwm, epoch, app_id,
         group_cols, merge_exprs, day_col,
@@ -430,8 +569,11 @@ def run_rollup_maintenance(
     ``kafka_segments`` streaming reader) through a foreachBatch fold of
     the same store. Coverage advances from the batch's own offsets
     (max+1 per partition observed — a partitions-sized driver scalar),
-    and the (app_id, epoch) txn record makes a replayed epoch an exact
-    no-op, so the store is exactly-once under restart.
+    and each batch is first filtered to offsets >= the STORED HWM, so
+    the fold is idempotent against ANY replay — same-checkpoint epoch
+    replays and later maintainers with fresh checkpoints whose batch
+    boundaries no longer align (the r10 epoch-guard hole) alike — and
+    the store is exactly-once under restart.
 
     Python stream sources fall back to single-batch execution under
     ``Trigger.AvailableNow`` (each trigger takes ONE rate-limited
@@ -441,13 +583,35 @@ def run_rollup_maintenance(
     spark = stream_raw.sparkSession
     os.makedirs(store, exist_ok=True)
 
+    progressed = False
+
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        nonlocal progressed
         if batch_df.isEmpty():
             return  # trailing no-data trigger: no coverage to commit
+        progressed = True
         with _store_lock(store):
             _gen, txns, hwm = _read_pointer(store)
-            if txns.get(app_id, -1) >= epoch_id:
-                return  # replayed epoch
+            # Idempotency is OFFSET-based, not epoch-based (ADVICE
+            # r10): a later maintainer resuming a persisted store from
+            # a FRESH checkpoint restarts epoch_id at 0 with batch
+            # boundaries that no longer match the original run (after
+            # compaction or a changed maxRowsPerBatch) — an epoch-id
+            # replay guard would then skip genuinely-new batches or
+            # double-fold misaligned ones. Filtering the batch to
+            # offsets >= the STORED per-partition HWM makes the fold
+            # exact regardless of alignment: covered rows drop,
+            # uncovered rows fold, a true replay becomes an empty
+            # batch and commits nothing.
+            if hwm:
+                cond = None
+                for p, h in hwm.items():
+                    c = (F.col("partition") == int(p)) & (
+                        F.col("offset") >= int(h)
+                    )
+                    cond = c if cond is None else (cond | c)
+                known = F.col("partition").isin([int(p) for p in hwm])
+                batch_df = batch_df.filter(~known | cond)
             seen = batch_df.groupBy("partition").agg(
                 F.max("offset").alias("mx")
             ).collect()
@@ -456,14 +620,19 @@ def run_rollup_maintenance(
                 new_hwm[int(r["partition"])] = max(
                     new_hwm.get(int(r["partition"]), 0), int(r["mx"]) + 1
                 )
+            if new_hwm == hwm and _gen is not None:
+                return  # batch fully covered (replay): metadata no-op
+            # the txn record stays monotone per app for observability;
+            # it is no longer the correctness guard
+            epoch = max(txns.get(app_id, -1) + 1, int(epoch_id))
             _fold_cells(
-                spark, store, cell_fn(batch_df), new_hwm, int(epoch_id),
+                spark, store, cell_fn(batch_df), new_hwm, epoch,
                 app_id, group_cols, merge_exprs, day_col,
             )
 
     ckpt = staging_mkdtemp(f"ckpt_{name}_")
-    prev_state: tuple | None = None
     for _ in range(max_triggers):
+        progressed = False
         q = (
             stream_raw.writeStream.foreachBatch(on_batch)
             .queryName(name)
@@ -472,16 +641,26 @@ def run_rollup_maintenance(
             .start()
         )
         q.awaitTermination()
-        _gen, _txns, hwm = _read_pointer(store)
-        state = tuple(sorted(hwm.items()))
-        if state == prev_state:
+        # Drain until the SOURCE stops yielding rows — not until the
+        # store HWM stalls: a maintainer resuming a persisted store
+        # from a fresh checkpoint replays covered offsets first, and
+        # those batches deliberately commit nothing (offset-filtered),
+        # so an HWM-stall condition would quit before reaching the
+        # genuinely-new tail.
+        if not progressed:
             break
-        prev_state = state
 
 
 # ---------------------------------------------------------------------
 # Serving: stored cells ∪ uncovered tail, finished at read time
 # ---------------------------------------------------------------------
+
+
+#: test-injection point: called right after a serve captures its
+#: pointer snapshot, BEFORE it resolves cell files — a concurrency test
+#: monkeypatches this to run a maintenance commit in the window and
+#: assert the serve still equals the full-scan oracle.
+_after_pointer_snapshot_hook = None
 
 
 def serve_rollup_tail(
@@ -492,15 +671,36 @@ def serve_rollup_tail(
     group_cols: list[str],
     merge_exprs: list,
     finish_fn=None,
+    cell_filter=None,
 ) -> DataFrame:
     """Answer the rollup EXACTLY over the full log without a full scan:
     committed cells ∪ cells(tail beyond the committed HWM), merged and
-    finished. The tail scan's offset bound comes from the SAME pointer
-    read as the cells — a torn view (cells newer than HWM or vice
-    versa) is impossible by construction."""
-    _gen, _txns, hwm = _read_pointer(store)
-    cells = read_store_cells(spark, store)
+    finished. The pointer is read ONCE — cells are resolved from that
+    snapshot's generation (:func:`read_store_cells_at`) and the tail's
+    offset bound from the same snapshot's HWM, so cells and coverage
+    always agree even when a maintenance commit flips the pointer
+    mid-serve (the r10 torn-pointer race: resolving cells through a
+    second pointer read merged NEW cells with a tail scanned from the
+    OLD hwm, double-counting everything the commit had just covered).
+
+    ``cell_filter`` is a key predicate over CELL columns (the dashboard
+    ``WHERE event_type = 'click'`` filter of a pull query): on the
+    stored side it is applied directly to the parquet read, so Catalyst
+    pushes it into the scan (``PushedFilters``) and parquet row-group
+    statistics skip non-matching groups without decoding them
+    (plan-asserted in tests); on the tail side it filters the
+    freshly-built cells before the merge. Exactness is unchanged —
+    cells are keyed by the group columns, so filtering cells by a group
+    predicate commutes with the merge."""
+    gen, _txns, hwm = _read_pointer(store)
+    if _after_pointer_snapshot_hook is not None:
+        _after_pointer_snapshot_hook()
+    cells = read_store_cells_at(spark, store, gen)
     tail_cells = cell_fn(_tail_scan(spark, log_dir, hwm))
+    if cell_filter is not None:
+        tail_cells = tail_cells.filter(cell_filter)
+        if cells is not None:
+            cells = cells.filter(cell_filter)
     merged = (
         tail_cells
         if cells is None
@@ -527,18 +727,21 @@ def rebuild_rollup(
     guarantee as incremental maintenance). Cost is one full log fold —
     the same price the reference pays for EVERY query."""
     os.makedirs(store, exist_ok=True)
-    with _store_lock(store):
+    with _store_lock(store) as lk:
         return _rebuild_locked(
             spark, log_dir, store, cell_fn, group_cols, merge_exprs,
-            day_col, app_id,
+            day_col, app_id, lk,
         )
 
 
 def _rebuild_locked(
-    spark, log_dir, store, cell_fn, group_cols, merge_exprs, day_col, app_id
+    spark, log_dir, store, cell_fn, group_cols, merge_exprs, day_col,
+    app_id, lk=None,
 ) -> dict:
-    gen_prev, txns, _hwm = _read_pointer(store)
+    gen_prev, txns, hwm_prev = _read_pointer(store)
     new_hwm = _log_end_offsets(log_dir)
+    if not new_hwm:
+        return hwm_prev  # empty / not-yet-written log: nothing to fold
     # bound the scan by the coverage being committed (same
     # append-during-tick discipline as maintain_rollup)
     scan = _tail_scan(spark, log_dir, {}, up_to=max(new_hwm.values()))
@@ -550,6 +753,8 @@ def _rebuild_locked(
         scan = scan.filter(cond)
     cells = cell_fn(scan)
     merged = cells.groupBy(*group_cols).agg(*merge_exprs)
+    if lk is not None:
+        lk.renew()  # full-log fold ahead: fresh lease
     seq = 0 if gen_prev is None else int(gen_prev.split("-")[1]) + 1
     gen = f"gen-{seq:010d}"
     gdir = os.path.join(store, gen)
@@ -571,7 +776,7 @@ def _rebuild_locked(
     _write_manifest(gdir, {d: _day_files(store, gen, d) for d in touched})
     txns = dict(txns)
     txns[app_id] = txns.get(app_id, -1) + 1
-    _flip_pointer(store, gen, txns, new_hwm)
+    _fenced_flip(store, gen_prev, gen, txns, new_hwm)
     _gc_generations(store, gen)
     return new_hwm
 
