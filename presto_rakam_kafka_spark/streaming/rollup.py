@@ -25,11 +25,13 @@ module gives window-bounded finishes a fold whose state is bounded by
   row-for-row for every event inside the slack.
 
 Both folds follow the repo's exactly-once discipline: each trigger
-writes a fresh ``gen-{epoch}`` state generation and commits it with an
-atomic ``_CURRENT`` pointer flip carrying the (app_id, epoch) txn
-record — a replayed epoch within one checkpoint lineage is a no-op
-(pointer unchanged), and a fresh checkpoint presents a fresh app_id
-(the r8 lesson: epoch-only keys swallow new streams as replays).
+writes a fresh state generation (named by a STORE-level sequence, the
+serving.py rule — epoch-named gens collide when a later maintainer's
+epoch ids restart) and commits it with an atomic ``_CURRENT`` pointer
+flip carrying the (app_id, epoch) txn record — a replayed epoch within
+one checkpoint lineage is a no-op (pointer unchanged), and a fresh
+checkpoint presents a fresh app_id (the r8 lesson: epoch-only keys
+swallow new streams as replays).
 
 Which rollups need this: window-bounded finishes (trailing-N-day
 audiences, rolling distincts). Lifetime-bounded rollups — retention
@@ -138,7 +140,13 @@ def run_windowed_cells(
                 F.col(day_col)
                 >= F.lit(mx) - F.expr(f"INTERVAL {window_days - 1} DAYS")
             )
-        gen = f"gen-{int(epoch_id):010d}"
+        # STORE-level sequence, not the app-scoped epoch: a second
+        # maintainer (fresh checkpoint, epoch restarting at 0) must
+        # never derive a generation name at or below the current one
+        # (the serving.py discipline; epoch-named gens left orphan
+        # dirs behind and could overwrite superseded ones)
+        seq = 0 if cur is None else int(cur.split("-")[1]) + 1
+        gen = f"gen-{seq:010d}"
         merged.write.mode("overwrite").parquet(os.path.join(store, gen))
         txns = dict(txns)
         txns[app_id] = int(epoch_id)
@@ -208,7 +216,8 @@ def run_rolling_pairs(
         else:
             pairs = pairs.distinct()
         mx = pairs.agg(F.max(day_col).alias("m")).collect()[0]["m"]
-        gen = f"gen-{int(epoch_id):010d}"
+        seq = 0 if cur is None else int(cur.split("-")[1]) + 1
+        gen = f"gen-{seq:010d}"  # store-level sequence (see above)
         gdir = os.path.join(store, gen)
         new_thru = emitted_thru
         if mx is not None:

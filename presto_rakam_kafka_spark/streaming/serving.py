@@ -791,6 +791,7 @@ def serve_rollup_day(
     merge_exprs: list,
     finish_fn=None,
     day_col: str = "day",
+    cell_filter=None,
 ) -> DataFrame:
     """Single-tile refresh: the rollup for ONE day at the cost of one
     manifest day bucket + a doubly-pruned tail. The stored side reads
@@ -800,7 +801,9 @@ def serve_rollup_day(
     stats end before the day out — the offsetsForTimes-analog pruning
     of ``KafkaSegmentReader._ts_overlaps``). Day cells are closed by
     event time, so the residual day filter after the segment prune is
-    exact."""
+    exact. ``cell_filter`` adds the key-predicate prune of
+    :func:`serve_rollup_tail` as a THIRD axis (day bucket × row
+    groups × key)."""
     gen, _txns, hwm = _read_pointer(store)
     stored = None
     if gen is not None:
@@ -826,6 +829,10 @@ def serve_rollup_day(
         .filter(F.col("timestamp") < F.to_timestamp(F.lit(nxt)))
     )
     tail_cells = cell_fn(tail).filter(F.col(day_col) == day)
+    if cell_filter is not None:
+        tail_cells = tail_cells.filter(cell_filter)
+        if stored is not None:
+            stored = stored.filter(cell_filter)
     merged = (
         tail_cells if stored is None
         else stored.unionByName(tail_cells, allowMissingColumns=True)
@@ -844,12 +851,15 @@ def serve_rollup_range(
     merge_exprs: list,
     finish_fn=None,
     day_col: str = "day",
+    cell_filter=None,
 ) -> DataFrame:
     """Date-range serve (the dashboard date picker): manifest lookup
     of exactly the days in ``[start_day, end_day]`` on the stored side,
     the same two-axis prune (offset ≥ HWM + the range's timestamp
     bounds) on the tail side. Cost ∝ (days in range) + (tail segments
-    overlapping the range), independent of the days outside it."""
+    overlapping the range), independent of the days outside it.
+    ``cell_filter`` composes the key-predicate prune on top (see
+    :func:`serve_rollup_tail`)."""
     import datetime as _dtmod
 
     gen, _txns, hwm = _read_pointer(store)
@@ -879,6 +889,10 @@ def serve_rollup_range(
     tail_cells = cell_fn(tail).filter(
         F.col(day_col).between(start_day, end_day)
     )
+    if cell_filter is not None:
+        tail_cells = tail_cells.filter(cell_filter)
+        if stored is not None:
+            stored = stored.filter(cell_filter)
     merged = (
         tail_cells
         if stored is None

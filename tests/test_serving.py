@@ -982,3 +982,63 @@ def test_keyed_serve_pushes_predicate_into_stored_cell_scan(
         if k[1] == "click"
     }
     assert _got(served) == exp
+
+
+def test_keyed_day_and_range_serve_exact(spark, sf_dir, tmp_path):
+    """cell_filter composes with the day / range serves (three prune
+    axes: day bucket x row groups x key) and stays exact against the
+    filtered full-scan oracle on both sides of the coverage cut."""
+    from presto_rakam_kafka_spark.streaming.serving import (
+        serve_rollup_day,
+        serve_rollup_range,
+    )
+
+    log = str(tmp_path / "log")
+    _write_log(spark, sf_dir, log)
+    store = str(tmp_path / "store")
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=200)
+
+    exp = {
+        k: v
+        for k, v in _expected(spark, sf_dir).items()
+        if k[1] == "view"
+    }
+    days = sorted({k[0] for k in exp})
+    mid = days[len(days) // 2]
+    got_day = _got(
+        serve_rollup_day(
+            spark, log, store, mid, _cells, GROUP, _merge(),
+            finish_fn=_finish, cell_filter=F.col("event_type") == "view",
+        )
+    )
+    assert got_day == {k: v for k, v in exp.items() if k[0] == mid}
+    got_range = _got(
+        serve_rollup_range(
+            spark, log, store, days[0], mid, _cells, GROUP, _merge(),
+            finish_fn=_finish, cell_filter=F.col("event_type") == "view",
+        )
+    )
+    assert got_range == {k: v for k, v in exp.items() if k[0] <= mid}
+
+
+def test_lease_renew_extends_expiry(spark, sf_dir, tmp_path):
+    """renew() pushes the lease expiry forward atomically — a
+    slow-but-alive maintainer that renews between fold phases cannot
+    be stolen from, and the fold keeps its fence."""
+    import time as _time
+
+    from presto_rakam_kafka_spark.streaming.serving import _store_lock
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    with _store_lock(store, ttl_s=40) as lk:
+        p = os.path.join(store, "_MAINTENANCE_LOCK")
+        with open(p) as fh:
+            first = json.load(fh)["expires"]
+        _time.sleep(0.05)
+        lk.renew()
+        with open(p) as fh:
+            renewed = json.load(fh)
+        assert renewed["expires"] > first
+        assert renewed["pid"] == os.getpid()
+    assert not os.path.exists(p)  # released on exit
