@@ -130,7 +130,7 @@ class EventCatalog:
         avro_writer_schema: str | None = None,
         expose_key: bool = False,
         wire_format: str = "raw",
-        schema_registry: dict | None = None,
+        schema_registry: dict | str | None = None,
     ) -> None:
         """Register a table backed by the native ``kafka_segments``
         DataSource: ``table(..., offset_ranges=...)`` then routes through

@@ -13,6 +13,7 @@ lossless.
 from __future__ import annotations
 
 import itertools
+import json
 import os
 import tempfile
 
@@ -1873,3 +1874,187 @@ def events_serve_rollup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("sum_value_raw"), 2).alias("sum_value"),
     )
+
+
+#: Third registry version, registered MID-STREAM in the evolving gate
+#: row: v7's shape plus a writer-only `source` field the reader skips.
+_AVRO_WIRE_V9 = (
+    '{"type": "record", "name": "event_v9", "fields": ['
+    '{"name": "user_id", "type": "long"},'
+    '{"name": "event_type", "type": ["null", "string"]},'
+    '{"name": "value", "type": ["null", "double"]},'
+    '{"name": "priority", "type": {"type": "enum", "name": "prio9",'
+    ' "symbols": ["LOW", "HIGH"]}},'
+    '{"name": "source", "type": "string"}]}'
+)
+
+
+def _wire_evolving_log_dir(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Build (once per process per sf) a Confluent-framed log whose
+    LOW offsets interleave registry ids 3/7 (as `_wire_segment_log_dir`,
+    uncorrupted) and whose offsets at/above the 50% cut are written
+    under a NEW id 9 — the producer that upgraded mid-topic. Returns
+    (dir, cut_offset)."""
+    import pandas as pd
+
+    from presto_rakam_kafka_spark.sources import avro_codec
+    from presto_rakam_kafka_spark.sources.kafka_datasource import write_segments
+    from pyspark.sql import types as T
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    d = os.path.join(
+        tempfile.gettempdir(), f"kafka_segments_wire_evo_{tag}_p{os.getpid()}x"
+    )
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    cut = int(0.5 * events.agg(F.max("event_id")).collect()[0][0])
+    if os.path.isdir(os.path.join(d, "partition=0")):
+        return d, cut
+    raw_schema = T.StructType(
+        [
+            T.StructField("offset", T.LongType()),
+            T.StructField("key", T.BinaryType()),
+            T.StructField("value", T.BinaryType()),
+            T.StructField("timestamp", T.TimestampType()),
+        ]
+    )
+
+    def encode_batches(batches):
+        w3 = avro_codec.parse_schema(_AVRO_WRITER_V1)
+        w7 = avro_codec.parse_schema(_AVRO_WIRE_V7)
+        w9 = avro_codec.parse_schema(_AVRO_WIRE_V9)
+        for pdf in batches:
+            payloads = []
+            for _, row in pdf.iterrows():  # fixture ENCODER, not a decode path
+                eid = int(row["event_id"])
+                val = None if pd.isna(row["value"]) else float(row["value"])
+                prio = "HIGH" if (val or 0.0) > 10 else "LOW"
+                out = bytearray()
+                if eid >= cut:
+                    avro_codec._encode_value(
+                        {"user_id": int(row["user_id"]),
+                         "event_type": row["event_type"], "value": val,
+                         "priority": prio, "source": "upgraded"},
+                        w9, out,
+                    )
+                    frame = avro_codec.wrap_confluent(9, bytes(out))
+                elif eid % 2 == 0:
+                    avro_codec._encode_value(
+                        {"uid": int(row["user_id"]), "etype": row["event_type"],
+                         "value": val, "priority": prio,
+                         "legacy": "dropped-by-reader"},
+                        w3, out,
+                    )
+                    frame = avro_codec.wrap_confluent(3, bytes(out))
+                else:
+                    avro_codec._encode_value(
+                        {"user_id": int(row["user_id"]),
+                         "event_type": row["event_type"], "value": val,
+                         "priority": prio, "channel": "web"},
+                        w7, out,
+                    )
+                    frame = avro_codec.wrap_confluent(7, bytes(out))
+                payloads.append(frame)
+            yield pd.DataFrame(
+                {
+                    "offset": pdf["event_id"],
+                    "key": [None] * len(pdf),
+                    "value": payloads,
+                    "timestamp": pdf["ts"],
+                }
+            )
+
+    raw = events.mapInPandas(encode_batches, schema=raw_schema)
+    write_segments(raw, d, num_partitions=3, segment_rows=500)
+    return d, cut
+
+
+@query(
+    "stream_confluent_wire_evolving_agg",
+    oracle="""
+    SELECT event_type,
+           CASE WHEN value > 10 THEN 'HIGH' ELSE 'LOW' END AS priority,
+           count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_users,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type, CASE WHEN value > 10 THEN 'HIGH' ELSE 'LOW' END
+    """,
+)
+def stream_confluent_wire_evolving_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCHEMA REGISTERED MID-STREAM (round 11): the log's upper half is
+    written under registry id 9, which is NOT in the registry snapshot
+    when the stream starts — the consumer's snapshot FILE gains id 9
+    between micro-batch restarts (the producer-registers-v9-while-
+    consumers-run sequence every Confluent estate lives through). The
+    source's ``schema_registry`` is a PATH: each task resolves ids
+    through ``RefreshingSchemaRegistry`` (fetch-on-miss reload, the
+    live-client protocol with the HTTP GET swapped for the snapshot
+    read), so id-9 frames decode the moment the snapshot carries them —
+    no consumer restart, no dropped rows. The drained aggregate must
+    equal batch SQL over ALL events: any pre-registration drop of id-9
+    frames fails the hash. A static dict registry cannot pass this row
+    (frozen at registration — the r10 limitation this removes)."""
+    from presto_rakam_kafka_spark.catalog import EventCatalog
+    from presto_rakam_kafka_spark.fixtures import staging_mkdtemp
+    from presto_rakam_kafka_spark.metastore import InMemoryMetastore
+
+    log_dir, _cut = _wire_evolving_log_dir(spark, sf_dir)
+    n_events = _t(spark, sf_dir, "events").count()
+    # registry snapshot v1: ids 3 and 7 only — id 9 does not exist yet
+    reg_path = os.path.join(staging_mkdtemp("wire_registry_"), "registry.json")
+    with open(reg_path, "w") as fh:
+        json.dump({"3": _AVRO_WRITER_V1, "7": _AVRO_WIRE_V7}, fh)
+
+    ms = InMemoryMetastore()
+    catalog = EventCatalog(spark, ms)
+    ms.register("tpch", "events", _avro_reader_fields())
+    catalog.register_kafka_segments(
+        "tpch",
+        "events",
+        log_dir,
+        value_format="avro",
+        wire_format="confluent",
+        schema_registry=reg_path,
+    )
+    # rate-limit so the FIRST restart cannot reach the id-9 region
+    # (cut at 50% of offsets, first batch ≤ 25% of rows)
+    sdf = catalog.stream(
+        "tpch", "events", max_rows_per_batch=max(200, n_events // 4)
+    )
+    agg = sdf.groupBy("event_type", "priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("sum_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    name = f"wire_evo_stream_{next(_STREAM_SEQ)}"
+    ckpt = staging_mkdtemp(f"ckpt_{name}_")
+    last = None
+    for i in range(200):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if i == 0:
+            # the producer registers v9 AFTER the first micro-batch —
+            # mid-stream, well before any id-9 frame is scanned
+            with open(reg_path, "w") as fh:
+                json.dump(
+                    {"3": _AVRO_WRITER_V1, "7": _AVRO_WIRE_V7,
+                     "9": _AVRO_WIRE_V9},
+                    fh,
+                )
+        lp = q.lastProgress
+        if not lp or int(lp.get("numInputRows", 0) or 0) == 0:
+            break
+        tbl = spark.table(name)
+        last = (tbl.collect(), tbl.schema)
+    assert last is not None
+    return spark.createDataFrame(last[0], last[1])

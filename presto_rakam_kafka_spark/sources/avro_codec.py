@@ -866,6 +866,58 @@ class SchemaRegistry:
         return json.dumps({str(k): v for k, v in self._schemas.items()})
 
 
+class RefreshingSchemaRegistry:
+    """Path-backed registry snapshot with fetch-on-miss reload — the
+    executor-side behavior of a LIVE Schema Registry client (round 11).
+
+    A static ``SchemaRegistry`` dict is frozen at source registration;
+    on a real estate, producers register NEW schema versions while
+    consumers run, and the Confluent client resolves an unseen id by
+    fetching it (then caches). This class is that protocol with the
+    HTTP fetch replaced by re-reading an on-disk JSON snapshot
+    ``{id: writer schema}`` (the sandbox has no registry service; the
+    fetch is a pluggable one-liner). Semantics:
+
+    * known id → served from the in-memory snapshot (no I/O per record);
+    * unknown id → reload the snapshot ONCE (the producer may have
+      registered mid-stream), then resolve or fail;
+    * an id still unknown after reload is NEGATIVE-CACHED for this
+      instance's lifetime (one task), so a corrupt frame with a
+      garbage id costs one reload total, not one per record — the
+      same drop-after-lookup-miss behavior as the real client, and the
+      frame falls under the A14 corrupt-record policy.
+    """
+
+    def __init__(self, path: str):
+        self._path = path
+        self._snap: SchemaRegistry | None = None
+        self._missing: set[int] = set()
+
+    def _load(self) -> None:
+        with open(self._path) as fh:
+            self._snap = SchemaRegistry(json.load(fh))
+
+    def writer(self, schema_id: int) -> dict:
+        if self._snap is None:
+            self._load()
+        try:
+            return self._snap.writer(schema_id)
+        except AvroDecodeError:
+            if schema_id in self._missing:
+                raise
+            self._load()  # fetch-on-miss: registered mid-stream?
+            try:
+                return self._snap.writer(schema_id)
+            except AvroDecodeError:
+                self._missing.add(schema_id)
+                raise
+
+    def ids(self) -> list[int]:
+        if self._snap is None:
+            self._load()
+        return self._snap.ids()
+
+
 def wrap_confluent(schema_id: int, datum: bytes) -> bytes:
     """Frame an Avro datum in the Confluent wire format."""
     return _struct.pack(">bI", _WIRE_MAGIC, schema_id) + datum

@@ -104,9 +104,13 @@ class KafkaEventSource:
     #: real estates; JVM ``from_avro`` cannot dispatch per record, so
     #: this path always decodes through the engine's codec.
     wire_format: str = "raw"
-    #: id → writer schema JSON for ``wire_format="confluent"`` (a
-    #: static registry snapshot; see avro_codec.SchemaRegistry).
-    schema_registry: dict[int, str] | None = None
+    #: registry for ``wire_format="confluent"``: either an
+    #: {id: writer schema JSON} dict (a STATIC snapshot, frozen at
+    #: registration — avro_codec.SchemaRegistry) or a PATH to a JSON
+    #: snapshot file, resolved per task with fetch-on-miss reload so a
+    #: schema id registered MID-STREAM decodes without restarting the
+    #: consumer (avro_codec.RefreshingSchemaRegistry, round 11).
+    schema_registry: dict[int, str] | str | None = None
 
     def _reader(self, spark: SparkSession, streaming: bool):
         reader = (
@@ -252,6 +256,8 @@ class KafkaEventSource:
         registry_json = (
             None
             if registry is None
+            else registry  # path: resolved per task, fetch-on-miss
+            if isinstance(registry, str)
             else {int(k): (v if isinstance(v, str) else json.dumps(v))
                   for k, v in registry.items()}
         )
@@ -268,8 +274,13 @@ class KafkaEventSource:
             # loop only drives the compiled closures. ~2.9× over the
             # interpreted decode (SCALE_NOTES.md §avro-decode).
             if registry_json is not None:
+                reg = (
+                    avro_codec.RefreshingSchemaRegistry(registry_json)
+                    if isinstance(registry_json, str)
+                    else avro_codec.SchemaRegistry(registry_json)
+                )
                 decode_one = avro_codec.compile_wire_read_plan(
-                    avro_codec.SchemaRegistry(registry_json), reader_json
+                    reg, reader_json
                 )
             else:
                 decode_one = avro_codec.compile_read_plan(

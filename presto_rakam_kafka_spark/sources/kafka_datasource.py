@@ -934,10 +934,12 @@ class KafkaSegmentsEventSource:
     #: pull-query over user-facing columns).
     expose_key: bool = False
     #: ``"confluent"`` decodes each payload's 5-byte wire frame against
-    #: ``schema_registry`` (id → writer schema JSON) — the registry-
-    #: serialized topic surface (see sources/kafka.py / avro_codec).
+    #: ``schema_registry`` — an {id: writer schema JSON} dict (static
+    #: snapshot) or a PATH to a JSON snapshot file resolved per task
+    #: with fetch-on-miss reload (mid-stream schema registration; see
+    #: sources/kafka.py / avro_codec.RefreshingSchemaRegistry).
     wire_format: str = "raw"
-    schema_registry: dict | None = None
+    schema_registry: dict | str | None = None
 
     def scan(
         self,

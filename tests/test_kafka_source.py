@@ -747,3 +747,68 @@ def test_registry_add_enforces_compatibility():
     ), 2: '{"type": "record", "name": "m", "fields": []}'})
     with pytest.raises(A.AvroSchemaError, match="BACKWARD vs id 1"):
         reg3.add(4, narrowing, compatibility="BACKWARD_TRANSITIVE")
+
+
+def test_refreshing_registry_fetch_on_miss_and_negative_cache(tmp_path):
+    """RefreshingSchemaRegistry resolves a schema id registered AFTER
+    the snapshot was first loaded (fetch-on-miss reload — the live
+    registry-client protocol), and negative-caches ids that remain
+    unknown so a corrupt frame costs one reload, not one per record."""
+    import json
+
+    from presto_rakam_kafka_spark.sources import avro_codec as ac
+
+    v1 = ('{"type": "record", "name": "r", "fields": '
+          '[{"name": "a", "type": "long"}]}')
+    v2 = ('{"type": "record", "name": "r2", "fields": '
+          '[{"name": "a", "type": "long"},'
+          ' {"name": "b", "type": "string"}]}')
+    path = str(tmp_path / "registry.json")
+    with open(path, "w") as fh:
+        json.dump({"3": v1}, fh)
+
+    reg = ac.RefreshingSchemaRegistry(path)
+    assert reg.writer(3)["name"] == "r"
+
+    # id 9 not registered yet: miss (after one reload), negative-cached
+    import pytest as _pytest
+
+    with _pytest.raises(ac.AvroDecodeError):
+        reg.writer(9)
+
+    # producer registers v9 mid-stream; the NEGATIVE CACHE means this
+    # instance (one task) keeps dropping id 9 — a FRESH task resolves it
+    with open(path, "w") as fh:
+        json.dump({"3": v1, "9": v2}, fh)
+    with _pytest.raises(ac.AvroDecodeError):
+        reg.writer(9)  # still negative-cached for this instance
+    fresh = ac.RefreshingSchemaRegistry(path)
+    assert fresh.writer(9)["name"] == "r2"
+
+    # an id that was NEVER probed resolves via fetch-on-miss on the
+    # ORIGINAL instance too (its snapshot reloads on the miss)
+    reg2 = ac.RefreshingSchemaRegistry(path)
+    assert reg2.writer(3)["name"] == "r"
+    assert reg2.writer(9)["name"] == "r2"  # reload picked up the update
+
+
+def test_refreshing_registry_decodes_mid_stream_id_through_wire_plan(tmp_path):
+    """compile_wire_read_plan over a RefreshingSchemaRegistry decodes a
+    frame whose id landed in the snapshot after the plan was built."""
+    import json
+
+    from presto_rakam_kafka_spark.sources import avro_codec as ac
+
+    v1 = ('{"type": "record", "name": "r", "fields": '
+          '[{"name": "a", "type": "long"}]}')
+    path = str(tmp_path / "registry.json")
+    with open(path, "w") as fh:
+        json.dump({"3": v1}, fh)
+    reader = v1
+    plan = ac.compile_wire_read_plan(ac.RefreshingSchemaRegistry(path), reader)
+    assert plan(ac.wrap_confluent(3, ac.encode({"a": 7}, v1))) == {"a": 7}
+
+    # register id 9 AFTER the plan exists; same plan decodes it
+    with open(path, "w") as fh:
+        json.dump({"3": v1, "9": v1}, fh)
+    assert plan(ac.wrap_confluent(9, ac.encode({"a": 8}, v1))) == {"a": 8}
