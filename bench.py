@@ -200,10 +200,14 @@ HEADLINE = [
     "events_serve_rollup_day",
     "events_serve_rollup_stats",
     # round 11: pull query by group key — stored side reads only
-    # matching parquet row groups, tail side filters cells pre-merge.
-    # stream_confluent_wire_agg stays gate-only (stream-replay
-    # fixture overhead, like every stream_* row).
+    # matching parquet row groups, tail side filters cells pre-merge —
+    # and the GDPR-repaired serve (store maintenance + purge + repair
+    # are ingest-time jobs, pre-staged in warmup; cold times the serve).
+    # stream_confluent_wire_agg / stream_confluent_wire_evolving_agg
+    # stay gate-only (stream-replay fixture overhead, like every
+    # stream_* row).
     "events_serve_rollup_keyed",
+    "events_serve_rollup_repair",
 ]
 
 #: Indexed-ANN queries whose cost is two phases with different lifecycles:
@@ -388,6 +392,7 @@ def main() -> None:
     _qd.events_serve_rollup_distinct(spark, SF_DIR)
     _qd.events_serve_rollup_quantiles(spark, SF_DIR)
     _qd.events_serve_rollup_stats(spark, SF_DIR)
+    _qd.events_serve_rollup_repair(spark, SF_DIR)
     staging_s = round(time.perf_counter() - t_staging, 3)
     # Warm the Python DataSource worker path too (separate worker kind
     # from the Arrow pool below): one tiny kafka_segments scan pays the

@@ -2058,3 +2058,86 @@ def stream_confluent_wire_evolving_agg(
         last = (tbl.collect(), tbl.schema)
     assert last is not None
     return spark.createDataFrame(last[0], last[1])
+
+
+@query(
+    "events_serve_rollup_repair",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events WHERE user_id % 11 != 5
+    GROUP BY 1, 2
+    """,
+)
+def events_serve_rollup_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR REPAIR of the materialized rollup (round 11): after
+    ``purge_keys`` rewrites the LOG, the store's covered cells still
+    embed the victims' contributions — aggregates can't subtract, so
+    ``repair_rollup_days`` re-folds ONLY the victims' day buckets from
+    the purged log (scan pruned by the store's committed offset bound
+    AND the days' timestamp bounds at split planning) and swaps them in
+    one generation; untouched days carry by manifest reference and the
+    HWM is unchanged (repair rewrites history, it does not advance
+    coverage). The post-repair serve must equal plain SQL over the
+    events table MINUS the victims — any cell still carrying a purged
+    row fails the hash. The log-side twin is `kafka_log_purged_scan`;
+    this row proves the MATERIALIZED tier forgets too (the full GDPR
+    story a Rakam-style product needs)."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        purge_keys,
+        write_segments,
+    )
+    from presto_rakam_kafka_spark.streaming.serving import (
+        maintain_rollup,
+        repair_rollup_days,
+        serve_rollup_tail,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    log_dir = os.path.join(
+        tempfile.gettempdir(), f"serve_repair_log_{tag}_p{os.getpid()}x"
+    )
+    store = os.path.join(
+        tempfile.gettempdir(), f"serve_repair_store_{tag}_p{os.getpid()}x"
+    )
+    if not os.path.exists(os.path.join(store, "_CURRENT")):
+        ev = _t(spark, sf_dir, "events")
+        raw = ev.select(
+            F.col("event_id").alias("offset"),
+            F.col("user_id").cast("string").cast("binary").alias("key"),
+            F.to_json(F.struct("event_id", "user_id", "event_type", "value"))
+            .cast("binary")
+            .alias("value"),
+            F.col("ts").alias("timestamp"),
+        )
+        write_segments(
+            raw, log_dir, num_partitions=3, segment_rows=500,
+            route_by_key=True,
+        )
+        # the store is FULLY maintained before the deletion request
+        maintain_rollup(
+            spark, log_dir, store, _serve_cell_fn, _SERVE_GROUP,
+            _serve_merge_exprs(), day_col="day",
+        )
+        # deletion request: user_id % 11 == 5 — selection in the plan,
+        # only the victim id list crosses to the driver
+        victims = [
+            str(r["user_id"]).encode()
+            for r in ev.filter(F.col("user_id") % 11 == 5)
+            .select("user_id").distinct().collect()
+        ]
+        purge_keys(log_dir, victims)
+        affected = [
+            r["day"]
+            for r in ev.filter(F.col("user_id") % 11 == 5)
+            .select(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .distinct().collect()
+        ]
+        repair_rollup_days(
+            spark, log_dir, store, affected, _serve_cell_fn, _SERVE_GROUP,
+            _serve_merge_exprs(), day_col="day",
+        )
+    return serve_rollup_tail(
+        spark, log_dir, store, _serve_cell_fn, _SERVE_GROUP,
+        _serve_merge_exprs(), finish_fn=_serve_finish,
+    )

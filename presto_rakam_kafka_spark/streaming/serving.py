@@ -325,14 +325,65 @@ def _gc_generations(store: str, keep_gen: str, grace: int = 1) -> None:
 # ---------------------------------------------------------------------
 
 
+#: per-partition residual strategy cutoff: at or below this many
+#: partitions the residual is a literal boolean chain (no extra plan
+#: stage, fully codegen'd); above it, a broadcast-joined bounds table —
+#: a 10⁴-partition Kafka topic would otherwise put a 10⁴-term boolean
+#: expression into codegen (method-size blowup → interpreted fallback).
+_BOUNDS_EXPR_MAX_PARTITIONS = 64
+
+
+def _per_partition_offset_filter(
+    df: DataFrame, bounds: dict, lower: bool
+) -> DataFrame:
+    """Apply the EXACT per-partition offset residual
+    (``offset >= bounds[partition]`` when ``lower`` else ``<``).
+    Partitions absent from ``bounds`` pass when ``lower`` (unknown at
+    snapshot time → uncovered, scan them) and are EXCLUDED when not
+    (no committed coverage target → fold next tick). Two physical
+    strategies, same semantics: a literal chain for dashboards-scale
+    partition counts, a broadcast hash join against the bounds map
+    (partitions × 16 bytes — always broadcastable) beyond the codegen
+    cutoff."""
+    if not bounds:
+        return df
+    if len(bounds) <= _BOUNDS_EXPR_MAX_PARTITIONS:
+        cond = None
+        for p, h in bounds.items():
+            c = (F.col("partition") == int(p)) & (
+                F.col("offset") >= int(h) if lower else F.col("offset") < int(h)
+            )
+            cond = c if cond is None else (cond | c)
+        known = F.col("partition").isin([int(p) for p in bounds])
+        return df.filter((~known | cond) if lower else (known & cond))
+    spark = df.sparkSession
+    bdf = spark.createDataFrame(
+        [(int(p), int(h)) for p, h in bounds.items()],
+        "partition INT, _bound LONG",
+    )
+    j = df.join(F.broadcast(bdf), "partition", "left")
+    if lower:
+        j = j.filter(
+            F.col("_bound").isNull() | (F.col("offset") >= F.col("_bound"))
+        )
+    else:
+        j = j.filter(
+            F.col("_bound").isNotNull() & (F.col("offset") < F.col("_bound"))
+        )
+    return j.drop("_bound")
+
+
 def _tail_scan(
     spark: SparkSession, log_dir: str, hwm: dict, up_to: int | None = None
 ) -> DataFrame:
     """Raw frames not yet covered by the store: ``offset >= min(hwm)``
     is a plain conjunct Catalyst hands to ``pushFilters`` (segments
     wholly below it never plan splits); the exact per-partition
-    residual (coverage is per partition) is a tiny OR chain over the
-    pointer's HWM map — JVM-side, no driver loop over data."""
+    residual (coverage is per partition) is
+    :func:`_per_partition_offset_filter` — a literal chain at
+    dashboard-scale partition counts, a broadcast-joined bounds map
+    beyond the codegen cutoff. JVM-side either way, no driver loop
+    over data."""
     from presto_rakam_kafka_spark.sources.kafka_datasource import (
         ensure_segments_source,
     )
@@ -343,12 +394,7 @@ def _tail_scan(
     df = spark.read.format("kafka_segments").option("path", log_dir).load()
     if hwm:
         df = df.filter(F.col("offset") >= int(min(hwm.values())))
-        cond = None
-        for p, h in hwm.items():
-            c = (F.col("partition") == int(p)) & (F.col("offset") >= int(h))
-            cond = c if cond is None else (cond | c)
-        known = F.col("partition").isin([int(p) for p in hwm])
-        df = df.filter(~known | cond)
+        df = _per_partition_offset_filter(df, hwm, lower=True)
     if up_to is not None:
         df = df.filter(F.col("offset") < int(up_to))
     return df
@@ -536,14 +582,9 @@ def _maintain_locked(
     tail = _tail_scan(
         spark, log_dir, hwm, up_to=max(new_hwm.values())
     )
-    cond = None
-    for p, h in new_hwm.items():
-        c = (F.col("partition") == int(p)) & (F.col("offset") < int(h))
-        cond = c if cond is None else (cond | c)
-    if cond is not None:
-        # the OR chain also excludes partitions unseen at listing time
-        # (they match no leg) — their rows fold next tick
-        tail = tail.filter(cond)
+    # upper residual also EXCLUDES partitions unseen at listing time
+    # (no committed coverage target) — their rows fold next tick
+    tail = _per_partition_offset_filter(tail, new_hwm, lower=False)
     epoch = txns.get(app_id, -1) + 1
     if lk is not None:
         lk.renew()  # the fold is the long phase; enter it with a fresh lease
@@ -603,15 +644,9 @@ def run_rollup_maintenance(
             # exact regardless of alignment: covered rows drop,
             # uncovered rows fold, a true replay becomes an empty
             # batch and commits nothing.
-            if hwm:
-                cond = None
-                for p, h in hwm.items():
-                    c = (F.col("partition") == int(p)) & (
-                        F.col("offset") >= int(h)
-                    )
-                    cond = c if cond is None else (cond | c)
-                known = F.col("partition").isin([int(p) for p in hwm])
-                batch_df = batch_df.filter(~known | cond)
+            batch_df = _per_partition_offset_filter(
+                batch_df, hwm, lower=True
+            )
             seen = batch_df.groupBy("partition").agg(
                 F.max("offset").alias("mx")
             ).collect()
@@ -745,12 +780,7 @@ def _rebuild_locked(
     # bound the scan by the coverage being committed (same
     # append-during-tick discipline as maintain_rollup)
     scan = _tail_scan(spark, log_dir, {}, up_to=max(new_hwm.values()))
-    cond = None
-    for p, h in new_hwm.items():
-        c = (F.col("partition") == int(p)) & (F.col("offset") < int(h))
-        cond = c if cond is None else (cond | c)
-    if cond is not None:
-        scan = scan.filter(cond)
+    scan = _per_partition_offset_filter(scan, new_hwm, lower=False)
     cells = cell_fn(scan)
     merged = cells.groupBy(*group_cols).agg(*merge_exprs)
     if lk is not None:
@@ -779,6 +809,88 @@ def _rebuild_locked(
     _fenced_flip(store, gen_prev, gen, txns, new_hwm)
     _gc_generations(store, gen)
     return new_hwm
+
+
+def repair_rollup_days(
+    spark: SparkSession,
+    log_dir: str,
+    store: str,
+    days: list[str],
+    cell_fn,
+    group_cols: list[str],
+    merge_exprs: list,
+    day_col: str = "day",
+    app_id: str = "repair",
+) -> list[str]:
+    """Re-fold ONLY the named day buckets from the log — the GDPR-repair
+    path for materialized aggregates (round 11).
+
+    ``purge_keys`` rewrites the LOG, but covered cells still embed the
+    purged keys' contributions, and aggregates can't subtract — the
+    affected days must be re-derived from the now-purged log. A full
+    :func:`rebuild_rollup` pays a whole-log fold; this repair costs
+    (segments overlapping ``days``) + (rewritten day buckets): the scan
+    combines the store's committed per-partition upper bound (the
+    repaired cells must cover EXACTLY what the old cells covered, so
+    serves stay exact against the live tail) with per-day timestamp
+    bounds that prune at split planning (footer ts stats — the same
+    two-axis prune as :func:`serve_rollup_day`). Every other day
+    carries by manifest reference; a repaired day whose rows were all
+    purged disappears from the manifest. HWM is UNCHANGED (repair
+    rewrites history, it does not advance coverage). Returns the list
+    of day buckets actually rewritten."""
+    import datetime as _dt
+
+    os.makedirs(store, exist_ok=True)
+    with _store_lock(store) as lk:
+        gen_prev, txns, hwm = _read_pointer(store)
+        if gen_prev is None or not days:
+            return []  # nothing materialized / nothing asked: no-op
+        days = sorted(set(days))
+        scan = _tail_scan(spark, log_dir, {}, up_to=max(hwm.values()))
+        scan = _per_partition_offset_filter(scan, hwm, lower=False)
+        day_pred = None
+        for d in days:
+            nxt = (
+                _dt.date.fromisoformat(d) + _dt.timedelta(days=1)
+            ).isoformat()
+            leg = (F.col("timestamp") >= F.to_timestamp(F.lit(d))) & (
+                F.col("timestamp") < F.to_timestamp(F.lit(nxt))
+            )
+            day_pred = leg if day_pred is None else (day_pred | leg)
+        if day_pred is not None:
+            scan = scan.filter(day_pred)
+        cells = cell_fn(scan).filter(F.col(day_col).isin(days))
+        merged = cells.groupBy(*group_cols).agg(*merge_exprs)
+        if lk is not None:
+            lk.renew()
+        prev_days = _read_manifest(store, gen_prev)
+        seq = int(gen_prev.split("-")[1]) + 1
+        gen = f"gen-{seq:010d}"
+        gdir = os.path.join(store, gen)
+        kept: dict[str, list[str]] = {
+            d: fs for d, fs in prev_days.items() if d not in days
+        }
+        (
+            merged.withColumn("_day", F.col(day_col))
+            .repartition(max(1, len(days)), "_day")
+            .write.mode("overwrite")
+            .partitionBy("_day")
+            .parquet(gdir)
+        )
+        rewritten = []
+        for d in days:
+            fs = _day_files(store, gen, d)
+            if fs:
+                kept[d] = fs
+                rewritten.append(d)
+            # else: every row of d was purged — the day vanishes
+        _write_manifest(gdir, kept)
+        txns = dict(txns)
+        txns[app_id] = txns.get(app_id, -1) + 1
+        _fenced_flip(store, gen_prev, gen, txns, hwm)
+        _gc_generations(store, gen)
+        return rewritten
 
 
 def serve_rollup_day(

@@ -1042,3 +1042,179 @@ def test_lease_renew_extends_expiry(spark, sf_dir, tmp_path):
         assert renewed["expires"] > first
         assert renewed["pid"] == os.getpid()
     assert not os.path.exists(p)  # released on exit
+
+
+def test_residual_filter_broadcast_join_path_exact(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Above the codegen cutoff the per-partition offset residual
+    switches from a literal boolean chain to a broadcast-joined bounds
+    map (a 10^4-partition topic would otherwise plant a 10^4-term
+    expression into codegen). Forcing the join path (cutoff -> 0),
+    maintenance + serve must stay exact through every leg (tail lower
+    bound, maintenance upper bound, streaming batch filter)."""
+    from presto_rakam_kafka_spark.streaming import serving as S
+
+    monkeypatch.setattr(S, "_BOUNDS_EXPR_MAX_PARTITIONS", 0)
+    log = str(tmp_path / "log")
+    _write_log(spark, sf_dir, log, hi=600)
+    store = str(tmp_path / "store")
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=200)
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=400)
+    served = serve_rollup_tail(
+        spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+    )
+    # the join really is in the plan (broadcast hash join on partition)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert _got(served) == _expected(spark, sf_dir, hi=600)
+    stored = _finish(read_store_cells(spark, store))
+    assert _got(stored) == _expected(spark, sf_dir, hi=400)
+
+
+def test_concurrent_serves_during_live_maintenance_always_exact(
+    spark, sf_dir, tmp_path
+):
+    """LIVE concurrency receipt (not an injected hook): a maintainer
+    thread advances the store tick by tick while the main thread
+    serves repeatedly — every serve, whenever it lands relative to the
+    pointer flips, must equal the full-scan truth. Exercises the
+    snapshot-consistent serve + GC grace + atomic flips together under
+    real interleaving."""
+    import threading
+
+    log = str(tmp_path / "log")
+    _write_log(spark, sf_dir, log, hi=900)
+    store = str(tmp_path / "store")
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=100)
+    truth = _expected(spark, sf_dir, hi=900)
+
+    stop = threading.Event()
+    errors: list[BaseException] = []
+
+    def maintainer():
+        cut = 150
+        try:
+            while not stop.is_set() and cut <= 900:
+                maintain_rollup(
+                    spark, log, store, _cells, GROUP, _merge(), up_to=cut
+                )
+                cut += 75
+        except BaseException as exc:  # surfaced in the main thread
+            errors.append(exc)
+
+    def serve_once():
+        # a serve that straddles MORE than `grace` commits fails LOUDLY
+        # on the collected-then-deleted generation (documented GC-grace
+        # contract — never a silent wrong answer); the dashboard client
+        # retry is one fresh serve against the new pointer
+        try:
+            return _got(
+                serve_rollup_tail(
+                    spark, log, store, _cells, GROUP, _merge(),
+                    finish_fn=_finish,
+                )
+            )
+        except Exception:
+            return _got(
+                serve_rollup_tail(
+                    spark, log, store, _cells, GROUP, _merge(),
+                    finish_fn=_finish,
+                )
+            )
+
+    t = threading.Thread(target=maintainer, daemon=True)
+    t.start()
+    try:
+        for _ in range(6):
+            assert serve_once() == truth
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert not errors, errors
+    # post-drain serve still exact
+    final = serve_rollup_tail(
+        spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+    )
+    assert _got(final) == truth
+
+
+def test_repair_days_refolds_purged_log_and_carries_rest(
+    spark, sf_dir, tmp_path
+):
+    """GDPR repair for materialized aggregates: after purge_keys
+    rewrites the LOG, the store's covered cells still embed the
+    victim's rows — repair_rollup_days re-folds ONLY the affected day
+    buckets from the purged log (two-axis-pruned scan), carries every
+    other day by manifest reference, leaves the HWM untouched, and the
+    post-repair serve equals SQL over the purged events."""
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        purge_keys,
+        write_segments,
+    )
+    from presto_rakam_kafka_spark.streaming.serving import repair_rollup_days
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 900)
+    raw = ev.select(
+        F.col("event_id").alias("offset"),
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct("event_type", "value")).cast("binary").alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    log = str(tmp_path / "log")
+    write_segments(raw, log, num_partitions=3, segment_rows=150,
+                   route_by_key=True)
+    store = str(tmp_path / "store")
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge())
+    gen1, _t1, hwm1 = _read_pointer(store)
+    man1 = _read_manifest(store, gen1)
+
+    # victim: the single user with the NARROWEST day footprint — the
+    # purge repair must touch only their days, not the whole calendar
+    # (fixture users are long-lived, so even one user spans most days;
+    # the receipt needs at least one untouched carried day)
+    spans = (
+        ev.groupBy("user_id")
+        .agg(F.countDistinct(
+            F.date_format("ts", "yyyy-MM-dd")).alias("nd"))
+        .orderBy("nd", "user_id")
+        .limit(1)
+        .collect()
+    )
+    victim_ids = {r["user_id"] for r in spans}
+    victims = [str(u).encode() for u in sorted(victim_ids)]
+    purge_keys(log, victims)
+
+    affected = sorted({
+        r["day"] for r in ev.filter(F.col("user_id").isin(victim_ids))
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .distinct().collect()
+    })
+    rewritten = repair_rollup_days(
+        spark, log, store, affected, _cells, GROUP, _merge()
+    )
+    assert set(rewritten) <= set(affected)
+    gen2, _t2, hwm2 = _read_pointer(store)
+    assert gen2 > gen1 and hwm2 == hwm1  # history rewritten, coverage kept
+    man2 = _read_manifest(store, gen2)
+    untouched = set(man1) - set(affected)
+    assert untouched, "victims must not span every day for this receipt"
+    for d in untouched:
+        assert man2[d] == man1[d]  # carried by reference, not rewritten
+
+    # post-repair serve == SQL over events minus the victims
+    kept = ev.filter(~F.col("user_id").isin(victim_ids))
+    exp = {
+        (r["day"], r["event_type"]): (r["n"], r["s"])
+        for r in kept.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        ).collect()
+    }
+    got = _got(serve_rollup_tail(
+        spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+    ))
+    assert got == exp
