@@ -131,6 +131,14 @@ def drain_available_now(
     the same logical query — the production always-on cadence replayed
     as bounded epochs (same discipline as
     ``serving.run_rollup_maintenance``)."""
+    if output_mode != "complete":
+        # the per-restart snapshot below REPLACES the memory table, so
+        # only complete mode (each batch emits the full state) survives
+        # the restart cadence; append/update would lose earlier batches
+        raise ValueError(
+            "drain_available_now supports output_mode='complete' only; "
+            "use run_available_now (single start) for append/update"
+        )
     ckpt = staging_mkdtemp(f"ckpt_{name}_")
     spark = stream_df.sparkSession
     last: tuple | None = None

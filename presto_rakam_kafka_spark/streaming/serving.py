@@ -41,7 +41,20 @@ bounded by trigger data; serve cost is bounded by cells + data landed
 since the last maintenance tick. Offsets here are the log's global
 fixture offsets, but coverage is tracked PER PARTITION (Kafka's actual
 offset model), so nothing assumes global monotonicity across
-partitions.
+partitions; the per-partition residual filters switch from literal
+boolean chains to broadcast-joined bounds maps past the codegen cutoff
+(``_BOUNDS_EXPR_MAX_PARTITIONS``).
+
+Concurrency model (round 11): serves are lock-free and SNAPSHOT-
+CONSISTENT — one pointer read per serve, cells resolved from that
+snapshot's generation, GC grace keeping the superseded generation
+alive one tick. Writers hold a TTL lease (cross-host exclusion by
+expiry, same-host crash steal by pid) and every commit is FENCED by
+the store-level generation sequence: liveness from the lease, safety
+from the fence. Streaming maintenance is idempotent by OFFSET (each
+batch filtered to ≥ the stored HWM), never by epoch alignment.
+:func:`repair_rollup_days` is the GDPR path: re-fold only the purged
+keys' day buckets from the purged log, HWM unchanged.
 """
 
 from __future__ import annotations
@@ -838,7 +851,15 @@ def repair_rollup_days(
     carries by manifest reference; a repaired day whose rows were all
     purged disappears from the manifest. HWM is UNCHANGED (repair
     rewrites history, it does not advance coverage). Returns the list
-    of day buckets actually rewritten."""
+    of day buckets actually rewritten.
+
+    ``days`` is the caller's responsibility and must be computed
+    BEFORE purging the log (e.g. the victims' distinct event days from
+    the source table): the purged log no longer knows where the
+    victims' rows were, and an incomplete list leaves stale cells —
+    when in doubt, :func:`rebuild_rollup` is the whole-log fallback.
+    Repair takes the maintenance lease; run it between a live
+    maintainer's ticks (a held lease raises, by design)."""
     import datetime as _dt
 
     os.makedirs(store, exist_ok=True)
