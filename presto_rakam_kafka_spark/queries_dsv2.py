@@ -2000,13 +2000,21 @@ def stream_confluent_wire_evolving_agg(
     from presto_rakam_kafka_spark.catalog import EventCatalog
     from presto_rakam_kafka_spark.fixtures import staging_mkdtemp
     from presto_rakam_kafka_spark.metastore import InMemoryMetastore
+    from presto_rakam_kafka_spark.streaming.runner import drain_available_now
+
+    def _publish_registry(path: str, snapshot: dict) -> None:
+        # atomic publish (tmp + rename): an executor's fetch-on-miss
+        # reload must never observe a torn half-written snapshot
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(snapshot, fh)
+        os.replace(tmp, path)
 
     log_dir, _cut = _wire_evolving_log_dir(spark, sf_dir)
     n_events = _t(spark, sf_dir, "events").count()
     # registry snapshot v1: ids 3 and 7 only — id 9 does not exist yet
     reg_path = os.path.join(staging_mkdtemp("wire_registry_"), "registry.json")
-    with open(reg_path, "w") as fh:
-        json.dump({"3": _AVRO_WRITER_V1, "7": _AVRO_WIRE_V7}, fh)
+    _publish_registry(reg_path, {"3": _AVRO_WRITER_V1, "7": _AVRO_WIRE_V7})
 
     ms = InMemoryMetastore()
     catalog = EventCatalog(spark, ms)
@@ -2030,34 +2038,20 @@ def stream_confluent_wire_evolving_agg(
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
     name = f"wire_evo_stream_{next(_STREAM_SEQ)}"
-    ckpt = staging_mkdtemp(f"ckpt_{name}_")
-    last = None
-    for i in range(200):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+
+    def register_v9_after_first_epoch(i: int) -> None:
         if i == 0:
             # the producer registers v9 AFTER the first micro-batch —
             # mid-stream, well before any id-9 frame is scanned
-            with open(reg_path, "w") as fh:
-                json.dump(
-                    {"3": _AVRO_WRITER_V1, "7": _AVRO_WIRE_V7,
-                     "9": _AVRO_WIRE_V9},
-                    fh,
-                )
-        lp = q.lastProgress
-        if not lp or int(lp.get("numInputRows", 0) or 0) == 0:
-            break
-        tbl = spark.table(name)
-        last = (tbl.collect(), tbl.schema)
-    assert last is not None
-    return spark.createDataFrame(last[0], last[1])
+            _publish_registry(
+                reg_path,
+                {"3": _AVRO_WRITER_V1, "7": _AVRO_WIRE_V7,
+                 "9": _AVRO_WIRE_V9},
+            )
+
+    return drain_available_now(
+        agg, name, "complete", on_restart=register_v9_after_first_epoch
+    )
 
 
 @query(

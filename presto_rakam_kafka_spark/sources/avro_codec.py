@@ -894,8 +894,24 @@ class RefreshingSchemaRegistry:
         self._missing: set[int] = set()
 
     def _load(self) -> None:
-        with open(self._path) as fh:
-            self._snap = SchemaRegistry(json.load(fh))
+        """Reload the snapshot. An unreadable/torn file (a producer
+        rewriting it non-atomically, a transient IO error) KEEPS the
+        previous snapshot and reads as a miss (AvroDecodeError — the
+        A14 corrupt-record lane) rather than escaping as
+        JSONDecodeError and killing the whole scan: the registry being
+        momentarily unreadable must degrade like an unknown id, not
+        like a poison pill. Producers should still publish snapshots
+        atomically (tmp + rename)."""
+        try:
+            with open(self._path) as fh:
+                snap = SchemaRegistry(json.load(fh))
+        except (OSError, ValueError, AvroSchemaError) as exc:
+            if self._snap is None:
+                raise AvroDecodeError(
+                    f"registry snapshot {self._path} unreadable: {exc}"
+                ) from exc
+            return  # keep serving the previous snapshot
+        self._snap = snap
 
     def writer(self, schema_id: int) -> dict:
         if self._snap is None:

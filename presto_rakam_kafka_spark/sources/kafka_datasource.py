@@ -295,9 +295,14 @@ class KafkaSegmentDataSource(DataSource):
         return KafkaSegmentWriter(dict(self.options), overwrite)
 
 
-#: sessions (by JVM application id) whose pushdown conf this module has
-#: already enabled — the conf is touched at most ONCE per session.
-_PUSHDOWN_PREPPED: set[str] = set()
+#: SESSION-scoped marker conf recording that this module already
+#: enabled the pushdown conf for the session. A marker conf (not a
+#: module-level set keyed by applicationId) because ``spark.conf`` is
+#: per-SparkSession while applicationId is shared by every session of
+#: one context — an appId-keyed guard would skip the conf for a second
+#: ``spark.newSession()`` and its scans would fail (round-11 review
+#: finding #5).
+_PREPPED_MARKER = "spark.sql.kafkaSegments.sessionPrepped"
 
 
 def ensure_segments_source(spark) -> None:
@@ -306,20 +311,27 @@ def ensure_segments_source(spark) -> None:
 
     Registration is already the session-mutation point every caller
     goes through; the ``spark.sql.python.filterPushdown.enabled`` conf
-    rides along here exactly ONCE per session (keyed by application
-    id) instead of being re-set inside every serve/scan call — a read
-    path that silently flips planner behavior for unrelated queries on
-    the shared session is a side effect, and a user who deliberately
-    overrides the conf afterwards must stay overridden (ADVICE r10).
-    An override to ``false`` makes subsequent scans fail LOUDLY —
-    PySpark refuses to plan a pushFilters-implementing source with the
-    conf off, naming the conf in the error — which beats silently
-    re-enabling what the user just disabled."""
-    spark.dataSource.register(KafkaSegmentDataSource)
-    key = spark.sparkContext.applicationId
-    if key not in _PUSHDOWN_PREPPED:
+    rides along here exactly ONCE per session (tracked by a
+    session-scoped marker conf) instead of being re-set inside every
+    serve/scan call — a read path that silently flips planner behavior
+    for unrelated queries on the shared session is a side effect, and
+    a user who deliberately overrides the conf afterwards must stay
+    overridden (ADVICE r10). An override to ``false`` makes subsequent
+    scans fail LOUDLY — PySpark refuses to plan a
+    pushFilters-implementing source with the conf off, naming the conf
+    in the error — which beats silently re-enabling what the user just
+    disabled."""
+    try:
+        spark.dataSource.register(KafkaSegmentDataSource)
+    except Exception as exc:  # registration registry is shared across
+        # sessions of one context: a sibling session may already have
+        # registered the name, which some Spark versions surface as
+        # DATA_SOURCE_ALREADY_EXISTS instead of a replace-warning
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+            raise
+    if spark.conf.get(_PREPPED_MARKER, None) != "true":
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-        _PUSHDOWN_PREPPED.add(key)
+        spark.conf.set(_PREPPED_MARKER, "true")
 
 
 class KafkaSegmentReader(DataSourceReader):

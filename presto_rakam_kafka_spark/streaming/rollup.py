@@ -218,6 +218,13 @@ def run_rolling_pairs(
         mx = pairs.agg(F.max(day_col).alias("m")).collect()[0]["m"]
         seq = 0 if cur is None else int(cur.split("-")[1]) + 1
         gen = f"gen-{seq:010d}"  # store-level sequence (see above)
+        # the emitted append store is keyed by the SAME store-level
+        # sequence: raw epoch ids collide when a later maintainer's
+        # checkpoint restarts at 0, and mode("overwrite") would then
+        # destroy the first run's emitted anchor rows — which are never
+        # re-emitted (the day > emitted_thru filter). A same-checkpoint
+        # replay recomputes the same seq (pointer unflipped) and
+        # idempotently rewrites the same dir.
         gdir = os.path.join(store, gen)
         new_thru = emitted_thru
         if mx is not None:
@@ -230,7 +237,7 @@ def run_rolling_pairs(
                 if emitted_thru is not None:
                     series = series.filter(F.col("day") > F.lit(emitted_thru))
                 series.write.mode("overwrite").parquet(
-                    os.path.join(store, "emitted", f"epoch={int(epoch_id)}")
+                    os.path.join(store, "emitted", f"gen={seq:010d}")
                 )
                 new_thru = close_str
             # evict pairs no unemitted anchor can need: the smallest
@@ -264,7 +271,7 @@ def run_rolling_pairs(
         tail = tail.filter(F.col("day") > F.lit(emitted_thru))
     emitted_dir = os.path.join(store, "emitted")
     if os.path.isdir(emitted_dir):
-        emitted = spark.read.parquet(os.path.join(emitted_dir, "epoch=*"))
+        emitted = spark.read.parquet(os.path.join(emitted_dir, "gen=*"))
         return emitted.unionByName(tail)
     return tail
 

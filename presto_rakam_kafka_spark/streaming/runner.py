@@ -117,7 +117,11 @@ def run_available_now(stream_df: DataFrame, name: str, output_mode: str) -> Data
 
 
 def drain_available_now(
-    stream_df: DataFrame, name: str, output_mode: str, max_restarts: int = 200
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str,
+    max_restarts: int = 200,
+    on_restart=None,
 ) -> DataFrame:
     """:func:`run_available_now` for RATE-LIMITED Python stream sources.
 
@@ -130,7 +134,17 @@ def drain_available_now(
     lives in the checkpoint's state store, so each restart continues
     the same logical query — the production always-on cadence replayed
     as bounded epochs (same discipline as
-    ``serving.run_rollup_maintenance``)."""
+    ``serving.run_rollup_maintenance``).
+
+    ``on_restart(i)`` (optional) fires after start ``i`` terminates —
+    the between-epochs injection point (e.g. a registry snapshot
+    gaining a schema id mid-stream).
+
+    A start's "produced data" signal is the SUM of input rows across
+    its ``recentProgress`` entries, not ``lastProgress`` alone: a start
+    may run a data batch AND a trailing zero-row trigger, and judging
+    only the last trigger would break the loop before snapshotting
+    that start's output (round-11 review finding #7)."""
     if output_mode != "complete":
         # the per-restart snapshot below REPLACES the memory table, so
         # only complete mode (each batch emits the full state) survives
@@ -142,7 +156,7 @@ def drain_available_now(
     ckpt = staging_mkdtemp(f"ckpt_{name}_")
     spark = stream_df.sparkSession
     last: tuple | None = None
-    for _ in range(max_restarts):
+    for i in range(max_restarts):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -152,15 +166,24 @@ def drain_available_now(
             .start()
         )
         q.awaitTermination()
-        lp = q.lastProgress
-        if not lp or int(lp.get("numInputRows", 0) or 0) == 0:
-            break
-        # snapshot NOW: each .start() re-registers the memory table, so
-        # the trailing no-progress restart (which runs no trigger)
-        # would otherwise leave it EMPTY. Complete-mode output is
-        # aggregate-sized — a driver-safe collect.
+        if on_restart is not None:
+            on_restart(i)
+        total_in = sum(
+            int(p.get("numInputRows", 0) or 0)
+            for p in (q.recentProgress or [])
+            if p
+        )
+        # snapshot BEFORE the zero check when anything was emitted:
+        # each .start() re-registers the memory table, so a later
+        # no-progress restart (no trigger at all) leaves it EMPTY and
+        # must not clobber the last real state. Complete-mode output
+        # is aggregate-sized — a driver-safe collect.
         tbl = spark.table(name)
-        last = (tbl.collect(), tbl.schema)
+        rows = tbl.collect()
+        if rows:
+            last = (rows, tbl.schema)
+        if total_in == 0:
+            break
     if last is None:
         return spark.table(name)  # empty source: empty result, right schema
     return spark.createDataFrame(last[0], last[1])

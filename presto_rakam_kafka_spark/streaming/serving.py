@@ -180,19 +180,39 @@ class _store_lock:
             f"({self._path}); run one maintainer per store"
         )
 
+    def _file_holder(self) -> str | None:
+        try:
+            with open(self._path) as fh:
+                return json.load(fh).get("holder")
+        except (OSError, ValueError, AttributeError):
+            return None
+
     def renew(self) -> None:
         """Extend the lease (atomic rewrite) — call between phases of a
-        long fold so a slow-but-alive maintainer isn't stolen from."""
+        long fold so a slow-but-alive maintainer isn't stolen from.
+        VERIFIES the lease still carries OUR holder token first: a
+        holder whose lease was already stolen must abort, not clobber
+        the thief's live lease (round-11 review finding #4)."""
+        if self._file_holder() != self._holder:
+            raise ConcurrentMaintenanceError(
+                f"lease {self._path} no longer held by {self._holder} "
+                f"(expired and stolen mid-fold); aborting before the "
+                f"fence would have refused the commit anyway"
+            )
         tmp = f"{self._path}.renew"
         with open(tmp, "wb") as fh:
             fh.write(self._lease())
         os.replace(tmp, self._path)
 
     def __exit__(self, *exc):
-        try:
-            os.remove(self._path)
-        except FileNotFoundError:
-            pass
+        # release ONLY our own lease: if it expired and was stolen,
+        # removing the file would destroy the thief's LIVE lease and
+        # let a third maintainer in alongside it
+        if self._file_holder() == self._holder:
+            try:
+                os.remove(self._path)
+            except FileNotFoundError:
+                pass
         return False
 
 
@@ -456,11 +476,20 @@ def _fold_cells(
     group_cols: list[str],
     merge_exprs: list,
     day_col: str,
+    gen_read: str | None,
+    txns_read: dict,
 ) -> None:
     """Merge ``new_cells`` into the store and commit (cells, HWM, txn)
     in one pointer flip. Only day buckets present in ``new_cells`` are
-    rewritten; every other day carries by manifest reference."""
-    gen_prev, txns, _hwm = _read_pointer(store)
+    rewritten; every other day carries by manifest reference.
+
+    ``gen_read``/``txns_read`` are the pointer state from the SAME read
+    that produced the caller's HWM (and hence ``new_cells``'s offset
+    filter) — the fence must compare against THAT read, not a fresh one
+    taken here: a thief committing between the caller's read and this
+    fold would otherwise become the base generation, pass the fence,
+    and have the overlap double-counted (round-11 review finding #1)."""
+    gen_prev, txns = gen_read, txns_read
     touched = [
         r[day_col]
         for r in new_cells.select(day_col).distinct().collect()
@@ -523,6 +552,11 @@ def _fold_cells(
 _before_flip_hook = None
 
 
+#: the flip micro-lock's steal horizon: the critical section is one
+#: pointer read + one rename (µs) — anything older is a crashed flipper.
+_FLIP_LOCK_TTL_S = 10.0
+
+
 def _fenced_flip(
     store: str, gen_read: str | None, gen: str, txns: dict, hwm: dict
 ) -> None:
@@ -533,18 +567,62 @@ def _fenced_flip(
     was stolen must find its commit REFUSED, not silently clobber the
     thief's: the store-level generation sequence is the fencing token
     (the Chubby/ZooKeeper discipline, here checked against the atomic
-    pointer itself)."""
+    pointer itself).
+
+    The check-then-rename pair is itself serialized by a MICRO-LOCK
+    (O_EXCL ``.FLIP_LOCK`` with a seconds-scale steal horizon —
+    round-11 review finding #2): POSIX has no rename-CAS, so without it
+    two writers that both passed the fence in the same microsecond
+    window would last-writer-win the pointer. The critical section is
+    one pointer read + one atomic rename; a flipper that crashes inside
+    it is stolen past ``_FLIP_LOCK_TTL_S``."""
+    import errno
+    import time as _time
+
     if _before_flip_hook is not None:
         _before_flip_hook()
-    cur, _t, _h = _read_pointer(store)
-    if cur != gen_read:
-        raise FencedMaintenanceError(
-            f"generation moved {gen_read!r} → {cur!r} during this fold; "
-            f"refusing stale commit {gen!r} (lease was stolen or a "
-            f"second maintainer raced) — the unreferenced generation "
-            f"dir is left for GC"
-        )
-    _flip_pointer(store, gen, txns, hwm)
+    flip_lock = os.path.join(store, ".FLIP_LOCK")
+    deadline = _time.time() + 2 * _FLIP_LOCK_TTL_S
+    while True:
+        try:
+            fd = os.open(flip_lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(_time.time()).encode())
+            os.close(fd)
+            break
+        except OSError as exc:
+            if exc.errno != errno.EEXIST:
+                raise
+        try:
+            with open(flip_lock) as fh:
+                held_since = float(fh.read().strip() or "0")
+        except (OSError, ValueError):
+            continue  # vanished/garbled under us: retry the create
+        if _time.time() - held_since > _FLIP_LOCK_TTL_S:
+            try:
+                os.remove(flip_lock)  # crashed flipper: steal
+            except FileNotFoundError:
+                pass
+            continue
+        if _time.time() > deadline:
+            raise ConcurrentMaintenanceError(
+                f"flip micro-lock {flip_lock} held past {deadline}"
+            )
+        _time.sleep(0.01)
+    try:
+        cur, _t, _h = _read_pointer(store)
+        if cur != gen_read:
+            raise FencedMaintenanceError(
+                f"generation moved {gen_read!r} → {cur!r} during this "
+                f"fold; refusing stale commit {gen!r} (lease was stolen "
+                f"or a second maintainer raced) — the unreferenced "
+                f"generation dir is left for GC"
+            )
+        _flip_pointer(store, gen, txns, hwm)
+    finally:
+        try:
+            os.remove(flip_lock)
+        except FileNotFoundError:
+            pass
 
 
 def maintain_rollup(
@@ -603,7 +681,7 @@ def _maintain_locked(
         lk.renew()  # the fold is the long phase; enter it with a fresh lease
     _fold_cells(
         spark, store, cell_fn(tail), new_hwm, epoch, app_id,
-        group_cols, merge_exprs, day_col,
+        group_cols, merge_exprs, day_col, _gen, txns,
     )
     return new_hwm
 
@@ -675,7 +753,7 @@ def run_rollup_maintenance(
             epoch = max(txns.get(app_id, -1) + 1, int(epoch_id))
             _fold_cells(
                 spark, store, cell_fn(batch_df), new_hwm, epoch,
-                app_id, group_cols, merge_exprs, day_col,
+                app_id, group_cols, merge_exprs, day_col, _gen, txns,
             )
 
     ckpt = staging_mkdtemp(f"ckpt_{name}_")

@@ -812,3 +812,35 @@ def test_refreshing_registry_decodes_mid_stream_id_through_wire_plan(tmp_path):
     with open(path, "w") as fh:
         json.dump({"3": v1, "9": v1}, fh)
     assert plan(ac.wrap_confluent(9, ac.encode({"a": 8}, v1))) == {"a": 8}
+
+
+def test_refreshing_registry_torn_snapshot_degrades_to_miss(tmp_path):
+    """An unreadable/torn snapshot (a producer rewriting it in place)
+    must read as an A14-lane miss (AvroDecodeError), never escape as
+    JSONDecodeError and kill the scan — and an instance holding a
+    previous good snapshot keeps serving it."""
+    import json
+
+    import pytest as _pytest
+
+    from presto_rakam_kafka_spark.sources import avro_codec as ac
+
+    v1 = ('{"type": "record", "name": "r", "fields": '
+          '[{"name": "a", "type": "long"}]}')
+    path = str(tmp_path / "registry.json")
+    with open(path, "w") as fh:
+        json.dump({"3": v1}, fh)
+    reg = ac.RefreshingSchemaRegistry(path)
+    assert reg.writer(3)["name"] == "r"
+
+    with open(path, "w") as fh:
+        fh.write('{"3": trunc')  # torn mid-rewrite
+    # known id keeps serving from the held snapshot
+    assert reg.writer(3)["name"] == "r"
+    # unknown id triggers a reload that fails -> miss, not JSONDecodeError
+    with _pytest.raises(ac.AvroDecodeError):
+        reg.writer(9)
+    # a FRESH instance with no prior snapshot also reports a miss
+    fresh = ac.RefreshingSchemaRegistry(path)
+    with _pytest.raises(ac.AvroDecodeError):
+        fresh.writer(3)

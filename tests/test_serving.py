@@ -1218,3 +1218,84 @@ def test_repair_days_refolds_purged_log_and_carries_rest(
         spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
     ))
     assert got == exp
+
+
+def test_second_session_gets_pushdown_conf(spark, sf_dir, tmp_path):
+    """ensure_segments_source preps EVERY session, not just the first:
+    spark.conf is session-scoped while applicationId is shared, so the
+    guard is a session-scoped MARKER CONF — a second newSession() gets
+    the pushdown conf set too (the r11 review found an appId-keyed
+    guard silently skipped it). Spark 4.1 itself cannot resolve a
+    Python data source from a sibling session (register says
+    DATA_SOURCE_ALREADY_EXISTS while lookup says NOT_FOUND — an
+    upstream inconsistency this repo can't paper over), so the pinned
+    contract is: OUR conf prep reaches the second session, and the
+    residual failure is the upstream NOT_FOUND — never the
+    pushdown-disabled error the conf guard used to cause."""
+    import pyspark.errors as pe
+
+    log = str(tmp_path / "log")
+    _write_log(spark, sf_dir, log, hi=100)
+    store = str(tmp_path / "store")
+    serve_rollup_tail(
+        spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+    ).collect()  # session 1 prepped
+
+    s2 = spark.newSession()
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        ensure_segments_source,
+    )
+
+    ensure_segments_source(s2)
+    assert (
+        s2.conf.get("spark.sql.python.filterPushdown.enabled") == "true"
+    )  # the conf reached the NEW session (the r11 fix)
+    try:
+        s2.read.format("kafka_segments").option("path", log).load().limit(
+            1
+        ).collect()
+        resolvable = True
+    except Exception as exc:
+        resolvable = False
+        # upstream wall, not our conf: the error names the source
+        assert "DATA_SOURCE_NOT_FOUND" in str(exc), exc
+        assert "filterPushdown" not in str(exc)
+    # session 1 keeps working regardless
+    got = _got(
+        serve_rollup_tail(
+            spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+        )
+    )
+    assert got == _expected(spark, sf_dir, hi=100)
+    del pe, resolvable
+
+
+def test_stolen_lease_renew_raises_and_exit_spares_thief(tmp_path):
+    """A holder whose lease was stolen must not clobber the thief:
+    renew() raises instead of overwriting the thief's live lease, and
+    __exit__ leaves a lease that is not ours untouched."""
+    from presto_rakam_kafka_spark.streaming.serving import (
+        ConcurrentMaintenanceError,
+        _store_lock,
+    )
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    lock_path = os.path.join(store, "_MAINTENANCE_LOCK")
+    victim = _store_lock(store)
+    victim.__enter__()
+    # thief steals (simulating post-expiry): replaces the lease file
+    thief = _store_lock(store)
+    os.remove(lock_path)
+    thief.__enter__()
+    with open(lock_path) as fh:
+        thief_lease = fh.read()
+
+    with pytest.raises(ConcurrentMaintenanceError, match="no longer held"):
+        victim.renew()
+    victim.__exit__(None, None, None)
+    # the thief's lease survived the victim's exit
+    with open(lock_path) as fh:
+        assert fh.read() == thief_lease
+    thief.__exit__(None, None, None)
+    assert not os.path.exists(lock_path)

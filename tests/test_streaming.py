@@ -1547,3 +1547,79 @@ def test_windowed_cells_eviction_safe_under_arbitrary_lateness(spark):
     # the in-window late row really is in the output
     key27 = t0.replace(hour=0) + dt.timedelta(days=27)
     assert got[key27][0] == 4 + 1  # 4 regular + 1 late event
+
+
+def test_rolling_pairs_second_maintainer_preserves_emitted_rows(spark):
+    """Round-11 review finding: the emitted append store is keyed by
+    the STORE-level sequence, so a second maintainer (fresh checkpoint,
+    epoch ids restarting at 0) must not overwrite the first run's
+    emitted anchor rows — the final series equals the unbounded finish
+    over everything both runs saw."""
+    import datetime as dt
+    import glob
+    import shutil
+    import time as _time
+
+    from presto_rakam_kafka_spark.operators import sketches as sk
+    from presto_rakam_kafka_spark.streaming import rollup, runner
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0)
+
+    def ev(d, u):
+        return (t0 + dt.timedelta(days=d), u)
+
+    sch = "ts TIMESTAMP, user_id LONG"
+    all_chunks = [
+        [ev(d, u) for d in range(0, 4) for u in range(5)],
+        [ev(d, u) for d in range(4, 8) for u in range(5)],
+        [ev(d, u) for d in range(8, 12) for u in range(5)],
+        [ev(d, u) for d in range(12, 16) for u in range(5)],
+    ]
+    flat = staging_mkdtemp("stream_two_maint_")
+    store = staging_mkdtemp("rollup_two_maint_store_")
+    now = _time.time()
+
+    def stage(upto):
+        work = staging_mkdtemp("stage_two_maint_")
+        for i, rows in enumerate(all_chunks[:upto]):
+            dst = os.path.join(flat, f"part-{i:05d}.parquet")
+            if os.path.exists(dst):
+                continue
+            df = spark.createDataFrame(rows, sch)
+            df.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(work, f"c{i}")
+            )
+            src = glob.glob(os.path.join(work, f"c{i}", "*.parquet"))[0]
+            shutil.copy(src, dst)
+            os.utime(dst, (now + i, now + i))
+        shutil.rmtree(work)
+        return runner.read_file_stream(spark, flat, spark.createDataFrame(
+            all_chunks[0], sch).schema)
+
+    def run(stream, app_id):
+        return rollup.run_rolling_pairs(
+            stream,
+            lambda b: b.select(
+                F.date_trunc("day", "ts").alias("uday"), "user_id"
+            ).distinct(),
+            lambda pr: sk.hll_rolling_users_from_pairs(pr, window_days=4),
+            "uday",
+            4,
+            f"two_maint_{app_id}",
+            path=store,
+            app_id=app_id,
+        )
+
+    run(stage(2), "first")  # emits the early anchors
+    out = run(stage(4), "second")  # fresh checkpoint, epoch restarts at 0
+    got = {r["day"]: (r["n_exact"], r["est"]) for r in out.collect()}
+    ref_pairs = spark.createDataFrame(
+        [r for c in all_chunks for r in c], sch
+    ).select(F.date_trunc("day", "ts").alias("uday"), "user_id").distinct()
+    ref = {
+        r["day"]: (r["n_exact"], r["est"])
+        for r in sk.hll_rolling_users_from_pairs(
+            ref_pairs, window_days=4
+        ).collect()
+    }
+    assert got == ref  # early emitted rows survived the second run
