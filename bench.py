@@ -208,6 +208,8 @@ HEADLINE = [
     # stream_* row).
     "events_serve_rollup_keyed",
     "events_serve_rollup_repair",
+    # the Druid-style exact topN tile over per-(day,user) count cells
+    "events_serve_rollup_topn",
 ]
 
 #: Indexed-ANN queries whose cost is two phases with different lifecycles:
@@ -393,6 +395,7 @@ def main() -> None:
     _qd.events_serve_rollup_quantiles(spark, SF_DIR)
     _qd.events_serve_rollup_stats(spark, SF_DIR)
     _qd.events_serve_rollup_repair(spark, SF_DIR)
+    _qd.events_serve_rollup_topn(spark, SF_DIR)
     staging_s = round(time.perf_counter() - t_staging, 3)
     # Warm the Python DataSource worker path too (separate worker kind
     # from the Arrow pool below): one tiny kafka_segments scan pays the

@@ -2135,3 +2135,82 @@ def events_serve_rollup_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, log_dir, store, _serve_cell_fn, _SERVE_GROUP,
         _serve_merge_exprs(), finish_fn=_serve_finish,
     )
+
+
+@query(
+    "events_serve_rollup_topn",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             user_id, count(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT day, user_id, n_events,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY n_events DESC, user_id) AS rk
+      FROM daily)
+    SELECT day, user_id, n_events, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def events_serve_rollup_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-N TILE from the serving store (round 11) — the canonical
+    Druid/Rakam ``topN`` dashboard query ("top users per day"), served
+    without a log rescan: cells are per-(day, user) event counts
+    (exact and mergeable — counts sum across maintenance ticks and the
+    live tail), the finish ranks WITHIN each day and keeps the top 3
+    with a deterministic tie-break (user_id). Cell cardinality is
+    days × active-users — bounded by the entity space, not event
+    volume; the rank runs over cells, never raw events. Exact top-N
+    (not the approximate sketch topN Druid defaults to): exactness
+    needs the full per-key counts, which the cell store holds anyway.
+    The 80%-covered store forces both legs (stored cells + live tail)
+    to contribute to the ranks."""
+    from presto_rakam_kafka_spark.streaming.serving import (
+        _log_end_offsets,
+        maintain_rollup,
+        serve_rollup_tail,
+    )
+    from pyspark.sql import Window as W
+
+    def cell_fn(df_raw: DataFrame) -> DataFrame:
+        v = F.from_json(
+            F.col("value").cast("string"),
+            "event_id LONG, user_id LONG, event_type STRING, value DOUBLE",
+        )
+        rows = df_raw.select(
+            F.date_format("timestamp", "yyyy-MM-dd").alias("day"),
+            v.getField("user_id").alias("user_id"),
+        ).filter(F.col("user_id").isNotNull())
+        return rows.groupBy("day", "user_id").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+
+    group_cols = ["day", "user_id"]
+    merge_exprs = [F.sum("n_events").alias("n_events")]
+
+    def finish(cells: DataFrame) -> DataFrame:
+        w = W.partitionBy("day").orderBy(
+            F.col("n_events").desc(), F.col("user_id")
+        )
+        return (
+            cells.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("day", "user_id", "n_events", F.col("rk").cast("long").alias("rk"))
+        )
+
+    log_dir = _segment_log_dir(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    store = os.path.join(
+        tempfile.gettempdir(), f"serve_topn_store_{tag}_p{os.getpid()}x"
+    )
+    if not os.path.exists(os.path.join(store, "_CURRENT")):
+        cut = int(0.8 * max(_log_end_offsets(log_dir).values()))
+        maintain_rollup(
+            spark, log_dir, store, cell_fn, group_cols, merge_exprs,
+            day_col="day", up_to=cut,
+        )
+    return serve_rollup_tail(
+        spark, log_dir, store, cell_fn, group_cols, merge_exprs,
+        finish_fn=finish,
+    )
