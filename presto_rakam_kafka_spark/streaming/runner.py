@@ -156,6 +156,7 @@ def drain_available_now(
     ckpt = staging_mkdtemp(f"ckpt_{name}_")
     spark = stream_df.sparkSession
     last: tuple | None = None
+    total_in = 0
     for i in range(max_restarts):
         q = (
             stream_df.writeStream.format("memory")
@@ -184,6 +185,18 @@ def drain_available_now(
             last = (rows, tbl.schema)
         if total_in == 0:
             break
+    else:
+        # the loop ran out of restarts while the source was STILL
+        # yielding rows — the snapshot is a partial aggregate. Returning
+        # it silently would surface as an opaque hash mismatch in a gate
+        # query and as wrong data everywhere else (ADVICE r11 #3).
+        if total_in != 0:
+            raise RuntimeError(
+                f"drain_available_now({name!r}) exhausted "
+                f"max_restarts={max_restarts} with the source still "
+                f"producing rows (last start read {total_in}); raise "
+                f"max_restarts or the source's per-batch rate limit"
+            )
     if last is None:
         return spark.table(name)  # empty source: empty result, right schema
     return spark.createDataFrame(last[0], last[1])

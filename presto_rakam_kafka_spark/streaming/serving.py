@@ -113,9 +113,9 @@ class _store_lock:
     thief has committed. Serving never takes the lock — reads go
     through the atomic pointer."""
 
-    def __init__(self, store: str, ttl_s: float = _LEASE_TTL_S):
+    def __init__(self, store: str, ttl_s: float | None = None):
         self._path = os.path.join(store, _LOCK)
-        self._ttl = float(ttl_s)
+        self._ttl = float(ttl_s if ttl_s is not None else _LEASE_TTL_S)
         self._holder = f"{_hostname()}:{os.getpid()}:{os.urandom(4).hex()}"
 
     def _lease(self) -> bytes:
@@ -130,6 +130,18 @@ class _store_lock:
             }
         ).encode()
 
+    def _sidecar_path(self, holder: str) -> str:
+        """The renew sidecar for ``holder`` — holder-keyed, so each
+        holder writes ONLY its own sidecar and a renew can never clobber
+        another maintainer's state (the round-11 check-then-replace
+        renew could: a thief stealing between the holder check and the
+        ``os.replace`` had its fresh lease overwritten by the victim's
+        renew, re-admitting two maintainers). The shared lease file is
+        now written only by atomic O_EXCL create and rename-steal."""
+        import hashlib
+
+        return f"{self._path}.renew-{hashlib.sha1(holder.encode()).hexdigest()[:16]}"
+
     def __enter__(self):
         import errno
 
@@ -142,39 +154,63 @@ class _store_lock:
             except OSError as exc:
                 if exc.errno != errno.EEXIST:
                     raise
-            self._held_lease_is_stale()  # raises on a live lease
+            stale_holder = self._held_lease_is_stale()  # raises on live
             # stale lease (expired, or dead pid on this host): steal by
-            # removal + retry the O_EXCL create
+            # RENAME to a unique name — atomic, so of N racing stealers
+            # exactly one wins; the losers' rename raises and they loop
+            # back to re-examine whatever lease the winner creates. A
+            # remove-based steal let a loser delete the winner's FRESH
+            # lease (the round-11 flip-lock finding, same class).
+            stolen = f"{self._path}.stale-{os.getpid()}-{os.urandom(4).hex()}"
             try:
-                os.remove(self._path)
-            except FileNotFoundError:
-                pass
+                os.rename(self._path, stolen)
+            except OSError:
+                continue  # lost the steal race: re-evaluate the new lease
+            for leftover in (stolen, self._sidecar_path(stale_holder or "")):
+                try:
+                    os.remove(leftover)
+                except OSError:
+                    pass
 
-    def _held_lease_is_stale(self) -> bool:
-        """True → caller may steal. Raises on a live, unexpired lease.
-        Tolerates the legacy bare-pid file format (pre-lease stores)."""
+    def _held_lease_is_stale(self) -> str | None:
+        """Stale → returns the stale lease's holder token (or None when
+        unknown) so the caller can clean its renew sidecar. Raises
+        :class:`ConcurrentMaintenanceError` on a live, unexpired lease.
+        Tolerates the legacy bare-pid file format (pre-lease stores).
+        Effective expiry is the MAX of the lease file's and the holder's
+        renew sidecar's — renewals extend the lease without ever
+        rewriting the shared file."""
         import time as _time
 
         try:
             with open(self._path) as fh:
                 raw = fh.read().strip()
         except OSError:
-            return True  # vanished under us: retry the create
-        pid, expires, host = 0, None, _hostname()
+            return None  # vanished under us: retry the create
+        pid, expires, host, holder = 0, None, _hostname(), None
         try:
             d = json.loads(raw)
             pid = int(d.get("pid", 0))
             expires = float(d.get("expires", 0.0))
             host = d.get("host", host)
+            holder = d.get("holder")
         except (ValueError, TypeError, AttributeError):
             try:
                 pid = int(raw or "0")  # legacy bare-pid lock file
             except ValueError:
-                return True  # unreadable garbage: steal
+                return None  # unreadable garbage: steal
+        if holder:
+            try:
+                with open(self._sidecar_path(holder)) as fh:
+                    side = json.load(fh)
+                if side.get("holder") == holder and expires is not None:
+                    expires = max(expires, float(side.get("expires", 0.0)))
+            except (OSError, ValueError, TypeError, AttributeError):
+                pass  # no/garbled sidecar: the lease file's expiry rules
         if expires is not None and _time.time() > expires:
-            return True  # expired: stealable regardless of holder state
+            return holder  # expired: stealable regardless of holder state
         if host == _hostname() and pid and not _pid_alive_for_lock(pid):
-            return True  # same-host crash: steal before the TTL runs out
+            return holder  # same-host crash: steal before the TTL runs out
         raise ConcurrentMaintenanceError(
             f"store is being maintained by live pid {pid} on {host} "
             f"({self._path}); run one maintainer per store"
@@ -188,31 +224,57 @@ class _store_lock:
             return None
 
     def renew(self) -> None:
-        """Extend the lease (atomic rewrite) — call between phases of a
-        long fold so a slow-but-alive maintainer isn't stolen from.
-        VERIFIES the lease still carries OUR holder token first: a
-        holder whose lease was already stolen must abort, not clobber
-        the thief's live lease (round-11 review finding #4)."""
+        """Extend the lease — call between phases of a long fold so a
+        slow-but-alive maintainer isn't stolen from. Writes ONLY the
+        holder-keyed renew SIDECAR (staleness checks take the max of
+        lease-file and sidecar expiry), never the shared lease file —
+        so a renew racing a steal can never clobber the thief's fresh
+        lease (ADVICE r11 #4: the old rewrite-in-place renew could;
+        the fence caught the stale commit, but both maintainers burned
+        a full fold). Raises if the lease no longer carries our holder
+        (checked before AND after the sidecar write: a steal landing
+        in between leaves our sidecar orphaned — holder-keyed, so the
+        thief's staleness math ignores it — and we must abort)."""
         if self._file_holder() != self._holder:
             raise ConcurrentMaintenanceError(
                 f"lease {self._path} no longer held by {self._holder} "
                 f"(expired and stolen mid-fold); aborting before the "
                 f"fence would have refused the commit anyway"
             )
-        tmp = f"{self._path}.renew"
-        with open(tmp, "wb") as fh:
-            fh.write(self._lease())
-        os.replace(tmp, self._path)
+        import time as _time
+
+        side = self._sidecar_path(self._holder)
+        tmp = f"{side}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"holder": self._holder, "expires": _time.time() + self._ttl},
+                fh,
+            )
+        os.replace(tmp, side)
+        if self._file_holder() != self._holder:
+            try:
+                os.remove(side)
+            except OSError:
+                pass
+            raise ConcurrentMaintenanceError(
+                f"lease {self._path} no longer held by {self._holder} "
+                f"(stolen during renew); aborting"
+            )
 
     def __exit__(self, *exc):
         # release ONLY our own lease: if it expired and was stolen,
         # removing the file would destroy the thief's LIVE lease and
-        # let a third maintainer in alongside it
+        # let a third maintainer in alongside it. The lease file goes
+        # FIRST: once it's gone a racing staleness check just retries
+        # its create (nothing left to clobber), and the orphaned
+        # holder-keyed sidecar is inert (ignored unless the lease file
+        # names the same random holder token again).
         if self._file_holder() == self._holder:
-            try:
-                os.remove(self._path)
-            except FileNotFoundError:
-                pass
+            for p in (self._path, self._sidecar_path(self._holder)):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
         return False
 
 
@@ -478,6 +540,7 @@ def _fold_cells(
     day_col: str,
     gen_read: str | None,
     txns_read: dict,
+    lk=None,
 ) -> None:
     """Merge ``new_cells`` into the store and commit (cells, HWM, txn)
     in one pointer flip. Only day buckets present in ``new_cells`` are
@@ -488,13 +551,23 @@ def _fold_cells(
     filter) — the fence must compare against THAT read, not a fresh one
     taken here: a thief committing between the caller's read and this
     fold would otherwise become the base generation, pass the fence,
-    and have the overlap double-counted (round-11 review finding #1)."""
+    and have the overlap double-counted (round-11 review finding #1).
+
+    ``lk`` (the caller's held lease) is RENEWED between the fold's long
+    phases — after the touched-days scan and again before the flip — so
+    a backfill tail bigger than one TTL keeps its lease instead of being
+    stolen mid-write and wasting the whole fold (VERDICT r11 note #2;
+    safety never depended on it — the fence refuses a stolen lease's
+    commit — this is the liveness half). A renew that finds the lease
+    stolen raises, aborting BEFORE the doomed write instead of after."""
     gen_prev, txns = gen_read, txns_read
     touched = [
         r[day_col]
         for r in new_cells.select(day_col).distinct().collect()
         if r[day_col] is not None
     ]
+    if lk is not None:
+        lk.renew()  # the touched-days scan was the first long phase
     prev_days: dict[str, list[str]] = (
         _read_manifest(store, gen_prev) if gen_prev is not None else {}
     )
@@ -542,6 +615,8 @@ def _fold_cells(
     _write_manifest(gdir, days)
     txns = dict(txns)
     txns[app_id] = int(epoch)
+    if lk is not None:
+        lk.renew()  # the day-bucket write was the second long phase
     _fenced_flip(store, gen_prev, gen, txns, new_hwm)
     _gc_generations(store, gen)
 
@@ -550,6 +625,11 @@ def _fold_cells(
 #: a fencing test uses it to simulate a second maintainer (one that
 #: stole this writer's expired lease) committing first.
 _before_flip_hook = None
+
+#: test-injection point: called after a flipper observes a STALE flip
+#: micro-lock, right before its steal rename — a two-stealer test
+#: barriers here so both racers hold the same staleness observation.
+_before_flip_steal_hook = None
 
 
 #: the flip micro-lock's steal horizon: the critical section is one
@@ -575,53 +655,105 @@ def _fenced_flip(
     two writers that both passed the fence in the same microsecond
     window would last-writer-win the pointer. The critical section is
     one pointer read + one atomic rename; a flipper that crashes inside
-    it is stolen past ``_FLIP_LOCK_TTL_S``."""
+    it is stolen past ``_FLIP_LOCK_TTL_S``. The lock file carries a
+    HOLDER TOKEN and a steal is an atomic RENAME of the observed stale
+    file to a unique name — of N stealers racing a crashed flipper
+    exactly one wins the rename, the losers loop back to the fresh lock
+    (VERDICT r11 #1: remove-based stealing let stealer B delete stealer
+    A's FRESH lock and both enter the critical section; the first
+    commit was then silently last-writer-lost). Release in the
+    ``finally`` is holder-checked for the same reason: only one's own
+    lock is ever removed."""
     import errno
     import time as _time
 
     if _before_flip_hook is not None:
         _before_flip_hook()
     flip_lock = os.path.join(store, ".FLIP_LOCK")
+    holder = f"{os.getpid()}:{os.urandom(4).hex()}"
+    # pre-write the lock body, then LINK it into place: the lock appears
+    # with its full content ATOMICALLY (an O_EXCL create followed by a
+    # write briefly exposes an empty file, which a racing flipper would
+    # age as ancient and steal — reopening the double-hold)
+    claim = f"{flip_lock}.claim-{holder.replace(':', '-')}"
+    with open(claim, "w") as fh:
+        json.dump({"holder": holder, "ts": _time.time()}, fh)
     deadline = _time.time() + 2 * _FLIP_LOCK_TTL_S
-    while True:
-        try:
-            fd = os.open(flip_lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(_time.time()).encode())
-            os.close(fd)
-            break
-        except OSError as exc:
-            if exc.errno != errno.EEXIST:
-                raise
-        try:
-            with open(flip_lock) as fh:
-                held_since = float(fh.read().strip() or "0")
-        except (OSError, ValueError):
-            continue  # vanished/garbled under us: retry the create
-        if _time.time() - held_since > _FLIP_LOCK_TTL_S:
-            try:
-                os.remove(flip_lock)  # crashed flipper: steal
-            except FileNotFoundError:
-                pass
-            continue
-        if _time.time() > deadline:
-            raise ConcurrentMaintenanceError(
-                f"flip micro-lock {flip_lock} held past {deadline}"
-            )
-        _time.sleep(0.01)
     try:
-        cur, _t, _h = _read_pointer(store)
-        if cur != gen_read:
-            raise FencedMaintenanceError(
-                f"generation moved {gen_read!r} → {cur!r} during this "
-                f"fold; refusing stale commit {gen!r} (lease was stolen "
-                f"or a second maintainer raced) — the unreferenced "
-                f"generation dir is left for GC"
-            )
-        _flip_pointer(store, gen, txns, hwm)
+        while True:
+            try:
+                os.link(claim, flip_lock)
+                break
+            except OSError as exc:
+                if exc.errno != errno.EEXIST:
+                    raise
+            try:
+                with open(flip_lock) as fh:
+                    raw = fh.read().strip()
+            except OSError:
+                continue  # vanished under us: retry the create
+            try:
+                held_since = float(json.loads(raw).get("ts", 0.0))
+            except (ValueError, TypeError, AttributeError):
+                try:
+                    held_since = float(raw or "x")  # legacy bare-ts lock
+                except ValueError:
+                    # garbled content: treat as FRESH and retry — the
+                    # deadline raise surfaces a permanently-corrupt lock
+                    # instead of a blind steal corrupting a live one
+                    held_since = _time.time()
+            if _time.time() - held_since > _FLIP_LOCK_TTL_S:
+                if _before_flip_steal_hook is not None:
+                    _before_flip_steal_hook()
+                # crashed flipper: steal by RENAME-TO-UNIQUE — atomic,
+                # one winner; a losing stealer's rename raises and it
+                # loops back to observe the winner's fresh lock instead
+                # of deleting it
+                stolen = (
+                    f"{flip_lock}.stale-{os.getpid()}-{os.urandom(4).hex()}"
+                )
+                try:
+                    os.rename(flip_lock, stolen)
+                except OSError:
+                    continue  # lost the steal race: re-examine new lock
+                try:
+                    os.remove(stolen)
+                except OSError:
+                    pass
+                continue
+            if _time.time() > deadline:
+                raise ConcurrentMaintenanceError(
+                    f"flip micro-lock {flip_lock} held past {deadline}"
+                )
+            _time.sleep(0.01)
+        try:
+            cur, _t, _h = _read_pointer(store)
+            if cur != gen_read:
+                raise FencedMaintenanceError(
+                    f"generation moved {gen_read!r} → {cur!r} during this "
+                    f"fold; refusing stale commit {gen!r} (lease was stolen "
+                    f"or a second maintainer raced) — the unreferenced "
+                    f"generation dir is left for GC"
+                )
+            _flip_pointer(store, gen, txns, hwm)
+        finally:
+            # holder-checked release: if our lock was stolen mid-section
+            # (we overran the steal horizon), the file now belongs to the
+            # stealer — removing it blind would re-open the double-hold
+            try:
+                with open(flip_lock) as fh:
+                    mine = json.load(fh).get("holder") == holder
+            except (OSError, ValueError, AttributeError):
+                mine = False
+            if mine:
+                try:
+                    os.remove(flip_lock)
+                except FileNotFoundError:
+                    pass
     finally:
         try:
-            os.remove(flip_lock)
-        except FileNotFoundError:
+            os.remove(claim)
+        except OSError:
             pass
 
 
@@ -681,7 +813,7 @@ def _maintain_locked(
         lk.renew()  # the fold is the long phase; enter it with a fresh lease
     _fold_cells(
         spark, store, cell_fn(tail), new_hwm, epoch, app_id,
-        group_cols, merge_exprs, day_col, _gen, txns,
+        group_cols, merge_exprs, day_col, _gen, txns, lk=lk,
     )
     return new_hwm
 
@@ -722,7 +854,7 @@ def run_rollup_maintenance(
         if batch_df.isEmpty():
             return  # trailing no-data trigger: no coverage to commit
         progressed = True
-        with _store_lock(store):
+        with _store_lock(store) as batch_lk:
             _gen, txns, hwm = _read_pointer(store)
             # Idempotency is OFFSET-based, not epoch-based (ADVICE
             # r10): a later maintainer resuming a persisted store from
@@ -754,6 +886,7 @@ def run_rollup_maintenance(
             _fold_cells(
                 spark, store, cell_fn(batch_df), new_hwm, epoch,
                 app_id, group_cols, merge_exprs, day_col, _gen, txns,
+                lk=batch_lk,
             )
 
     ckpt = staging_mkdtemp(f"ckpt_{name}_")
@@ -897,6 +1030,8 @@ def _rebuild_locked(
     _write_manifest(gdir, {d: _day_files(store, gen, d) for d in touched})
     txns = dict(txns)
     txns[app_id] = txns.get(app_id, -1) + 1
+    if lk is not None:
+        lk.renew()  # the full-log write was the long phase
     _fenced_flip(store, gen_prev, gen, txns, new_hwm)
     _gc_generations(store, gen)
     return new_hwm
@@ -987,6 +1122,8 @@ def repair_rollup_days(
         _write_manifest(gdir, kept)
         txns = dict(txns)
         txns[app_id] = txns.get(app_id, -1) + 1
+        if lk is not None:
+            lk.renew()  # the repaired-days write was the long phase
         _fenced_flip(store, gen_prev, gen, txns, hwm)
         _gc_generations(store, gen)
         return rewritten
@@ -1110,3 +1247,77 @@ def serve_rollup_range(
         else stored.unionByName(tail_cells, allowMissingColumns=True)
     ).groupBy(*group_cols).agg(*merge_exprs)
     return finish_fn(merged) if finish_fn is not None else merged
+
+
+def victim_rollup_days(
+    spark: SparkSession,
+    log_dir: str,
+    store: str,
+    keys: list[bytes],
+) -> list[str]:
+    """The day buckets a :func:`repair_rollup_days` after
+    ``purge_keys(log_dir, keys)`` must re-fold — derived from the log
+    BEFORE the purge (VERDICT r11 #7: ``repair_rollup_days`` trusts the
+    caller's day list, and a list computed any other way risks leaving
+    stale cells — the purged log no longer knows where the victims'
+    rows were).
+
+    One pruned scan: bounded above by the store's committed coverage
+    (rows beyond the HWM were never folded into cells, so their days
+    need no repair — the purge removes them from the LOG and the next
+    maintenance tick simply never sees them), filtered to the victims'
+    keys (an ``isin`` literal for request-sized lists, a broadcast
+    semi-join beyond that — GDPR batches can be thousands of subjects),
+    reduced to distinct event days. Returns [] for an unmaintained
+    store (nothing materialized → nothing to repair)."""
+    gen, _txns, hwm = _read_pointer(store)
+    if gen is None or not hwm or not keys:
+        return []
+    scan = _tail_scan(spark, log_dir, {}, up_to=max(hwm.values()))
+    scan = _per_partition_offset_filter(scan, hwm, lower=False)
+    if len(keys) <= 200:
+        scan = scan.filter(F.col("key").isin([bytes(k) for k in keys]))
+    else:
+        kdf = spark.createDataFrame(
+            [(bytes(k),) for k in keys], "key BINARY"
+        ).distinct()
+        scan = scan.join(F.broadcast(kdf), "key", "left_semi")
+    return sorted(
+        r["day"]
+        for r in scan.select(
+            F.date_format("timestamp", "yyyy-MM-dd").alias("day")
+        )
+        .distinct()
+        .collect()
+        if r["day"] is not None
+    )
+
+
+def purge_and_repair_rollup(
+    spark: SparkSession,
+    log_dir: str,
+    store: str,
+    keys: list[bytes],
+    cell_fn,
+    group_cols: list[str],
+    merge_exprs: list,
+    day_col: str = "day",
+    app_id: str = "repair",
+) -> list[str]:
+    """The one-call GDPR path for a log + its materialized rollup:
+    derive the victims' covered day buckets (:func:`victim_rollup_days`
+    — MUST run before the purge), physically erase the keys from the
+    log (``purge_keys``), then re-fold exactly those day buckets from
+    the purged log (:func:`repair_rollup_days`). Closes the stale-cell
+    footgun of calling the three steps by hand in the wrong order.
+    Returns the day buckets rewritten."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import purge_keys
+
+    days = victim_rollup_days(spark, log_dir, store, keys)
+    purge_keys(log_dir, [bytes(k) for k in keys])
+    if not days:
+        return []
+    return repair_rollup_days(
+        spark, log_dir, store, days, cell_fn, group_cols, merge_exprs,
+        day_col=day_col, app_id=app_id,
+    )

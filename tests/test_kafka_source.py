@@ -14,6 +14,7 @@ semantics the reference implements in Java:
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -749,11 +750,15 @@ def test_registry_add_enforces_compatibility():
         reg3.add(4, narrowing, compatibility="BACKWARD_TRANSITIVE")
 
 
-def test_refreshing_registry_fetch_on_miss_and_negative_cache(tmp_path):
+def test_refreshing_registry_fetch_on_miss_and_signature_gate(tmp_path):
     """RefreshingSchemaRegistry resolves a schema id registered AFTER
     the snapshot was first loaded (fetch-on-miss reload — the live
-    registry-client protocol), and negative-caches ids that remain
-    unknown so a corrupt frame costs one reload, not one per record."""
+    registry-client protocol). Misses are gated by the snapshot file's
+    SIGNATURE (inode/mtime/size): an unchanged file means a definitive
+    miss with no reload, and a CHANGED file invalidates the miss — so a
+    mid-task registration becomes visible to the SAME instance (ADVICE
+    r11 #5: the old per-instance negative cache never invalidated and
+    permanently dropped such frames for the task's lifetime)."""
     import json
 
     from presto_rakam_kafka_spark.sources import avro_codec as ac
@@ -764,32 +769,74 @@ def test_refreshing_registry_fetch_on_miss_and_negative_cache(tmp_path):
           '[{"name": "a", "type": "long"},'
           ' {"name": "b", "type": "string"}]}')
     path = str(tmp_path / "registry.json")
+
+    def publish(snapshot: dict) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(snapshot, fh)
+        os.replace(tmp, path)  # new inode → new signature, atomically
+
+    publish({"3": v1})
+    reg = ac.RefreshingSchemaRegistry(path)
+    assert reg.writer(3)["name"] == "r"
+
+    # id 9 not registered yet: a miss
+    import pytest as _pytest
+
+    with _pytest.raises(ac.AvroDecodeError):
+        reg.writer(9)
+
+    # producer registers v9 mid-stream: the SAME instance resolves it
+    # on its next miss (the signature changed, so the miss re-fetches)
+    publish({"3": v1, "9": v2})
+    assert reg.writer(9)["name"] == "r2"
+
+    # a fresh instance resolves it too, of course
+    fresh = ac.RefreshingSchemaRegistry(path)
+    assert fresh.writer(9)["name"] == "r2"
+
+
+def test_refreshing_registry_garbage_ids_bounded_reloads(tmp_path):
+    """VERDICT r11 #3 hardening: a corrupt stream fabricating MANY
+    distinct unknown ids must not force one snapshot re-read each —
+    with the file unchanged, every miss is answered by one os.stat and
+    ZERO reloads, while a genuinely new id still resolves the moment
+    the file changes."""
+    import json
+
+    import pytest as _pytest
+
+    from presto_rakam_kafka_spark.sources import avro_codec as ac
+
+    v1 = ('{"type": "record", "name": "r", "fields": '
+          '[{"name": "a", "type": "long"}]}')
+    path = str(tmp_path / "registry.json")
     with open(path, "w") as fh:
         json.dump({"3": v1}, fh)
 
     reg = ac.RefreshingSchemaRegistry(path)
     assert reg.writer(3)["name"] == "r"
 
-    # id 9 not registered yet: miss (after one reload), negative-cached
-    import pytest as _pytest
+    loads = []
+    orig_load = reg._load
 
-    with _pytest.raises(ac.AvroDecodeError):
-        reg.writer(9)
+    def counting_load():
+        loads.append(1)
+        return orig_load()
 
-    # producer registers v9 mid-stream; the NEGATIVE CACHE means this
-    # instance (one task) keeps dropping id 9 — a FRESH task resolves it
-    with open(path, "w") as fh:
-        json.dump({"3": v1, "9": v2}, fh)
-    with _pytest.raises(ac.AvroDecodeError):
-        reg.writer(9)  # still negative-cached for this instance
-    fresh = ac.RefreshingSchemaRegistry(path)
-    assert fresh.writer(9)["name"] == "r2"
+    reg._load = counting_load
+    for garbage_id in range(100, 200):  # 100 DISTINCT garbage ids
+        with _pytest.raises(ac.AvroDecodeError):
+            reg.writer(garbage_id)
+    assert len(loads) == 0, f"{len(loads)} reloads for garbage ids"
 
-    # an id that was NEVER probed resolves via fetch-on-miss on the
-    # ORIGINAL instance too (its snapshot reloads on the miss)
-    reg2 = ac.RefreshingSchemaRegistry(path)
-    assert reg2.writer(3)["name"] == "r"
-    assert reg2.writer(9)["name"] == "r2"  # reload picked up the update
+    # a real registration after the garbage storm still resolves
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"3": v1, "150": v1}, fh)
+    os.replace(tmp, path)
+    assert reg.writer(150)["name"] == "r"
+    assert len(loads) == 1  # exactly one reload: the changed snapshot
 
 
 def test_refreshing_registry_decodes_mid_stream_id_through_wire_plan(tmp_path):

@@ -1623,3 +1623,101 @@ def test_rolling_pairs_second_maintainer_preserves_emitted_rows(spark):
         ).collect()
     }
     assert got == ref  # early emitted rows survived the second run
+
+
+def test_rolling_pairs_reads_legacy_epoch_emitted_dirs(spark):
+    """ADVICE r11 #2: a persisted store whose emitted anchors were
+    written by the pre-round-11 code under ``emitted/epoch=N`` must
+    keep those rows when resumed by the current code (which writes
+    ``emitted/gen=N``): both naming schemes are read at serve time, so
+    no already-emitted anchor day silently vanishes (the live tail
+    excludes days <= emitted_thru, so nothing would ever re-emit them).
+    """
+    import datetime as dt
+
+    from presto_rakam_kafka_spark.operators import sketches as sk
+    from presto_rakam_kafka_spark.streaming import rollup
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0)
+
+    def ev(d, u):
+        return (t0 + dt.timedelta(days=d), u)
+
+    sch = "ts TIMESTAMP, user_id LONG"
+    store = staging_mkdtemp("rollup_legacy_emit_")
+
+    def pair_fn(b):
+        return b.select(
+            F.date_trunc("day", "ts").alias("uday"), "user_id"
+        ).distinct()
+
+    def finish(pr):
+        return sk.hll_rolling_users_from_pairs(pr, window_days=3)
+
+    chunks = [
+        [ev(d, u) for d in range(0, 6) for u in range(5)],
+        [ev(d, u) for d in range(6, 10) for u in range(5)],
+    ]
+    out1 = rollup.run_rolling_pairs(
+        _staged_chunk_stream(spark, chunks, sch, tag="legacy_emit1"),
+        pair_fn, finish, "uday", 3, "legacy_emit_run1", path=store,
+    )
+    ref = {r["day"]: (r["n_exact"], r["est"]) for r in out1.collect()}
+
+    # simulate the pre-round-11 layout: emitted anchors under epoch=N
+    emitted = os.path.join(store, "emitted")
+    gens = sorted(e for e in os.listdir(emitted) if e.startswith("gen="))
+    assert gens, "fixture must have emitted at least one generation"
+    for i, g in enumerate(gens):
+        os.rename(
+            os.path.join(emitted, g), os.path.join(emitted, f"epoch={i}")
+        )
+
+    # resume the SAME persisted store with a continuation stream (fresh
+    # checkpoint -> fresh app_id, the r8 rule)
+    cont = [[ev(d, u) for d in range(10, 13) for u in range(5)]]
+    out2 = rollup.run_rolling_pairs(
+        _staged_chunk_stream(spark, cont, sch, tag="legacy_emit2"),
+        pair_fn, finish, "uday", 3, "legacy_emit_run2", path=store,
+        app_id="resume",
+    )
+    got = {r["day"]: (r["n_exact"], r["est"]) for r in out2.collect()}
+    # every anchor day the first run emitted is still present, intact
+    for day, v in ref.items():
+        assert got.get(day) == v, (day, v, got.get(day))
+    # and the continuation's days arrived on top
+    assert len(got) > len(ref)
+
+
+def test_drain_available_now_raises_on_exhausted_restarts(spark):
+    """ADVICE r11 #3: drain_available_now must FAIL LOUDLY when
+    max_restarts is exhausted while the source still yields rows — a
+    silent partial aggregate surfaces as an opaque hash mismatch in a
+    gate query and as wrong data everywhere else."""
+    import pytest
+
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        KafkaSegmentDataSource,
+        write_segments,
+    )
+    from presto_rakam_kafka_spark.streaming import runner
+
+    log = staging_mkdtemp("drain_exhaust_log_")
+    rows = spark.range(0, 400).select(
+        F.col("id").alias("offset"),
+        F.lit(None).cast("binary").alias("key"),
+        F.to_json(F.struct(F.col("id").alias("v"))).cast("binary").alias("value"),
+        F.current_timestamp().alias("timestamp"),
+    )
+    write_segments(rows, log, num_partitions=1, segment_rows=50)
+    spark.dataSource.register(KafkaSegmentDataSource)
+    stream = (
+        spark.readStream.format("kafka_segments")
+        .option("path", log)
+        .option("maxRowsPerBatch", 50)  # 400 rows / 50 per restart
+        .load()
+    )
+    agg = stream.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    with pytest.raises(RuntimeError, match="max_restarts"):
+        runner.drain_available_now(agg, "drain_exhaust", "complete",
+                                   max_restarts=3)
