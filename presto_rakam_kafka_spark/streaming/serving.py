@@ -1233,6 +1233,13 @@ def serve_rollup_range(
     return finish_fn(merged) if finish_fn is not None else merged
 
 
+#: victim-key strategy cutoff: at or below this many keys the filter is
+#: an ``isin`` literal (no extra plan stage); above it, a broadcast
+#: semi-join against a keys table (thousands of GDPR subjects would
+#: otherwise put a thousands-term IN list into codegen).
+_VICTIM_ISIN_MAX = 200
+
+
 def victim_rollup_days(
     spark: SparkSession,
     log_dir: str,
@@ -1259,7 +1266,7 @@ def victim_rollup_days(
         return []
     scan = _tail_scan(spark, log_dir, {}, up_to=max(hwm.values()))
     scan = _per_partition_offset_filter(scan, hwm, lower=False)
-    if len(keys) <= 200:
+    if len(keys) <= _VICTIM_ISIN_MAX:
         scan = scan.filter(F.col("key").isin([bytes(k) for k in keys]))
     else:
         kdf = spark.createDataFrame(

@@ -1659,3 +1659,110 @@ def test_fenced_flip_n_way_race_single_commit(tmp_path):
         assert len(committed) == 1, (trial, results)
         gen_now, _t, _h = S._read_pointer(store)
         assert gen_now == committed[0], (trial, results)
+
+
+def test_victim_days_and_one_call_purge_repair(spark, sf_dir, tmp_path):
+    """VERDICT r11 #7: `victim_rollup_days` derives the repair day list
+    from the PRE-purge log (coverage-bounded, key-filtered scan) and
+    `purge_and_repair_rollup` sequences derive → purge → repair in the
+    only safe order. Partial coverage edge: victim rows BEYOND the HWM
+    were never folded, so their days need no repair — the purge removes
+    them from the log and the post-repair serve (stored ∪ purged tail)
+    still equals SQL over events minus the victims."""
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        write_segments,
+    )
+    from presto_rakam_kafka_spark.streaming.serving import (
+        purge_and_repair_rollup,
+        victim_rollup_days,
+    )
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 900)
+    raw = ev.select(
+        F.col("event_id").alias("offset"),
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct("event_type", "value")).cast("binary").alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    log = str(tmp_path / "log")
+    write_segments(raw, log, num_partitions=3, segment_rows=150,
+                   route_by_key=True)
+    store = str(tmp_path / "store")
+    # PARTIAL coverage: the store covers offsets < 600 only
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=600)
+    _gen1, _t1, hwm1 = _read_pointer(store)
+
+    victim_ids = {
+        r["user_id"]
+        for r in ev.filter(F.col("user_id") % 7 == 3)
+        .select("user_id").distinct().collect()
+    }
+    victims = [str(u).encode() for u in sorted(victim_ids)]
+
+    # the helper's day list == the victims' covered-prefix event days
+    expected_days = sorted({
+        r["day"]
+        for r in ev.filter(
+            F.col("user_id").isin(victim_ids) & (F.col("event_id") < 600)
+        )
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .distinct().collect()
+    })
+    assert victim_rollup_days(spark, log, store, victims) == expected_days
+
+    rewritten = purge_and_repair_rollup(
+        spark, log, store, victims, _cells, GROUP, _merge()
+    )
+    assert set(rewritten) <= set(expected_days)
+    _gen2, _t2, hwm2 = _read_pointer(store)
+    assert hwm2 == hwm1  # repair rewrites history, never coverage
+
+    kept = ev.filter(~F.col("user_id").isin(victim_ids))
+    exp = {
+        (r["day"], r["event_type"]): (r["n"], r["s"])
+        for r in kept.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        ).collect()
+    }
+    got = _got(serve_rollup_tail(
+        spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+    ))
+    assert got == exp
+
+
+def test_victim_days_broadcast_join_path(spark, sf_dir, tmp_path, monkeypatch):
+    """A GDPR batch larger than the isin cutoff takes the broadcast
+    semi-join path; the derived day list is identical to the isin
+    path's (the cutoff is a plan-shape choice, never a semantics
+    choice)."""
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        write_segments,
+    )
+    from presto_rakam_kafka_spark.streaming import serving as S
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 400)
+    raw = ev.select(
+        F.col("event_id").alias("offset"),
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct("event_type", "value")).cast("binary").alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    log = str(tmp_path / "log")
+    write_segments(raw, log, num_partitions=3, segment_rows=150,
+                   route_by_key=True)
+    store = str(tmp_path / "store")
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge())
+
+    victims = [
+        str(r["user_id"]).encode()
+        for r in ev.select("user_id").distinct().limit(25).collect()
+    ]
+    via_isin = S.victim_rollup_days(spark, log, store, victims)
+    monkeypatch.setattr(S, "_VICTIM_ISIN_MAX", 5)  # force the join path
+    via_join = S.victim_rollup_days(spark, log, store, victims)
+    assert via_join == via_isin and via_isin  # same days, non-empty
