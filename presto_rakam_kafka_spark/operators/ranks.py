@@ -221,7 +221,11 @@ def _local_topn_prune(
                 continue
             yield (
                 pdf.sort_values(by=names, ascending=ascs, kind="mergesort")
-                .groupby(list(group_cols), sort=False)
+                # dropna=False: pandas' default silently DROPS rows whose
+                # group key is null, but Spark's window ranks the null
+                # partition — the prune must keep exactly what the
+                # window would see (round-12 review finding #2)
+                .groupby(list(group_cols), sort=False, dropna=False)
                 .head(n)
             )
 

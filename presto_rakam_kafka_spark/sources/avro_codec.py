@@ -943,8 +943,15 @@ class RefreshingSchemaRegistry:
             return self._snap.writer(schema_id)
         except AvroDecodeError:
             sig = self._stat_sig()
-            if sig is not None and sig == self._sig:
-                raise  # file unchanged since load: a definitive miss
+            if sig == self._sig or sig is None:
+                # unchanged since load → a definitive miss. sig None
+                # (file deleted / mid-replace) is ALSO a miss-now: a
+                # reload attempt could not succeed anyway, and trying
+                # one per record would reintroduce the per-record I/O
+                # the signature gate exists to prevent (round-12 review
+                # finding #5); when the file reappears its signature
+                # differs and the next miss re-fetches.
+                raise
             self._load()  # fetch-on-miss: registered mid-stream
             return self._snap.writer(schema_id)
 

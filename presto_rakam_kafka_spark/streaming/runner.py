@@ -157,7 +157,12 @@ def drain_available_now(
     spark = stream_df.sparkSession
     last: tuple | None = None
     total_in = 0
-    for i in range(max_restarts):
+    # max_restarts data-bearing starts + ONE confirming start: a source
+    # holding exactly max_restarts batches drains completely on the last
+    # allowed start, and only the extra zero-row start can prove it —
+    # raising without the probe would crash a complete snapshot
+    # (round-12 review finding #4)
+    for i in range(max_restarts + 1):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -185,12 +190,12 @@ def drain_available_now(
             last = (rows, tbl.schema)
         if total_in == 0:
             break
-    else:
-        # the loop ran out of restarts while the source was STILL
-        # yielding rows — the snapshot is a partial aggregate. Returning
-        # it silently would surface as an opaque hash mismatch in a gate
-        # query and as wrong data everywhere else (ADVICE r11 #3).
-        if total_in != 0:
+        if i == max_restarts:
+            # even the confirming start produced rows — the source is
+            # genuinely not drained and the snapshot is a partial
+            # aggregate. Returning it silently would surface as an
+            # opaque hash mismatch in a gate query and as wrong data
+            # everywhere else (ADVICE r11 #3).
             raise RuntimeError(
                 f"drain_available_now({name!r}) exhausted "
                 f"max_restarts={max_restarts} with the source still "

@@ -95,6 +95,26 @@ class FencedMaintenanceError(RuntimeError):
 #: lease's original holder from corrupting the store.
 _LEASE_TTL_S = 300.0
 
+#: errnos meaning "this filesystem has no flock semantics" (object-store
+#: FUSE mounts, NFS without lockd) — both flock call sites DEGRADE on
+#: these instead of retrying or raising: the micro-lock falls back to
+#: fence-only commits and the lease guard to the TTL-only protocol, the
+#: documented guarantee level wherever kernel locks don't span
+#: (round-12 review finding #3: a bare ``except OSError`` retry loop
+#: turned ENOTSUP into a 20 s stall + a wrong 'wedged filesystem' error
+#: on every commit).
+def _flock_unsupported_errnos() -> frozenset:
+    import errno
+
+    return frozenset(
+        getattr(errno, name)
+        for name in ("ENOTSUP", "EOPNOTSUPP", "ENOLCK", "EINVAL")
+        if hasattr(errno, name)
+    )
+
+
+_FLOCK_UNSUPPORTED_ERRNOS = _flock_unsupported_errnos()
+
 
 class _store_lock:
     """TTL-lease maintenance lock, object-store-safe (VERDICT r10 #4).
@@ -164,10 +184,17 @@ class _store_lock:
         def held():
             fd = os.open(f"{self._path}.guard", os.O_CREAT | os.O_RDWR)
             try:
-                fcntl.flock(fd, fcntl.LOCK_EX)
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX)
+                except OSError as exc:
+                    if exc.errno not in _FLOCK_UNSUPPORTED_ERRNOS:
+                        raise
+                    # filesystem without flock semantics: degrade to the
+                    # TTL-only protocol (the pre-round-12 behavior and
+                    # the documented cross-host guarantee level)
                 yield
             finally:
-                os.close(fd)  # releases the flock
+                os.close(fd)  # releases the flock when one was taken
 
         return held()
 
@@ -716,7 +743,9 @@ def _fenced_flip(
             try:
                 fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                 break
-            except OSError:
+            except OSError as exc:
+                if exc.errno in _FLOCK_UNSUPPORTED_ERRNOS:
+                    break  # no flock on this fs: fence-only, documented
                 if _time.time() > deadline:
                     raise ConcurrentMaintenanceError(
                         f"flip micro-lock {flip_lock} not acquired within "
@@ -1057,60 +1086,70 @@ def repair_rollup_days(
     when in doubt, :func:`rebuild_rollup` is the whole-log fallback.
     Repair takes the maintenance lease; run it between a live
     maintainer's ticks (a held lease raises, by design)."""
-    import datetime as _dt
-
     os.makedirs(store, exist_ok=True)
     with _store_lock(store) as lk:
-        gen_prev, txns, hwm = _read_pointer(store)
-        if gen_prev is None or not days:
-            return []  # nothing materialized / nothing asked: no-op
-        days = sorted(set(days))
-        scan = _tail_scan(spark, log_dir, {}, up_to=max(hwm.values()))
-        scan = _per_partition_offset_filter(scan, hwm, lower=False)
-        day_pred = None
-        for d in days:
-            nxt = (
-                _dt.date.fromisoformat(d) + _dt.timedelta(days=1)
-            ).isoformat()
-            leg = (F.col("timestamp") >= F.to_timestamp(F.lit(d))) & (
-                F.col("timestamp") < F.to_timestamp(F.lit(nxt))
-            )
-            day_pred = leg if day_pred is None else (day_pred | leg)
-        if day_pred is not None:
-            scan = scan.filter(day_pred)
-        cells = cell_fn(scan).filter(F.col(day_col).isin(days))
-        merged = cells.groupBy(*group_cols).agg(*merge_exprs)
-        if lk is not None:
-            lk.renew()
-        prev_days = _read_manifest(store, gen_prev)
-        seq = int(gen_prev.split("-")[1]) + 1
-        gen = f"gen-{seq:010d}"
-        gdir = os.path.join(store, gen)
-        kept: dict[str, list[str]] = {
-            d: fs for d, fs in prev_days.items() if d not in days
-        }
-        (
-            merged.withColumn("_day", F.col(day_col))
-            .repartition(max(1, len(days)), "_day")
-            .write.mode("overwrite")
-            .partitionBy("_day")
-            .parquet(gdir)
+        return _repair_days_locked(
+            spark, log_dir, store, days, cell_fn, group_cols,
+            merge_exprs, day_col, app_id, lk,
         )
-        rewritten = []
-        for d in days:
-            fs = _day_files(store, gen, d)
-            if fs:
-                kept[d] = fs
-                rewritten.append(d)
-            # else: every row of d was purged — the day vanishes
-        _write_manifest(gdir, kept)
-        txns = dict(txns)
-        txns[app_id] = txns.get(app_id, -1) + 1
-        if lk is not None:
-            lk.renew()  # the repaired-days write was the long phase
-        _fenced_flip(store, gen_prev, gen, txns, hwm)
-        _gc_generations(store, gen)
-        return rewritten
+
+
+def _repair_days_locked(
+    spark, log_dir, store, days, cell_fn, group_cols, merge_exprs,
+    day_col, app_id, lk=None,
+) -> list[str]:
+    import datetime as _dt
+
+    gen_prev, txns, hwm = _read_pointer(store)
+    if gen_prev is None or not days:
+        return []  # nothing materialized / nothing asked: no-op
+    days = sorted(set(days))
+    scan = _tail_scan(spark, log_dir, {}, up_to=max(hwm.values()))
+    scan = _per_partition_offset_filter(scan, hwm, lower=False)
+    day_pred = None
+    for d in days:
+        nxt = (
+            _dt.date.fromisoformat(d) + _dt.timedelta(days=1)
+        ).isoformat()
+        leg = (F.col("timestamp") >= F.to_timestamp(F.lit(d))) & (
+            F.col("timestamp") < F.to_timestamp(F.lit(nxt))
+        )
+        day_pred = leg if day_pred is None else (day_pred | leg)
+    if day_pred is not None:
+        scan = scan.filter(day_pred)
+    cells = cell_fn(scan).filter(F.col(day_col).isin(days))
+    merged = cells.groupBy(*group_cols).agg(*merge_exprs)
+    if lk is not None:
+        lk.renew()
+    prev_days = _read_manifest(store, gen_prev)
+    seq = int(gen_prev.split("-")[1]) + 1
+    gen = f"gen-{seq:010d}"
+    gdir = os.path.join(store, gen)
+    kept: dict[str, list[str]] = {
+        d: fs for d, fs in prev_days.items() if d not in days
+    }
+    (
+        merged.withColumn("_day", F.col(day_col))
+        .repartition(max(1, len(days)), "_day")
+        .write.mode("overwrite")
+        .partitionBy("_day")
+        .parquet(gdir)
+    )
+    rewritten = []
+    for d in days:
+        fs = _day_files(store, gen, d)
+        if fs:
+            kept[d] = fs
+            rewritten.append(d)
+        # else: every row of d was purged — the day vanishes
+    _write_manifest(gdir, kept)
+    txns = dict(txns)
+    txns[app_id] = txns.get(app_id, -1) + 1
+    if lk is not None:
+        lk.renew()  # the repaired-days write was the long phase
+    _fenced_flip(store, gen_prev, gen, txns, hwm)
+    _gc_generations(store, gen)
+    return rewritten
 
 
 def serve_rollup_day(
@@ -1299,16 +1338,29 @@ def purge_and_repair_rollup(
     derive the victims' covered day buckets (:func:`victim_rollup_days`
     — MUST run before the purge), physically erase the keys from the
     log (``purge_keys``), then re-fold exactly those day buckets from
-    the purged log (:func:`repair_rollup_days`). Closes the stale-cell
-    footgun of calling the three steps by hand in the wrong order.
-    Returns the day buckets rewritten."""
+    the purged log. Closes the stale-cell footgun of calling the three
+    steps by hand in the wrong order. Returns the day buckets
+    rewritten.
+
+    The store LEASE is held across the WHOLE sequence (round-12 review
+    finding #1): with derive and purge outside the lease, a concurrent
+    maintenance tick landing between them could fold victim rows beyond
+    the derive-time HWM into the cells — those days would miss the
+    repair list, and after the purge the log can no longer say they
+    needed repair: a permanent GDPR leak in the materialized tier. A
+    live maintainer therefore raises here (run the purge between
+    ticks); the lease is renewed between phases as usual."""
     from presto_rakam_kafka_spark.sources.kafka_datasource import purge_keys
 
-    days = victim_rollup_days(spark, log_dir, store, keys)
-    purge_keys(log_dir, [bytes(k) for k in keys])
-    if not days:
-        return []
-    return repair_rollup_days(
-        spark, log_dir, store, days, cell_fn, group_cols, merge_exprs,
-        day_col=day_col, app_id=app_id,
-    )
+    os.makedirs(store, exist_ok=True)
+    with _store_lock(store) as lk:
+        days = victim_rollup_days(spark, log_dir, store, keys)
+        lk.renew()  # the derive scan was a long phase
+        purge_keys(log_dir, [bytes(k) for k in keys])
+        if not days:
+            return []
+        lk.renew()  # the purge rewrite was a long phase
+        return _repair_days_locked(
+            spark, log_dir, store, days, cell_fn, group_cols,
+            merge_exprs, day_col, app_id, lk,
+        )

@@ -891,3 +891,44 @@ def test_refreshing_registry_torn_snapshot_degrades_to_miss(tmp_path):
     fresh = ac.RefreshingSchemaRegistry(path)
     with _pytest.raises(ac.AvroDecodeError):
         fresh.writer(3)
+
+
+def test_refreshing_registry_missing_file_is_cheap_miss(tmp_path):
+    """Round-12 review finding #5: with the snapshot FILE deleted, every
+    unknown-id probe must stay a one-stat definitive miss (zero reload
+    attempts) while known ids keep serving from the held snapshot; when
+    the file reappears with a new id, the next miss resolves it."""
+    import json
+
+    import pytest as _pytest
+
+    from presto_rakam_kafka_spark.sources import avro_codec as ac
+
+    v1 = ('{"type": "record", "name": "r", "fields": '
+          '[{"name": "a", "type": "long"}]}')
+    path = str(tmp_path / "registry.json")
+    with open(path, "w") as fh:
+        json.dump({"3": v1}, fh)
+    reg = ac.RefreshingSchemaRegistry(path)
+    assert reg.writer(3)["name"] == "r"
+
+    os.remove(path)
+    loads = []
+    orig_load = reg._load
+
+    def counting_load():
+        loads.append(1)
+        return orig_load()
+
+    reg._load = counting_load
+    for gid in range(50, 80):
+        with _pytest.raises(ac.AvroDecodeError):
+            reg.writer(gid)
+    assert reg.writer(3)["name"] == "r"  # held snapshot still serves
+    assert len(loads) == 0, f"{len(loads)} reload attempts on a dead file"
+
+    # the producer republishes with a new id: the next miss resolves
+    with open(path, "w") as fh:
+        json.dump({"3": v1, "60": v1}, fh)
+    assert reg.writer(60)["name"] == "r"
+    assert len(loads) == 1

@@ -1766,3 +1766,120 @@ def test_victim_days_broadcast_join_path(spark, sf_dir, tmp_path, monkeypatch):
     monkeypatch.setattr(S, "_VICTIM_ISIN_MAX", 5)  # force the join path
     via_join = S.victim_rollup_days(spark, log, store, victims)
     assert via_join == via_isin and via_isin  # same days, non-empty
+
+
+def test_purge_and_repair_holds_lease_across_sequence(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round-12 review finding #1: the one-call GDPR path must hold the
+    store lease across derive → purge → repair. A maintenance tick
+    interleaving between the day derivation and the purge would fold
+    victim rows beyond the derive-time HWM into cells the repair list
+    doesn't cover — a permanent leak the purged log can't even reveal.
+    Receipt: a maintainer attempting to tick WHILE the purge runs gets
+    ConcurrentMaintenanceError."""
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.sources import kafka_datasource as KD
+    from presto_rakam_kafka_spark.streaming import serving as S
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 400)
+    raw = ev.select(
+        F.col("event_id").alias("offset"),
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct("event_type", "value")).cast("binary").alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    log = str(tmp_path / "log")
+    KD.write_segments(raw, log, num_partitions=3, segment_rows=150,
+                      route_by_key=True)
+    store = str(tmp_path / "store")
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=200)
+
+    raced: list[object] = []
+    real_purge = KD.purge_keys
+
+    def racing_purge(path, keys, partitions=None):
+        # a live maintainer ticks mid-purge: the held lease must exclude
+        try:
+            maintain_rollup(spark, log, store, _cells, GROUP, _merge())
+            raced.append("maintained")  # would be the leak
+        except S.ConcurrentMaintenanceError as exc:
+            raced.append(exc)
+        return real_purge(path, keys, partitions)
+
+    monkeypatch.setattr(KD, "purge_keys", racing_purge)
+    victims = [
+        str(r["user_id"]).encode()
+        for r in ev.filter(F.col("user_id") % 5 == 2)
+        .select("user_id").distinct().collect()
+    ]
+    S.purge_and_repair_rollup(
+        spark, log, store, victims, _cells, GROUP, _merge()
+    )
+    assert len(raced) == 1
+    assert isinstance(raced[0], S.ConcurrentMaintenanceError), raced
+    # post-repair serve still exact over the purged covered prefix +
+    # purged tail
+    victim_ids = {int(v.decode()) for v in victims}
+    kept = ev.filter(~F.col("user_id").isin(victim_ids))
+    exp = {
+        (r["day"], r["event_type"]): (r["n"], r["s"])
+        for r in kept.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        ).collect()
+    }
+    got = _got(serve_rollup_tail(
+        spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+    ))
+    assert got == exp
+
+
+def test_grouped_topn_keeps_null_group_rows(spark):
+    """Round-12 review finding #2: pandas groupby drops null group keys
+    by default, but Spark's window ranks the null partition — the prune
+    must keep them (dropna=False) so prune and no-prune agree."""
+    from presto_rakam_kafka_spark.operators.ranks import grouped_topn
+
+    rows = [("a", 1, 10), ("a", 2, 20), (None, 3, 30), (None, 4, 40),
+            (None, 5, 25), ("a", 6, 5), (None, 7, 35)]
+    df = spark.createDataFrame(rows, "day STRING, uid LONG, n LONG")
+    order = [("n", False), ("uid", True)]
+    got = {
+        (r["day"], r["rk"]): r["uid"]
+        for r in grouped_topn(df, ["day"], order, 2).collect()
+    }
+    naive = {
+        (r["day"], r["rk"]): r["uid"]
+        for r in grouped_topn(df, ["day"], order, 2, prune=False).collect()
+    }
+    assert got == naive
+    assert (None, 1) in got  # the null group ranked, not dropped
+
+
+def test_flock_unsupported_degrades_not_bricks(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round-12 review finding #3: on a filesystem without flock
+    semantics (ENOTSUP), the flip micro-lock degrades to fence-only and
+    the lease guard to the TTL-only protocol — maintenance and serves
+    keep working instead of stalling out with a 'wedged filesystem'
+    error on every commit."""
+    import errno
+    import fcntl as _fcntl
+
+    def no_flock(fd, op):
+        raise OSError(errno.ENOTSUP, "flock not supported")
+
+    monkeypatch.setattr(_fcntl, "flock", no_flock)
+    log = str(tmp_path / "log")
+    _write_log(spark, sf_dir, log, hi=300)
+    store = str(tmp_path / "store")
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=150)
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge())
+    got = _got(serve_rollup_tail(
+        spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+    ))
+    assert got == _expected(spark, sf_dir, hi=300)

@@ -1721,3 +1721,35 @@ def test_drain_available_now_raises_on_exhausted_restarts(spark):
     with pytest.raises(RuntimeError, match="max_restarts"):
         runner.drain_available_now(agg, "drain_exhaust", "complete",
                                    max_restarts=3)
+
+
+def test_drain_exactly_complete_on_last_restart_no_raise(spark):
+    """Round-12 review finding #4: a source holding exactly
+    max_restarts batches drains completely on the last allowed start —
+    the exhaustion guard must run its confirming zero-row start and
+    return the complete snapshot, not crash it."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        KafkaSegmentDataSource,
+        write_segments,
+    )
+    from presto_rakam_kafka_spark.streaming import runner
+
+    log = staging_mkdtemp("drain_exact_log_")
+    rows = spark.range(0, 150).select(
+        F.col("id").alias("offset"),
+        F.lit(None).cast("binary").alias("key"),
+        F.to_json(F.struct(F.col("id").alias("v"))).cast("binary").alias("value"),
+        F.current_timestamp().alias("timestamp"),
+    )
+    write_segments(rows, log, num_partitions=1, segment_rows=50)
+    spark.dataSource.register(KafkaSegmentDataSource)
+    stream = (
+        spark.readStream.format("kafka_segments")
+        .option("path", log)
+        .option("maxRowsPerBatch", 50)  # 150 rows = exactly 3 batches
+        .load()
+    )
+    agg = stream.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    out = runner.drain_available_now(agg, "drain_exact", "complete",
+                                     max_restarts=3)
+    assert out.collect()[0]["n"] == 150
