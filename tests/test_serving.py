@@ -1883,3 +1883,61 @@ def test_flock_unsupported_degrades_not_bricks(
         spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
     ))
     assert got == _expected(spark, sf_dir, hi=300)
+
+
+def test_grouped_topn_property_prune_equals_window(spark):
+    """Property (hypothesis): for random cell tables — random group
+    keys incl. NULLs, random measures incl. heavy ties, random k and
+    partition counts — grouped_topn with the partition-local pre-prune
+    equals the naive full-shuffle window row-for-row. Ties are broken
+    by the trailing uid column, so the winner set is deterministic and
+    the equality is exact, not set-approximate."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from presto_rakam_kafka_spark.operators.ranks import grouped_topn
+
+    row = st.tuples(
+        st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),  # group
+        st.integers(0, 7),  # measure: small range -> many ties
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        rows=st.lists(row, min_size=1, max_size=40),
+        k=st.integers(1, 4),
+        parts=st.integers(1, 5),
+    )
+    def check(rows, k, parts):
+        data = [(g, i, n) for i, (g, n) in enumerate(rows)]
+        df = spark.createDataFrame(
+            data, "grp STRING, uid LONG, n LONG"
+        ).repartition(parts)
+        order = [("n", False), ("uid", True)]
+
+        def key(t):
+            return (t[0] is None, t[0] or "", t[1], t[2], t[3])
+
+        got = sorted(
+            (
+                (r["grp"], r["rk"], r["uid"], r["n"])
+                for r in grouped_topn(df, ["grp"], order, k).collect()
+            ),
+            key=key,
+        )
+        naive = sorted(
+            (
+                (r["grp"], r["rk"], r["uid"], r["n"])
+                for r in grouped_topn(
+                    df, ["grp"], order, k, prune=False
+                ).collect()
+            ),
+            key=key,
+        )
+        assert got == naive
+
+    check()
