@@ -1349,18 +1349,47 @@ def purge_and_repair_rollup(
     repair list, and after the purge the log can no longer say they
     needed repair: a permanent GDPR leak in the materialized tier. A
     live maintainer therefore raises here (run the purge between
-    ticks); the lease is renewed between phases as usual."""
+    ticks); the lease is renewed between phases as usual.
+
+    CRASH-SAFE between purge and repair: the derived day list is
+    journaled to ``.REPAIR_INTENT`` (atomic publish) BEFORE the purge
+    and removed only after the repair's commit. Without the journal, a
+    crash after ``purge_keys`` is unrecoverable — re-running derives
+    days from the now-purged log, finds none, and the stale cells leak
+    forever (the only exit being a whole-log rebuild). With it, any
+    later invocation (same or different keys) first merges the pending
+    intent's days into its repair set, so recovery is simply calling
+    this function again."""
     from presto_rakam_kafka_spark.sources.kafka_datasource import purge_keys
 
     os.makedirs(store, exist_ok=True)
+    intent_path = os.path.join(store, ".REPAIR_INTENT")
     with _store_lock(store) as lk:
-        days = victim_rollup_days(spark, log_dir, store, keys)
+        pending: list[str] = []
+        try:
+            with open(intent_path) as fh:
+                pending = list(json.load(fh).get("days", []))
+        except (OSError, ValueError, AttributeError):
+            pass  # no/garbled intent: nothing pending
+        days = sorted(
+            set(victim_rollup_days(spark, log_dir, store, keys)) | set(pending)
+        )
         lk.renew()  # the derive scan was a long phase
+        if days:
+            tmp = f"{intent_path}.tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"days": days}, fh)
+            os.replace(tmp, intent_path)
         purge_keys(log_dir, [bytes(k) for k in keys])
         if not days:
             return []
         lk.renew()  # the purge rewrite was a long phase
-        return _repair_days_locked(
+        rewritten = _repair_days_locked(
             spark, log_dir, store, days, cell_fn, group_cols,
             merge_exprs, day_col, app_id, lk,
         )
+        try:
+            os.remove(intent_path)  # repair committed: intent fulfilled
+        except OSError:
+            pass
+        return rewritten

@@ -1941,3 +1941,76 @@ def test_grouped_topn_property_prune_equals_window(spark):
         assert got == naive
 
     check()
+
+
+def test_purge_and_repair_crash_between_purge_and_repair_recovers(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash-safety of the one-call GDPR path: a crash AFTER the log
+    purge but BEFORE the repair would otherwise leak stale cells
+    forever (the purged log can no longer derive the victims' days).
+    The .REPAIR_INTENT journal written pre-purge makes recovery a
+    simple re-invocation: the pending days merge into the next run's
+    repair set even though the purged log yields none."""
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.sources import kafka_datasource as KD
+    from presto_rakam_kafka_spark.streaming import serving as S
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 400)
+    raw = ev.select(
+        F.col("event_id").alias("offset"),
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct("event_type", "value")).cast("binary").alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    log = str(tmp_path / "log")
+    KD.write_segments(raw, log, num_partitions=3, segment_rows=150,
+                      route_by_key=True)
+    store = str(tmp_path / "store")
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge())
+
+    victims = [
+        str(r["user_id"]).encode()
+        for r in ev.filter(F.col("user_id") % 5 == 2)
+        .select("user_id").distinct().collect()
+    ]
+
+    real_purge = KD.purge_keys
+
+    def purge_then_crash(path, keys, partitions=None):
+        real_purge(path, keys, partitions)
+        raise RuntimeError("simulated crash after purge, before repair")
+
+    monkeypatch.setattr(KD, "purge_keys", purge_then_crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        S.purge_and_repair_rollup(
+            spark, log, store, victims, _cells, GROUP, _merge()
+        )
+    intent = os.path.join(store, ".REPAIR_INTENT")
+    assert os.path.exists(intent)  # the journal survived the crash
+    # the cells still embed the victims at this point (repair never ran)
+
+    # recovery: re-invoke (purge of already-purged keys is a no-op and
+    # the purged log derives NO days — only the journal knows)
+    monkeypatch.setattr(KD, "purge_keys", real_purge)
+    rewritten = S.purge_and_repair_rollup(
+        spark, log, store, victims, _cells, GROUP, _merge()
+    )
+    assert rewritten  # the journaled days were repaired
+    assert not os.path.exists(intent)  # fulfilled
+
+    victim_ids = {int(v.decode()) for v in victims}
+    kept = ev.filter(~F.col("user_id").isin(victim_ids))
+    exp = {
+        (r["day"], r["event_type"]): (r["n"], r["s"])
+        for r in kept.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        ).collect()
+    }
+    got = _got(serve_rollup_tail(
+        spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+    ))
+    assert got == exp
