@@ -75,6 +75,58 @@ def _read_pointer(path: str) -> tuple[str, dict[str, int]]:
     return lines[0], {str(k): int(v) for k, v in txns.items()}
 
 
+def _fenced_flip(
+    path: str, gen_read: str, gen: str, txns: dict[str, int]
+) -> None:
+    """Flip the snapshot pointer iff the generation hasn't moved since
+    this writer read it — the serving-store commit discipline
+    (``streaming/serving.py:_fenced_flip``) applied to the CDC tier
+    (round 12). The snapshot's contract is ONE owning writer (the
+    foreachBatch of one streaming query — Delta's txnAppId recipe is
+    also per-writer), but a misconfigured second maintainer or a
+    zombie resumed from an old checkpoint must get a loud
+    ``FencedMaintenanceError``, not silently last-writer-win the
+    pointer and unlink the other's commit at the next GC. The
+    check-then-flip pair is serialized by a kernel flock (crash-
+    released; degrades to fence-only on filesystems without flock
+    semantics, same as serving)."""
+    import fcntl
+    import time as _time
+
+    from presto_rakam_kafka_spark.streaming.serving import (
+        _FLOCK_UNSUPPORTED_ERRNOS,
+        ConcurrentMaintenanceError,
+        FencedMaintenanceError,
+    )
+
+    fd = os.open(os.path.join(path, ".FLIP_LOCK"), os.O_CREAT | os.O_RDWR)
+    try:
+        deadline = _time.time() + 20.0
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError as exc:
+                if exc.errno in _FLOCK_UNSUPPORTED_ERRNOS:
+                    break  # no flock on this fs: fence-only
+                if _time.time() > deadline:
+                    raise ConcurrentMaintenanceError(
+                        f"snapshot flip lock in {path} not acquired in 20s"
+                    ) from None
+                _time.sleep(0.01)
+        cur, _t = _read_pointer(path)
+        if cur != gen_read:
+            raise FencedMaintenanceError(
+                f"snapshot generation moved {gen_read!r} → {cur!r} during "
+                f"this merge; refusing stale commit {gen!r} (a second "
+                f"writer owns this snapshot — run one maintainer per "
+                f"store); the unreferenced generation dir is left for GC"
+            )
+        _flip_pointer(path, gen, txns)
+    finally:
+        os.close(fd)
+
+
 def _flip_pointer(path: str, gen: str, txns: dict[str, int]) -> None:
     """Atomic two-line pointer: line 1 the committed generation (what
     readers resolve), line 2 the writer transaction record — one file,
@@ -274,7 +326,7 @@ def merge_into_snapshot(
             spark.read.parquet(cur_dir), updates, key_col, delete_col=delete_col
         )
         merged.write.mode("overwrite").parquet(gdir)
-        _flip_pointer(path, gen, txns)
+        _fenced_flip(path, current, gen, txns)
         return gen, []
 
     # persist the bucketed updates: the touched-set collect and the
@@ -332,7 +384,7 @@ def merge_into_snapshot(
             ]
         _write_manifest(gdir, buckets, extra)
         upd.unpersist()
-        _flip_pointer(path, gen, txns)
+        _fenced_flip(path, current, gen, txns)
         return gen, touched
 
     target = spark.read.parquet(cur_dir)
@@ -371,7 +423,7 @@ def merge_into_snapshot(
         # partitioned write left no readable file (see _write_generation)
         merged.write.mode("overwrite").parquet(gdir)
     upd.unpersist()
-    _flip_pointer(path, gen, txns)
+    _fenced_flip(path, current, gen, txns)
     return gen, touched
 
 
@@ -553,7 +605,7 @@ def rebase_snapshot(spark, path: str) -> tuple[str, int]:
             if f.endswith(".parquet")
         ]
     _write_manifest(gdir, buckets, extra)
-    _flip_pointer(path, gen, txns)
+    _fenced_flip(path, current, gen, txns)
     return gen, len(buckets)
 
 

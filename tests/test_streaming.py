@@ -1753,3 +1753,46 @@ def test_drain_exactly_complete_on_last_restart_no_raise(spark):
     out = runner.drain_available_now(agg, "drain_exact", "complete",
                                      max_restarts=3)
     assert out.collect()[0]["n"] == 150
+
+
+def test_cdc_second_writer_fenced_not_lost(spark):
+    """Round 12: the CDC snapshot pointer flip carries the serving
+    store's fence — two writers that both read the same base
+    generation and merge concurrently-prepared generations commit
+    exactly once: the second flip raises FencedMaintenanceError
+    instead of silently last-writer-winning the pointer (which would
+    orphan the first commit and lose its rows at the next GC)."""
+    import datetime as dt
+
+    import pytest
+
+    from presto_rakam_kafka_spark.streaming import cdc
+    from presto_rakam_kafka_spark.streaming.serving import (
+        FencedMaintenanceError,
+    )
+
+    t0 = dt.datetime(2024, 6, 1, 10, 0)
+    sch = "k LONG, v STRING, ts TIMESTAMP, seq LONG, deleted BOOLEAN"
+    base = spark.createDataFrame(
+        [(1, "base1", t0, 0, False)], sch
+    ).drop("deleted")
+    path = staging_mkdtemp("cdc_fence_")
+    cdc.init_snapshot(base, path, key_col="k", num_buckets=4)
+    gen0, txns0 = cdc._read_pointer(path)
+
+    # writer A commits normally
+    upd_a = spark.createDataFrame([(2, "a", t0, 1, False)], sch)
+    cdc.merge_into_snapshot(upd_a, path, "k", delete_col="deleted",
+                            txn=("a", 0))
+    gen1, _ = cdc._read_pointer(path)
+    assert gen1 != gen0
+
+    # writer B prepared its generation against gen0 (simulated: its
+    # pointer read happened before A's flip) — its commit must fence
+    with pytest.raises(FencedMaintenanceError):
+        cdc._fenced_flip(path, gen0, "gen-9999999999", dict(txns0))
+    cur, _ = cdc._read_pointer(path)
+    assert cur == gen1  # A's commit intact
+    # A's rows are still served
+    got = {r["k"]: r["v"] for r in cdc.read_snapshot(spark, path).collect()}
+    assert got == {1: "base1", 2: "a"}
