@@ -112,6 +112,81 @@ def _resolve_partition_dir(pdir: str) -> str:
     return gdir
 
 
+class ConcurrentLogMaintenanceError(RuntimeError):
+    """A partition's generation pointer moved between this maintenance
+    op's read and its publish — a second maintainer (on another host;
+    same-host ops serialize on the log's flock) rewrote it first. The
+    stale publish is refused: last-writer-winning the pointer here can
+    RESURRECT purged keys (a compaction built from the pre-purge
+    generation flipping over a purge's commit) — GDPR-severity, not
+    just lost work."""
+
+
+def _log_maintenance_locked(fn):
+    """Serialize whole log-MAINTENANCE ops (compaction, key compaction,
+    purge, retention) on one log dir via a kernel flock (round 12).
+    Without it, two concurrent ops that both resolved the same current
+    generation race ``os.makedirs(gen-N+1)`` — the loser crashes after
+    doing all its work, and a maintainer that crashes between makedirs
+    and the pointer flip leaves an orphan generation dir that BRICKS
+    every later op (makedirs raises FileExistsError forever). Under the
+    lock, ops queue instead of colliding, and an existing un-pointed
+    generation dir is provably crash residue — safe to reclaim (see
+    ``_fresh_gen_dir``). Degrades to fence-only cross-host
+    (``_publish_gen_flip``)."""
+    import functools
+
+    from presto_rakam_kafka_spark.locks import flock_guard
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        # the log dir is the first STRING positional (compact_log_by_
+        # key_spark leads with the SparkSession) or the keyword `path`
+        path = kwargs.get("path")
+        if path is None:
+            path = next((a for a in args if isinstance(a, str)), None)
+        if path is None or not os.path.isdir(path):
+            return fn(*args, **kwargs)  # let A3 strictness raise
+        with flock_guard(os.path.join(path, ".MAINT_LOCK")):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
+def _fresh_gen_dir(gdir: str) -> None:
+    """Create the next generation dir, reclaiming crash residue: under
+    the log maintenance flock an EXISTING un-pointed dir of this name
+    can only be a maintainer that died between makedirs and its pointer
+    flip (the pointer never reached it, so no reader resolves into
+    it)."""
+    import shutil as _shutil
+
+    if os.path.isdir(gdir):
+        _shutil.rmtree(gdir)
+    os.makedirs(gdir)
+
+
+def _publish_gen_flip(pdir: str, cur_read: str, gen_name: str) -> None:
+    """Flip the partition's generation pointer iff the current
+    generation is still the one this op READ (``cur_read`` — the
+    resolved dir its rewrite was built from). Same-host ops can't race
+    (the maintenance flock), so a moved pointer means a maintainer on
+    a host the flock doesn't reach — refuse, because building on a
+    stale generation and winning the pointer silently undoes the other
+    op's rewrite (a purge's erasure, a compaction's dedup)."""
+    if _resolve_partition_dir(pdir) != cur_read:
+        raise ConcurrentLogMaintenanceError(
+            f"partition {pdir}: generation moved from "
+            f"{os.path.basename(cur_read)!r} during this maintenance op; "
+            f"refusing stale publish {gen_name!r} (another maintainer "
+            f"committed first — rerun against the new generation)"
+        )
+    tmp = os.path.join(pdir, f".{_GEN_POINTER}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(gen_name)
+    os.replace(tmp, os.path.join(pdir, _GEN_POINTER))
+
+
 def _segment_meta(fpath: str) -> tuple[int | None, int | None, int]:
     """(lo, hi_exclusive, num_rows) from the parquet footer; (None, None,
     n) when any row group lacks offset statistics — the caller chooses
@@ -1025,6 +1100,7 @@ class KafkaSegmentsEventSource:
         return codec._decode(spark, reader.load(), project, collection, fields)
 
 
+@_log_maintenance_locked
 def compact_segments(
     path: str,
     target_rows: int = 100_000,
@@ -1082,7 +1158,7 @@ def compact_segments(
             cur_gen = int(_GEN_DIR.match(os.path.basename(cur)).group(1))
         gen_name = f"gen-{cur_gen + 1:06d}"
         gdir = os.path.join(pdir, gen_name)
-        os.makedirs(gdir)
+        _fresh_gen_dir(gdir)  # reclaims crash residue under the lock
         n_new = 0
         for start in range(0, table.num_rows, target_rows):
             chunk = table.slice(start, target_rows)
@@ -1090,10 +1166,7 @@ def compact_segments(
             pq.write_table(chunk, os.path.join(gdir, f"segment-{first}.parquet"))
             n_new += 1
         # atomic publish: flip the generation pointer
-        tmp = os.path.join(pdir, f".{_GEN_POINTER}.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(gen_name)
-        os.replace(tmp, os.path.join(pdir, _GEN_POINTER))
+        _publish_gen_flip(pdir, cur, gen_name)
         # retire the superseded generation (no new planner can reach it)
         if cur == pdir:
             for f in old_files:
@@ -1104,6 +1177,7 @@ def compact_segments(
     return report
 
 
+@_log_maintenance_locked
 def compact_log_by_key(
     path: str,
     partitions: list[int] | None = None,
@@ -1198,7 +1272,7 @@ def compact_log_by_key(
             cur_gen = int(_GEN_DIR.match(os.path.basename(cur)).group(1))
         gen_name = f"gen-{cur_gen + 1:06d}"
         gdir = os.path.join(pdir, gen_name)
-        os.makedirs(gdir)
+        _fresh_gen_dir(gdir)  # reclaims crash residue under the lock
         for start in range(0, compacted.num_rows, target_rows):
             chunk = compacted.slice(start, target_rows)
             first = chunk["offset"][0].as_py()
@@ -1208,10 +1282,7 @@ def compact_log_by_key(
             # (a valid compacted state; the planner treats a pointed-at
             # empty generation as zero segments, not a layout error)
             pass
-        tmp = os.path.join(pdir, f".{_GEN_POINTER}.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(gen_name)
-        os.replace(tmp, os.path.join(pdir, _GEN_POINTER))
+        _publish_gen_flip(pdir, cur, gen_name)
         if cur == pdir:
             for f in old_files:
                 os.remove(os.path.join(pdir, f))
@@ -1255,6 +1326,7 @@ def _select_log_partitions(
     return selected
 
 
+@_log_maintenance_locked
 def purge_keys(
     path: str,
     keys: list[bytes],
@@ -1328,7 +1400,7 @@ def purge_keys(
             cur_gen = int(_GEN_DIR.match(os.path.basename(cur)).group(1))
         gen_name = f"gen-{cur_gen + 1:06d}"
         gdir = os.path.join(pdir, gen_name)
-        os.makedirs(gdir)
+        _fresh_gen_dir(gdir)  # reclaims crash residue under the lock
         for f in clean:
             shutil.copy(os.path.join(cur, f), os.path.join(gdir, f))
         for f, kept in rewritten:
@@ -1337,10 +1409,7 @@ def purge_keys(
                 pq.write_table(
                     kept, os.path.join(gdir, f"segment-{first}.parquet")
                 )
-        tmp = os.path.join(pdir, f".{_GEN_POINTER}.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(gen_name)
-        os.replace(tmp, os.path.join(pdir, _GEN_POINTER))
+        _publish_gen_flip(pdir, cur, gen_name)
         if cur == pdir:
             for f in old_files:
                 os.remove(os.path.join(pdir, f))
@@ -1353,6 +1422,7 @@ def purge_keys(
     return report
 
 
+@_log_maintenance_locked
 def compact_log_by_key_spark(
     spark,
     path: str,
@@ -1428,7 +1498,7 @@ def compact_log_by_key_spark(
             .write.mode("overwrite")
             .parquet(staging)
         )
-        os.makedirs(gdir)
+        _fresh_gen_dir(gdir)  # reclaims crash residue under the lock
         for part in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
             meta = pq.read_metadata(part)
             first = None
@@ -1442,10 +1512,7 @@ def compact_log_by_key_spark(
                 continue
             os.rename(part, os.path.join(gdir, f"segment-{int(first)}.parquet"))
         shutil.rmtree(staging, ignore_errors=True)
-        tmp = os.path.join(pdir, f".{_GEN_POINTER}.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(gen_name)
-        os.replace(tmp, os.path.join(pdir, _GEN_POINTER))
+        _publish_gen_flip(pdir, cur, gen_name)
         if cur == pdir:
             for f in old_files:
                 os.remove(os.path.join(pdir, f))
@@ -1455,6 +1522,7 @@ def compact_log_by_key_spark(
     return report
 
 
+@_log_maintenance_locked
 def expire_segments(
     path: str,
     min_offset: int,

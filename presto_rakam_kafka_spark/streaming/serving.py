@@ -96,24 +96,16 @@ class FencedMaintenanceError(RuntimeError):
 _LEASE_TTL_S = 300.0
 
 #: errnos meaning "this filesystem has no flock semantics" (object-store
-#: FUSE mounts, NFS without lockd) — both flock call sites DEGRADE on
+#: FUSE mounts, NFS without lockd) — every flock call site DEGRADES on
 #: these instead of retrying or raising: the micro-lock falls back to
 #: fence-only commits and the lease guard to the TTL-only protocol, the
 #: documented guarantee level wherever kernel locks don't span
 #: (round-12 review finding #3: a bare ``except OSError`` retry loop
 #: turned ENOTSUP into a 20 s stall + a wrong 'wedged filesystem' error
-#: on every commit).
-def _flock_unsupported_errnos() -> frozenset:
-    import errno
-
-    return frozenset(
-        getattr(errno, name)
-        for name in ("ENOTSUP", "EOPNOTSUPP", "ENOLCK", "EINVAL")
-        if hasattr(errno, name)
-    )
-
-
-_FLOCK_UNSUPPORTED_ERRNOS = _flock_unsupported_errnos()
+#: on every commit). Shared with the CDC and segment-log tiers.
+from presto_rakam_kafka_spark.locks import (  # noqa: E402
+    FLOCK_UNSUPPORTED_ERRNOS as _FLOCK_UNSUPPORTED_ERRNOS,
+)
 
 
 class _store_lock:
@@ -177,26 +169,12 @@ class _store_lock:
         authoritatively (flock does not span object stores or NFSv3;
         the lease protocol never claimed perfect cross-host exclusion,
         the fence is the safety)."""
-        import fcntl
-        from contextlib import contextmanager
+        from presto_rakam_kafka_spark.locks import flock_guard
 
-        @contextmanager
-        def held():
-            fd = os.open(f"{self._path}.guard", os.O_CREAT | os.O_RDWR)
-            try:
-                try:
-                    fcntl.flock(fd, fcntl.LOCK_EX)
-                except OSError as exc:
-                    if exc.errno not in _FLOCK_UNSUPPORTED_ERRNOS:
-                        raise
-                    # filesystem without flock semantics: degrade to the
-                    # TTL-only protocol (the pre-round-12 behavior and
-                    # the documented cross-host guarantee level)
-                yield
-            finally:
-                os.close(fd)  # releases the flock when one was taken
-
-        return held()
+        # degrades to the TTL-only protocol on filesystems without
+        # flock semantics (flock_guard yields False there) — the
+        # pre-round-12 behavior and the documented cross-host level
+        return flock_guard(f"{self._path}.guard")
 
     def __enter__(self):
         import errno

@@ -1794,3 +1794,130 @@ def test_stream_survives_compaction_between_triggers(spark, sf_dir, tmp_path):
         r["event_id"] for r in ev.select("event_id").collect()
     )
     assert len(seen) == len(set(seen))  # exactly-once across the rewrite
+
+
+def test_crash_orphan_generation_dir_does_not_brick_maintenance(
+    spark, sf_dir, tmp_path
+):
+    """Round 12: a maintainer that crashed between creating gen-N+1 and
+    flipping the pointer leaves an orphan generation dir. Pre-fix the
+    next compaction's bare os.makedirs raised FileExistsError forever —
+    maintenance bricked. Under the log flock the orphan is provably
+    crash residue (the pointer never reached it) and is reclaimed."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        compact_segments,
+    )
+
+    log = str(tmp_path / "olog")
+    ev = read_table(spark, sf_dir, "events")
+    raw = ev.select(
+        F.col("event_id").alias("offset"),
+        F.lit(None).cast("binary").alias("key"),
+        F.col("event_type").cast("binary").alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    write_segments(raw, log, num_partitions=2, segment_rows=50)
+    spark.dataSource.register(KafkaSegmentDataSource)
+    before = sorted(
+        r["offset"]
+        for r in spark.read.format("kafka_segments")
+        .option("path", log).load().select("offset").collect()
+    )
+    # crash residue: the dir exists (with a half-written file), the
+    # pointer does not reference it
+    orphan = os.path.join(log, "partition=0", "gen-000001")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "segment-0.parquet"), "w") as fh:
+        fh.write("torn half-written junk")
+    compact_segments(log, target_rows=10_000)  # must not raise
+    after = sorted(
+        r["offset"]
+        for r in spark.read.format("kafka_segments")
+        .option("path", log).load().select("offset").collect()
+    )
+    assert after == before
+
+
+def test_publish_gen_flip_fences_cross_host_writer(spark, sf_dir, tmp_path):
+    """Round 12: a maintenance op built on a generation another writer
+    has since superseded must have its publish REFUSED — winning the
+    pointer with a rewrite of the pre-purge generation would resurrect
+    purged keys."""
+    import pytest
+
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        ConcurrentLogMaintenanceError,
+        _publish_gen_flip,
+        _resolve_partition_dir,
+        compact_segments,
+    )
+
+    log = str(tmp_path / "flog")
+    ev = read_table(spark, sf_dir, "events")
+    raw = ev.select(
+        F.col("event_id").alias("offset"),
+        F.lit(None).cast("binary").alias("key"),
+        F.col("event_type").cast("binary").alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    write_segments(raw, log, num_partitions=1, segment_rows=50)
+    pdir = os.path.join(log, "partition=0")
+    stale_cur = _resolve_partition_dir(pdir)  # this writer's read
+    compact_segments(log, target_rows=10_000)  # another writer commits
+    new_cur = _resolve_partition_dir(pdir)
+    assert new_cur != stale_cur
+    with pytest.raises(ConcurrentLogMaintenanceError):
+        _publish_gen_flip(pdir, stale_cur, "gen-000099")
+    assert _resolve_partition_dir(pdir) == new_cur  # commit intact
+
+
+def test_concurrent_purge_and_compact_serialize(spark, tmp_path):
+    """Round 12: concurrent maintenance ops on one log queue on the
+    flock instead of colliding on os.makedirs(gen-N+1) — a purge and a
+    key-compaction launched together both complete, and the result is
+    both effects applied (no resurrection, no lost rewrite)."""
+    import threading
+
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        compact_log_by_key,
+        purge_keys,
+    )
+
+    rows = [
+        (i, str(i % 7).encode(), f"v{i}".encode(), None)
+        for i in range(200)
+    ]
+    raw = spark.createDataFrame(
+        rows, "offset LONG, key BINARY, value BINARY, ts TIMESTAMP"
+    ).select(
+        "offset", "key", "value",
+        F.coalesce("ts", F.current_timestamp()).alias("timestamp"),
+    )
+    log = str(tmp_path / "cplog")
+    write_segments(raw, log, num_partitions=2, segment_rows=20,
+                   route_by_key=True)
+
+    errs: list[BaseException] = []
+
+    def run(fn, *a, **kw):
+        try:
+            fn(*a, **kw)
+        except BaseException as exc:  # noqa: BLE001 — surfaced below
+            errs.append(exc)
+
+    t1 = threading.Thread(target=run, args=(purge_keys, log, [b"3"]))
+    t2 = threading.Thread(
+        target=run, args=(compact_log_by_key, log),
+        kwargs={"target_rows": 10_000},
+    )
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+
+    spark.dataSource.register(KafkaSegmentDataSource)
+    out = spark.read.format("kafka_segments").option("path", log).load()
+    keys = {bytes(r["key"]).decode() for r in out.select("key").collect()}
+    assert "3" not in keys                      # the purge held
+    assert keys == {"0", "1", "2", "4", "5", "6"}
+    # the compaction held too: exactly one (latest) row per key
+    per_key = out.groupBy("key").count().collect()
+    assert all(r["count"] == 1 for r in per_key)
