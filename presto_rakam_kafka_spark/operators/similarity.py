@@ -1557,6 +1557,40 @@ def assign_clusters_pandas(
     return df.select(id_col, vec_col).mapInPandas(fn, schema)
 
 
+class ConcurrentIndexMaintenanceError(RuntimeError):
+    """The index manifest changed between a compaction's fold and its
+    publish — an upsert landed mid-fold; flipping the stale fold would
+    silently drop that upsert's vectors from every probe."""
+
+
+def _next_auto_id(deltas: list[str]) -> int:
+    """Next ordinal for an auto-named delta: max over the NUMERIC
+    second segment of existing names, +1. Pinned names (the streaming
+    exactly-once keys, e.g. ``delta-epoch-3``) carry a non-numeric
+    segment and are skipped — the r11 parse crashed the first
+    auto-upsert after any pinned one."""
+    ids = [
+        int(parts[1])
+        for d in deltas
+        if len(parts := d.split("-")) > 1 and parts[1].isdigit()
+    ]
+    return (max(ids) + 1) if ids else len(deltas)
+
+
+def _unique_delta_name(deltas: list[str]) -> str:
+    """Auto-allocated PHYSICAL delta dir name — ordinal for ordering,
+    random suffix for uniqueness (round 12): names derived from an
+    UNLOCKED manifest read collide — two concurrent auto-upserts, or a
+    compaction's fold racing an upsert, both derive ``gen+1`` and the
+    later ``mode=overwrite`` write destroys the earlier one's DATA even
+    when the manifest commit itself is protected. Pinned names
+    (``delta_name=``) stay caller-chosen: they are the idempotence key
+    of ONE writer's replays, not a cross-writer allocation."""
+    import os as _os
+
+    return f"delta-{_next_auto_id(deltas):08d}-{_os.urandom(4).hex()}"
+
+
 def _read_manifest(path: str) -> list[str]:
     import json
     import os
@@ -1648,14 +1682,15 @@ def upsert_ivfpq_index(
     |deltas| grows, exactly like segment compaction."""
     import os
 
+    from presto_rakam_kafka_spark.locks import flock_guard
+
     deltas = _read_manifest(path)
     if delta_name is not None:
         if delta_name in deltas:
             return delta_name  # already committed — idempotent replay
         delta = delta_name
     else:
-        next_id = max(int(d.split("-")[1]) for d in deltas) + 1
-        delta = f"delta-{next_id:08d}"
+        delta = _unique_delta_name(deltas)
     coded = ivfpq_code_corpus(
         new_vectors, vec_col, id_col, dim,
         num_centroids=num_centroids, m=m, ksub=ksub,
@@ -1663,7 +1698,17 @@ def upsert_ivfpq_index(
     coded.write.mode("overwrite").partitionBy("list_id").parquet(
         os.path.join(path, delta)
     )
-    _flip_manifest(path, deltas + [delta])
+    # commit under the index flock, RE-READING the manifest inside the
+    # critical section (round 12): two concurrent upserts that both
+    # read [d0] and flipped [d0, mine] last-writer-lost the other's
+    # delta — orphaned on disk, its vectors silently absent from every
+    # probe. Upsert commits are commutative appends, so the fix is
+    # simply merge-at-commit; flock does not span object stores, where
+    # a single ingest owner per index remains the documented contract.
+    with flock_guard(os.path.join(path, ".MAINT_LOCK")):
+        live = _read_manifest(path)
+        if delta not in live:
+            _flip_manifest(path, live + [delta])
     return delta
 
 
@@ -1729,22 +1774,40 @@ def compact_ivfpq_index(spark, path: str) -> str:
     exactly like segment GC)."""
     import os
 
+    from presto_rakam_kafka_spark.locks import flock_guard
+
     deltas = _read_manifest(path)
     merged = read_ivfpq_index(spark, path)
-    next_id = max(int(d.split("-")[1]) for d in deltas) + 1
-    delta = f"delta-{next_id:08d}"
+    delta = _unique_delta_name(deltas)  # never collides with an upsert
     merged.write.mode("overwrite").partitionBy("list_id").parquet(
         os.path.join(path, delta)
     )
-    _flip_manifest(path, [delta])
+    # FENCED flip (round 12): the compacted delta embodies exactly the
+    # manifest read above — an upsert committing between that read and
+    # this flip would have its delta silently dropped from the index.
+    # Unlike an upsert, a compaction cannot merge-at-commit (its data
+    # is already folded), so a changed manifest refuses the publish;
+    # the orphan fold dir is reclaimed by gc_ivfpq_index.
+    with flock_guard(os.path.join(path, ".MAINT_LOCK")):
+        live = _read_manifest(path)
+        if live != deltas:
+            raise ConcurrentIndexMaintenanceError(
+                f"index {path}: manifest changed {deltas} → {live} during "
+                f"compaction; refusing stale publish {delta!r} (an upsert "
+                f"landed mid-fold — rerun compaction)"
+            )
+        _flip_manifest(path, [delta])
     return delta
 
 
 def gc_ivfpq_index(path: str) -> list[str]:
     """Delete delta directories no longer referenced by the manifest.
-    Safe only after readers of the pre-compaction snapshot have
+    Safe only after (a) readers of the pre-compaction snapshot have
     drained — the manifest read is the linearization point, so any
-    reader that starts after the flip never touches the dead dirs."""
+    reader that starts after the flip never touches the dead dirs —
+    and (b) no upsert is IN FLIGHT: an upsert's delta dir exists before
+    its manifest commit and would read as dead here (same caller-owned
+    retention window as segment GC)."""
     import os
     import shutil
 

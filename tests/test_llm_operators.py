@@ -819,7 +819,9 @@ def test_ivfpq_upsert_equals_rebuild_and_orphan_invisible(spark, sf_dir):
     sim.ivfpq_code_corpus(
         emb.filter(F.col("vec_id") < 3), "embedding", "vec_id", dim=64
     ).write.mode("overwrite").partitionBy("list_id").parquet(orphan)
-    assert sim._read_manifest(path) == ["delta-00000000", "delta-00000001"]
+    man = sim._read_manifest(path)
+    assert man[0] == "delta-00000000" and len(man) == 2
+    assert man[1].startswith("delta-00000001")  # unique-suffixed (r12)
     after = sorted(
         map(
             tuple,
@@ -945,9 +947,9 @@ def test_ivfpq_compaction_preserves_probes_and_gc_removes_dead_deltas(spark, sf_
     assert probe() == before
     # old dirs still on disk (reader retention window), then GC'd
     dirs = {d for d in os.listdir(path) if d.startswith("delta-")}
-    assert dirs == {"delta-00000000", "delta-00000001", new_delta}
+    assert new_delta in dirs and len(dirs) == 3
     removed = sim.gc_ivfpq_index(path)
-    assert removed == ["delta-00000000", "delta-00000001"]
+    assert sorted(dirs - {new_delta}) == removed
     assert probe() == before
 
 
@@ -1128,7 +1130,10 @@ def test_ivfpq_epoch_upsert_replay_is_noop(spark, sf_dir):
     name3 = sim.upsert_ivfpq_index(
         spark, more, path, "embedding", "vec_id", dim=64
     )
-    assert name3 == "delta-00000008"
+    # ordinal derives from the max NUMERIC second segment across all
+    # live names (epoch-00000007 counts); a random suffix guarantees
+    # physical uniqueness across racing writers (r12)
+    assert name3.startswith("delta-00000008-")
 
 
 def test_ivfpq_refined_recall_on_clustered_corpus(spark):
@@ -1325,3 +1330,101 @@ def test_contrastive_indexed_hard_leg_is_index_bounded(spark, sf_dir):
     assert "PartitionFilters" in plan, plan[:3000]
     assert re.search(r"ReadSchema: struct<vec_id:bigint>(?!,)", plan), \
         "rand-leg corpus pass still reads the vector column"
+
+
+def test_ann_index_concurrent_upserts_keep_both_deltas(spark):
+    """Round 12: two upserts committing concurrently must BOTH stay in
+    the manifest — the pre-fix read-merge-flip lost whichever delta
+    flipped first (orphaned on disk, its vectors absent from every
+    probe). Commits now merge-at-commit under the index flock; a
+    compaction racing an upsert fences instead of dropping it."""
+    import threading
+
+    import numpy as np
+
+    from presto_rakam_kafka_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(7)
+
+    def vecs(ids):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in rng.normal(size=8)]) for i in ids],
+            "id LONG, emb ARRAY<FLOAT>",
+        )
+
+    path = None
+    import tempfile
+    path = tempfile.mkdtemp(prefix="ann_conc_")
+    SIM.init_ivfpq_index(
+        spark, vecs(range(0, 64)), path, "emb", "id", 8,
+        num_centroids=4, m=4, ksub=16,
+    )
+
+    errs: list[BaseException] = []
+
+    def upsert(lo, hi, name):
+        try:
+            SIM.upsert_ivfpq_index(
+                spark, vecs(range(lo, hi)), path, "emb", "id", 8,
+                num_centroids=4, m=4, ksub=16, delta_name=name,
+            )
+        except BaseException as exc:  # noqa: BLE001 — surfaced below
+            errs.append(exc)
+
+    t1 = threading.Thread(target=upsert, args=(64, 96, "delta-epoch-a"))
+    t2 = threading.Thread(target=upsert, args=(96, 128, "delta-epoch-b"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    live = set(SIM._read_manifest(path))
+    assert {"delta-epoch-a", "delta-epoch-b"} <= live, live
+    # every vector is probe-visible
+    assert SIM.read_ivfpq_index(spark, path).count() == 128
+
+
+def test_ann_compaction_fences_when_upsert_lands_midfold(spark, monkeypatch):
+    """A compaction whose fold misses a mid-fold upsert must refuse its
+    publish (ConcurrentIndexMaintenanceError) — flipping it would drop
+    the upsert's vectors from the index."""
+    import tempfile
+
+    import numpy as np
+    import pytest
+
+    from presto_rakam_kafka_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(11)
+
+    def vecs(ids):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in rng.normal(size=8)]) for i in ids],
+            "id LONG, emb ARRAY<FLOAT>",
+        )
+
+    path = tempfile.mkdtemp(prefix="ann_fence_")
+    SIM.init_ivfpq_index(
+        spark, vecs(range(0, 32)), path, "emb", "id", 8,
+        num_centroids=4, m=4, ksub=16,
+    )
+
+    real_read = SIM.read_ivfpq_index
+    fired = []
+
+    def read_then_upsert(spark_, p):
+        out = real_read(spark_, p)
+        if not fired:
+            fired.append(1)
+            SIM.upsert_ivfpq_index(
+                spark, vecs(range(32, 48)), path, "emb", "id", 8,
+                num_centroids=4, m=4, ksub=16,
+            )
+        return out
+
+    monkeypatch.setattr(SIM, "read_ivfpq_index", read_then_upsert)
+    with pytest.raises(SIM.ConcurrentIndexMaintenanceError):
+        SIM.compact_ivfpq_index(spark, path)
+    # the mid-fold upsert's vectors are still probe-visible
+    assert real_read(spark, path).count() == 48
+    # and a rerun compaction (no race) succeeds
+    monkeypatch.setattr(SIM, "read_ivfpq_index", real_read)
+    SIM.compact_ivfpq_index(spark, path)
+    assert real_read(spark, path).count() == 48
