@@ -236,24 +236,49 @@ def export_batch_fn(
                 batch_df, text_col, id_col, num_shards
             ).collect()
         }
-        shards = {int(k): v for k, v in manifest["shards"].items()}
-        for k, (d, t, c) in batch_stats.items():
-            prev = shards.get(k, {"n_docs": 0, "n_tokens": 0, "checksum": 0})
-            shards[k] = {
-                "n_docs": prev["n_docs"] + d,
-                "n_tokens": prev["n_tokens"] + t,
-                "checksum": prev["checksum"] + c,
-            }
-        manifest["shards"] = shards
-        txns = dict(manifest.get("txns", {}))
-        txns[app_id] = int(epoch_id)
-        manifest["txns"] = txns
-        manifest["total_docs"] = sum(s["n_docs"] for s in shards.values())
-        manifest["total_tokens"] = sum(s["n_tokens"] for s in shards.values())
-        tmp = mpath + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
-        os.replace(tmp, mpath)
+        # commit the stats under a flock guard, RE-READING the manifest
+        # inside the critical section (round 12): the manifest supports
+        # multiple concurrent appending apps (per-app txns), and an
+        # unguarded read-merge-replace lost whichever app's stats
+        # committed first — counts silently wrong, verify_export red.
+        from presto_rakam_kafka_spark.locks import flock_guard
+
+        with flock_guard(mpath + ".guard"):
+            if os.path.exists(mpath):
+                with open(mpath) as f:
+                    manifest = json.load(f)
+                if "txns" not in manifest:
+                    legacy = manifest.pop("epochs", [])  # same migration
+                    manifest["txns"] = (
+                        {"default": max(int(e) for e in legacy)}
+                        if legacy else {}
+                    )
+            if int(epoch_id) <= manifest["txns"].get(app_id, -1):
+                return  # committed while we built the epoch dir: replay
+            shards = {int(k): v for k, v in manifest["shards"].items()}
+            for k, (d, t, c) in batch_stats.items():
+                prev = shards.get(
+                    k, {"n_docs": 0, "n_tokens": 0, "checksum": 0}
+                )
+                shards[k] = {
+                    "n_docs": prev["n_docs"] + d,
+                    "n_tokens": prev["n_tokens"] + t,
+                    "checksum": prev["checksum"] + c,
+                }
+            manifest["shards"] = shards
+            txns = dict(manifest.get("txns", {}))
+            txns[app_id] = int(epoch_id)
+            manifest["txns"] = txns
+            manifest["total_docs"] = sum(
+                s["n_docs"] for s in shards.values()
+            )
+            manifest["total_tokens"] = sum(
+                s["n_tokens"] for s in shards.values()
+            )
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1, sort_keys=True)
+            os.replace(tmp, mpath)
 
     return on_batch
 

@@ -126,32 +126,41 @@ def run_windowed_cells(
     store = path or staging_mkdtemp(f"rollup_{name}_")
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        cur, txns, _e = _read_pointer(store)
-        if txns.get(app_id, -1) >= epoch_id:
-            return  # replayed epoch: exact no-op
-        cells = cell_fn(batch_df)
-        if cur is not None:
-            prev = spark.read.parquet(os.path.join(store, cur))
-            cells = prev.unionByName(cells)
-        merged = cells.groupBy(*group_cols).agg(*merge_exprs)
-        mx = merged.agg(F.max(day_col).alias("m")).collect()[0]["m"]
-        if mx is not None:
-            merged = merged.filter(
-                F.col(day_col)
-                >= F.lit(mx) - F.expr(f"INTERVAL {window_days - 1} DAYS")
-            )
-        # STORE-level sequence, not the app-scoped epoch: a second
-        # maintainer (fresh checkpoint, epoch restarting at 0) must
-        # never derive a generation name at or below the current one
-        # (the serving.py discipline; epoch-named gens left orphan
-        # dirs behind and could overwrite superseded ones)
-        seq = 0 if cur is None else int(cur.split("-")[1]) + 1
-        gen = f"gen-{seq:010d}"
-        merged.write.mode("overwrite").parquet(os.path.join(store, gen))
-        txns = dict(txns)
-        txns[app_id] = int(epoch_id)
-        _flip_pointer(store, gen, txns)
-        _gc_gens(store, gen)
+        # the whole fold runs under the store's flock guard (round 12):
+        # two maintainers derive the SAME store-level next-gen name from
+        # one pointer read, so unguarded they clobber each other's
+        # generation write and last-writer-win the pointer; under the
+        # guard they queue, and the second's pointer read sees the
+        # first's commit (state gens are live-window-bounded — small)
+        from presto_rakam_kafka_spark.locks import flock_guard
+
+        with flock_guard(os.path.join(store, ".MAINT_GUARD")):
+            cur, txns, _e = _read_pointer(store)
+            if txns.get(app_id, -1) >= epoch_id:
+                return  # replayed epoch: exact no-op
+            cells = cell_fn(batch_df)
+            if cur is not None:
+                prev = spark.read.parquet(os.path.join(store, cur))
+                cells = prev.unionByName(cells)
+            merged = cells.groupBy(*group_cols).agg(*merge_exprs)
+            mx = merged.agg(F.max(day_col).alias("m")).collect()[0]["m"]
+            if mx is not None:
+                merged = merged.filter(
+                    F.col(day_col)
+                    >= F.lit(mx) - F.expr(f"INTERVAL {window_days - 1} DAYS")
+                )
+            # STORE-level sequence, not the app-scoped epoch: a second
+            # maintainer (fresh checkpoint, epoch restarting at 0) must
+            # never derive a generation name at or below the current one
+            # (the serving.py discipline; epoch-named gens left orphan
+            # dirs behind and could overwrite superseded ones)
+            seq = 0 if cur is None else int(cur.split("-")[1]) + 1
+            gen = f"gen-{seq:010d}"
+            merged.write.mode("overwrite").parquet(os.path.join(store, gen))
+            txns = dict(txns)
+            txns[app_id] = int(epoch_id)
+            _flip_pointer(store, gen, txns)
+            _gc_gens(store, gen)
 
     q = (
         stream_df.writeStream.foreachBatch(on_batch)
@@ -206,6 +215,13 @@ def run_rolling_pairs(
     slack = int(allowed_lateness_days)
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # same store-guard rationale as run_windowed_cells (round 12)
+        from presto_rakam_kafka_spark.locks import flock_guard
+
+        with flock_guard(os.path.join(store, ".MAINT_GUARD")):
+            _on_batch_locked(batch_df, epoch_id)
+
+    def _on_batch_locked(batch_df: DataFrame, epoch_id: int) -> None:
         cur, txns, emitted_thru = _read_pointer(store)
         if txns.get(app_id, -1) >= epoch_id:
             return  # replayed epoch: exact no-op
