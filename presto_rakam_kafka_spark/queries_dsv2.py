@@ -1142,6 +1142,23 @@ def events_serve_rollup_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_serve_paths(sf_dir: str) -> tuple[str, str]:
+    """(log_dir, store) of the STREAM-maintained serving fixture —
+    shared by `stream_serve_rollup` (which builds it) and
+    `stream_serve_rollup_keyed` (which pull-queries the same store):
+    one definition so the coupling is structural, not two templates
+    that must stay byte-identical."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    return (
+        os.path.join(
+            tempfile.gettempdir(), f"serve_stream_log_{tag}_p{os.getpid()}x"
+        ),
+        os.path.join(
+            tempfile.gettempdir(), f"serve_stream_store_{tag}_p{os.getpid()}x"
+        ),
+    )
+
+
 @query("stream_serve_rollup", oracle=_SERVE_ORACLE)
 def stream_serve_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTINUOUS maintenance + late-data serving: the serving store is
@@ -1162,13 +1179,7 @@ def stream_serve_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         serve_rollup_tail,
     )
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    log_dir = os.path.join(
-        tempfile.gettempdir(), f"serve_stream_log_{tag}_p{os.getpid()}x"
-    )
-    store = os.path.join(
-        tempfile.gettempdir(), f"serve_stream_store_{tag}_p{os.getpid()}x"
-    )
+    log_dir, store = _stream_serve_paths(sf_dir)
 
     def raw_frames(df: DataFrame) -> DataFrame:
         return df.select(
@@ -2326,13 +2337,7 @@ def stream_serve_rollup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # build (or reuse) the stream-maintained store + late tail
     stream_serve_rollup(spark, sf_dir)
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    log_dir = os.path.join(
-        tempfile.gettempdir(), f"serve_stream_log_{tag}_p{os.getpid()}x"
-    )
-    store = os.path.join(
-        tempfile.gettempdir(), f"serve_stream_store_{tag}_p{os.getpid()}x"
-    )
+    log_dir, store = _stream_serve_paths(sf_dir)
     served = serve_rollup_tail(
         spark, log_dir, store, _serve_cell_fn, _SERVE_GROUP,
         _serve_merge_exprs(),

@@ -135,33 +135,63 @@ def _log_maintenance_locked(fn):
     ``_fresh_gen_dir``). Degrades to fence-only cross-host
     (``_publish_gen_flip``)."""
     import functools
+    import inspect
 
     from presto_rakam_kafka_spark.locks import flock_guard
 
+    sig = inspect.signature(fn)
+    if "path" not in sig.parameters:
+        raise TypeError(
+            f"@_log_maintenance_locked requires a 'path' parameter on "
+            f"{fn.__name__} (positional string-sniffing silently locked "
+            f"the wrong file — round-12 second review)"
+        )
+
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
-        # the log dir is the first STRING positional (compact_log_by_
-        # key_spark leads with the SparkSession) or the keyword `path`
-        path = kwargs.get("path")
-        if path is None:
-            path = next((a for a in args if isinstance(a, str)), None)
-        if path is None or not os.path.isdir(path):
+        path = sig.bind(*args, **kwargs).arguments["path"]
+        if not os.path.isdir(path):
             return fn(*args, **kwargs)  # let A3 strictness raise
-        with flock_guard(os.path.join(path, ".MAINT_LOCK")):
-            return fn(*args, **kwargs)
+        with flock_guard(os.path.join(path, ".MAINT_LOCK")) as held:
+            token = _MAINT_LOCK_HELD.set(bool(held))
+            try:
+                return fn(*args, **kwargs)
+            finally:
+                _MAINT_LOCK_HELD.reset(token)
 
     return wrapper
 
 
+#: whether the current maintenance op actually HOLDS the log flock —
+#: set by the decorator; crash-residue reclaim is only safe under it.
+import contextvars as _contextvars  # noqa: E402
+
+_MAINT_LOCK_HELD = _contextvars.ContextVar("log_maint_lock_held",
+                                           default=False)
+
+
 def _fresh_gen_dir(gdir: str) -> None:
-    """Create the next generation dir, reclaiming crash residue: under
-    the log maintenance flock an EXISTING un-pointed dir of this name
-    can only be a maintainer that died between makedirs and its pointer
-    flip (the pointer never reached it, so no reader resolves into
-    it)."""
+    """Create the next generation dir. An EXISTING un-pointed dir of
+    this name is reclaimed ONLY when this op actually holds the log
+    flock — there it is provably a maintainer that died between
+    makedirs and its pointer flip (the pointer never reached it, so no
+    reader resolves into it). On a flock-less filesystem the lock
+    excludes nothing, so an existing dir may be a CONCURRENT
+    maintainer's in-progress generation; reclaiming it would splice
+    that writer's partial files under OUR name and the pointer fence
+    could not catch it (the pointer hasn't moved) — fail loudly
+    instead, the pre-round-12 behavior (round-12 second review #1)."""
     import shutil as _shutil
 
     if os.path.isdir(gdir):
+        if not _MAINT_LOCK_HELD.get():
+            raise ConcurrentLogMaintenanceError(
+                f"generation dir {gdir} already exists and this "
+                f"filesystem has no flock semantics — cannot tell crash "
+                f"residue from a concurrent maintainer's in-progress "
+                f"generation; remove it manually if the other maintainer "
+                f"is known dead"
+            )
         _shutil.rmtree(gdir)
     os.makedirs(gdir)
 

@@ -87,33 +87,18 @@ def _fenced_flip(
     zombie resumed from an old checkpoint must get a loud
     ``FencedMaintenanceError``, not silently last-writer-win the
     pointer and unlink the other's commit at the next GC. The
-    check-then-flip pair is serialized by a kernel flock (crash-
-    released; degrades to fence-only on filesystems without flock
-    semantics, same as serving)."""
-    import fcntl
-    import time as _time
-
+    check-then-flip pair is serialized by the shared
+    ``locks.flock_guard`` (crash-released; degrades to fence-only on
+    filesystems without flock semantics, same as serving). Whole
+    merges additionally queue on ``.MAINT_GUARD`` (see
+    :func:`merge_into_snapshot`) — this inner lock covers flips from
+    paths outside that guard."""
+    from presto_rakam_kafka_spark.locks import flock_guard
     from presto_rakam_kafka_spark.streaming.serving import (
-        _FLOCK_UNSUPPORTED_ERRNOS,
-        ConcurrentMaintenanceError,
         FencedMaintenanceError,
     )
 
-    fd = os.open(os.path.join(path, ".FLIP_LOCK"), os.O_CREAT | os.O_RDWR)
-    try:
-        deadline = _time.time() + 20.0
-        while True:
-            try:
-                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                break
-            except OSError as exc:
-                if exc.errno in _FLOCK_UNSUPPORTED_ERRNOS:
-                    break  # no flock on this fs: fence-only
-                if _time.time() > deadline:
-                    raise ConcurrentMaintenanceError(
-                        f"snapshot flip lock in {path} not acquired in 20s"
-                    ) from None
-                _time.sleep(0.01)
+    with flock_guard(os.path.join(path, ".FLIP_LOCK")):
         cur, _t = _read_pointer(path)
         if cur != gen_read:
             raise FencedMaintenanceError(
@@ -123,8 +108,6 @@ def _fenced_flip(
                 f"store); the unreferenced generation dir is left for GC"
             )
         _flip_pointer(path, gen, txns)
-    finally:
-        os.close(fd)
 
 
 def _flip_pointer(path: str, gen: str, txns: dict[str, int]) -> None:
@@ -283,6 +266,32 @@ def _next_gen(current: str) -> str:
 
 
 def merge_into_snapshot(
+    updates: DataFrame,
+    path: str,
+    key_col: str,
+    delete_col: str | None = None,
+    txn: tuple[str, int] | None = None,
+) -> tuple[str, list[int]]:
+    """Public entry: the whole merge runs under the store's flock guard
+    (round-12 second review): generation names are a deterministic
+    store-level sequence and the generation DATA is written before the
+    flip, so two writers that read the same base both target the same
+    ``gen-N+1`` dir — the later ``mode=overwrite`` write clobbers the
+    earlier one's data and the earlier writer's fence then passes over
+    the clobbered files (only the LOSER got the error). Queued on the
+    guard, the second writer's pointer read sees the first's commit and
+    its stale base is refused by the fence as intended. flock doesn't
+    span object stores; there the documented single-owning-writer
+    contract is the guarantee."""
+    from presto_rakam_kafka_spark.locks import flock_guard
+
+    with flock_guard(os.path.join(path, ".MAINT_GUARD")):
+        return _merge_into_snapshot_locked(
+            updates, path, key_col, delete_col, txn
+        )
+
+
+def _merge_into_snapshot_locked(
     updates: DataFrame,
     path: str,
     key_col: str,
@@ -574,11 +583,18 @@ def rebase_snapshot(spark, path: str) -> tuple[str, int]:
     rewrite is one shuffle-free scan+write per bucket (the read is
     already bucket-partitioned), and incremental merges continue
     against the new baseline immediately after the flip."""
+    from presto_rakam_kafka_spark.locks import flock_guard
+
     meta = _read_meta(path)
     if meta.get("carry") != "manifest":
         raise ValueError("rebase_snapshot applies to carry='manifest' stores")
     nb = int(meta["num_buckets"])
     key_col = meta["key_col"]
+    with flock_guard(os.path.join(path, ".MAINT_GUARD")):
+        return _rebase_locked(spark, path, nb, key_col)
+
+
+def _rebase_locked(spark, path: str, nb: int, key_col: str) -> tuple[str, int]:
     current, txns = _read_pointer(path)
     gen = _next_gen(current)
     gdir = os.path.join(path, gen)

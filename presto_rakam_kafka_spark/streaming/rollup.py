@@ -124,6 +124,11 @@ def run_windowed_cells(
     output-preserving under arbitrary lateness (tested)."""
     spark = stream_df.sparkSession
     store = path or staging_mkdtemp(f"rollup_{name}_")
+    # a caller-supplied path need not exist yet: the flock guard's
+    # O_CREAT open inside on_batch requires the parent dir (the
+    # generation write used to create it lazily — round-12 second
+    # review #4)
+    os.makedirs(store, exist_ok=True)
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # the whole fold runs under the store's flock guard (round 12):
@@ -212,6 +217,11 @@ def run_rolling_pairs(
     stream lifetime."""
     spark = stream_df.sparkSession
     store = path or staging_mkdtemp(f"rollup_{name}_")
+    # a caller-supplied path need not exist yet: the flock guard's
+    # O_CREAT open inside on_batch requires the parent dir (the
+    # generation write used to create it lazily — round-12 second
+    # review #4)
+    os.makedirs(store, exist_ok=True)
     slack = int(allowed_lateness_days)
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:

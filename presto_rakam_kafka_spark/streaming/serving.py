@@ -1347,8 +1347,20 @@ def purge_and_repair_rollup(
         try:
             with open(intent_path) as fh:
                 pending = list(json.load(fh).get("days", []))
-        except (OSError, ValueError, AttributeError):
-            pass  # no/garbled intent: nothing pending
+        except FileNotFoundError:
+            pass  # no intent: nothing pending
+        except (OSError, ValueError, AttributeError) as exc:
+            # an UNREADABLE or GARBLED journal must abort, not read as
+            # empty: this run would overwrite it without the pending
+            # days and remove it after repairing only its own — the
+            # permanent leak the journal exists to prevent (round-12
+            # second review #3)
+            raise RuntimeError(
+                f"repair-intent journal {intent_path} unreadable ({exc}); "
+                f"fix or inspect it before purging — its days are the "
+                f"only record of an interrupted purge's pending repairs "
+                f"(rebuild_rollup is the whole-log fallback)"
+            ) from exc
         days = sorted(
             set(victim_rollup_days(spark, log_dir, store, keys)) | set(pending)
         )
