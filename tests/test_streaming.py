@@ -1796,3 +1796,43 @@ def test_cdc_second_writer_fenced_not_lost(spark):
     # A's rows are still served
     got = {r["k"]: r["v"] for r in cdc.read_snapshot(spark, path).collect()}
     assert got == {1: "base1", 2: "a"}
+
+
+def test_cdc_concurrent_merges_queue_not_clobber(spark):
+    """Round 12: two writers merging into one snapshot concurrently
+    QUEUE on the store guard — both commits land (the second bases on
+    the first's generation) and the final snapshot carries both
+    updates. Unguarded, both derived gen-N+1 from one pointer read and
+    the loser's overwrite destroyed the winner's generation data
+    BEFORE either flipped (the fence only caught the loser)."""
+    import datetime as dt
+    import threading
+
+    from presto_rakam_kafka_spark.streaming import cdc
+
+    t0 = dt.datetime(2024, 6, 1, 10, 0)
+    sch = "k LONG, v STRING, ts TIMESTAMP, seq LONG, deleted BOOLEAN"
+    base = spark.createDataFrame(
+        [(1, "base1", t0, 0, False)], sch
+    ).drop("deleted")
+    path = staging_mkdtemp("cdc_queue_")
+    cdc.init_snapshot(base, path, key_col="k", num_buckets=4)
+
+    errs: list[BaseException] = []
+
+    def merge(k, v, app):
+        try:
+            upd = spark.createDataFrame([(k, v, t0, 1, False)], sch)
+            cdc.merge_into_snapshot(upd, path, "k", delete_col="deleted",
+                                    txn=(app, 0))
+        except BaseException as exc:  # noqa: BLE001 — surfaced below
+            errs.append(exc)
+
+    t1 = threading.Thread(target=merge, args=(2, "from_a", "a"))
+    t2 = threading.Thread(target=merge, args=(3, "from_b", "b"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    got = {r["k"]: r["v"] for r in cdc.read_snapshot(spark, path).collect()}
+    assert got == {1: "base1", 2: "from_a", 3: "from_b"}
+    _cur, txns = cdc._read_pointer(path)
+    assert txns.get("a") == 0 and txns.get("b") == 0
