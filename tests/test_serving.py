@@ -322,8 +322,15 @@ def test_mixed_app_ids_share_one_store(spark, sf_dir, tmp_path):
 def test_gc_keeps_one_superseded_generation(spark, sf_dir, tmp_path):
     """A serve that resolved the pointer just before a maintenance
     commit must still find its generation: GC retains the newest
-    superseded generation for one tick (plus everything any retained
-    manifest references), collecting it only on the NEXT commit."""
+    superseded generation for one tick, everything any retained
+    manifest references, AND (round 13) every superseded generation
+    younger than the time grace — so a slow serve spanning SEVERAL
+    commits keeps its snapshot. Collection happens only once the
+    retirement marker ages past the grace."""
+    import json as _json
+
+    from presto_rakam_kafka_spark.streaming import serving as S
+
     log = str(tmp_path / "log")
     _write_log(spark, sf_dir, log, hi=300)
     store = str(tmp_path / "store")
@@ -331,13 +338,28 @@ def test_gc_keeps_one_superseded_generation(spark, sf_dir, tmp_path):
     # touched day, so superseded generations are NOT carry-referenced
     maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=10)
     gen0, _, _ = _read_pointer(store)
+    gen0_snapshot_files = [
+        os.path.join(store, f)
+        for fs in S._read_manifest(store, gen0).values()
+        for f in fs
+    ]
     maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=20)
     gen1, _, _ = _read_pointer(store)
     assert os.path.isdir(os.path.join(store, gen0))  # grace: one tick
     maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=30)
-    gen2, _, _ = _read_pointer(store)
+    # round 13: gen0 spans TWO commits now but is inside the TIME grace
+    # — the slow serve that resolved gen0 before both commits still
+    # reads its exact snapshot (VERDICT r12 #2b)
+    assert os.path.isdir(os.path.join(store, gen0))
+    assert spark.read.parquet(*gen0_snapshot_files).count() > 0
+    # age gen0's retirement marker past the grace → the next tick's GC
+    # collects it; gen1 (newest superseded) stays under the count grace
+    marker = os.path.join(store, gen0, S._RETIRED_MARKER)
+    with open(marker, "w") as fh:
+        _json.dump({"retired_at": 0.0}, fh)
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=40)
     assert not os.path.isdir(os.path.join(store, gen0))  # collected
-    assert os.path.isdir(os.path.join(store, gen1))  # new grace holder
+    assert os.path.isdir(os.path.join(store, gen1))  # within time grace
     served = serve_rollup_tail(
         spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
     )
@@ -1857,6 +1879,160 @@ def test_grouped_topn_keeps_null_group_rows(spark):
     }
     assert got == naive
     assert (None, 1) in got  # the null group ranked, not dropped
+
+
+def test_grouped_topn_nullable_order_column_exact(spark):
+    """ADVICE r12 #4: Spark's window orders nulls first ascending /
+    last descending while pandas puts NaN last regardless, so a
+    sort-based prune could drop a row the window ranks. The prune now
+    passes every null-order row through — prune and no-prune must agree
+    on a nullable order column in BOTH directions."""
+    from presto_rakam_kafka_spark.operators.ranks import grouped_topn
+
+    rows = [("a", 1, 10), ("a", 2, None), ("a", 3, 30), ("a", 4, None),
+            ("b", 5, None), ("b", 6, 7), ("a", 7, 20)]
+    df = spark.createDataFrame(
+        rows, "day STRING, uid LONG, n LONG"
+    ).repartition(3)
+    for asc in (True, False):
+        order = [("n", asc), ("uid", True)]
+        got = {
+            (r["day"], r["rk"]): r["uid"]
+            for r in grouped_topn(df, ["day"], order, 2).collect()
+        }
+        naive = {
+            (r["day"], r["rk"]): r["uid"]
+            for r in grouped_topn(df, ["day"], order, 2, prune=False).collect()
+        }
+        assert got == naive, f"asc={asc}"
+    # ascending: nulls rank FIRST in Spark — the prune must have kept them
+    asc_top = {
+        (r["day"], r["rk"]): r["uid"]
+        for r in grouped_topn(
+            df, ["day"], [("n", True), ("uid", True)], 2
+        ).collect()
+    }
+    assert asc_top[("a", 1)] in (2, 4) and asc_top[("a", 2)] in (2, 4)
+
+
+def test_grouped_topn_adaptive_prune_gate(spark):
+    """VERDICT r12 #3: a caller-supplied row estimate below the
+    crossover skips the Arrow prune (no MapInPandas in the plan — the
+    transfer costs more than the small exchange), while at-or-above it
+    — or with no estimate — the scale-bounded prune stays engaged.
+    Results identical either way."""
+    from presto_rakam_kafka_spark.operators import ranks
+    from presto_rakam_kafka_spark.operators.ranks import grouped_topn
+
+    rows = [("a", i, i * 7 % 13) for i in range(40)]
+    df = spark.createDataFrame(rows, "day STRING, uid LONG, n LONG")
+    order = [("n", False), ("uid", True)]
+
+    def plan(top):
+        return top._jdf.queryExecution().optimizedPlan().toString()
+
+    small = grouped_topn(df, ["day"], order, 3, input_rows=40)
+    assert "MapInPandas" not in plan(small)
+    big = grouped_topn(
+        df, ["day"], order, 3,
+        input_rows=ranks.GROUPED_TOPN_PRUNE_MIN_ROWS,
+    )
+    assert "MapInPandas" in plan(big)
+    default = grouped_topn(df, ["day"], order, 3)
+    assert "MapInPandas" in plan(default)
+    key = lambda out: sorted((r["uid"], r["rk"]) for r in out.collect())  # noqa: E731
+    assert key(small) == key(big) == key(default)
+
+
+def test_hand_repair_clears_covered_intent_days(spark, sf_dir, tmp_path):
+    """VERDICT r12 #7: an operator recovering from an interrupted
+    purge+repair BY HAND (repair_rollup_days) must clear the covered
+    days from the .REPAIR_INTENT journal — otherwise the next one-call
+    invocation re-repairs them forever. Uncovered days stay journaled
+    and are picked up by the next purge_and_repair_rollup."""
+    from presto_rakam_kafka_spark.streaming import serving as S
+
+    log = str(tmp_path / "log")
+    _write_log(spark, sf_dir, log, hi=400)
+    store = str(tmp_path / "store")
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge())
+    gen, _t, _h = _read_pointer(store)
+    days = sorted(_read_manifest(store, gen))
+    assert len(days) >= 2
+    d1, d2 = days[0], days[1]
+    intent = os.path.join(store, ".REPAIR_INTENT")
+    with open(intent, "w") as fh:
+        json.dump({"days": [d1, d2]}, fh)
+
+    # hand repair covers d1 only → journal keeps exactly d2
+    rewritten = S.repair_rollup_days(
+        spark, log, store, [d1], _cells, GROUP, _merge()
+    )
+    assert rewritten == [d1]
+    with open(intent) as fh:
+        assert json.load(fh)["days"] == [d2]
+
+    # the one-call path then repairs ONLY the pending d2 (no double
+    # repair of d1) and retires the journal
+    rewritten2 = S.purge_and_repair_rollup(
+        spark, log, store, [b"no-such-key"], _cells, GROUP, _merge()
+    )
+    assert rewritten2 == [d2]
+    assert not os.path.exists(intent)
+    got = _got(serve_rollup_tail(
+        spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+    ))
+    assert got == _expected(spark, sf_dir, hi=400)
+
+
+def test_keepalive_renews_through_slow_single_phase(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r12 #6: between-phase renews keep a multi-phase fold
+    alive, but ONE phase longer than the TTL (a huge day bucket's
+    write) still expired mid-phase. The keepalive heartbeat renews
+    DURING the phase: a fold whose every pass sleeps past several tiny
+    TTLs completes, commits unfenced, and a thief probing mid-phase
+    finds the lease LIVE (ConcurrentMaintenanceError), not expired."""
+    import threading
+    import time as _time
+
+    from presto_rakam_kafka_spark.streaming import serving as S
+
+    monkeypatch.setattr(S, "_LEASE_TTL_S", 1.0)
+    log = str(tmp_path / "log")
+    _write_log(spark, sf_dir, log, hi=300)
+    store = str(tmp_path / "store")
+
+    def slow_cells(df_raw):
+        def nap(batches):
+            for pdf in batches:
+                _time.sleep(0.6)  # > TTL/2 per batch, several per pass
+                yield pdf
+
+        return _cells(df_raw.mapInPandas(nap, schema=df_raw.schema))
+
+    thief: list[object] = []
+
+    def steal_attempt():
+        _time.sleep(1.8)  # well past the un-renewed TTL, mid-phase
+        try:
+            with S._store_lock(store):
+                thief.append("stole")  # keepalive failed: lease expired
+        except S.ConcurrentMaintenanceError as exc:
+            thief.append(exc)
+
+    t = threading.Thread(target=steal_attempt)
+    t.start()
+    maintain_rollup(spark, log, store, slow_cells, GROUP, _merge())
+    t.join(timeout=30)
+    assert thief and thief[0] != "stole"  # live mid-phase, not expired
+    gen, txns, _hwm = _read_pointer(store)
+    assert gen is not None and txns  # committed, fence never tripped
+    got = _got(serve_rollup_tail(
+        spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+    ))
+    assert got == _expected(spark, sf_dir, hi=300)
 
 
 def test_flock_unsupported_degrades_not_bricks(

@@ -728,7 +728,11 @@ def test_cdc_snapshot_gc_keeps_current_and_window(spark):
         "deleted"
     ).write.mode("overwrite").parquet(os.path.join(path, "gen-0000000099"))
 
-    removed = cdc.gc_snapshots(path, keep_last=2)
+    # round 13: the default time grace retains freshly-superseded
+    # victims (slow-reader window) — nothing removed until it elapses
+    # or the caller force-overrides
+    assert cdc.gc_snapshots(path, keep_last=2) == []
+    removed = cdc.gc_snapshots(path, keep_last=2, min_age_s=0.0)
     gens = sorted(e for e in os.listdir(path) if e.startswith("gen-"))
     assert removed == ["gen-0000000000", "gen-0000000001"]
     assert gens == ["gen-0000000002", "gen-0000000003", "gen-0000000099"]
@@ -809,7 +813,7 @@ def test_cdc_snapshot_time_travel(spark):
     assert {r["k"] for r in old.collect()} == {1, 2}
     assert {r["k"] for r in cdc.read_snapshot(spark, path).collect()} == {1, 2, 3}
 
-    cdc.gc_snapshots(path, keep_last=1)
+    cdc.gc_snapshots(path, keep_last=1, min_age_s=0.0)
     with pytest.raises(FileNotFoundError, match="gen-0000000001"):
         cdc.read_snapshot(spark, path, generation="gen-0000000001")
 
@@ -907,7 +911,7 @@ def test_cdc_sharded_merge_rewrites_only_touched_buckets(spark):
     assert all(snap[k] == f"v{k}" for k in range(200) if k != 7)
 
     # GC the base generation: hard links keep the shared files alive
-    cdc.gc_snapshots(path, keep_last=1)
+    cdc.gc_snapshots(path, keep_last=1, min_age_s=0.0)
     assert not os.path.isdir(os.path.join(path, "gen-0000000000"))
     snap2 = {r["k"]: r["v"] for r in cdc.read_snapshot(spark, path).collect()}
     assert snap2 == snap
@@ -1027,7 +1031,7 @@ def test_cdc_manifest_mode_references_untouched_buckets(spark):
     # victim dir, unreferenced ones are removed, the victim manifest is
     # gone (loud time-travel failure), and the snapshot reads unchanged
     fn(spark.createDataFrame([(11, "ALSO", t0, 1, False)], sch), 1)
-    removed = cdc.gc_snapshots(path, keep_last=1)
+    removed = cdc.gc_snapshots(path, keep_last=1, min_age_s=0.0)
     assert removed == ["gen-0000000000", "gen-0000000001"]
     cur2, _ = cdc._read_pointer(path)
     man2 = cdc._read_manifest(path, cur2)
@@ -1135,7 +1139,7 @@ def test_cdc_rebase_snapshot_self_contained_and_gc(spark):
     snap = {r["k"]: r["v"] for r in cdc.read_snapshot(spark, path).collect()}
     assert snap[7] == "A" and snap[13] == "B" and len(snap) == 100
 
-    removed = cdc.gc_snapshots(path, keep_last=1)
+    removed = cdc.gc_snapshots(path, keep_last=1, min_age_s=0.0)
     assert set(removed) == {
         "gen-0000000000", "gen-0000000001", "gen-0000000002"
     }
@@ -1208,7 +1212,7 @@ def test_cdc_gc_refcount_survives_non_normalized_store_path(spark):
                      os.path.basename(os.path.dirname(path)), base_name),
     ]
     for alias in aliases:
-        removed = cdc.gc_snapshots(alias, keep_last=1)
+        removed = cdc.gc_snapshots(alias, keep_last=1, min_age_s=0.0)
         if removed:
             break
     # the current generation must still read intact: every referenced
@@ -1836,3 +1840,38 @@ def test_cdc_concurrent_merges_queue_not_clobber(spark):
     assert got == {1: "base1", 2: "from_a", 3: "from_b"}
     _cur, txns = cdc._read_pointer(path)
     assert txns.get("a") == 0 and txns.get("b") == 0
+
+
+def test_rollup_state_flip_is_fenced(spark, monkeypatch):
+    """ADVICE r12 #2: the windowed-cells/rolling-pairs state commits
+    must refuse a stale publish when the pointer moved since the fold's
+    read — on a flock-less filesystem the .MAINT_GUARD excludes nothing
+    and two maintainers would otherwise clobber generation dirs and
+    last-writer-win the pointer. The hook lands a second maintainer's
+    flip inside the check-then-flip window."""
+    import pytest as _pytest
+
+    from presto_rakam_kafka_spark.streaming import rollup
+    from presto_rakam_kafka_spark.streaming.serving import (
+        FencedMaintenanceError,
+    )
+
+    path = staging_mkdtemp("rollup_fence_")
+    rollup._flip_pointer(path, "gen-0000000000", {"a": 0})
+
+    def thief_flip():
+        rollup._flip_pointer(path, "gen-0000000001", {"b": 0})
+
+    monkeypatch.setattr(rollup, "_before_flip_hook", thief_flip)
+    with _pytest.raises(FencedMaintenanceError):
+        rollup._fenced_flip(path, "gen-0000000000", "gen-0000000001",
+                            {"a": 1})
+    # the thief's commit is intact, the stale writer never won
+    cur, txns, _e = rollup._read_pointer(path)
+    assert cur == "gen-0000000001" and txns == {"b": 0}
+
+    # unmoved pointer: the flip lands normally
+    monkeypatch.setattr(rollup, "_before_flip_hook", None)
+    rollup._fenced_flip(path, "gen-0000000001", "gen-0000000002", {"b": 1})
+    cur2, txns2, _e2 = rollup._read_pointer(path)
+    assert cur2 == "gen-0000000002" and txns2 == {"b": 1}
