@@ -122,6 +122,14 @@ class ConcurrentLogMaintenanceError(RuntimeError):
     just lost work."""
 
 
+#: how long a maintenance op waits in the queue behind a holder before
+#: giving up. Ops legitimately queue for the length of one whole Spark
+#: rewrite (minutes at scale) — this bound is a HUNG-holder detector
+#: (wedged executor, stuck NFS; a crashed holder releases via the
+#: kernel instantly), not a contention error (VERDICT r12 #1).
+_MAINT_LOCK_TIMEOUT_S = 600.0
+
+
 def _log_maintenance_locked(fn):
     """Serialize whole log-MAINTENANCE ops (compaction, key compaction,
     purge, retention) on one log dir via a kernel flock (round 12).
@@ -132,12 +140,15 @@ def _log_maintenance_locked(fn):
     every later op (makedirs raises FileExistsError forever). Under the
     lock, ops queue instead of colliding, and an existing un-pointed
     generation dir is provably crash residue — safe to reclaim (see
-    ``_fresh_gen_dir``). Degrades to fence-only cross-host
+    ``_fresh_gen_dir``). The queue wait is BOUNDED (round 13): a hung
+    holder raises :class:`ConcurrentLogMaintenanceError` naming the
+    holder after ``_MAINT_LOCK_TIMEOUT_S`` instead of blocking every
+    later op forever. Degrades to fence-only cross-host
     (``_publish_gen_flip``)."""
     import functools
     import inspect
 
-    from presto_rakam_kafka_spark.locks import flock_guard
+    from presto_rakam_kafka_spark.locks import FlockTimeoutError, flock_guard
 
     sig = inspect.signature(fn)
     if "path" not in sig.parameters:
@@ -152,12 +163,23 @@ def _log_maintenance_locked(fn):
         path = sig.bind(*args, **kwargs).arguments["path"]
         if not os.path.isdir(path):
             return fn(*args, **kwargs)  # let A3 strictness raise
-        with flock_guard(os.path.join(path, ".MAINT_LOCK")) as held:
-            token = _MAINT_LOCK_HELD.set(bool(held))
-            try:
-                return fn(*args, **kwargs)
-            finally:
-                _MAINT_LOCK_HELD.reset(token)
+        try:
+            guard = flock_guard(
+                os.path.join(path, ".MAINT_LOCK"),
+                timeout_s=_MAINT_LOCK_TIMEOUT_S,
+                op_name=fn.__name__,
+            )
+            with guard as held:
+                token = _MAINT_LOCK_HELD.set(bool(held))
+                try:
+                    return fn(*args, **kwargs)
+                finally:
+                    _MAINT_LOCK_HELD.reset(token)
+        except FlockTimeoutError as exc:
+            raise ConcurrentLogMaintenanceError(
+                f"log maintenance op {fn.__name__} on {path} timed out "
+                f"waiting for the log's maintenance lock: {exc}"
+            ) from exc
 
     return wrapper
 
@@ -170,40 +192,56 @@ _MAINT_LOCK_HELD = _contextvars.ContextVar("log_maint_lock_held",
                                            default=False)
 
 
-def _fresh_gen_dir(gdir: str) -> None:
-    """Create the next generation dir. An EXISTING un-pointed dir of
-    this name is reclaimed ONLY when this op actually holds the log
-    flock — there it is provably a maintainer that died between
-    makedirs and its pointer flip (the pointer never reached it, so no
-    reader resolves into it). On a flock-less filesystem the lock
-    excludes nothing, so an existing dir may be a CONCURRENT
-    maintainer's in-progress generation; reclaiming it would splice
-    that writer's partial files under OUR name and the pointer fence
-    could not catch it (the pointer hasn't moved) — fail loudly
-    instead, the pre-round-12 behavior (round-12 second review #1)."""
+def _fresh_gen_dir(gdir: str) -> str:
+    """Create and return a UNIQUELY-NAMED write directory for the next
+    generation (``gen-N.w-<random>``); the op writes its files there
+    and :func:`_publish_gen_flip` renames it to ``gen-N`` at publish
+    (ADVICE r12 #3). The round-12 form created ``gen-N`` directly and
+    reclaimed an existing dir under the flock — but on FUSE/network
+    mounts where flock succeeds host-locally WITHOUT cross-host
+    semantics, `held=True` is not exclusivity: the reclaim could
+    delete a live remote maintainer's in-progress generation, and that
+    writer's remaining files then landed inside the reclaimer's dir —
+    spliced partial data the pointer fence cannot detect (the pointer
+    never moved). A random-suffixed write dir shares a path with
+    NOBODY, closing the splice entirely; name collisions move to the
+    publish rename, where the fence and the lock judge them.
+
+    Stale ``*.w-*`` siblings (a maintainer that crashed mid-write) are
+    reclaimed here when this op HOLDS the flock — they are invisible
+    to every reader (the pointer never names them), so on a flock-less
+    filesystem they are merely leaked until a locked op passes."""
     import shutil as _shutil
 
-    if os.path.isdir(gdir):
-        if not _MAINT_LOCK_HELD.get():
-            raise ConcurrentLogMaintenanceError(
-                f"generation dir {gdir} already exists and this "
-                f"filesystem has no flock semantics — cannot tell crash "
-                f"residue from a concurrent maintainer's in-progress "
-                f"generation; remove it manually if the other maintainer "
-                f"is known dead"
-            )
-        _shutil.rmtree(gdir)
-    os.makedirs(gdir)
+    pdir = os.path.dirname(gdir)
+    if _MAINT_LOCK_HELD.get():
+        for e in os.listdir(pdir):
+            if ".w-" in e and e.startswith("gen-"):
+                _shutil.rmtree(os.path.join(pdir, e), ignore_errors=True)
+    wdir = f"{gdir}.w-{os.urandom(4).hex()}"
+    os.makedirs(wdir)
+    return wdir
 
 
-def _publish_gen_flip(pdir: str, cur_read: str, gen_name: str) -> None:
+def _publish_gen_flip(
+    pdir: str, cur_read: str, gen_name: str, wdir: str | None = None
+) -> None:
     """Flip the partition's generation pointer iff the current
     generation is still the one this op READ (``cur_read`` — the
     resolved dir its rewrite was built from). Same-host ops can't race
     (the maintenance flock), so a moved pointer means a maintainer on
     a host the flock doesn't reach — refuse, because building on a
     stale generation and winning the pointer silently undoes the other
-    op's rewrite (a purge's erasure, a compaction's dedup)."""
+    op's rewrite (a purge's erasure, a compaction's dedup).
+
+    ``wdir`` (round 13) is the op's random-suffixed write directory,
+    renamed to ``gen_name`` HERE, after the fence passes: an existing
+    ``gen-N`` at that point is crash residue of a pre-round-13
+    maintainer (its pointer never flipped, no reader resolves into it)
+    and is reclaimed under the held flock; without the flock it may be
+    a concurrent maintainer's just-written generation — fail loudly."""
+    import shutil as _shutil
+
     if _resolve_partition_dir(pdir) != cur_read:
         raise ConcurrentLogMaintenanceError(
             f"partition {pdir}: generation moved from "
@@ -211,10 +249,79 @@ def _publish_gen_flip(pdir: str, cur_read: str, gen_name: str) -> None:
             f"refusing stale publish {gen_name!r} (another maintainer "
             f"committed first — rerun against the new generation)"
         )
+    if wdir is not None:
+        gdir = os.path.join(pdir, gen_name)
+        if os.path.isdir(gdir):
+            if not _MAINT_LOCK_HELD.get():
+                raise ConcurrentLogMaintenanceError(
+                    f"generation dir {gdir} already exists and this "
+                    f"filesystem has no flock semantics — cannot tell "
+                    f"crash residue from a concurrent maintainer's "
+                    f"generation; remove it manually if the other "
+                    f"maintainer is known dead"
+                )
+            _shutil.rmtree(gdir)
+        os.rename(wdir, gdir)
     tmp = os.path.join(pdir, f".{_GEN_POINTER}.tmp")
     with open(tmp, "w") as fh:
         fh.write(gen_name)
     os.replace(tmp, os.path.join(pdir, _GEN_POINTER))
+
+
+def _retire_superseded(pdir: str, grace_s: float | None = None) -> None:
+    """Reclaim generation dirs below the pointed one, each surviving
+    for a TIME grace after first observed superseded (round 13, VERDICT
+    r12 #2b — the segment-log twin of the serving store's GC): the
+    round-12 form rmtree'd the superseded generation immediately after
+    the flip, so a planner that resolved it just before a compaction
+    lost its files mid-scan (loud failure + retry, but at 100 TB a
+    long export scan would retry forever against a busy log). Every
+    reader resolves through the pointer, so lingering superseded dirs
+    are invisible; disk is bounded by (maintenance frequency within
+    the grace) × generation size. Legacy loose-file layouts (pointer
+    still at the partition root) have no dir to retire — their files
+    are removed immediately by the op, the pre-round-13 behavior."""
+    import shutil as _shutil
+
+    from presto_rakam_kafka_spark.gc_utils import GC_GRACE_S, retirement_age_s
+
+    eff = _GEN_RETIRE_GRACE_S if grace_s is None else float(grace_s)
+    if eff is None:
+        eff = GC_GRACE_S
+    cur = _resolve_partition_dir(pdir)
+    if cur == pdir:
+        return  # legacy loose-file layout: nothing dir-shaped to retire
+    cur_name = os.path.basename(cur)
+    for e in sorted(os.listdir(pdir)):
+        if not _GEN_DIR.match(e) or e >= cur_name:
+            continue  # zero-padded names: string order == numeric order
+        gdir = os.path.join(pdir, e)
+        if eff > 0:
+            age = retirement_age_s(gdir)
+            if age is None or age < eff:
+                continue
+        _shutil.rmtree(gdir, ignore_errors=True)
+
+
+#: segment-log retention for superseded generations — module-level so
+#: operators (and tests) can tune it; None defers to gc_utils.GC_GRACE_S.
+_GEN_RETIRE_GRACE_S: float | None = None
+
+
+def vacuum_log(
+    path: str, partitions: list[int] | None = None,
+    grace_s: float | None = None,
+) -> None:
+    """Reclaim superseded generation dirs across the log — the Delta
+    VACUUM counterpart for the segment store. Runs under the log's
+    maintenance flock; ``grace_s=0.0`` is the force-override (caller
+    asserts no reader is mid-scan on a superseded generation)."""
+    from presto_rakam_kafka_spark.locks import flock_guard
+
+    with flock_guard(os.path.join(path, ".MAINT_LOCK"),
+                     timeout_s=_MAINT_LOCK_TIMEOUT_S, op_name="vacuum_log"):
+        for pid, pdir, _cur, _files in _select_log_partitions(path, partitions):
+            _retire_superseded(pdir, grace_s=grace_s)
 
 
 def _segment_meta(fpath: str) -> tuple[int | None, int | None, int]:
@@ -1188,21 +1295,22 @@ def compact_segments(
             cur_gen = int(_GEN_DIR.match(os.path.basename(cur)).group(1))
         gen_name = f"gen-{cur_gen + 1:06d}"
         gdir = os.path.join(pdir, gen_name)
-        _fresh_gen_dir(gdir)  # reclaims crash residue under the lock
+        wdir = _fresh_gen_dir(gdir)  # unique write dir, renamed at publish
         n_new = 0
         for start in range(0, table.num_rows, target_rows):
             chunk = table.slice(start, target_rows)
             first = chunk["offset"][0].as_py()
-            pq.write_table(chunk, os.path.join(gdir, f"segment-{first}.parquet"))
+            pq.write_table(chunk, os.path.join(wdir, f"segment-{first}.parquet"))
             n_new += 1
-        # atomic publish: flip the generation pointer
-        _publish_gen_flip(pdir, cur, gen_name)
-        # retire the superseded generation (no new planner can reach it)
+        # atomic publish: rename the write dir + flip the pointer
+        _publish_gen_flip(pdir, cur, gen_name, wdir=wdir)
+        # retire superseded state: loose legacy files immediately (no
+        # dir to grace), generation dirs via the time-graced reclaim
         if cur == pdir:
             for f in old_files:
                 os.remove(os.path.join(pdir, f))
         else:
-            shutil.rmtree(cur, ignore_errors=True)
+            _retire_superseded(pdir)
         report[pid] = (len(old_files), n_new)
     return report
 
@@ -1302,22 +1410,22 @@ def compact_log_by_key(
             cur_gen = int(_GEN_DIR.match(os.path.basename(cur)).group(1))
         gen_name = f"gen-{cur_gen + 1:06d}"
         gdir = os.path.join(pdir, gen_name)
-        _fresh_gen_dir(gdir)  # reclaims crash residue under the lock
+        wdir = _fresh_gen_dir(gdir)  # unique write dir, renamed at publish
         for start in range(0, compacted.num_rows, target_rows):
             chunk = compacted.slice(start, target_rows)
             first = chunk["offset"][0].as_py()
-            pq.write_table(chunk, os.path.join(gdir, f"segment-{first}.parquet"))
+            pq.write_table(chunk, os.path.join(wdir, f"segment-{first}.parquet"))
         if compacted.num_rows == 0:
             # fully-tombstoned partition: publish an EMPTY generation
             # (a valid compacted state; the planner treats a pointed-at
             # empty generation as zero segments, not a layout error)
             pass
-        _publish_gen_flip(pdir, cur, gen_name)
+        _publish_gen_flip(pdir, cur, gen_name, wdir=wdir)
         if cur == pdir:
             for f in old_files:
                 os.remove(os.path.join(pdir, f))
         else:
-            shutil.rmtree(cur, ignore_errors=True)
+            _retire_superseded(pdir)
         report[pid] = (table.num_rows, compacted.num_rows)
     return report
 
@@ -1404,6 +1512,13 @@ def purge_keys(
         if partitions is not None and pid not in partitions:
             continue
         pdir = os.path.join(path, e)
+        # GDPR first: superseded generations lingering inside the
+        # round-13 read grace may STILL CONTAIN the purged keys (a key
+        # compaction's pre-image, an earlier value history) even when
+        # the CURRENT generation has zero hits — erase them
+        # unconditionally before judging this partition (erasure beats
+        # reader liveness, the one retirement that never waits).
+        _retire_superseded(pdir, grace_s=0.0)
         cur = _resolve_partition_dir(pdir)
         old_files = sorted(f for f in os.listdir(cur) if _SEGMENT_FILE.match(f))
         removed = 0
@@ -1430,20 +1545,23 @@ def purge_keys(
             cur_gen = int(_GEN_DIR.match(os.path.basename(cur)).group(1))
         gen_name = f"gen-{cur_gen + 1:06d}"
         gdir = os.path.join(pdir, gen_name)
-        _fresh_gen_dir(gdir)  # reclaims crash residue under the lock
+        wdir = _fresh_gen_dir(gdir)  # unique write dir, renamed at publish
         for f in clean:
-            shutil.copy(os.path.join(cur, f), os.path.join(gdir, f))
+            shutil.copy(os.path.join(cur, f), os.path.join(wdir, f))
         for f, kept in rewritten:
             if kept.num_rows:
                 first = kept["offset"][0].as_py()
                 pq.write_table(
-                    kept, os.path.join(gdir, f"segment-{first}.parquet")
+                    kept, os.path.join(wdir, f"segment-{first}.parquet")
                 )
-        _publish_gen_flip(pdir, cur, gen_name)
+        _publish_gen_flip(pdir, cur, gen_name, wdir=wdir)
         if cur == pdir:
             for f in old_files:
                 os.remove(os.path.join(pdir, f))
         else:
+            # GDPR: the superseded generation still CONTAINS the purged
+            # keys — erase it immediately, the one retirement that must
+            # not wait out a read grace (erasure beats reader liveness)
             shutil.rmtree(cur, ignore_errors=True)
     if not found:
         raise KafkaLogLayoutError(
@@ -1528,7 +1646,7 @@ def compact_log_by_key_spark(
             .write.mode("overwrite")
             .parquet(staging)
         )
-        _fresh_gen_dir(gdir)  # reclaims crash residue under the lock
+        wdir = _fresh_gen_dir(gdir)  # unique write dir, renamed at publish
         for part in sorted(glob.glob(os.path.join(staging, "part-*.parquet"))):
             meta = pq.read_metadata(part)
             first = None
@@ -1540,14 +1658,14 @@ def compact_log_by_key_spark(
                     first = st.min if first is None else min(first, st.min)
             if first is None:  # empty part file
                 continue
-            os.rename(part, os.path.join(gdir, f"segment-{int(first)}.parquet"))
+            os.rename(part, os.path.join(wdir, f"segment-{int(first)}.parquet"))
         shutil.rmtree(staging, ignore_errors=True)
-        _publish_gen_flip(pdir, cur, gen_name)
+        _publish_gen_flip(pdir, cur, gen_name, wdir=wdir)
         if cur == pdir:
             for f in old_files:
                 os.remove(os.path.join(pdir, f))
         else:
-            shutil.rmtree(cur, ignore_errors=True)
+            _retire_superseded(pdir)
         report[pid] = (rows_before, rows_after)
     return report
 

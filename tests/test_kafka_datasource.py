@@ -395,12 +395,21 @@ def test_compaction_publishes_atomically_via_generation_pointer(spark, sf_dir, t
         cur = _resolve_partition_dir(pdir)
         assert os.path.basename(cur) == "gen-000001"
         assert any(f.startswith("segment-") for f in os.listdir(cur))
-    # recompaction bumps the generation and removes the superseded one
+    # recompaction bumps the generation; the superseded one survives
+    # the round-13 read grace (a planner mid-scan keeps its files),
+    # then vacuum_log reclaims it on force-override
+    from presto_rakam_kafka_spark.sources.kafka_datasource import vacuum_log
+
     compact_segments(log, target_rows=10_000)
     for p in os.listdir(log):
         if p.startswith("partition="):
             pdir = os.path.join(log, p)
             assert os.path.basename(_resolve_partition_dir(pdir)) == "gen-000002"
+            assert os.path.isdir(os.path.join(pdir, "gen-000001"))
+    vacuum_log(log, grace_s=0.0)
+    for p in os.listdir(log):
+        if p.startswith("partition="):
+            pdir = os.path.join(log, p)
             assert not os.path.isdir(os.path.join(pdir, "gen-000001"))
     spark.dataSource.register(KafkaSegmentDataSource)
     assert (
@@ -1921,3 +1930,90 @@ def test_concurrent_purge_and_compact_serialize(spark, tmp_path):
     # the compaction held too: exactly one (latest) row per key
     per_key = out.groupBy("key").count().collect()
     assert all(r["count"] == 1 for r in per_key)
+
+
+def test_write_dir_rename_publish_and_residue_reclaim(spark, sf_dir, tmp_path):
+    """ADVICE r12 #3: maintenance ops write into a random-suffixed
+    ``gen-N.w-*`` dir and rename at publish, so a reclaim never shares
+    a path with a live writer. Crash residue — an orphaned write dir —
+    is invisible to readers and reclaimed by the next locked op."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        _resolve_partition_dir,
+        compact_segments,
+    )
+
+    log = str(tmp_path / "wlog")
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    raw = ev.select(
+        F.col("event_id").alias("offset"),
+        F.lit(None).cast("binary").alias("key"),
+        F.col("event_type").cast("binary").alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    write_segments(raw, log, num_partitions=1, segment_rows=50)
+    pdir = os.path.join(log, "partition=0")
+    # crash residue: a write dir orphaned mid-rewrite
+    orphan = os.path.join(pdir, "gen-000001.w-deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "segment-0.parquet"), "w") as fh:
+        fh.write("torn junk from a crashed writer")
+    spark.dataSource.register(KafkaSegmentDataSource)
+    before = (
+        spark.read.format("kafka_segments").option("path", log).load().count()
+    )
+    compact_segments(log, target_rows=10_000)  # reclaims + publishes
+    assert not os.path.isdir(orphan)
+    cur = _resolve_partition_dir(pdir)
+    assert os.path.basename(cur) == "gen-000001"
+    # no stray write dirs survive a successful publish
+    assert not [e for e in os.listdir(pdir) if ".w-" in e]
+    after = (
+        spark.read.format("kafka_segments").option("path", log).load().count()
+    )
+    assert after == before
+
+
+def test_purge_erases_lingering_superseded_generations(spark, sf_dir, tmp_path):
+    """Round 13: superseded generations linger inside the read grace —
+    but they may still CONTAIN purged keys, so purge_keys force-erases
+    every superseded generation in each selected partition before
+    judging it (GDPR beats reader liveness), including partitions whose
+    CURRENT generation has zero hits."""
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        _resolve_partition_dir,
+        compact_segments,
+        purge_keys,
+    )
+
+    log = str(tmp_path / "plog")
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    raw = ev.select(
+        F.col("event_id").alias("offset"),
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct("event_type", "value")).cast("binary").alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    write_segments(raw, log, num_partitions=2, segment_rows=50,
+                   route_by_key=True)
+    compact_segments(log, target_rows=100)   # → gen-000001
+    compact_segments(log, target_rows=10_000)  # → gen-000002, gen-1 lingers
+    pdirs = [os.path.join(log, p) for p in sorted(os.listdir(log))
+             if p.startswith("partition=")]
+    assert any(
+        os.path.isdir(os.path.join(p, "gen-000001")) for p in pdirs
+    )  # the grace kept it
+    victim = (
+        ev.select(F.col("user_id").cast("string")).first()[0].encode()
+    )
+    purge_keys(log, [victim])
+    for p in pdirs:
+        cur = os.path.basename(_resolve_partition_dir(p))
+        gens = sorted(e for e in os.listdir(p) if e.startswith("gen-")
+                      and ".w-" not in e)
+        assert gens == [cur], f"{p}: superseded generations survived {gens}"
+    spark.dataSource.register(KafkaSegmentDataSource)
+    left = (
+        spark.read.format("kafka_segments").option("path", log).load()
+        .filter(F.col("key") == F.lit(victim)).count()
+    )
+    assert left == 0
