@@ -208,10 +208,15 @@ def _local_topn_prune(
     window's hash exchange once — the trade that matters when the input
     is entity-scale and the survivors are (partitions × groups × n).
 
-    ``order_by`` is ``[(column_name, ascending)]``. Order columns must
-    be non-null: the Spark window and the pandas sort disagree on null
-    placement for mixed directions, and a null pruned here is a row the
-    window never sees."""
+    ``order_by`` is ``[(column_name, ascending)]``. Rows with a NULL in
+    any order column are NEVER pruned (ADVICE r12 #4): Spark's window
+    places nulls first ascending / last descending while pandas puts
+    NaN last regardless of direction, so a sort-based cut could drop a
+    row the window would rank inside the top-n. Passing every
+    null-order row through keeps the cut a SUPERSET of the window's
+    top-n (exactness preserved); the bound degrades only by the null
+    rows, which the final window then ranks with Spark's own
+    semantics."""
     names = [c for c, _a in order_by]
     ascs = [a for _c, a in order_by]
 
@@ -219,8 +224,10 @@ def _local_topn_prune(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            yield (
-                pdf.sort_values(by=names, ascending=ascs, kind="mergesort")
+            null_order = pdf[names].isna().any(axis=1)
+            kept = (
+                pdf[~null_order]
+                .sort_values(by=names, ascending=ascs, kind="mergesort")
                 # dropna=False: pandas' default silently DROPS rows whose
                 # group key is null, but Spark's window ranks the null
                 # partition — the prune must keep exactly what the
@@ -228,8 +235,22 @@ def _local_topn_prune(
                 .groupby(list(group_cols), sort=False, dropna=False)
                 .head(n)
             )
+            if null_order.any():
+                import pandas as pd
+
+                kept = pd.concat([kept, pdf[null_order]])
+            yield kept
 
     return df.mapInPandas(prune, schema=df.schema)
+
+
+#: below this many input rows the Arrow prune costs more than the
+#: shuffle it saves (measured: ~0.13 s of batch transfer at sf0.1's
+#: ~40k-cell store vs a 40k-row exchange the window pays anyway —
+#: SCALE_NOTES §r12-topn-prune); the crossover is entity-scale stores
+#: where the exchange dominates. Callers with a cheap row estimate
+#: (parquet footer counts) pass it via ``input_rows``.
+GROUPED_TOPN_PRUNE_MIN_ROWS = 2_000_000
 
 
 def grouped_topn(
@@ -239,6 +260,7 @@ def grouped_topn(
     n: int,
     rank_col: str = "rk",
     prune: bool = True,
+    input_rows: int | None = None,
 ) -> DataFrame:
     """EXACT top-``n`` rows per group, scale-bounded (VERDICT r11 #2).
 
@@ -255,6 +277,18 @@ def grouped_topn(
     (the serve merges cells before ranking), so any row outside its
     batch's top-n is outside the global top-n a fortiori.
 
+    ``input_rows`` (VERDICT r12 #3) adaptively disables the prune when
+    a caller-supplied row estimate says the input is small — below
+    :data:`GROUPED_TOPN_PRUNE_MIN_ROWS` the Arrow transfer of the whole
+    input costs more than the exchange it avoids, so the plan goes
+    straight to the window. The estimate only gates a performance
+    trade; the result is exact either way (and a LOW estimate of a big
+    input merely keeps the prune off — the window stays exact). Rows
+    with NULLs in order columns are never pruned (see
+    :func:`_local_topn_prune`): the window ranks them with Spark's own
+    null ordering, so nullable order columns are safe, just less
+    tightly bounded.
+
     ``order_by`` is ``[(column_name, ascending)]`` over existing
     columns; ties must be broken by the trailing columns (the usual
     deterministic-rank discipline). Reference basis: Druid's topN query
@@ -263,6 +297,8 @@ def grouped_topn(
     order_exprs = [
         (F.col(c).asc() if asc else F.col(c).desc()) for c, asc in order_by
     ]
+    if prune and input_rows is not None:
+        prune = int(input_rows) >= GROUPED_TOPN_PRUNE_MIN_ROWS
     cand = _local_topn_prune(df, group_cols, order_by, n) if prune else df
     w = Window.partitionBy(*group_cols).orderBy(*order_exprs)
     return cand.withColumn(rank_col, F.row_number().over(w)).filter(

@@ -1646,6 +1646,14 @@ def init_ivfpq_index(
     _flip_manifest(path, [delta])
 
 
+#: test-injection point: called between an upsert's delta write and its
+#: manifest commit — the window a concurrent maintainer (GC, another
+#: upsert, a compaction) must be proven safe against. Tests and the
+#: `sim_topk_stream_batch_upsert` gate row use it to land a concurrent
+#: commit deterministically inside that window.
+_before_upsert_commit_hook = None
+
+
 def upsert_ivfpq_index(
     spark,
     new_vectors: DataFrame,
@@ -1698,6 +1706,8 @@ def upsert_ivfpq_index(
     coded.write.mode("overwrite").partitionBy("list_id").parquet(
         os.path.join(path, delta)
     )
+    if _before_upsert_commit_hook is not None:
+        _before_upsert_commit_hook()
     # commit under the index flock, RE-READING the manifest inside the
     # critical section (round 12): two concurrent upserts that both
     # read [d0] and flipped [d0, mine] last-writer-lost the other's
@@ -1800,22 +1810,57 @@ def compact_ivfpq_index(spark, path: str) -> str:
     return delta
 
 
-def gc_ivfpq_index(path: str) -> list[str]:
-    """Delete delta directories no longer referenced by the manifest.
-    Safe only after (a) readers of the pre-compaction snapshot have
-    drained — the manifest read is the linearization point, so any
-    reader that starts after the flip never touches the dead dirs —
-    and (b) no upsert is IN FLIGHT: an upsert's delta dir exists before
-    its manifest commit and would read as dead here (same caller-owned
-    retention window as segment GC)."""
+#: unreferenced delta dirs younger than this survive GC — an upsert
+#: writes its delta BEFORE its flock'd manifest commit, so a fresh
+#: unreferenced dir may be an IN-FLIGHT upsert about to commit, not
+#: garbage (VERDICT r12 #2a). 15 min bounds any realistic write-to-
+#: commit gap (the commit is µs after the write finishes); the
+#: Delta/Iceberg vacuum-retention discipline.
+GC_DELTA_GRACE_S = 900.0
+
+
+def gc_ivfpq_index(path: str, grace_s: float | None = None) -> list[str]:
+    """Delete delta directories no longer referenced by the manifest —
+    under the index maintenance flock AND a time grace (round 13,
+    VERDICT r12 #2a): the flock serializes the manifest read against
+    in-flight commits (upserts and compactions hold it to flip), and
+    the grace protects the write-before-commit window the lock cannot
+    see — an upsert's delta dir exists before its manifest entry, and
+    the round-12 GC deleted exactly those, leaving the upsert to
+    commit a manifest pointing at a dead dir (every later probe of its
+    lists failed). A dir is garbage only when it is BOTH unreferenced
+    and older than ``grace_s`` (newest content mtime). Readers of a
+    pre-compaction snapshot get the same grace window to drain;
+    ``grace_s=0.0`` is the explicit force-override (the Delta vacuum
+    ``retentionDurationCheck`` escape hatch — caller asserts no writer
+    or reader is in flight)."""
     import os
     import shutil
+    import time as _time
 
-    live = set(_read_manifest(path))
+    from presto_rakam_kafka_spark.locks import flock_guard
+
+    grace = GC_DELTA_GRACE_S if grace_s is None else float(grace_s)
     removed = []
-    for d in sorted(os.listdir(path)):
-        if d.startswith("delta-") and d not in live:
-            shutil.rmtree(os.path.join(path, d))
+    with flock_guard(os.path.join(path, ".MAINT_LOCK"), timeout_s=600.0,
+                     op_name="gc_ivfpq_index"):
+        live = set(_read_manifest(path))
+        now = _time.time()
+        for d in sorted(os.listdir(path)):
+            if not d.startswith("delta-") or d in live:
+                continue
+            dpath = os.path.join(path, d)
+            try:
+                newest = max(
+                    os.stat(os.path.join(r, n)).st_mtime
+                    for r, _dirs, files in os.walk(dpath)
+                    for n in files
+                ) if grace > 0 else 0.0
+            except ValueError:
+                newest = os.stat(dpath).st_mtime  # empty dir
+            if grace > 0 and now - newest < grace:
+                continue  # possibly an in-flight upsert's pre-commit delta
+            shutil.rmtree(dpath)
             removed.append(d)
     return removed
 

@@ -2200,7 +2200,7 @@ def events_serve_rollup_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return serve_rollup_tail(
         spark, log_dir, store, _topn_cell_fn, group_cols, merge_exprs,
-        finish_fn=_topn_finish,
+        finish_fn=_topn_finish_for(store),
     )
 
 
@@ -2220,11 +2220,31 @@ def _topn_cell_fn(df_raw: DataFrame) -> DataFrame:
     )
 
 
-def _topn_finish(cells: DataFrame) -> DataFrame:
+def _topn_finish_for(store: str):
+    """The topN finish with the ADAPTIVE prune gate (VERDICT r12 #3):
+    the store's committed cell count — a driver-side parquet-footer
+    read, no Spark job — feeds `grouped_topn(input_rows=...)`, so a
+    fixture-scale store (~40k cells at sf0.1) skips the Arrow prune
+    whose batch transfer costs more than the small exchange it avoids,
+    while an entity-scale store keeps the scale-bounded path. Exact
+    either way; the bound receipt pins the prune engaged at scale
+    (`test_grouped_topn_prune_exact_and_bounded`)."""
+    from presto_rakam_kafka_spark.streaming.serving import stored_cell_count
+
+    est = stored_cell_count(store)
+
+    def finish(cells: DataFrame) -> DataFrame:
+        return _topn_finish(cells, input_rows=est)
+
+    return finish
+
+
+def _topn_finish(cells: DataFrame, input_rows: int | None = None) -> DataFrame:
     from presto_rakam_kafka_spark.operators.ranks import grouped_topn
 
     top = grouped_topn(
-        cells, ["day"], [("n_events", False), ("user_id", True)], 3
+        cells, ["day"], [("n_events", False), ("user_id", True)], 3,
+        input_rows=input_rows,
     )
     return top.select(
         "day", "user_id", "n_events", F.col("rk").cast("long").alias("rk")
@@ -2311,7 +2331,7 @@ def stream_serve_rollup_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return serve_rollup_tail(
         spark, log_dir, store, _topn_cell_fn, group_cols, merge_exprs,
-        finish_fn=_topn_finish,
+        finish_fn=_topn_finish_for(store),
     )
 
 

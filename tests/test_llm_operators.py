@@ -945,12 +945,77 @@ def test_ivfpq_compaction_preserves_probes_and_gc_removes_dead_deltas(spark, sf_
     new_delta = sim.compact_ivfpq_index(spark, path)
     assert sim._read_manifest(path) == [new_delta]
     assert probe() == before
-    # old dirs still on disk (reader retention window), then GC'd
+    # old dirs still on disk (reader retention window): the default
+    # time grace retains freshly-superseded dirs (round 13) — nothing
+    # is removed until the grace elapses or the caller force-overrides
     dirs = {d for d in os.listdir(path) if d.startswith("delta-")}
     assert new_delta in dirs and len(dirs) == 3
-    removed = sim.gc_ivfpq_index(path)
+    assert sim.gc_ivfpq_index(path) == []  # inside the grace window
+    removed = sim.gc_ivfpq_index(path, grace_s=0.0)  # force-override
     assert sorted(dirs - {new_delta}) == removed
     assert probe() == before
+
+
+def test_gc_racing_inflight_upsert_never_deletes_precommit_delta(
+    spark, sf_dir
+):
+    """VERDICT r12 #2a: an upsert writes its delta BEFORE its flock'd
+    manifest commit; a GC firing inside that window must not delete the
+    fresh dir (the upsert would then commit a manifest entry pointing
+    at a dead directory and every later probe of those lists would
+    fail). The time grace is the protection — the hook lands the GC
+    deterministically in the write-to-commit window."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.operators import similarity as sim
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    path = staging_mkdtemp("ivfpq_gcrace_test_")
+    sim.init_ivfpq_index(
+        spark, emb.filter(F.col("vec_id") % 2 == 0), path,
+        "embedding", "vec_id", dim=64,
+    )
+    gc_report = {}
+
+    def gc_in_window():
+        gc_report["removed"] = sim.gc_ivfpq_index(path)
+
+    sim._before_upsert_commit_hook = gc_in_window
+    try:
+        delta = sim.upsert_ivfpq_index(
+            spark, emb.filter(F.col("vec_id") % 2 == 1), path,
+            "embedding", "vec_id", dim=64,
+        )
+    finally:
+        sim._before_upsert_commit_hook = None
+    assert gc_report["removed"] == []  # the fresh delta survived the GC
+    man = sim._read_manifest(path)
+    assert delta in man
+    for d in man:  # no manifest entry points at a deleted dir
+        assert os.path.isdir(os.path.join(path, d))
+    rebuilt = sorted(
+        map(
+            tuple,
+            sim.ivfpq_topk_from_index(
+                sim.ivfpq_code_corpus(emb, "embedding", "vec_id", dim=64),
+                q, "embedding", "vec_id", dim=64, k=5,
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            sim.ivfpq_topk_from_index(
+                sim.read_ivfpq_index(spark, path), q, "embedding",
+                "vec_id", dim=64, k=5,
+            ).collect(),
+        )
+    )
+    assert got == rebuilt  # probes stay green after the race
 
 
 def test_bm25_multi_restricted_to_one_query_equals_single(spark, sf_dir):
@@ -1428,3 +1493,75 @@ def test_ann_compaction_fences_when_upsert_lands_midfold(spark, monkeypatch):
     monkeypatch.setattr(SIM, "read_ivfpq_index", real_read)
     SIM.compact_ivfpq_index(spark, path)
     assert real_read(spark, path).count() == 48
+
+
+def test_streaming_and_batch_upsert_race_both_deltas_survive(spark, sf_dir):
+    """VERDICT r12 next-5: a STREAMING ingest and a concurrent BATCH
+    upsert land on one index — the batch commit is injected into the
+    stream upsert's write-to-commit window, and merge-at-commit must
+    keep BOTH deltas in the manifest (the pre-round-12 flip orphaned
+    the earlier one). Probe equals the full batch rebuild."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    import pyspark.sql.functions as F
+
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.operators import similarity as sim
+    from presto_rakam_kafka_spark.streaming.ann_index import index_stream
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    path = staging_mkdtemp("ivfpq_race_idx_")
+    sim.init_ivfpq_index(
+        spark, emb.filter(F.col("vec_id") % 3 == 0), path,
+        "embedding", "vec_id", dim=64,
+    )
+    src = staging_mkdtemp("ivfpq_race_src_")
+    emb.filter(F.col("vec_id") % 3 == 1).write.mode("overwrite").parquet(src)
+
+    def batch_in_window():
+        sim._before_upsert_commit_hook = None  # fire once, no recursion
+        sim.upsert_ivfpq_index(
+            spark, emb.filter(F.col("vec_id") % 3 == 2), path,
+            "embedding", "vec_id", dim=64,
+        )
+
+    sim._before_upsert_commit_hook = batch_in_window
+    try:
+        query = (
+            index_stream(
+                spark.readStream.schema(emb.schema).parquet(src),
+                path, "embedding", "vec_id", dim=64,
+                checkpoint=staging_mkdtemp("ivfpq_race_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        sim._before_upsert_commit_hook = None
+    man = sim._read_manifest(path)
+    assert len(man) == 3, man  # init + streaming delta + batch delta
+    assert any(d.startswith("epoch-") for d in man)  # the stream's
+    got = sorted(
+        map(
+            tuple,
+            sim.ivfpq_topk_from_index(
+                sim.read_ivfpq_index(spark, path), q, "embedding",
+                "vec_id", dim=64, k=5,
+            ).collect(),
+        )
+    )
+    rebuilt = sorted(
+        map(
+            tuple,
+            sim.ivfpq_topk_from_index(
+                sim.ivfpq_code_corpus(emb, "embedding", "vec_id", dim=64),
+                q, "embedding", "vec_id", dim=64, k=5,
+            ).collect(),
+        )
+    )
+    assert got == rebuilt
