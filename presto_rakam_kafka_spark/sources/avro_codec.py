@@ -903,6 +903,14 @@ class RefreshingSchemaRegistry:
         self._path = path
         self._snap: SchemaRegistry | None = None
         self._sig: tuple | None = None  # (ino, mtime_ns, size) at load
+        #: signature of the last FAILED load (ADVICE r12 #1): a
+        #: persistently unreadable/garbled snapshot version would
+        #: otherwise be re-read and re-parsed on EVERY unknown-id
+        #: record — the unbounded-reload cost the signature gate
+        #: bounds for good versions, reappearing for bad ones. A miss
+        #: whose stat matches the failed version is definitive until
+        #: the file changes again.
+        self._bad_sig: tuple | None = None
 
     def _stat_sig(self) -> tuple | None:
         try:
@@ -928,6 +936,11 @@ class RefreshingSchemaRegistry:
             with open(self._path) as fh:
                 snap = SchemaRegistry(json.load(fh))
         except (OSError, ValueError, AvroSchemaError) as exc:
+            # remember the failed VERSION so later misses skip the
+            # re-read until the file changes (ADVICE r12 #1); a torn
+            # mid-replace read records the pre-replace signature, and
+            # the published file's differing sig forces the re-fetch
+            self._bad_sig = sig
             if self._snap is None:
                 raise AvroDecodeError(
                     f"registry snapshot {self._path} unreadable: {exc}"
@@ -935,6 +948,7 @@ class RefreshingSchemaRegistry:
             return  # keep serving the previous snapshot
         self._snap = snap
         self._sig = sig
+        self._bad_sig = None
 
     def writer(self, schema_id: int) -> dict:
         if self._snap is None:
@@ -943,14 +957,16 @@ class RefreshingSchemaRegistry:
             return self._snap.writer(schema_id)
         except AvroDecodeError:
             sig = self._stat_sig()
-            if sig == self._sig or sig is None:
+            if sig == self._sig or sig is None or sig == self._bad_sig:
                 # unchanged since load → a definitive miss. sig None
                 # (file deleted / mid-replace) is ALSO a miss-now: a
                 # reload attempt could not succeed anyway, and trying
                 # one per record would reintroduce the per-record I/O
                 # the signature gate exists to prevent (round-12 review
                 # finding #5); when the file reappears its signature
-                # differs and the next miss re-fetches.
+                # differs and the next miss re-fetches. A sig matching
+                # the last FAILED load is equally definitive — that
+                # version already proved unreadable (ADVICE r12 #1).
                 raise
             self._load()  # fetch-on-miss: registered mid-stream
             return self._snap.writer(schema_id)

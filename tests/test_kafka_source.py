@@ -839,6 +839,55 @@ def test_refreshing_registry_garbage_ids_bounded_reloads(tmp_path):
     assert len(loads) == 1  # exactly one reload: the changed snapshot
 
 
+def test_refreshing_registry_corrupt_version_reloads_once(tmp_path):
+    """ADVICE r12 #1: a snapshot version that changed but stays
+    unreadable/garbled must be re-read at most ONCE — without the
+    bad-signature cache, every subsequent unknown-id record re-read and
+    re-parsed the full corrupt file, the unbounded-reload cost the
+    signature gate claims to bound. Publishing a GOOD version after
+    the corruption resolves normally."""
+    import json
+
+    import pytest as _pytest
+
+    from presto_rakam_kafka_spark.sources import avro_codec as ac
+
+    v1 = ('{"type": "record", "name": "r", "fields": '
+          '[{"name": "a", "type": "long"}]}')
+    path = str(tmp_path / "registry.json")
+
+    def publish(content: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(content)
+        os.replace(tmp, path)
+
+    publish(json.dumps({"3": v1}))
+    reg = ac.RefreshingSchemaRegistry(path)
+    assert reg.writer(3)["name"] == "r"
+
+    publish("{ this is not json — a non-atomic producer's torn write")
+    loads = []
+    orig_load = reg._load
+
+    def counting_load():
+        loads.append(1)
+        return orig_load()
+
+    reg._load = counting_load
+    for garbage_id in range(100, 150):
+        with _pytest.raises(ac.AvroDecodeError):
+            reg.writer(garbage_id)
+        assert reg.writer(3)["name"] == "r"  # old snapshot keeps serving
+    assert len(loads) == 1, f"{len(loads)} reloads for one corrupt version"
+
+    # the producer republishes atomically: the changed signature
+    # invalidates the bad-sig gate and the new id resolves
+    publish(json.dumps({"3": v1, "9": v1}))
+    assert reg.writer(9)["name"] == "r"
+    assert len(loads) == 2
+
+
 def test_refreshing_registry_decodes_mid_stream_id_through_wire_plan(tmp_path):
     """compile_wire_read_plan over a RefreshingSchemaRegistry decodes a
     frame whose id landed in the snapshot after the plan was built."""
