@@ -59,6 +59,12 @@ from presto_rakam_kafka_spark.fixtures import staging_mkdtemp
 
 _CURRENT = "_CURRENT"
 
+#: bounded queue wait on the state store's whole-op guard — a
+#: hung-holder detector (crashed holders release via the kernel; folds
+#: legitimately queue for one whole trigger), the round-13 discipline
+#: shared with the CDC and segment-log tiers.
+_MAINT_GUARD_TIMEOUT_S = 600.0
+
 
 def _read_pointer(path: str) -> tuple[str | None, dict, str | None]:
     """(current_gen, txns, emitted_thru) — all None/empty on a fresh
@@ -192,7 +198,11 @@ def run_windowed_cells(
         # first's commit (state gens are live-window-bounded — small)
         from presto_rakam_kafka_spark.locks import flock_guard
 
-        with flock_guard(os.path.join(store, ".MAINT_GUARD")):
+        with flock_guard(
+            os.path.join(store, ".MAINT_GUARD"),
+            timeout_s=_MAINT_GUARD_TIMEOUT_S,
+            op_name="run_windowed_cells",
+        ):
             cur, txns, _e = _read_pointer(store)
             if txns.get(app_id, -1) >= epoch_id:
                 return  # replayed epoch: exact no-op
@@ -281,7 +291,11 @@ def run_rolling_pairs(
         # same store-guard rationale as run_windowed_cells (round 12)
         from presto_rakam_kafka_spark.locks import flock_guard
 
-        with flock_guard(os.path.join(store, ".MAINT_GUARD")):
+        with flock_guard(
+            os.path.join(store, ".MAINT_GUARD"),
+            timeout_s=_MAINT_GUARD_TIMEOUT_S,
+            op_name="run_rolling_pairs",
+        ):
             _on_batch_locked(batch_df, epoch_id)
 
     def _on_batch_locked(batch_df: DataFrame, epoch_id: int) -> None:

@@ -2035,6 +2035,68 @@ def test_keepalive_renews_through_slow_single_phase(
     assert got == _expected(spark, sf_dir, hi=300)
 
 
+def test_concurrent_maintainers_and_serves_storm(spark, sf_dir, tmp_path):
+    """Round-13 composition stress: four maintainers hammer ONE store
+    (tiny TTL, keepalive, graced GC all active) while serves read
+    concurrently. Invariants: the only maintainer-visible errors are
+    the cooperative ones (ConcurrentMaintenanceError on a live lease,
+    FencedMaintenanceError on a lost race), serves never crash (the
+    graced GC keeps their snapshots alive), and the final serve equals
+    truth exactly."""
+    import threading
+
+    from presto_rakam_kafka_spark.streaming import serving as S
+
+    log = str(tmp_path / "log")
+    _write_log(spark, sf_dir, log, hi=400)
+    store = str(tmp_path / "store")
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge(), up_to=50)
+
+    unexpected: list[BaseException] = []
+    cooperative = 0
+    lock = threading.Lock()
+
+    def maintainer(seed: int):
+        nonlocal cooperative
+        for i in range(3):
+            try:
+                maintain_rollup(
+                    spark, log, store, _cells, GROUP, _merge(),
+                    up_to=100 + 50 * ((seed + i) % 6),
+                )
+            except (S.ConcurrentMaintenanceError,
+                    S.FencedMaintenanceError):
+                with lock:
+                    cooperative += 1
+            except BaseException as exc:  # noqa: BLE001 — surfaced below
+                unexpected.append(exc)
+
+    def server():
+        for _ in range(4):
+            try:
+                got = _got(serve_rollup_tail(
+                    spark, log, store, _cells, GROUP, _merge(),
+                    finish_fn=_finish,
+                ))
+                assert got  # non-empty — a torn view would diverge
+            except BaseException as exc:  # noqa: BLE001
+                unexpected.append(exc)
+
+    threads = [threading.Thread(target=maintainer, args=(s,)) for s in range(4)]
+    threads += [threading.Thread(target=server) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not unexpected, unexpected[:3]
+    # the storm over: one clean tick to the end, then exact truth
+    maintain_rollup(spark, log, store, _cells, GROUP, _merge())
+    got = _got(serve_rollup_tail(
+        spark, log, store, _cells, GROUP, _merge(), finish_fn=_finish
+    ))
+    assert got == _expected(spark, sf_dir, hi=400)
+
+
 def test_flock_unsupported_degrades_not_bricks(
     spark, sf_dir, tmp_path, monkeypatch
 ):
