@@ -150,6 +150,101 @@ def with_global_rank(
     return out
 
 
+def with_global_ranks(
+    df: DataFrame,
+    specs: list[tuple[list[str], str]],
+    num_ranges: int | None = None,
+    count_col: str | None = None,
+) -> DataFrame:
+    """SEVERAL exact global ranks over one frame in TWO bounded driver
+    jobs total (round 13): ``specs`` is ``[(order_cols, rank_col)]``
+    with the same per-spec semantics as :func:`with_global_rank` (the
+    leading order column names the bucket expression and must be a
+    named numeric column; trailing columns break ties).
+
+    The chained form — ``with_global_rank`` once per metric — pays one
+    boundary-fit job and one counts job PER metric (6 jobs for an RFM
+    grid) even though every pass scans the same cached frame and
+    returns a #buckets-sized result. Here the fits collapse into ONE
+    aggregate (one ``approx_percentile`` expression per spec) and the
+    counts into ONE shuffle (explode the per-spec bucket ids into
+    (spec, pid) pairs, count — ≤ specs × buckets rows to the driver),
+    and the final plan applies every spec's broadcast-offset join +
+    bucket-local window in one action. Per-spec bucket assignment,
+    offsets, and ranks are bit-identical to the chained form (same
+    frozen-literal boundaries, same window) — equality-tested. The
+    100 TB shape is unchanged: one hash exchange + machine-local sort
+    per rank (windows with different keys can never share an
+    exchange); what's amortized is the fit/counts job latency.
+
+    ``count_col`` attaches the exact total row count as a literal
+    column, as in :func:`with_global_rank`."""
+    if num_ranges is None:
+        num_ranges = df.sparkSession.sparkContext.defaultParallelism
+    for order_cols, _rc in specs:
+        if not isinstance(order_cols[0], str):
+            raise TypeError(
+                "with_global_ranks requires named leading order columns "
+                "(the multi-fit aggregate interpolates them into SQL)"
+            )
+    qs = ", ".join(str(i / num_ranges) for i in range(1, num_ranges))
+    fit = df.agg(
+        *[
+            F.expr(
+                f"approx_percentile({oc[0]}, array({qs}), 1000)"
+            ).alias(f"_b{i}")
+            for i, (oc, _rc) in enumerate(specs)
+        ]
+    ).collect()[0]
+    parts = df
+    for i, (oc, _rc) in enumerate(specs):
+        bounds = sorted(set(fit[f"_b{i}"])) if fit[f"_b{i}"] else []
+        if bounds:
+            pid = " + ".join(f"IF(({oc[0]}) > {b!r}, 1, 0)" for b in bounds)
+        else:
+            pid = "0"
+        parts = parts.withColumn(f"_pid{i}", F.expr(f"({pid})").cast("int"))
+    pairs = parts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("m"), F.col(f"_pid{i}").alias("p")
+                    )
+                    for i in range(len(specs))
+                ]
+            )
+        ).alias("mp")
+    )
+    counts = (
+        pairs.groupBy("mp.m", "mp.p").agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    total = 0
+    by_spec: dict[int, list[tuple[int, int]]] = {i: [] for i in range(len(specs))}
+    for r in counts:
+        by_spec[int(r["m"])].append((int(r["p"]), int(r["c"])))
+    out = parts
+    for i, (oc, rank_col) in enumerate(specs):
+        offsets, acc = [], 0
+        for pid, c in sorted(by_spec[i]):
+            offsets.append((pid, acc))
+            acc += c
+        total = acc  # same frame: every spec counts the same rows
+        off_df = df.sparkSession.createDataFrame(
+            offsets, f"_pid{i} INT, _off{i} BIGINT"
+        )
+        w = Window.partitionBy(f"_pid{i}").orderBy(*oc)
+        out = (
+            out.join(F.broadcast(off_df), f"_pid{i}")
+            .withColumn(rank_col, F.row_number().over(w) + F.col(f"_off{i}"))
+            .drop(f"_pid{i}", f"_off{i}")
+        )
+    if count_col is not None:
+        out = out.withColumn(count_col, F.lit(total).cast("long"))
+    return out
+
+
 def with_global_cumsum(
     df: DataFrame,
     order_cols: list[Column | str],

@@ -477,7 +477,7 @@ def _rfm_finish(pu: DataFrame) -> DataFrame:
     rank jobs)."""
     from presto_rakam_kafka_spark.operators.ranks import (
         eager_pin,
-        with_global_rank,
+        with_global_ranks,
     )
 
     mx = F.broadcast(
@@ -489,15 +489,24 @@ def _rfm_finish(pu: DataFrame) -> DataFrame:
         .withColumn("neg_freq", -F.col("freq"))
         .withColumn("neg_cents", -F.col("cents"))
     )
-    # pin: three rank passes reuse it (fault-tolerant reliable
+    # pin: the rank passes reuse it (fault-tolerant reliable
     # checkpoint — see ranks.eager_pin — instead of the r8
     # executor-local localCheckpoint)
     pu = eager_pin(pu)
-    pu = with_global_rank(
-        pu, ["rec", "user_id"], rank_col="rr", count_col="n", persist=True
+    # round 13: one multi-spec pass — the three chained
+    # with_global_rank calls paid a boundary-fit job + a counts job
+    # EACH over the same pinned frame; with_global_ranks collapses them
+    # into one fit aggregate + one counts shuffle (8 → 4 driver jobs),
+    # bit-identical rank assignment per spec
+    pu = with_global_ranks(
+        pu,
+        [
+            (["rec", "user_id"], "rr"),
+            (["neg_freq", "user_id"], "fr"),
+            (["neg_cents", "user_id"], "mr"),
+        ],
+        count_col="n",
     )
-    pu = with_global_rank(pu, ["neg_freq", "user_id"], rank_col="fr", persist=True)
-    pu = with_global_rank(pu, ["neg_cents", "user_id"], rank_col="mr", persist=True)
     return (
         pu.selectExpr(
             "CAST((rr - 1) * 5 DIV n + 1 AS INT) AS r_bucket",

@@ -653,3 +653,37 @@ def test_holt_forecast_linear_series_is_exact_and_fills_gaps(spark):
     )
     out2 = {r["h"]: r["forecast"] for r in ev.holt_forecast(df2).collect()}
     assert out2[1] != out[1]
+
+
+def test_with_global_ranks_equals_chained_single_rank(spark):
+    """The multi-spec rank pass (round 13) must assign bit-identical
+    ranks to the chained per-metric form on tie-heavy data — same
+    frozen-boundary buckets, same windows, only the fit/counts jobs
+    amortized."""
+    from pyspark.sql import functions as F
+
+    from presto_rakam_kafka_spark.operators.ranks import (
+        with_global_rank,
+        with_global_ranks,
+    )
+
+    rows = [
+        (i, (i * 7) % 5, (i * 13) % 3, ((i * 31) % 11) - 5)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "uid LONG, a LONG, b LONG, c LONG")
+    multi = with_global_ranks(
+        df,
+        [(["a", "uid"], "ra"), (["b", "uid"], "rb"), (["c", "uid"], "rc")],
+        count_col="n",
+    )
+    chained = with_global_rank(df, ["a", "uid"], rank_col="ra", count_col="n")
+    chained = with_global_rank(chained, ["b", "uid"], rank_col="rb")
+    chained = with_global_rank(chained, ["c", "uid"], rank_col="rc")
+    key = lambda out: sorted(  # noqa: E731
+        (r["uid"], r["ra"], r["rb"], r["rc"], r["n"]) for r in out.collect()
+    )
+    assert key(multi) == key(chained)
+    got = key(multi)
+    assert {r[4] for r in got} == {500}  # exact count attached
+    assert sorted(r[1] for r in got) == list(range(1, 501))  # a perm
