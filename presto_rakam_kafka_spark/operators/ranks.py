@@ -53,6 +53,24 @@ def eager_pin(df: DataFrame) -> DataFrame:
     return df
 
 
+def _fit_sql(bexpr: str, num_ranges: int) -> str:
+    """The boundary-fit aggregate for one bucket expression — SHARED by
+    the single- and multi-spec rank paths so their bucket assignment
+    can never drift (same accuracy literal, same quantile grid)."""
+    qs = ", ".join(str(i / num_ranges) for i in range(1, num_ranges))
+    return f"approx_percentile({bexpr}, array({qs}), 1000)"
+
+
+def _pid_sql(bexpr: str, fit_row) -> str:
+    """The frozen-literal bucket-id expression from one fit result —
+    SHARED by both rank paths (same bounds dedup, same repr
+    interpolation); drift here would break their tested equivalence."""
+    bounds = sorted(set(fit_row)) if fit_row else []
+    if not bounds:
+        return "0"
+    return " + ".join(f"IF(({bexpr}) > {b!r}, 1, 0)" for b in bounds)
+
+
 def _bucketed(
     df: DataFrame,
     order_cols: list[Column | str],
@@ -79,17 +97,8 @@ def _bucketed(
             "expression (str() of a Column is not valid SQL); pass the "
             "column name or an order-monotone numeric SQL expression"
         )
-    qs = ", ".join(str(i / num_ranges) for i in range(1, num_ranges))
-    row = df.agg(
-        F.expr(
-            f"approx_percentile({bexpr}, array({qs}), 1000)"
-        ).alias("b")
-    ).collect()[0]["b"]
-    bounds = sorted(set(row)) if row else []
-    if bounds:
-        pid = " + ".join(f"IF(({bexpr}) > {b!r}, 1, 0)" for b in bounds)
-    else:
-        pid = "0"
+    row = df.agg(F.expr(_fit_sql(bexpr, num_ranges)).alias("b")).collect()[0]["b"]
+    pid = _pid_sql(bexpr, row)
     return df.withColumn("_pid", F.expr(f"({pid})").cast("int"))
 
 
@@ -187,22 +196,15 @@ def with_global_ranks(
                 "with_global_ranks requires named leading order columns "
                 "(the multi-fit aggregate interpolates them into SQL)"
             )
-    qs = ", ".join(str(i / num_ranges) for i in range(1, num_ranges))
     fit = df.agg(
         *[
-            F.expr(
-                f"approx_percentile({oc[0]}, array({qs}), 1000)"
-            ).alias(f"_b{i}")
+            F.expr(_fit_sql(oc[0], num_ranges)).alias(f"_b{i}")
             for i, (oc, _rc) in enumerate(specs)
         ]
     ).collect()[0]
     parts = df
     for i, (oc, _rc) in enumerate(specs):
-        bounds = sorted(set(fit[f"_b{i}"])) if fit[f"_b{i}"] else []
-        if bounds:
-            pid = " + ".join(f"IF(({oc[0]}) > {b!r}, 1, 0)" for b in bounds)
-        else:
-            pid = "0"
+        pid = _pid_sql(oc[0], fit[f"_b{i}"])
         parts = parts.withColumn(f"_pid{i}", F.expr(f"({pid})").cast("int"))
     pairs = parts.select(
         F.explode(

@@ -1829,15 +1829,20 @@ def gc_ivfpq_index(path: str, grace_s: float | None = None) -> list[str]:
     the round-12 GC deleted exactly those, leaving the upsert to
     commit a manifest pointing at a dead dir (every later probe of its
     lists failed). A dir is garbage only when it is BOTH unreferenced
-    and older than ``grace_s`` (newest content mtime). Readers of a
-    pre-compaction snapshot get the same grace window to drain;
-    ``grace_s=0.0`` is the explicit force-override (the Delta vacuum
-    ``retentionDurationCheck`` escape hatch — caller asserts no writer
-    or reader is in flight)."""
+    and observed unreferenced for ``grace_s`` (the shared ``.RETIRED``
+    marker discipline, `gc_utils` — a dir's mtime measures CREATION,
+    so an old delta superseded by compaction a second ago would
+    mis-age and strand a mid-scan probe; the round-13 second review
+    caught exactly that). The marker also covers the in-flight upsert:
+    its fresh pre-commit delta gets a first-observation marker and a
+    skip, and by the next aged pass it is either committed (referenced
+    → live) or provably orphaned. ``grace_s=0.0`` is the explicit
+    force-override (the Delta vacuum ``retentionDurationCheck`` escape
+    hatch — caller asserts no writer or reader is in flight)."""
     import os
     import shutil
-    import time as _time
 
+    from presto_rakam_kafka_spark.gc_utils import retirement_age_s
     from presto_rakam_kafka_spark.locks import flock_guard
 
     grace = GC_DELTA_GRACE_S if grace_s is None else float(grace_s)
@@ -1845,21 +1850,14 @@ def gc_ivfpq_index(path: str, grace_s: float | None = None) -> list[str]:
     with flock_guard(os.path.join(path, ".MAINT_LOCK"), timeout_s=600.0,
                      op_name="gc_ivfpq_index"):
         live = set(_read_manifest(path))
-        now = _time.time()
         for d in sorted(os.listdir(path)):
             if not d.startswith("delta-") or d in live:
                 continue
             dpath = os.path.join(path, d)
-            try:
-                newest = max(
-                    os.stat(os.path.join(r, n)).st_mtime
-                    for r, _dirs, files in os.walk(dpath)
-                    for n in files
-                ) if grace > 0 else 0.0
-            except ValueError:
-                newest = os.stat(dpath).st_mtime  # empty dir
-            if grace > 0 and now - newest < grace:
-                continue  # possibly an in-flight upsert's pre-commit delta
+            if grace > 0:
+                age = retirement_age_s(dpath)
+                if age is None or age < grace:
+                    continue  # first observation / still inside the grace
             shutil.rmtree(dpath)
             removed.append(d)
     return removed

@@ -1117,7 +1117,12 @@ def merge_upsert_orders_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdc.merge_into_snapshot(
         _order_updates(orders), path, "o_orderkey", delete_col="deleted"
     )
-    cdc.gc_snapshots(path, keep_last=2)
+    # min_age_s=0.0: explicit retention decision (round-13 review) —
+    # this store is process-cached under /tmp with strictly sequential
+    # single-process access (merge → gc → read), so the slow-reader
+    # grace protects nobody here and would let repeated gate/bench
+    # runs pile up one generation each for 15 minutes
+    cdc.gc_snapshots(path, keep_last=2, min_age_s=0.0)
     return _merge_summary(cdc.read_snapshot(spark, path))
 
 

@@ -936,11 +936,17 @@ class RefreshingSchemaRegistry:
             with open(self._path) as fh:
                 snap = SchemaRegistry(json.load(fh))
         except (OSError, ValueError, AvroSchemaError) as exc:
-            # remember the failed VERSION so later misses skip the
-            # re-read until the file changes (ADVICE r12 #1); a torn
+            # remember a GARBLED version so later misses skip the
+            # re-parse until the file changes (ADVICE r12 #1): content
+            # failures are deterministic per version. A torn
             # mid-replace read records the pre-replace signature, and
-            # the published file's differing sig forces the re-fetch
-            self._bad_sig = sig
+            # the published file's differing sig forces the re-fetch.
+            # OSErrors are NOT cached — a transient I/O blip on a GOOD
+            # file would otherwise poison its signature forever
+            # (round-13 second review): the file never changes, so no
+            # miss would ever retry the read.
+            if not isinstance(exc, OSError):
+                self._bad_sig = sig
             if self._snap is None:
                 raise AvroDecodeError(
                     f"registry snapshot {self._path} unreadable: {exc}"

@@ -208,16 +208,36 @@ def _fresh_gen_dir(gdir: str) -> str:
     publish rename, where the fence and the lock judge them.
 
     Stale ``*.w-*`` siblings (a maintainer that crashed mid-write) are
-    reclaimed here when this op HOLDS the flock — they are invisible
-    to every reader (the pointer never names them), so on a flock-less
-    filesystem they are merely leaked until a locked op passes."""
+    reclaimed here when this op HOLDS the flock AND the dir has been
+    quiet past the shared GC grace — on a FUSE mount where flock
+    succeeds host-locally without cross-host semantics, ``held=True``
+    is not exclusivity, and an age gate keeps a LIVE remote writer's
+    in-progress dir (fresh mtimes) out of the reclaim (round-13 second
+    review); true crash residue ages past the grace and is collected
+    by a later locked op. Unreclaimed residue is invisible to every
+    reader (the pointer never names a ``.w-`` dir) — merely leaked."""
     import shutil as _shutil
+    import time as _time
+
+    from presto_rakam_kafka_spark.gc_utils import GC_GRACE_S
 
     pdir = os.path.dirname(gdir)
     if _MAINT_LOCK_HELD.get():
+        now = _time.time()
         for e in os.listdir(pdir):
-            if ".w-" in e and e.startswith("gen-"):
-                _shutil.rmtree(os.path.join(pdir, e), ignore_errors=True)
+            if ".w-" not in e or not e.startswith("gen-"):
+                continue
+            rpath = os.path.join(pdir, e)
+            try:
+                newest = max(
+                    (os.stat(os.path.join(r, n)).st_mtime
+                     for r, _dirs, files in os.walk(rpath) for n in files),
+                    default=os.stat(rpath).st_mtime,
+                )
+            except OSError:
+                continue  # vanished under us: someone else reclaimed it
+            if now - newest > GC_GRACE_S:
+                _shutil.rmtree(rpath, ignore_errors=True)
     wdir = f"{gdir}.w-{os.urandom(4).hex()}"
     os.makedirs(wdir)
     return wdir
@@ -239,16 +259,32 @@ def _publish_gen_flip(
     ``gen-N`` at that point is crash residue of a pre-round-13
     maintainer (its pointer never flipped, no reader resolves into it)
     and is reclaimed under the held flock; without the flock it may be
-    a concurrent maintainer's just-written generation — fail loudly."""
+    a concurrent maintainer's just-written generation — fail loudly.
+
+    The fence is RE-CHECKED immediately before each mutation (the
+    residue reclaim and the pointer replace): on a FUSE mount where
+    flock succeeds host-locally without cross-host semantics, a remote
+    maintainer's commit can land anywhere inside this function, and a
+    single up-front check left the whole publish as the race window —
+    a stale compaction could then rmtree a just-committed PURGE
+    generation and resurrect its keys (round-13 second review). The
+    re-checks shrink that window to the sub-microsecond class the
+    fence-only degrade documents; true cross-host atomicity remains
+    what it always was — the flock where it spans, the fence
+    everywhere."""
     import shutil as _shutil
 
-    if _resolve_partition_dir(pdir) != cur_read:
-        raise ConcurrentLogMaintenanceError(
-            f"partition {pdir}: generation moved from "
-            f"{os.path.basename(cur_read)!r} during this maintenance op; "
-            f"refusing stale publish {gen_name!r} (another maintainer "
-            f"committed first — rerun against the new generation)"
-        )
+    def _fence() -> None:
+        if _resolve_partition_dir(pdir) != cur_read:
+            raise ConcurrentLogMaintenanceError(
+                f"partition {pdir}: generation moved from "
+                f"{os.path.basename(cur_read)!r} during this maintenance "
+                f"op; refusing stale publish {gen_name!r} (another "
+                f"maintainer committed first — rerun against the new "
+                f"generation)"
+            )
+
+    _fence()
     if wdir is not None:
         gdir = os.path.join(pdir, gen_name)
         if os.path.isdir(gdir):
@@ -260,8 +296,10 @@ def _publish_gen_flip(
                     f"generation; remove it manually if the other "
                     f"maintainer is known dead"
                 )
+            _fence()  # a racer committing THIS name must win, not be rmtree'd
             _shutil.rmtree(gdir)
         os.rename(wdir, gdir)
+    _fence()  # last look before the point of no return
     tmp = os.path.join(pdir, f".{_GEN_POINTER}.tmp")
     with open(tmp, "w") as fh:
         fh.write(gen_name)

@@ -89,15 +89,25 @@ def _flip_pointer(
 def _fenced_flip(
     path: str, gen_read: str | None, gen: str, txns: dict,
     emitted_thru: str | None = None,
+    renames: list[tuple[str, str]] | None = None,
+    lock_held: bool = True,
 ) -> None:
     """Flip the state pointer iff the generation hasn't moved since
     this fold read it — the serving/CDC commit fence applied to the
     rollup state store (ADVICE r12 #2): the folds queue on the store's
     ``.MAINT_GUARD`` flock, but on a filesystem without flock semantics
     the guard is a no-op and two maintainers that read the same base
-    would clobber generation dirs and last-writer-win the pointer. The
-    fence turns that into one loud refusal; same-host maintainers never
-    hit it (the guard serializes them)."""
+    would derive the SAME next-gen name. The fence alone was not
+    enough (round-13 second review): the loser's ``mode('overwrite')``
+    generation write clobbered the winner's committed data BEFORE its
+    fence raised. Folds therefore write into uniquely-named temp dirs
+    and pass ``renames=[(wdir, final_name)]`` — the renames happen
+    HERE, after the fence passes, so a loser never mutates a path the
+    winner published. An existing final dir is crash residue (renamed
+    but never flipped — the fence just proved the pointer is below it)
+    and is reclaimed under the held guard; on a flock-less filesystem
+    it may be a concurrent racer's just-renamed data, so refuse
+    loudly."""
     from presto_rakam_kafka_spark.streaming.serving import (
         FencedMaintenanceError,
     )
@@ -110,10 +120,65 @@ def _fenced_flip(
             f"rollup state generation moved {gen_read!r} → {cur!r} during "
             f"this fold; refusing stale commit {gen!r} (a second maintainer "
             f"committed first — this store's flock guard does not span "
-            f"this filesystem); the unreferenced generation dir is left "
-            f"for GC"
+            f"this filesystem); the unreferenced temp dirs are left for "
+            f"the aged-residue reclaim"
         )
+    for wdir, final in (renames or []):
+        fdir = os.path.join(path, final)
+        if os.path.isdir(fdir):
+            if not lock_held:
+                raise FencedMaintenanceError(
+                    f"state dir {fdir} already exists and this filesystem "
+                    f"has no flock semantics — cannot tell crash residue "
+                    f"from a concurrent maintainer's just-renamed commit; "
+                    f"remove it manually if the other maintainer is known "
+                    f"dead"
+                )
+            shutil.rmtree(fdir)
+        os.rename(wdir, fdir)
     _flip_pointer(path, gen, txns, emitted_thru)
+
+
+def _fresh_state_dir(store: str, final_name: str) -> str:
+    """A uniquely-named temp dir for one generation's data, renamed to
+    ``final_name`` by :func:`_fenced_flip` after the fence passes. The
+    ``w-`` prefix keeps it invisible to every reader (pointer
+    resolution, ``_gc_gens``, ``_emitted_parts`` all match ``gen``
+    prefixes)."""
+    wdir = os.path.join(store, f"w-{final_name}-{os.urandom(4).hex()}")
+    os.makedirs(os.path.dirname(wdir), exist_ok=True)
+    return wdir
+
+
+def _reclaim_aged_tempdirs(store: str, lock_held: bool) -> None:
+    """Remove crashed folds' leaked ``w-*`` temp dirs — only under a
+    held guard, and only when quiet past the shared GC grace (a fresh
+    temp dir on a false-flock mount may be a LIVE remote fold's
+    in-progress write — the segment log's reclaim discipline)."""
+    import time as _time
+
+    from presto_rakam_kafka_spark.gc_utils import GC_GRACE_S
+
+    if not lock_held:
+        return
+    now = _time.time()
+    for root in (store, os.path.join(store, "emitted")):
+        if not os.path.isdir(root):
+            continue
+        for e in os.listdir(root):
+            if not e.startswith("w-"):
+                continue
+            rpath = os.path.join(root, e)
+            try:
+                newest = max(
+                    (os.stat(os.path.join(r, n)).st_mtime
+                     for r, _d, files in os.walk(rpath) for n in files),
+                    default=os.stat(rpath).st_mtime,
+                )
+            except OSError:
+                continue
+            if now - newest > GC_GRACE_S:
+                shutil.rmtree(rpath, ignore_errors=True)
 
 
 #: test-injection point: called right before a fold commit's fence
@@ -202,7 +267,8 @@ def run_windowed_cells(
             os.path.join(store, ".MAINT_GUARD"),
             timeout_s=_MAINT_GUARD_TIMEOUT_S,
             op_name="run_windowed_cells",
-        ):
+        ) as held:
+            _reclaim_aged_tempdirs(store, held)
             cur, txns, _e = _read_pointer(store)
             if txns.get(app_id, -1) >= epoch_id:
                 return  # replayed epoch: exact no-op
@@ -224,10 +290,15 @@ def run_windowed_cells(
             # dirs behind and could overwrite superseded ones)
             seq = 0 if cur is None else int(cur.split("-")[1]) + 1
             gen = f"gen-{seq:010d}"
-            merged.write.mode("overwrite").parquet(os.path.join(store, gen))
+            # unique temp + rename-at-publish (round-13 second review):
+            # writing gen directly let a flock-less loser overwrite the
+            # winner's committed dir BEFORE its fence raised
+            wdir = _fresh_state_dir(store, gen)
+            merged.write.mode("overwrite").parquet(wdir)
             txns = dict(txns)
             txns[app_id] = int(epoch_id)
-            _fenced_flip(store, cur, gen, txns)
+            _fenced_flip(store, cur, gen, txns,
+                         renames=[(wdir, gen)], lock_held=held)
             _gc_gens(store, gen)
 
     q = (
@@ -295,10 +366,12 @@ def run_rolling_pairs(
             os.path.join(store, ".MAINT_GUARD"),
             timeout_s=_MAINT_GUARD_TIMEOUT_S,
             op_name="run_rolling_pairs",
-        ):
-            _on_batch_locked(batch_df, epoch_id)
+        ) as held:
+            _reclaim_aged_tempdirs(store, held)
+            _on_batch_locked(batch_df, epoch_id, held)
 
-    def _on_batch_locked(batch_df: DataFrame, epoch_id: int) -> None:
+    def _on_batch_locked(batch_df: DataFrame, epoch_id: int,
+                         held: bool = True) -> None:
         cur, txns, emitted_thru = _read_pointer(store)
         if txns.get(app_id, -1) >= epoch_id:
             return  # replayed epoch: exact no-op
@@ -318,7 +391,7 @@ def run_rolling_pairs(
         # re-emitted (the day > emitted_thru filter). A same-checkpoint
         # replay recomputes the same seq (pointer unflipped) and
         # idempotently rewrites the same dir.
-        gdir = os.path.join(store, gen)
+        renames: list[tuple[str, str]] = []
         new_thru = emitted_thru
         if mx is not None:
             close_thru = mx - _dt.timedelta(days=1 + slack)
@@ -329,8 +402,16 @@ def run_rolling_pairs(
                 )
                 if emitted_thru is not None:
                     series = series.filter(F.col("day") > F.lit(emitted_thru))
-                series.write.mode("overwrite").parquet(
-                    os.path.join(store, "emitted", f"gen={seq:010d}")
+                # unique temp + rename-at-publish: a flock-less racer's
+                # overwrite of emitted/gen=N would destroy the winner's
+                # emitted anchor rows, which are never re-emitted
+                ename = f"gen={seq:010d}"
+                ewdir = _fresh_state_dir(
+                    os.path.join(store, "emitted"), ename
+                )
+                series.write.mode("overwrite").parquet(ewdir)
+                renames.append(
+                    (ewdir, os.path.join("emitted", ename))
                 )
                 new_thru = close_str
             # evict pairs no unemitted anchor can need: the smallest
@@ -341,10 +422,13 @@ def run_rolling_pairs(
                 F.col(day_col)
                 >= F.to_timestamp(F.lit(keep_from.strftime("%Y-%m-%d")))
             )
-        pairs.write.mode("overwrite").parquet(os.path.join(gdir, "pairs"))
+        wdir = _fresh_state_dir(store, gen)
+        pairs.write.mode("overwrite").parquet(os.path.join(wdir, "pairs"))
         txns = dict(txns)
         txns[app_id] = int(epoch_id)
-        _fenced_flip(store, cur, gen, txns, new_thru)
+        renames.append((wdir, gen))
+        _fenced_flip(store, cur, gen, txns, new_thru,
+                     renames=renames, lock_held=held)
         _gc_gens(store, gen)
 
     q = (

@@ -1952,21 +1952,34 @@ def test_write_dir_rename_publish_and_residue_reclaim(spark, sf_dir, tmp_path):
     )
     write_segments(raw, log, num_partitions=1, segment_rows=50)
     pdir = os.path.join(log, "partition=0")
-    # crash residue: a write dir orphaned mid-rewrite
+    # crash residue: a write dir orphaned mid-rewrite, AGED past the
+    # reclaim grace (a fresh .w- dir is treated as a possibly-LIVE
+    # remote writer's in-progress dir and left alone — round-13
+    # second review)
     orphan = os.path.join(pdir, "gen-000001.w-deadbeef")
     os.makedirs(orphan)
-    with open(os.path.join(orphan, "segment-0.parquet"), "w") as fh:
+    junk = os.path.join(orphan, "segment-0.parquet")
+    with open(junk, "w") as fh:
         fh.write("torn junk from a crashed writer")
+    os.utime(junk, (0, 0))
+    os.utime(orphan, (0, 0))
+    # a FRESH residue dir (possibly a live writer) must survive
+    fresh = os.path.join(pdir, "gen-000001.w-11fresh1")
+    os.makedirs(fresh)
+    with open(os.path.join(fresh, "segment-9.parquet"), "w") as fh:
+        fh.write("a live remote writer's in-progress file")
     spark.dataSource.register(KafkaSegmentDataSource)
     before = (
         spark.read.format("kafka_segments").option("path", log).load().count()
     )
     compact_segments(log, target_rows=10_000)  # reclaims + publishes
-    assert not os.path.isdir(orphan)
+    assert not os.path.isdir(orphan)  # aged residue reclaimed
+    assert os.path.isdir(fresh)  # fresh dir spared (maybe live writer)
     cur = _resolve_partition_dir(pdir)
     assert os.path.basename(cur) == "gen-000001"
-    # no stray write dirs survive a successful publish
-    assert not [e for e in os.listdir(pdir) if ".w-" in e]
+    # our own write dir never survives a successful publish
+    stray = [e for e in os.listdir(pdir) if ".w-" in e]
+    assert stray == [os.path.basename(fresh)]
     after = (
         spark.read.format("kafka_segments").option("path", log).load().count()
     )

@@ -888,6 +888,46 @@ def test_refreshing_registry_corrupt_version_reloads_once(tmp_path):
     assert len(loads) == 2
 
 
+def test_refreshing_registry_transient_oserror_recovers(tmp_path, monkeypatch):
+    """Round-13 second review: a TRANSIENT I/O error during a reload
+    must not poison the file's signature — content failures are
+    deterministic per version (cacheable), I/O blips are not. The next
+    miss retries the read and resolves."""
+    import builtins
+    import json
+
+    import pytest as _pytest
+
+    from presto_rakam_kafka_spark.sources import avro_codec as ac
+
+    v1 = ('{"type": "record", "name": "r", "fields": '
+          '[{"name": "a", "type": "long"}]}')
+    path = str(tmp_path / "registry.json")
+    with open(path, "w") as fh:
+        json.dump({"3": v1}, fh)
+    reg = ac.RefreshingSchemaRegistry(path)
+    assert reg.writer(3)["name"] == "r"
+
+    # producer registers id 9; the first reload attempt hits an I/O blip
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"3": v1, "9": v1}, fh)
+    os.replace(tmp, path)
+    real_open = builtins.open
+    blips = {"n": 0}
+
+    def flaky_open(f, *a, **k):
+        if f == path and blips["n"] == 0:
+            blips["n"] += 1
+            raise OSError("transient NFS blip")
+        return real_open(f, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", flaky_open)
+    with _pytest.raises(ac.AvroDecodeError):
+        reg.writer(9)  # the blip: old snapshot keeps serving, miss raised
+    assert reg.writer(9)["name"] == "r"  # next miss retries and resolves
+
+
 def test_refreshing_registry_decodes_mid_stream_id_through_wire_plan(tmp_path):
     """compile_wire_read_plan over a RefreshingSchemaRegistry decodes a
     frame whose id landed in the snapshot after the plan was built."""
