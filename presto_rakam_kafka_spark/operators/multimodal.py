@@ -3,15 +3,20 @@ metadata, processed by Arrow-batched ``mapInPandas`` feature extractors.
 
 The Spark-side machinery here — schema contract, batch iteration,
 partition-preserving mapInPandas, deterministic metadata features — is
-real and tested. Two codecs are REAL and stdlib-only: ``audio/wav``
-(RIFF parse + per-slice RMS, :func:`_wav_features`) and ``image/ppm``
+real and tested. Three codecs are REAL and stdlib-only: ``audio/wav``
+(RIFF parse + per-slice RMS, :func:`_wav_features`), ``image/ppm``
 P6 (header+pixel parse, grid luminance features, vectorized
 nearest-neighbor resize with re-encode — :func:`_ppm_features` /
-:func:`_ppm_resize`). Remaining codecs (compressed image formats,
-video) need libraries this container does not ship and stay stubbed
-behind :func:`decode_payload` (``NotImplementedError`` or a
-deterministic fake). Swapping in PIL/ffmpeg later changes only that
-function; the distributed plumbing is already load-bearing.
+:func:`_ppm_resize`), and — round 13 — ``image/png``, a genuinely
+COMPRESSED format decoded with stdlib ``zlib`` alone: CRC-validated
+chunk walk, IDAT inflate, all five scanline unfilters, gray/RGB/
+palette/RGBA color normalization (:func:`_png_decode`), plus a real
+encoder (:func:`_png_encode`, cycling filters so round-trips cover
+the whole filter matrix) and resize. Remaining codecs (JPEG, video)
+need libraries this container does not ship and stay stubbed behind
+:func:`decode_payload` (``NotImplementedError`` or a deterministic
+fake). Swapping in PIL/ffmpeg later changes only that function; the
+distributed plumbing is already load-bearing.
 
 Scale notes: mapInPandas streams Arrow batches (no per-row pickling,
 no driver round-trip); the extractor is stateless per batch so Spark is
@@ -59,6 +64,8 @@ def decode_payload(payload: bytes, mime: str) -> list[float]:
         return _wav_features(payload)
     if mime in ("image/x-portable-pixmap", "image/ppm"):
         return _ppm_features(payload)
+    if mime == "image/png":
+        return _png_features(payload)
     raise NotImplementedError(
         f"no codec available for {mime!r}; install an image/audio stack and "
         "replace decode_payload"
@@ -126,14 +133,14 @@ def _ppm_resize(payload: bytes, dst_w: int, dst_h: int) -> tuple[int, int, bytes
     return w, h, _ppm_encode(dst_w, dst_h, out.tobytes())
 
 
-def _ppm_features(payload: bytes) -> list[float]:
-    """Real image features, stdlib+numpy: 4 header features (w, h,
-    aspect, mean luminance/255) + mean luminance of a 4×3 cell grid —
-    :data:`STUB_FEATURE_DIM` dims total, same contract as the WAV
-    codec."""
+def _rgb_grid_features(w: int, h: int, pixels: bytes) -> list[float]:
+    """Shared image-feature layout over decoded RGB bytes: 4 header
+    features (w, h, aspect, mean luminance/255) + mean luminance of a
+    4×3 cell grid — :data:`STUB_FEATURE_DIM` dims total, same contract
+    as the WAV codec. One feature space for every image codec (PPM,
+    PNG) so downstream consumers never branch on the container."""
     import numpy as np
 
-    w, h, pixels = _ppm_decode(payload)
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
     lum = img @ np.array([0.299, 0.587, 0.114])
     head = [float(w), float(h), w / h, float(lum.mean() / 255.0)]
@@ -146,6 +153,242 @@ def _ppm_features(payload: bytes) -> list[float]:
             ]
             cells.append(float(cell.mean() / 255.0))
     return head + cells
+
+
+def _ppm_features(payload: bytes) -> list[float]:
+    """Real image features over the P6 decode (layout:
+    :func:`_rgb_grid_features`)."""
+    w, h, pixels = _ppm_decode(payload)
+    return _rgb_grid_features(w, h, pixels)
+
+
+# ---------------------------------------------------------------------
+# Real COMPRESSED image codec: PNG, stdlib-only (zlib) + numpy
+# ---------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for each PNG chunk, CRC-VALIDATED — a flipped
+    bit anywhere raises ``ValueError`` → the corrupt-asset path (the
+    same drop-and-log contract as the WAV/PPM codecs and the
+    reference's decode loop, KafkaConnectorPageSource.java:300-308)."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = len(_PNG_SIG)
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated PNG chunk header")
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG stream ended without IEND")
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
+    """Reverse the per-scanline PNG filters (None/Sub/Up/Average/Paeth
+    — RFC 2083 §6). Sub/Average/Paeth reconstruct from the already-
+    decoded left neighbor, so rows are inherently sequential; the
+    byte loop is fine at asset scale (each asset decodes wholly inside
+    its Arrow batch — the parallelism axis is assets, not pixels)."""
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(h):
+        if pos + 1 + stride > len(raw):
+            raise ValueError("PNG pixel data truncated")
+        ftype = raw[pos]
+        pos += 1
+        row = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _png_decode(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL compressed-image decode, stdlib+numpy: chunk walk with CRC
+    checks, zlib inflate of the IDAT stream, scanline unfilter, color
+    normalization to RGB. Supports the 8-bit non-interlaced color
+    types: 0 (gray — replicated), 2 (RGB), 3 (palette via PLTE),
+    6 (RGBA — alpha dropped; callers wanting compositing own it).
+    Returns (w, h, rgb_bytes). This retires the round-12 'compressed
+    image formats stay stubbed' gap for PNG."""
+    import struct
+    import zlib
+
+    w = h = None
+    bitdepth = ctype = interlace = None
+    plte = b""
+    idat = bytearray()
+    for name, data in _png_chunks(payload):
+        if name == b"IHDR":
+            w, h, bitdepth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif name == b"PLTE":
+            plte = data
+        elif name == b"IDAT":
+            idat += data
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bitdepth != 8 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG shape (bitdepth={bitdepth}, "
+            f"interlace={interlace}); this codec handles 8-bit "
+            f"non-interlaced images"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    stride = w * channels
+    pix = _png_unfilter(raw, h, stride, channels)
+
+    import numpy as np
+
+    arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, channels)
+    if ctype == 0:
+        rgb = np.repeat(arr, 3, axis=2)
+    elif ctype == 2:
+        rgb = arr
+    elif ctype == 3:
+        if len(plte) < 3:
+            raise ValueError("paletted PNG missing PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        idx = arr[:, :, 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        rgb = pal[idx]
+    else:  # 6: RGBA
+        rgb = arr[:, :, :3]
+    return w, h, rgb.tobytes()
+
+
+def _png_encode(w: int, h: int, rgb: bytes, filters: str = "cycle") -> bytes:
+    """Encode raw RGB as a real PNG (color type 2, 8-bit). ``filters``
+    picks the per-row filter: ``"none"`` (type 0 everywhere) or
+    ``"cycle"`` (row r uses type r % 5) — cycling makes every encoded
+    image exercise ALL five unfilter paths on decode, so round-trip
+    tests and the oracle-gated decode row cover the whole filter
+    matrix, not just the trivial one."""
+    import struct
+    import zlib
+
+    if len(rgb) != w * h * 3:
+        raise ValueError(f"rgb length {len(rgb)} != {w}x{h}x3")
+    stride = w * 3
+    out = bytearray()
+    prev = bytes(stride)
+    for r in range(h):
+        row = rgb[r * stride : (r + 1) * stride]
+        ftype = (r % 5) if filters == "cycle" else 0
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:
+            filt = bytes(
+                (row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ftype == 2:
+            filt = bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ftype == 3:
+            filt = bytes(
+                (row[i] - (((row[i - 3] if i >= 3 else 0) + prev[i]) >> 1))
+                & 0xFF
+                for i in range(stride)
+            )
+        else:  # 4: Paeth
+            filt = bytearray()
+            for i in range(stride):
+                a = row[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt.append((row[i] - pred) & 0xFF)
+            filt = bytes(filt)
+        out.append(ftype)
+        out += filt
+        prev = row
+
+    def chunk(name: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + name
+            + data
+            + struct.pack(">I", zlib.crc32(name + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_resize(payload: bytes, dst_w: int, dst_h: int) -> tuple[int, int, bytes]:
+    """Real nearest-neighbor resize of a PNG (same gather as
+    :func:`_ppm_resize`), re-encoded as PNG. Returns
+    (src_w, src_h, resized-PNG bytes)."""
+    import numpy as np
+
+    w, h, rgb = _png_decode(payload)
+    img = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    ys = (np.arange(dst_h) * h) // dst_h
+    xs = (np.arange(dst_w) * w) // dst_w
+    out = img[ys][:, xs]
+    return w, h, _png_encode(dst_w, dst_h, out.tobytes())
+
+
+def _png_features(payload: bytes) -> list[float]:
+    """Same feature contract as :func:`_ppm_features`, over the REAL
+    PNG decode."""
+    w, h, rgb = _png_decode(payload)
+    return _rgb_grid_features(w, h, rgb)
 
 
 def _wav_features(payload: bytes) -> list[float]:
@@ -298,6 +541,8 @@ def resize_images(assets: DataFrame, dst_w: int = 224, dst_h: int = 224) -> Data
                 p = bytes(payload)
                 if meta["mime"] in ("image/x-portable-pixmap", "image/ppm"):
                     sw, sh, resized = _ppm_resize(p, dst_w, dst_h)
+                elif meta["mime"] == "image/png":
+                    sw, sh, resized = _png_resize(p, dst_w, dst_h)
                 else:
                     sw, sh, resized = len(p) % 640 + 32, len(p) % 480 + 32, p[:64]
                 rows["doc_id"].append(doc_id)

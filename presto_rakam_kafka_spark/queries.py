@@ -1311,6 +1311,68 @@ def _register_llm_queries() -> None:
         assets = multimodal.attach_payload(_documents(spark, sf_dir), "text", "doc_id")
         return multimodal.extract_features(assets)
 
+    @query(
+        "multimodal_png_decode",
+        oracle="""
+        SELECT doc_id,
+               CAST(doc_id % 13 + 4 AS INTEGER) AS w,
+               CAST(doc_id % 7 + 4 AS INTEGER) AS h,
+               CAST((doc_id * 37) % 256 AS INTEGER) AS mean_red
+        FROM documents
+        """,
+    )
+    def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """REAL compressed-image decode, oracle-gated (round 13 —
+        retires the 'compressed codecs stubbed' gap for PNG): each doc
+        synthesizes a solid-gray PNG whose dims and gray level are
+        arithmetic in doc_id, ENCODED with cycling scanline filters so
+        the bytes genuinely round-trip zlib deflate→inflate plus all
+        five PNG unfilter paths inside the executor mapInPandas; the
+        emitted header dims and exact mean red channel must then equal
+        the pure-arithmetic oracle — which is only possible if the
+        compressed decode is bit-exact. The pixels never leave their
+        partition; parallelism is per-asset."""
+        import pandas as pd
+
+        from presto_rakam_kafka_spark.operators.multimodal import (
+            _png_decode,
+            _png_encode,
+        )
+
+        docs = multimodal.ensure_min_parallelism(
+            _documents(spark, sf_dir).select("doc_id")
+        )
+
+        def run(batches):
+            import numpy as np
+
+            for pdf in batches:
+                out = {"doc_id": [], "w": [], "h": [], "mean_red": []}
+                for doc_id in pdf["doc_id"]:
+                    d = int(doc_id)
+                    w, h, g = d % 13 + 4, d % 7 + 4, (d * 37) % 256
+                    payload = _png_encode(
+                        w, h, bytes([g]) * (w * h * 3), filters="cycle"
+                    )
+                    dw, dh, rgb = _png_decode(payload)
+                    red = np.frombuffer(rgb, dtype=np.uint8).reshape(
+                        dh, dw, 3
+                    )[:, :, 0]
+                    out["doc_id"].append(d)
+                    out["w"].append(dw)
+                    out["h"].append(dh)
+                    # integer sum // count: exact, no float rounding
+                    out["mean_red"].append(int(red.sum()) // (dw * dh))
+                o = pd.DataFrame(out)
+                o["w"] = o["w"].astype("int32")
+                o["h"] = o["h"].astype("int32")
+                o["mean_red"] = o["mean_red"].astype("int32")
+                yield o
+
+        return docs.mapInPandas(
+            run, schema="doc_id LONG, w INT, h INT, mean_red INT"
+        )
+
 
 _register_llm_queries()
 

@@ -1565,3 +1565,106 @@ def test_streaming_and_batch_upsert_race_both_deltas_survive(spark, sf_dir):
         )
     )
     assert got == rebuilt
+
+
+def test_png_codec_roundtrip_all_filters_and_color_types():
+    """Round 13: the PNG codec is a REAL compressed decode (stdlib
+    zlib). Round-trips with cycling filters exercise all five unfilter
+    paths; gray/palette/RGBA color types normalize to the same RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from presto_rakam_kafka_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    for w, h in ((1, 1), (3, 2), (16, 11), (40, 23)):
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+        for filters in ("none", "cycle"):
+            payload = mm._png_encode(w, h, rgb, filters=filters)
+            dw, dh, out = mm._png_decode(payload)
+            assert (dw, dh) == (w, h)
+            assert out == rgb, f"{w}x{h} filters={filters}"
+
+    # features share the PPM layout over identical pixels
+    rgb = rng.integers(0, 256, size=(9, 12, 3), dtype=np.uint8).tobytes()
+    png_vec = mm.decode_payload(mm._png_encode(12, 9, rgb), "image/png")
+    ppm_vec = mm.decode_payload(mm._ppm_encode(12, 9, rgb), "image/ppm")
+    assert png_vec == ppm_vec
+    assert len(png_vec) == mm.STUB_FEATURE_DIM
+
+    # corrupt payloads take the ValueError (drop-and-log) lane
+    good = mm._png_encode(4, 4, bytes(48))
+    with pytest.raises(ValueError):
+        mm._png_decode(b"not a png at all")
+    flipped = bytearray(good)
+    flipped[len(mm._PNG_SIG) + 20] ^= 0xFF  # inside IHDR data → CRC fail
+    with pytest.raises(ValueError):
+        mm._png_decode(bytes(flipped))
+
+    # gray (color type 0) and RGBA (6) normalize to RGB
+    def chunk(name, data):
+        return (struct.pack(">I", len(data)) + name + data
+                + struct.pack(">I", zlib.crc32(name + data) & 0xFFFFFFFF))
+
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    raw = b"".join(b"\x00" + gray[r].tobytes() for r in range(3))
+    g_png = (mm._PNG_SIG
+             + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0))
+             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    dw, dh, rgb_out = mm._png_decode(g_png)
+    assert (dw, dh) == (4, 3)
+    assert np.array_equal(
+        np.frombuffer(rgb_out, np.uint8).reshape(3, 4, 3),
+        np.repeat(gray[:, :, None], 3, axis=2),
+    )
+
+    rgba = np.dstack([gray, gray * 2, gray * 3, np.full((3, 4), 9, np.uint8)])
+    raw = b"".join(b"\x00" + rgba[r].tobytes() for r in range(3))
+    a_png = (mm._PNG_SIG
+             + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 6, 0, 0, 0))
+             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    _, _, rgb_out = mm._png_decode(a_png)
+    assert np.array_equal(
+        np.frombuffer(rgb_out, np.uint8).reshape(3, 4, 3), rgba[:, :, :3]
+    )
+
+    # palette (color type 3)
+    pal = bytes([250, 0, 0, 0, 250, 0, 0, 0, 250])
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[r].tobytes() for r in range(2))
+    p_png = (mm._PNG_SIG
+             + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+             + chunk(b"PLTE", pal)
+             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    _, _, rgb_out = mm._png_decode(p_png)
+    exp = np.array([[[250, 0, 0], [0, 250, 0]], [[0, 0, 250], [250, 0, 0]]],
+                   dtype=np.uint8)
+    assert np.array_equal(np.frombuffer(rgb_out, np.uint8).reshape(2, 2, 3), exp)
+
+
+def test_png_resize_through_spark_stage(spark):
+    """resize_images handles image/png for REAL: decoded header dims,
+    valid re-encoded PNG output at the target size."""
+    import numpy as np
+
+    from presto_rakam_kafka_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for doc_id, (w, h) in enumerate(((20, 10), (7, 7))):
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+        rows.append((doc_id, mm._png_encode(w, h, rgb), ("image/png", w * h)))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id LONG, payload BINARY, "
+        "meta STRUCT<mime STRING, size_bytes LONG>",
+    )
+    out = {r["doc_id"]: r for r in mm.resize_images(df, 8, 6).collect()}
+    assert (out[0]["src_w"], out[0]["src_h"]) == (20, 10)
+    assert (out[1]["src_w"], out[1]["src_h"]) == (7, 7)
+    for r in out.values():
+        dw, dh, _rgb = mm._png_decode(bytes(r["resized"]))
+        assert (dw, dh) == (8, 6)
