@@ -218,6 +218,10 @@ HEADLINE = [
     # (one availableNow trigger + a hook-injected concurrent batch
     # upsert), not a batch scale path; the benched ANN probe paths
     # already time the identical pruned-probe plan.
+    # The real compressed-image decode (zlib inflate + unfilter per
+    # asset inside mapInPandas) IS a batch scale path — per-asset
+    # parallel, payloads never leave their partition.
+    "multimodal_png_decode",
 ]
 
 #: Indexed-ANN queries whose cost is two phases with different lifecycles:
