@@ -102,7 +102,12 @@ def test_ivf_fitted_centroids_deterministic_and_normalized(spark, sf_dir):
 
 
 def test_multimodal_decode_stub_raises():
+    # codec-less mimes (JPEG needs libraries this container lacks)
     with pytest.raises(NotImplementedError):
+        multimodal.decode_payload(b"\x00", "image/jpeg")
+    # image/png has a REAL codec since round 13: garbage takes the
+    # corrupt-asset ValueError lane, not the stub lane
+    with pytest.raises(ValueError):
         multimodal.decode_payload(b"\x00", "image/png")
 
 
