@@ -29,6 +29,40 @@ GC_GRACE_S = 900.0
 RETIRED_MARKER = ".RETIRED"
 
 
+def clear_retirement_marker(gdir: str) -> None:
+    """Remove a stale ``.RETIRED`` marker from a directory that turned
+    out to be LIVE (referenced). Without this, a marker written while
+    the dir was transiently unreferenced — an ANN delta between its
+    write and its manifest commit — would silently pre-age the dir:
+    hours later, the first GC pass after a genuine supersession reads
+    the old marker and deletes immediately, stranding mid-scan readers
+    with zero grace (round-13 third review)."""
+    try:
+        os.remove(os.path.join(gdir, RETIRED_MARKER))
+    except OSError:
+        pass
+
+
+def newest_content_age_s(path: str) -> float | None:
+    """Seconds since the newest file under ``path`` was modified (the
+    dir's own mtime when empty), or None when it vanished underneath —
+    the liveness probe for write-dir reclaim: a LIVE remote writer's
+    in-progress dir has fresh mtimes, true crash residue ages. Shared
+    by the segment-log and rollup temp-dir reclaims (one copy, one
+    future fix)."""
+    import time as _time
+
+    try:
+        newest = max(
+            (os.stat(os.path.join(r, n)).st_mtime
+             for r, _dirs, files in os.walk(path) for n in files),
+            default=os.stat(path).st_mtime,
+        )
+    except OSError:
+        return None
+    return _time.time() - newest
+
+
 def retirement_age_s(gdir: str) -> float | None:
     """Seconds since ``gdir`` was first observed superseded, or None if
     the observation marker was just created (age 0 — the caller skips

@@ -119,18 +119,22 @@ def _ppm_encode(w: int, h: int, pixels: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + pixels
 
 
-def _ppm_resize(payload: bytes, dst_w: int, dst_h: int) -> tuple[int, int, bytes]:
-    """Real nearest-neighbor resize of a P6 image (numpy index
-    gather — vectorized, no per-pixel Python loop). Returns
-    (src_w, src_h, resized-P6 bytes)."""
+def _resize_rgb(w: int, h: int, rgb: bytes, dst_w: int, dst_h: int) -> bytes:
+    """Nearest-neighbor resize of raw RGB bytes (numpy index gather —
+    vectorized, no per-pixel Python loop). One resize for every image
+    codec; the codecs own only decode/encode."""
     import numpy as np
 
-    w, h, pixels = _ppm_decode(payload)
-    img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+    img = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
     ys = (np.arange(dst_h) * h) // dst_h
     xs = (np.arange(dst_w) * w) // dst_w
-    out = img[ys][:, xs]
-    return w, h, _ppm_encode(dst_w, dst_h, out.tobytes())
+    return img[ys][:, xs].tobytes()
+
+
+def _ppm_resize(payload: bytes, dst_w: int, dst_h: int) -> tuple[int, int, bytes]:
+    """Real resize of a P6 image; returns (src_w, src_h, P6 bytes)."""
+    w, h, pixels = _ppm_decode(payload)
+    return w, h, _ppm_encode(dst_w, dst_h, _resize_rgb(w, h, pixels, dst_w, dst_h))
 
 
 def _rgb_grid_features(w: int, h: int, pixels: bytes) -> list[float]:
@@ -259,9 +263,13 @@ def _png_decode(payload: bytes) -> tuple[int, int, bytes]:
     idat = bytearray()
     for name, data in _png_chunks(payload):
         if name == b"IHDR":
+            if len(data) != 13:
+                raise ValueError(f"PNG IHDR length {len(data)} != 13")
             w, h, bitdepth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
+            if w <= 0 or h <= 0:
+                raise ValueError(f"PNG dimensions {w}x{h} invalid")
         elif name == b"PLTE":
             plte = data
         elif name == b"IDAT":
@@ -371,17 +379,10 @@ def _png_encode(w: int, h: int, rgb: bytes, filters: str = "cycle") -> bytes:
 
 
 def _png_resize(payload: bytes, dst_w: int, dst_h: int) -> tuple[int, int, bytes]:
-    """Real nearest-neighbor resize of a PNG (same gather as
-    :func:`_ppm_resize`), re-encoded as PNG. Returns
-    (src_w, src_h, resized-PNG bytes)."""
-    import numpy as np
-
+    """Real resize of a PNG (shared :func:`_resize_rgb` gather),
+    re-encoded as PNG. Returns (src_w, src_h, resized-PNG bytes)."""
     w, h, rgb = _png_decode(payload)
-    img = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
-    ys = (np.arange(dst_h) * h) // dst_h
-    xs = (np.arange(dst_w) * w) // dst_w
-    out = img[ys][:, xs]
-    return w, h, _png_encode(dst_w, dst_h, out.tobytes())
+    return w, h, _png_encode(dst_w, dst_h, _resize_rgb(w, h, rgb, dst_w, dst_h))
 
 
 def _png_features(payload: bytes) -> list[float]:
@@ -487,7 +488,13 @@ def extract_features(assets: DataFrame) -> DataFrame:
                     vec = decode_payload(bytes(p), m)
                     dims.append(len(vec))
                     decoded.append(True)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
+                    # NotImplementedError: no codec for this mime.
+                    # ValueError: a REAL codec judged the payload
+                    # corrupt/unsupported — the A14 drop-and-log lane
+                    # as a decoded=False row (round-13 third review:
+                    # the uncaught ValueError failed the whole job,
+                    # despite the codecs' documented contract)
                     dims.append(STUB_FEATURE_DIM)
                     decoded.append(False)
             out = pd.DataFrame(
@@ -539,12 +546,20 @@ def resize_images(assets: DataFrame, dst_w: int = 224, dst_h: int = 224) -> Data
             rows = {"doc_id": [], "src_w": [], "src_h": [], "dst_w": [], "dst_h": [], "resized": []}
             for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
                 p = bytes(payload)
-                if meta["mime"] in ("image/x-portable-pixmap", "image/ppm"):
-                    sw, sh, resized = _ppm_resize(p, dst_w, dst_h)
-                elif meta["mime"] == "image/png":
-                    sw, sh, resized = _png_resize(p, dst_w, dst_h)
-                else:
-                    sw, sh, resized = len(p) % 640 + 32, len(p) % 480 + 32, p[:64]
+                try:
+                    if meta["mime"] in ("image/x-portable-pixmap", "image/ppm"):
+                        sw, sh, resized = _ppm_resize(p, dst_w, dst_h)
+                    elif meta["mime"] == "image/png":
+                        sw, sh, resized = _png_resize(p, dst_w, dst_h)
+                    else:
+                        sw, sh, resized = (
+                            len(p) % 640 + 32, len(p) % 480 + 32, p[:64]
+                        )
+                except ValueError:
+                    # corrupt image asset: DROP the row (the reference's
+                    # A14 drop-and-log decode contract) instead of
+                    # failing the whole stage on one bad payload
+                    continue
                 rows["doc_id"].append(doc_id)
                 rows["src_w"].append(sw)
                 rows["src_h"].append(sh)

@@ -1842,7 +1842,10 @@ def gc_ivfpq_index(path: str, grace_s: float | None = None) -> list[str]:
     import os
     import shutil
 
-    from presto_rakam_kafka_spark.gc_utils import retirement_age_s
+    from presto_rakam_kafka_spark.gc_utils import (
+        clear_retirement_marker,
+        retirement_age_s,
+    )
     from presto_rakam_kafka_spark.locks import flock_guard
 
     grace = GC_DELTA_GRACE_S if grace_s is None else float(grace_s)
@@ -1851,9 +1854,16 @@ def gc_ivfpq_index(path: str, grace_s: float | None = None) -> list[str]:
                      op_name="gc_ivfpq_index"):
         live = set(_read_manifest(path))
         for d in sorted(os.listdir(path)):
-            if not d.startswith("delta-") or d in live:
+            if not d.startswith("delta-"):
                 continue
             dpath = os.path.join(path, d)
+            if d in live:
+                # a marker written while this delta was transiently
+                # unreferenced (pre-commit upsert window) must not
+                # pre-age it: once superseded for real, the grace
+                # clock has to START there (round-13 third review)
+                clear_retirement_marker(dpath)
+                continue
             if grace > 0:
                 age = retirement_age_s(dpath)
                 if age is None or age < grace:

@@ -217,27 +217,20 @@ def _fresh_gen_dir(gdir: str) -> str:
     by a later locked op. Unreclaimed residue is invisible to every
     reader (the pointer never names a ``.w-`` dir) — merely leaked."""
     import shutil as _shutil
-    import time as _time
 
-    from presto_rakam_kafka_spark.gc_utils import GC_GRACE_S
+    from presto_rakam_kafka_spark.gc_utils import (
+        GC_GRACE_S,
+        newest_content_age_s,
+    )
 
     pdir = os.path.dirname(gdir)
     if _MAINT_LOCK_HELD.get():
-        now = _time.time()
         for e in os.listdir(pdir):
             if ".w-" not in e or not e.startswith("gen-"):
                 continue
-            rpath = os.path.join(pdir, e)
-            try:
-                newest = max(
-                    (os.stat(os.path.join(r, n)).st_mtime
-                     for r, _dirs, files in os.walk(rpath) for n in files),
-                    default=os.stat(rpath).st_mtime,
-                )
-            except OSError:
-                continue  # vanished under us: someone else reclaimed it
-            if now - newest > GC_GRACE_S:
-                _shutil.rmtree(rpath, ignore_errors=True)
+            age = newest_content_age_s(os.path.join(pdir, e))
+            if age is not None and age > GC_GRACE_S:
+                _shutil.rmtree(os.path.join(pdir, e), ignore_errors=True)
     wdir = f"{gdir}.w-{os.urandom(4).hex()}"
     os.makedirs(wdir)
     return wdir

@@ -552,6 +552,14 @@ def gc_snapshots(
     older = [g for g in gens if g < current]
     keep = max(0, keep_last - 1)
     victims = older[: len(older) - keep] if keep else older
+    # a retained generation must carry no stale marker: a prior call
+    # with a smaller keep_last may have observed it as a victim, and
+    # that old clock would zero its grace when it is next vacated
+    from presto_rakam_kafka_spark.gc_utils import clear_retirement_marker
+
+    for g in gens:
+        if g not in victims:
+            clear_retirement_marker(os.path.join(path, g))
     if eff > 0:
         aged = []
         for g in victims:

@@ -155,30 +155,22 @@ def _reclaim_aged_tempdirs(store: str, lock_held: bool) -> None:
     held guard, and only when quiet past the shared GC grace (a fresh
     temp dir on a false-flock mount may be a LIVE remote fold's
     in-progress write — the segment log's reclaim discipline)."""
-    import time as _time
-
-    from presto_rakam_kafka_spark.gc_utils import GC_GRACE_S
+    from presto_rakam_kafka_spark.gc_utils import (
+        GC_GRACE_S,
+        newest_content_age_s,
+    )
 
     if not lock_held:
         return
-    now = _time.time()
     for root in (store, os.path.join(store, "emitted")):
         if not os.path.isdir(root):
             continue
         for e in os.listdir(root):
             if not e.startswith("w-"):
                 continue
-            rpath = os.path.join(root, e)
-            try:
-                newest = max(
-                    (os.stat(os.path.join(r, n)).st_mtime
-                     for r, _d, files in os.walk(rpath) for n in files),
-                    default=os.stat(rpath).st_mtime,
-                )
-            except OSError:
-                continue
-            if now - newest > GC_GRACE_S:
-                shutil.rmtree(rpath, ignore_errors=True)
+            age = newest_content_age_s(os.path.join(root, e))
+            if age is not None and age > GC_GRACE_S:
+                shutil.rmtree(os.path.join(root, e), ignore_errors=True)
 
 
 #: test-injection point: called right before a fold commit's fence

@@ -1673,3 +1673,92 @@ def test_png_resize_through_spark_stage(spark):
     for r in out.values():
         dw, dh, _rgb = mm._png_decode(bytes(r["resized"]))
         assert (dw, dh) == (8, 6)
+
+
+def test_gc_clears_stale_marker_on_live_delta(spark, sf_dir):
+    """Round-13 third review: a .RETIRED marker written while a delta
+    was transiently unreferenced (the pre-commit upsert window) must be
+    CLEARED once the delta is live — otherwise the first GC pass after
+    a real supersession reads the hours-old marker and deletes with
+    zero grace, stranding mid-scan readers."""
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from presto_rakam_kafka_spark.fixtures import read_table
+    from presto_rakam_kafka_spark.gc_utils import RETIRED_MARKER
+    from presto_rakam_kafka_spark.operators import similarity as sim
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = staging_mkdtemp("ivfpq_marker_test_")
+    sim.init_ivfpq_index(
+        spark, emb.filter(F.col("vec_id") % 2 == 0), path,
+        "embedding", "vec_id", dim=64,
+    )
+    delta = sim.upsert_ivfpq_index(
+        spark, emb.filter(F.col("vec_id") % 2 == 1), path,
+        "embedding", "vec_id", dim=64,
+    )
+    # a GC pass long ago observed the delta pre-commit: stale old marker
+    marker = os.path.join(path, delta, RETIRED_MARKER)
+    with open(marker, "w") as fh:
+        json.dump({"retired_at": 0.0}, fh)
+    assert sim.gc_ivfpq_index(path) == []  # live: nothing removed
+    assert not os.path.exists(marker)  # and the stale clock was cleared
+    # after a real supersession the grace starts FRESH
+    sim.compact_ivfpq_index(spark, path)
+    assert sim.gc_ivfpq_index(path) == []  # first observation only
+    assert sim.gc_ivfpq_index(path) == []  # still inside the grace
+
+
+def test_multimodal_corrupt_assets_drop_not_fail(spark):
+    """Round-13 third review: a corrupt payload under a REAL codec must
+    take the decoded=False lane in extract_features and be DROPPED by
+    resize_images — one bad asset must never fail the stage."""
+    import numpy as np
+
+    from presto_rakam_kafka_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(3)
+    good_rgb = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8).tobytes()
+    good = mm._png_encode(8, 6, good_rgb)
+    corrupt = bytearray(good)
+    corrupt[len(mm._PNG_SIG) + 25] ^= 0x55  # CRC mismatch
+    rows = [
+        (1, good, ("image/png", len(good))),
+        (2, bytes(corrupt), ("image/png", len(corrupt))),
+        (3, b"P6 truncated", ("image/ppm", 12)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id LONG, payload BINARY, "
+        "meta STRUCT<mime STRING, size_bytes LONG>",
+    )
+    feats = {r["doc_id"]: r for r in mm.extract_features(df).collect()}
+    assert feats[1]["decoded"] is True
+    assert feats[2]["decoded"] is False  # corrupt: graceful row
+    assert feats[3]["decoded"] is False
+    resized = {r["doc_id"] for r in mm.resize_images(df, 4, 4).collect()}
+    assert resized == {1}  # corrupt assets dropped, stage alive
+
+    # zero-dimension / malformed-IHDR payloads are ValueError, not
+    # ZeroDivisionError/struct.error escaping the corrupt lane
+    import struct
+    import zlib
+
+    import pytest
+
+    def chunk(name, data):
+        return (struct.pack(">I", len(data)) + name + data
+                + struct.pack(">I", zlib.crc32(name + data) & 0xFFFFFFFF))
+
+    zero = (mm._PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 0, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        mm._png_decode(zero)
+    short_ihdr = (mm._PNG_SIG + chunk(b"IHDR", b"\x00" * 7)
+                  + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        mm._png_decode(short_ihdr)
