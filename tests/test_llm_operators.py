@@ -1762,3 +1762,33 @@ def test_multimodal_corrupt_assets_drop_not_fail(spark):
                   + chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         mm._png_decode(short_ihdr)
+
+
+def test_png_roundtrip_property():
+    """Property (hypothesis): encode→decode is identity for arbitrary
+    dims/pixels under both filter modes — the whole filter matrix, tiny
+    and degenerate shapes included."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from presto_rakam_kafka_spark.operators import multimodal as mm
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 17),
+        seed=st.integers(0, 2**31 - 1),
+        filters=st.sampled_from(["none", "cycle"]),
+    )
+    def check(w, h, seed, filters):
+        rgb = (
+            np.random.default_rng(seed)
+            .integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            .tobytes()
+        )
+        dw, dh, out = mm._png_decode(mm._png_encode(w, h, rgb, filters=filters))
+        assert (dw, dh) == (w, h) and out == rgb
+
+    check()
