@@ -2030,3 +2030,74 @@ def test_purge_erases_lingering_superseded_generations(spark, sf_dir, tmp_path):
         .filter(F.col("key") == F.lit(victim)).count()
     )
     assert left == 0
+
+
+def test_log_maintenance_storm_serializes_and_stays_exact(spark, sf_dir, tmp_path):
+    """Round-13 composition stress on the segment log: compactions,
+    vacuums, retention no-ops, and appends race on ONE log. Ops queue
+    on the flock (bounded wait), publishes are fenced, retirement is
+    graced — the only acceptable errors are the cooperative named ones,
+    and the final scan count is exact."""
+    import threading
+
+    from presto_rakam_kafka_spark.sources.kafka_datasource import (
+        ConcurrentLogMaintenanceError,
+        compact_segments,
+        expire_segments,
+        vacuum_log,
+    )
+
+    log = str(tmp_path / "stormlog")
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    raw = ev.select(
+        F.col("event_id").alias("offset"),
+        F.lit(None).cast("binary").alias("key"),
+        F.col("event_type").cast("binary").alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+    write_segments(raw, log, num_partitions=3, segment_rows=25)
+    spark.dataSource.register(KafkaSegmentDataSource)
+    base = (
+        spark.read.format("kafka_segments").option("path", log).load().count()
+    )
+
+    unexpected: list[BaseException] = []
+
+    def op(fn, *args, **kwargs):
+        def run():
+            try:
+                fn(*args, **kwargs)
+            except ConcurrentLogMaintenanceError:
+                pass  # cooperative: fenced or queue-bounded
+            except BaseException as exc:  # noqa: BLE001 — surfaced below
+                unexpected.append(exc)
+        return threading.Thread(target=run)
+
+    threads = [
+        op(compact_segments, log, target_rows=50),
+        op(compact_segments, log, target_rows=200),
+        op(compact_segments, log, target_rows=120),
+        op(vacuum_log, log),
+        op(expire_segments, log, min_offset=0),  # retention no-op
+        op(vacuum_log, log, grace_s=0.0),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not unexpected, unexpected[:3]
+    got = (
+        spark.read.format("kafka_segments").option("path", log).load().count()
+    )
+    assert got == base  # every racing rewrite preserved the data
+    # the log still accepts appends after the storm (v2 writer runs on
+    # the main thread — Spark resolves Python data sources per-thread)
+    raw.withColumn("offset", F.col("offset") + 10_000).write.format(
+        "kafka_segments"
+    ).option("path", log).option("numPartitions", "3").mode("append").save()
+    compact_segments(log, target_rows=10_000)
+    vacuum_log(log, grace_s=0.0)
+    got2 = (
+        spark.read.format("kafka_segments").option("path", log).load().count()
+    )
+    assert got2 == 2 * base
