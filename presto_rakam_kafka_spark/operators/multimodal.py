@@ -3,7 +3,7 @@ metadata, processed by Arrow-batched ``mapInPandas`` feature extractors.
 
 The Spark-side machinery here — schema contract, batch iteration,
 partition-preserving mapInPandas, deterministic metadata features — is
-real and tested. Three codecs are REAL and stdlib-only: ``audio/wav``
+real and tested. Four codecs are REAL and stdlib-only: ``audio/wav``
 (RIFF parse + per-slice RMS, :func:`_wav_features`), ``image/ppm``
 P6 (header+pixel parse, grid luminance features, vectorized
 nearest-neighbor resize with re-encode — :func:`_ppm_features` /
@@ -12,11 +12,17 @@ COMPRESSED format decoded with stdlib ``zlib`` alone: CRC-validated
 chunk walk, IDAT inflate, all five scanline unfilters, gray/RGB/
 palette/RGBA color normalization (:func:`_png_decode`), plus a real
 encoder (:func:`_png_encode`, cycling filters so round-trips cover
-the whole filter matrix) and resize. Remaining codecs (JPEG, video)
-need libraries this container does not ship and stay stubbed behind
-:func:`decode_payload` (``NotImplementedError`` or a deterministic
-fake). Swapping in PIL/ffmpeg later changes only that function; the
-distributed plumbing is already load-bearing.
+the whole filter matrix) and resize. ``image/gif`` (also round 13) is
+the ANIMATED compressed codec: a from-spec LZW decoder/encoder
+(variable code width, CLEAR/EOI, table-full handling), multi-frame
+compositing with transparency and disposal, and a container
+block-walk (:func:`gif_frame_count`) that gives the frame-sampling
+stage a REAL frame count at metadata cost. Remaining codecs (JPEG,
+true video containers) need libraries this container does not ship
+and stay stubbed behind :func:`decode_payload`
+(``NotImplementedError`` or a deterministic fake). Swapping in
+PIL/ffmpeg later changes only that function; the distributed plumbing
+is already load-bearing.
 
 Scale notes: mapInPandas streams Arrow batches (no per-row pickling,
 no driver round-trip); the extractor is stateless per batch so Spark is
@@ -66,6 +72,8 @@ def decode_payload(payload: bytes, mime: str) -> list[float]:
         return _ppm_features(payload)
     if mime == "image/png":
         return _png_features(payload)
+    if mime == "image/gif":
+        return _gif_features(payload)
     raise NotImplementedError(
         f"no codec available for {mime!r}; install an image/audio stack and "
         "replace decode_payload"
@@ -392,6 +400,315 @@ def _png_features(payload: bytes) -> list[float]:
     return _rgb_grid_features(w, h, rgb)
 
 
+# ---------------------------------------------------------------------
+# Real ANIMATED compressed codec: GIF (LZW), stdlib-only + numpy
+# ---------------------------------------------------------------------
+
+
+def _gif_lzw_decode(mcs: int, data: bytes) -> bytes:
+    """GIF-variant LZW decompression (variable code width 3..12 bits,
+    little-endian bit packing, CLEAR/EOI codes) — the compressed core
+    of the format, implemented from the GIF89a spec appendix. Returns
+    the palette-index stream. Malformed streams raise ValueError."""
+    if not 2 <= mcs <= 11:
+        raise ValueError(f"bad GIF LZW min code size {mcs}")
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+    def reset():
+        return {i: bytes([i]) for i in range(1 << mcs)}, mcs + 1
+
+    table, width = reset()
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                # missing EOI: tolerate (many encoders in the wild do
+                # this) — the index stream so far is the image
+                return bytes(out)
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table, width = reset()
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError(f"GIF LZW first code {code} not a literal")
+        elif code in table:
+            entry = table[code]
+        elif code == len(table) + 2:  # the KwKwK case
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"GIF LZW code {code} out of range")
+        out += entry
+        if prev is not None:
+            nxt = len(table) + 2
+            if nxt <= 0xFFF:  # table full at 4096: stop adding (the
+                # deferred-clear convention; codes stay ≤ 12 bits)
+                table[nxt] = prev + entry[:1]
+                if nxt + 1 == (1 << width) and width < 12:
+                    width += 1
+        prev = entry
+
+
+def _gif_lzw_encode(mcs: int, indices: bytes) -> bytes:
+    """GIF-variant LZW compression — the exact inverse of
+    :func:`_gif_lzw_decode`: emits CLEAR first, resets the dictionary
+    when it fills at 12 bits (the spec's deflate-on-overflow rule),
+    ends with EOI."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(1 << mcs)}
+    nxt = eoi + 1
+    width = mcs + 1
+    emit(clear, width)
+    run = b""
+    for b in indices:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        if nxt <= 0xFFF:
+            # assign, then grow width when the JUST-ASSIGNED slot
+            # equals 2^width — one assignment LATER than the decoder's
+            # rule, because the decoder's additions lag the encoder's
+            # by exactly one code (it adds nothing for the first code
+            # after a clear): with this offset both sides switch
+            # before the same code in the stream. (Deriving this the
+            # wrong way round desyncs at every width boundary — the
+            # round-trip test catches it immediately.)
+            table[cand] = nxt
+            nxt += 1
+            if nxt - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            # table full: CLEAR and restart the dictionary
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(1 << mcs)}
+            nxt = eoi + 1
+            width = mcs + 1
+        run = bytes([b])
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a GIF sub-block chain starting at ``pos``; returns
+    (data, position after the 0 terminator)."""
+    chunks = []
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF sub-block chain")
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(chunks), pos
+        if pos + n > len(payload):
+            raise ValueError("truncated GIF sub-block")
+        chunks.append(payload[pos : pos + n])
+        pos += n
+
+
+def gif_frame_count(payload: bytes) -> int:
+    """REAL frame count from the container — a block walk over image
+    descriptors (sub-block SKIPS, no LZW decode): exactly what a
+    frame-sampling planner needs, at metadata cost."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    _w, _h, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    frames = 0
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            return frames
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            _data, pos = _gif_subblocks(payload, pos)
+        elif b == 0x2C:  # image descriptor
+            if pos + 9 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            ipacked = payload[pos + 8]
+            pos += 9
+            if ipacked & 0x80:
+                pos += 3 * (2 << (ipacked & 0x07))
+            pos += 1  # LZW min code size
+            _data, pos = _gif_subblocks(payload, pos)
+            frames += 1
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF stream ended without trailer")
+
+
+def _gif_decode(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """REAL animated-GIF decode: LZW per frame, frames composited onto
+    the running canvas (disposal 'none/keep' draws over; 'restore to
+    background' clears the frame's region; transparency via the GCE
+    index). 8-bit palettes, non-interlaced. Returns
+    (w, h, [HxWx3 RGB bytes per frame])."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, packed, bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    if w <= 0 or h <= 0:
+        raise ValueError(f"GIF dimensions {w}x{h} invalid")
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8)
+        if len(gct) != 3 * n:
+            raise ValueError("truncated GIF global color table")
+        gct = gct.reshape(-1, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w, 3), np.uint8)
+    if gct is not None and bg < len(gct):
+        canvas[:, :] = gct[bg]
+    frames: list[bytes] = []
+    transparent = None
+    disposal = 0
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:
+            return w, h, frames
+        if b == 0x21:
+            label = payload[pos]
+            pos += 1
+            data, pos = _gif_subblocks(payload, pos)
+            if label == 0xF9 and len(data) >= 4:  # graphic control
+                disposal = (data[0] >> 2) & 0x07
+                transparent = data[3] if data[0] & 0x01 else None
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+        left, top, fw, fh, ipacked = struct.unpack(
+            "<HHHHB", payload[pos : pos + 9]
+        )
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF not supported by this codec")
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8)
+            if len(ct) != 3 * n:
+                raise ValueError("truncated GIF local color table")
+            ct = ct.reshape(-1, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF frame has no color table")
+        mcs = payload[pos]
+        pos += 1
+        data, pos = _gif_subblocks(payload, pos)
+        idx = _gif_lzw_decode(mcs, data)
+        if len(idx) < fw * fh:
+            raise ValueError(
+                f"GIF frame pixel data short: {len(idx)} < {fw * fh}"
+            )
+        ia = np.frombuffer(idx[: fw * fh], np.uint8).reshape(fh, fw)
+        if int(ia.max(initial=0)) >= len(ct):
+            raise ValueError("GIF palette index out of range")
+        region = canvas[top : top + fh, left : left + fw]
+        if region.shape[:2] != (fh, fw):
+            raise ValueError("GIF frame exceeds logical screen")
+        rgb = ct[ia]
+        if transparent is not None:
+            mask = ia != transparent
+            region[mask] = rgb[mask]
+        else:
+            region[:, :] = rgb
+        frames.append(canvas.tobytes())
+        if disposal == 2:  # restore region to background color
+            region[:, :] = (
+                ct[bg] if gct is not None and bg < len(gct) else 0
+            )
+    raise ValueError("GIF stream ended without trailer")
+
+
+def _gif_encode(w: int, h: int, frames: list[bytes]) -> bytes:
+    """Encode full-frame RGB frames as an animated GIF (global palette
+    built from the frames' distinct colors — ≤256 or ValueError; real
+    LZW). The fixture/writer half that makes round-trip tests and the
+    oracle-gated frame-sampling row possible without PIL."""
+    import struct
+
+    import numpy as np
+
+    if not frames:
+        raise ValueError("GIF needs at least one frame")
+    stack = np.stack(
+        [np.frombuffer(f, np.uint8).reshape(h, w, 3) for f in frames]
+    )
+    colors, inverse = np.unique(
+        stack.reshape(-1, 3), axis=0, return_inverse=True
+    )
+    if len(colors) > 256:
+        raise ValueError(f"{len(colors)} distinct colors > 256 (quantize first)")
+    size_pow = max(1, (len(colors) - 1).bit_length())
+    table = np.zeros((2 << (size_pow - 1), 3), np.uint8)
+    table[: len(colors)] = colors
+    idx_frames = inverse.astype(np.uint8).reshape(len(frames), h, w)
+    mcs = max(2, size_pow)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (size_pow - 1), 0, 0)
+    out += table.tobytes()
+    for fr in idx_frames:
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(mcs)
+        lzw = _gif_lzw_encode(mcs, fr.tobytes())
+        for i in range(0, len(lzw), 255):
+            blk = lzw[i : i + 255]
+            out.append(len(blk))
+            out += blk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def _gif_features(payload: bytes) -> list[float]:
+    """First-frame grid features (shared :func:`_rgb_grid_features`
+    layout) — the still-image view of an animated asset."""
+    w, h, frames = _gif_decode(payload)
+    if not frames:
+        raise ValueError("GIF has no frames")
+    return _rgb_grid_features(w, h, frames[0])
+
+
 def _wav_features(payload: bytes) -> list[float]:
     """Real audio feature extraction, stdlib-only: parse the RIFF/WAVE
     container with ``wave``, unpack PCM with ``struct``, and emit a
@@ -604,9 +921,12 @@ FRAME_SCHEMA = T.StructType(
 
 def sample_frames(assets: DataFrame, every_n: int = 8) -> DataFrame:
     """Frame-sampling stage: emit every ``every_n``-th frame index per
-    asset. Frame *count* comes from a deterministic fake (payload bytes
-    / 100 + 1, standing in for container-header parsing); a real
-    ffmpeg-backed version changes only the count/extract closure.
+    asset. For ``image/gif`` the frame count is REAL (round 13 —
+    :func:`gif_frame_count`, a container block-walk with no LZW
+    decode: exactly the metadata read a frame planner wants); other
+    mimes keep the deterministic fake (payload bytes / 100 + 1,
+    standing in for ffmpeg container parsing). Corrupt animated assets
+    are DROPPED (the A14 lane).
 
     Note the fan-out shape: mapInPandas may emit more rows than it
     consumes — the contract a real frame extractor needs.
@@ -617,8 +937,16 @@ def sample_frames(assets: DataFrame, every_n: int = 8) -> DataFrame:
 
         for pdf in batches:
             rows = {"doc_id": [], "frame_idx": [], "n_frames": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n_frames = len(payload) // 100 + 1
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                if meta["mime"] == "image/gif":
+                    try:
+                        n_frames = gif_frame_count(bytes(payload))
+                    except ValueError:
+                        continue  # corrupt asset: drop, never fail
+                else:
+                    n_frames = len(payload) // 100 + 1
                 for idx in range(0, n_frames, every_n):
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(idx)

@@ -1373,6 +1373,62 @@ def _register_llm_queries() -> None:
             run, schema="doc_id LONG, w INT, h INT, mean_red INT"
         )
 
+    @query(
+        "multimodal_gif_frames",
+        oracle="""
+        SELECT doc_id,
+               unnest(range(0, doc_id % 9 + 1, 3))::BIGINT AS frame_idx,
+               CAST(doc_id % 9 + 1 AS BIGINT) AS n_frames
+        FROM documents
+        """,
+    )
+    def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """REAL animated-container frame sampling, oracle-gated (round
+        13): each doc synthesizes an animated GIF with doc_id%9+1
+        solid-color frames — genuinely LZW-compressed by the codec's
+        own encoder — and `sample_frames` walks the CONTAINER for the
+        frame count (`gif_frame_count`: block-skip, no pixel decode)
+        before emitting every 3rd frame index. Hash-equality with the
+        pure-arithmetic oracle is only possible if the container walk
+        and the sub-block framing round-trip exactly. The fake-count
+        lane for codec-less video mimes is unchanged and separately
+        gated (`multimodal_frame_sample`)."""
+        import pandas as pd
+
+        from presto_rakam_kafka_spark.operators.multimodal import (
+            _gif_encode,
+            sample_frames,
+        )
+
+        docs = multimodal.ensure_min_parallelism(
+            _documents(spark, sf_dir).select("doc_id")
+        )
+
+        def attach(batches):
+            for pdf in batches:
+                out = {"doc_id": [], "payload": [], "meta": []}
+                for doc_id in pdf["doc_id"]:
+                    d = int(doc_id)
+                    n = d % 9 + 1
+                    frames = [
+                        bytes([(d + 37 * i) % 256]) * (6 * 4 * 3)
+                        for i in range(n)
+                    ]
+                    gif = _gif_encode(6, 4, frames)
+                    out["doc_id"].append(d)
+                    out["payload"].append(gif)
+                    out["meta"].append(
+                        {"mime": "image/gif", "size_bytes": len(gif)}
+                    )
+                yield pd.DataFrame(out)
+
+        assets = docs.mapInPandas(
+            attach,
+            schema="doc_id LONG, payload BINARY, "
+                   "meta STRUCT<mime STRING, size_bytes LONG>",
+        )
+        return sample_frames(assets, every_n=3)
+
 
 _register_llm_queries()
 
