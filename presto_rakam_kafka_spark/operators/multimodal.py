@@ -518,6 +518,15 @@ def _gif_lzw_encode(mcs: int, indices: bytes) -> bytes:
     return bytes(out)
 
 
+def _gif_need(payload: bytes, pos: int, n: int, what: str) -> None:
+    """Every fixed-size read goes through this guard so truncation is
+    ALWAYS a ValueError (the corrupt-asset lane) — a bare struct.unpack
+    on a short slice raises struct.error, which escapes the
+    drop-and-log handlers (round-13 fourth review)."""
+    if pos + n > len(payload):
+        raise ValueError(f"truncated GIF: {what} needs {n} bytes at {pos}")
+
+
 def _gif_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
     """Concatenate a GIF sub-block chain starting at ``pos``; returns
     (data, position after the 0 terminator)."""
@@ -543,6 +552,7 @@ def gif_frame_count(payload: bytes) -> int:
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    _gif_need(payload, 6, 7, "logical screen descriptor")
     _w, _h, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     if packed & 0x80:
@@ -554,16 +564,17 @@ def gif_frame_count(payload: bytes) -> int:
         if b == 0x3B:  # trailer
             return frames
         if b == 0x21:  # extension: label + sub-blocks
+            _gif_need(payload, pos, 1, "extension label")
             pos += 1
             _data, pos = _gif_subblocks(payload, pos)
         elif b == 0x2C:  # image descriptor
-            if pos + 9 > len(payload):
-                raise ValueError("truncated GIF image descriptor")
+            _gif_need(payload, pos, 9, "image descriptor")
             ipacked = payload[pos + 8]
             pos += 9
             if ipacked & 0x80:
                 pos += 3 * (2 << (ipacked & 0x07))
-            pos += 1  # LZW min code size
+            _gif_need(payload, pos, 1, "LZW min code size")
+            pos += 1
             _data, pos = _gif_subblocks(payload, pos)
             frames += 1
         else:
@@ -571,18 +582,27 @@ def gif_frame_count(payload: bytes) -> int:
     raise ValueError("GIF stream ended without trailer")
 
 
-def _gif_decode(payload: bytes) -> tuple[int, int, list[bytes]]:
+def _gif_decode(
+    payload: bytes, max_frames: int | None = None
+) -> tuple[int, int, list[bytes]]:
     """REAL animated-GIF decode: LZW per frame, frames composited onto
     the running canvas (disposal 'none/keep' draws over; 'restore to
-    background' clears the frame's region; transparency via the GCE
-    index). 8-bit palettes, non-interlaced. Returns
-    (w, h, [HxWx3 RGB bytes per frame])."""
+    background' clears the frame's region to the GLOBAL background;
+    transparency via the GCE index, whose scope per GIF89a is exactly
+    ONE following image block). 8-bit palettes, non-interlaced.
+    ``max_frames`` returns early after composing that many frames —
+    the feature lane reads only frame 0 and must not pay the whole
+    animation's LZW work. Returns (w, h, [HxWx3 RGB bytes per
+    frame]); every malformation raises ValueError (the corrupt-asset
+    lane — no struct.error/IndexError escapes, round-13 fourth
+    review)."""
     import struct
 
     import numpy as np
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    _gif_need(payload, 6, 7, "logical screen descriptor")
     w, h, packed, bg, _ar = struct.unpack("<HHBBB", payload[6:13])
     if w <= 0 or h <= 0:
         raise ValueError(f"GIF dimensions {w}x{h} invalid")
@@ -595,9 +615,12 @@ def _gif_decode(payload: bytes) -> tuple[int, int, list[bytes]]:
             raise ValueError("truncated GIF global color table")
         gct = gct.reshape(-1, 3)
         pos += 3 * n
+    bg_rgb = (
+        gct[bg] if gct is not None and bg < len(gct)
+        else np.zeros(3, np.uint8)
+    )
     canvas = np.zeros((h, w, 3), np.uint8)
-    if gct is not None and bg < len(gct):
-        canvas[:, :] = gct[bg]
+    canvas[:, :] = bg_rgb
     frames: list[bytes] = []
     transparent = None
     disposal = 0
@@ -607,6 +630,7 @@ def _gif_decode(payload: bytes) -> tuple[int, int, list[bytes]]:
         if b == 0x3B:
             return w, h, frames
         if b == 0x21:
+            _gif_need(payload, pos, 1, "extension label")
             label = payload[pos]
             pos += 1
             data, pos = _gif_subblocks(payload, pos)
@@ -616,6 +640,7 @@ def _gif_decode(payload: bytes) -> tuple[int, int, list[bytes]]:
             continue
         if b != 0x2C:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
+        _gif_need(payload, pos, 9, "image descriptor")
         left, top, fw, fh, ipacked = struct.unpack(
             "<HHHHB", payload[pos : pos + 9]
         )
@@ -632,6 +657,7 @@ def _gif_decode(payload: bytes) -> tuple[int, int, list[bytes]]:
             pos += 3 * n
         if ct is None:
             raise ValueError("GIF frame has no color table")
+        _gif_need(payload, pos, 1, "LZW min code size")
         mcs = payload[pos]
         pos += 1
         data, pos = _gif_subblocks(payload, pos)
@@ -653,10 +679,17 @@ def _gif_decode(payload: bytes) -> tuple[int, int, list[bytes]]:
         else:
             region[:, :] = rgb
         frames.append(canvas.tobytes())
-        if disposal == 2:  # restore region to background color
-            region[:, :] = (
-                ct[bg] if gct is not None and bg < len(gct) else 0
-            )
+        if max_frames is not None and len(frames) >= max_frames:
+            return w, h, frames
+        if disposal == 2:  # restore region to the GLOBAL background —
+            # not the frame's local palette at the background INDEX,
+            # which is a different (or out-of-range) color entirely
+            region[:, :] = bg_rgb
+        # GCE scope is exactly one image block (GIF89a §23): a frame
+        # with no GCE of its own must not inherit the previous one's
+        # transparency/disposal
+        transparent = None
+        disposal = 0
     raise ValueError("GIF stream ended without trailer")
 
 
@@ -702,8 +735,10 @@ def _gif_encode(w: int, h: int, frames: list[bytes]) -> bytes:
 
 def _gif_features(payload: bytes) -> list[float]:
     """First-frame grid features (shared :func:`_rgb_grid_features`
-    layout) — the still-image view of an animated asset."""
-    w, h, frames = _gif_decode(payload)
+    layout) — the still-image view of an animated asset. Decodes ONLY
+    frame 0 (``max_frames=1``): the feature lane must not pay a
+    100-frame animation's full LZW work per asset."""
+    w, h, frames = _gif_decode(payload, max_frames=1)
     if not frames:
         raise ValueError("GIF has no frames")
     return _rgb_grid_features(w, h, frames[0])
