@@ -57,33 +57,48 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+    # Seed with min(self, neighbors): the same single aggregate the
+    # old distinct+self-label seed cost, but it bakes the first
+    # propagation step in — one fewer loop round on most graphs.
+    seed = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("_mn"))
+        .select("node", F.least("node", "_mn").alias("label"))
     )
+
+    def _fill_and_sum(lbl: DataFrame) -> tuple[DataFrame, object]:
+        # ONE action per round: a LAZY localCheckpoint materializes in
+        # the same job that computes the convergence checksum — the
+        # round-12 loop paid two (an eager checkpoint job, then a
+        # new-vs-old equality JOIN job). Min-label propagation is
+        # monotone non-increasing per node, so the decimal(38,0) total
+        # (overflow-safe for id-valued labels at any realistic count)
+        # is unchanged iff NO label changed. The checkpoint (not a
+        # persist) is load-bearing: labels feed the next round TWICE
+        # (join + union), so without the lineage cut the logical plan
+        # doubles per round — 2^rounds nodes, a driver OOM on
+        # long-chain graphs (caught by the hostile-chain test).
+        lbl = lbl.localCheckpoint(eager=False)
+        s = lbl.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        return lbl, s
+
+    labels, prev_sum = _fill_and_sum(seed)
     for _ in range(max_iter):
         prop = (
             edges.join(labels, edges.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
         )
-        new_labels = (
+        new_labels, new_sum = _fill_and_sum(
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)  # cut lineage every round
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter("n.label != o.label")
-            .limit(1)
-            .count()
         )
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels.select("node", F.col("label").alias("cluster_id"))
+        prev_sum = new_sum
     raise ComponentsNotConverged(f"still changing after {max_iter} iterations")
 
 

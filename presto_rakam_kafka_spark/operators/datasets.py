@@ -333,11 +333,13 @@ def profile_table(
     at a new source): per column, row count, null count, distinct
     count, and min/max rendered as strings.
 
-    Shape: ONE aggregation over the corpus computing every column's
-    stats side by side (4·N agg expressions, one job), then a ``stack``
-    unpivot of the single result row into N output rows — never one
-    job per column (N scans) and never a corpus-sized unpivot-THEN-
-    aggregate (which would explode the input N×).
+    Shape: at most two aggregations over the corpus computing every
+    column's stats side by side, then a ``stack`` unpivot of the single
+    result row into N output rows — never one job per column (N scans)
+    and never a corpus-sized unpivot-THEN-aggregate (which would
+    explode the input N×). Exact mode runs the distinct counts and the
+    min/max/null stats as SEPARATE passes so the Expand branch keeps
+    fixed-width (hash-aggregable) buffers — see the inline comment.
 
     ``approx``: the multi-column exact COUNT(DISTINCT) is the expensive
     part — Catalyst plans it as an Expand (one replica of each row per
@@ -360,15 +362,38 @@ def profile_table(
             return F.approx_count_distinct(F.col(c), rsd)
         return F.count_distinct(F.col(c))
 
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in columns:
-        aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            nd(c).alias(f"{c}__nd"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
-        ]
-    one = df.agg(*aggs)
+    if approx:
+        # sketch buffers are fixed-size; one pass plans hash-side fine
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in columns:
+            aggs += [
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+                nd(c).alias(f"{c}__nd"),
+                F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+                F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            ]
+        one = df.agg(*aggs)
+    else:
+        # Exact mode: the multi-distinct rewrite Expands the corpus
+        # N+1× and groups by (gid, value). With min/max(string) in the
+        # SAME aggregate, the var-width string buffers disqualify
+        # HashAggregate and the whole Expanded corpus pays a full SORT
+        # (SortAggregate) — measured as the dominant cost of this
+        # operator. Split the profile into (a) the distinct counts —
+        # long-only buffers, so the Expand branch stays a HashAggregate
+        # — and (b) one slim pass for count/nulls/min/max, then glue
+        # the two single-row results. Two hash passes beat one sorted
+        # Expand pass at every scale; values are identical.
+        base_aggs = [F.count(F.lit(1)).alias("__n")]
+        nd_aggs = []
+        for c in columns:
+            base_aggs += [
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+                F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+                F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            ]
+            nd_aggs.append(nd(c).alias(f"{c}__nd"))
+        one = df.agg(*base_aggs).crossJoin(df.agg(*nd_aggs))
     parts = ", ".join(
         f"'{c}', __n, `{c}__nulls`, `{c}__nd`, `{c}__min`, `{c}__max`"
         for c in columns

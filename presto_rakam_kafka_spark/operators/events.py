@@ -997,26 +997,34 @@ def peak_concurrency(
     ).withColumn("bus", F.unix_micros("bts"))
     from presto_rakam_kafka_spark.operators.ranks import with_global_cumsum
 
-    curve = eager_pin(
-        with_global_cumsum(
-            bounds,
-            ["bus", "delta", "user_id", "session_seq"],
-            "delta",
-            cum_col="conc",
-            persist=True,
-        )
-    )  # consumed twice: peak agg + filter
-    peak = F.broadcast(curve.groupBy().agg(F.max("conc").alias("peak")))
-    return (
-        curve.join(peak)
-        .filter(F.col("conc") == F.col("peak"))
-        .groupBy()
-        .agg(
-            F.max("peak").cast("long").alias("peak_concurrent"),
-            F.date_format(F.min("bts"), "yyyy-MM-dd HH:mm:ss").alias(
-                "first_peak_ts"
-            ),
-        )
+    curve = with_global_cumsum(
+        bounds,
+        ["bus", "delta", "user_id", "session_seq"],
+        "delta",
+        cum_col="conc",
+        persist=True,
+    )
+    # finish in ONE aggregate: max over (conc, -bus) picks the peak and,
+    # among peak ties, the earliest boundary instant — argmax-by-struct
+    # instead of the round-8 peak-broadcast + equality-join + re-agg
+    # (which consumed the curve twice and needed an eager_pin to avoid
+    # recomputing the cumsum; one pass needs neither the pin nor the
+    # join). bus = unix_micros(bts) is injective, so max(-bus) IS the
+    # min bts; bts rides along in the struct for the finish projection.
+    best = curve.groupBy().agg(
+        F.max(
+            F.struct(
+                F.col("conc"),
+                (-F.col("bus")).alias("neg_bus"),
+                F.col("bts"),
+            )
+        ).alias("s")
+    )
+    return best.select(
+        F.col("s.conc").cast("long").alias("peak_concurrent"),
+        F.date_format(F.col("s.bts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "first_peak_ts"
+        ),
     )
 
 
