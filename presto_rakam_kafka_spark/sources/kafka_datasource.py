@@ -513,6 +513,18 @@ class OffsetSplit(InputPartition):
     end: int  # exclusive
 
 
+@dataclass(frozen=True)
+class PackedSplit(InputPartition):
+    """One scan task covering SEVERAL small adjacent segments of one
+    log partition (guide-§6 small-files packing: thousands of tiny
+    post-compaction segments must not cost one task each — per-task
+    scheduling and Python-worker overhead would dominate the scan).
+    Chunks are read sequentially by one task; row semantics are
+    identical to the unpacked splits."""
+
+    chunks: tuple[OffsetSplit, ...]
+
+
 class KafkaSegmentDataSource(DataSource):
     """Register with ``spark.dataSource.register(KafkaSegmentDataSource)``
     then ``spark.read.format("kafka_segments").option("path", dir)``.
@@ -584,6 +596,25 @@ class KafkaSegmentReader(DataSourceReader):
             raise KafkaLogLayoutError("kafka_segments requires option 'path'")
         self._path = path
         self._min_splits = int(options.get("minsplits", options.get("minSplits", 0)))
+        # Small-segment packing (guide §6 / §2.2: fewer, larger map
+        # tasks): cap on packed bytes per split and the per-file "open
+        # cost" charge, mirroring Spark's own file-split packing
+        # (maxPartitionBytes / openCostInBytes). packBytes=0 disables.
+        # The parallelism floor keeps short scans wide on small logs —
+        # packing only engages once the charged volume exceeds one
+        # open-cost unit per core.
+        self._pack_bytes = int(
+            options.get("packbytes", options.get("packBytes", 128 * 1024 * 1024))
+        )
+        self._open_cost = int(
+            options.get(
+                "opencostbytes", options.get("openCostBytes", 1024 * 1024)
+            )
+        )
+        par = options.get("packparallelism", options.get("packParallelism"))
+        if par is None:
+            par = os.environ.get("SPARK_GRAFT_CPUS") or (os.cpu_count() or 8)
+        self._pack_parallelism = max(1, int(par))
         # offset bounds accumulated from pushed filters; None = unbounded
         self._start: int | None = None  # inclusive
         self._end: int | None = None  # exclusive
@@ -787,10 +818,68 @@ class KafkaSegmentReader(DataSourceReader):
                     splits.append(OffsetSplit(fpath, pid, s, min(s + per_split, hi)))
             else:
                 splits.append(OffsetSplit(fpath, pid, lo, hi))
+        if per_split == 0:
+            # minSplits asked for MORE parallelism — packing (fewer,
+            # larger tasks) only applies when it did not.
+            return self._pack(splits)
         return splits
 
+    def _pack(self, splits: list[OffsetSplit]) -> list[InputPartition]:
+        """Pack adjacent small segments of one log partition into one
+        scan task, Spark's own file-split packing transplanted to the
+        segment log (guide §6: small files hurt twice — here a
+        key-compacted / purged log leaves many sub-MB residual
+        segments, and one Python task per segment makes per-task
+        overhead the scan's dominant cost). Each file is charged its
+        byte size plus ``openCostBytes``; the pack target is
+        ``min(packBytes, max(openCostBytes, charged_total /
+        parallelism))``, so small logs stay one-segment-per-task (full
+        width, exactly the unpacked plan) and huge logs bound a task at
+        ``packBytes``. Packing merges whole splits only — pruning
+        already happened — so the row set is untouched."""
+        if self._pack_bytes <= 0 or len(splits) <= 1:
+            return splits
+        charged: dict[str, int] = {}
+        for s in splits:
+            if s.path not in charged:
+                try:
+                    sz = os.path.getsize(s.path)
+                except OSError:
+                    sz = 0
+                charged[s.path] = sz + self._open_cost
+        total = sum(charged.values())
+        target = min(
+            self._pack_bytes,
+            max(self._open_cost, total // self._pack_parallelism),
+        )
+        out: list[InputPartition] = []
+        by_pid: dict[int, list[OffsetSplit]] = {}
+        for s in splits:
+            by_pid.setdefault(s.partition_id, []).append(s)
+        for pid in sorted(by_pid):
+            group: list[OffsetSplit] = []
+            acc = 0
+            for s in sorted(by_pid[pid], key=lambda x: (x.start, x.path)):
+                c = charged[s.path]
+                if group and acc + c > target:
+                    out.append(
+                        group[0] if len(group) == 1 else PackedSplit(tuple(group))
+                    )
+                    group, acc = [], 0
+                group.append(s)
+                acc += c
+            if group:
+                out.append(
+                    group[0] if len(group) == 1 else PackedSplit(tuple(group))
+                )
+        return out
+
     # -- executor-side scan: Arrow batches, no per-row Python ----------
-    def read(self, partition: OffsetSplit):
+    def read(self, partition: InputPartition):
+        if isinstance(partition, PackedSplit):
+            for chunk in partition.chunks:
+                yield from _read_split_batches(chunk)
+            return
         yield from _read_split_batches(partition)
 
 
