@@ -608,11 +608,17 @@ def simhash_pairs(
     at least one whole chunk, so joining per-chunk finds every such
     pair without a cross join.
     """
+    from presto_rakam_kafka_spark.operators.ranks import eager_pin
+
     n_chunks = max_hamming + 1
     base, extra = divmod(SIMHASH_BITS, n_chunks)
     widths = [base + (1 if c < extra else 0) for c in range(n_chunks)]
     starts = [sum(widths[:c]) for c in range(n_chunks)]
-    sh = simhash_signatures(df, text_col, id_col)
+    # pin the signatures: both sides of the chunk self-join consume
+    # them, and without the pin the explode + 21-lane sign-sum
+    # aggregate (the operator's dominant cost) runs twice — the same
+    # double-evaluation the LSH twin removes by persisting `ver`
+    sh = eager_pin(simhash_signatures(df, text_col, id_col))
     chunk_structs = ", ".join(
         f"named_struct('chunk', {c}, 'val',"
         f" (simhash div shiftleft(1L, {starts[c]}))"
@@ -626,15 +632,39 @@ def simhash_pairs(
     b = chunks.select(
         F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk", "val"
     )
+
+    def _chunk(side: str, c: int) -> str:
+        return (
+            f"((sh_{side} div shiftleft(1L, {starts[c]}))"
+            f" % shiftleft(1L, {widths[c]}))"
+        )
+
+    # Emit each pair at its FIRST agreeing chunk only: a pair agreeing
+    # on k chunks used to reach the output k times and pay a distinct
+    # exchange to collapse; both signatures ride the join, so "every
+    # earlier chunk differs" is a plain bit-arithmetic predicate and
+    # the duplicate emissions (and their exchange) never exist. Same
+    # pair set, one fewer shuffle (guide §2.4).
+    first_agree = "CASE " + " ".join(
+        f"WHEN chunk = {c} THEN "
+        + (
+            " AND ".join(
+                f"({_chunk('a', k)} != {_chunk('b', k)})" for k in range(c)
+            )
+            if c
+            else "true"
+        )
+        for c in range(n_chunks)
+    ) + " END"
     return (
         a.join(b, on=["chunk", "val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.expr(first_agree))
         .select(
             "doc_a",
             "doc_b",
             F.expr("bit_count(sh_a ^ sh_b)").cast("long").alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
 

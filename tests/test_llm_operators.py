@@ -47,11 +47,18 @@ def test_simhash_banding_finds_all_close_pairs(spark, sf_dir):
         .filter(F.expr("bit_count(sh_a ^ sh_b)") <= 3)
         .collect()
     }
-    banded = {
-        (r.doc_a, r.doc_b)
-        for r in dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=3).collect()
-    }
+    rows = dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=3).collect()
+    banded = {(r.doc_a, r.doc_b) for r in rows}
     assert banded == brute
+    # round-13: the dedup is BY CONSTRUCTION (each pair emitted at its
+    # first agreeing chunk only) — no duplicate rows without a distinct
+    # exchange in the plan
+    assert len(rows) == len(banded)
+    plan = (
+        dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Deduplicate" not in plan
 
 
 def test_simhash_stable_across_partitioning(spark, sf_dir):
@@ -293,6 +300,43 @@ def test_derived_rows_per_band():
         warnings.simplefilter("always")
         assert dedup.derived_rows_per_band(0.05, 16) == 1
     assert any("raise num_bands" in str(w.message) for w in caught)
+
+
+def test_probe_lists_numpy_routing_matches_expr_codec(spark, sf_dir):
+    """probe_lists_for (round-13: numpy driver-side routing) must pick
+    the IDENTICAL probe-list union as the expr codec's in-Spark routing
+    — left-assoc dot accumulation, (−dot, idx) order. The expr form is
+    inlined here as the reference."""
+    from pyspark.sql import functions as F
+
+    from presto_rakam_kafka_spark.operators.similarity import (
+        _dots_spark,
+        ivf_centroids,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    for pred, nprobe in [("vec_id < 10", 4), ("vec_id % 40 = 1", 8)]:
+        q = emb.filter(pred)
+        new = similarity.probe_lists_for(q, "embedding", dim=64, nprobe=nprobe)
+        cents = ivf_centroids(similarity.NUM_CENTROIDS, 64)
+        dots = _dots_spark("embedding", cents)
+        dcols = [f"d{i}" for i in range(len(cents))]
+        pairs_expr = ", ".join(
+            f"named_struct('negd', -({c}), 'idx', {i})"
+            for i, c in enumerate(dcols)
+        )
+        probe = (
+            f"slice(transform(array_sort(array({pairs_expr})), s -> s.idx),"
+            f" 1, {nprobe})"
+        )
+        rows = (
+            q.select(*[F.expr(d).alias(c) for d, c in zip(dots, dcols)])
+            .selectExpr(f"explode({probe}) AS list_id")
+            .distinct()
+            .collect()
+        )
+        old = sorted(int(r["list_id"]) for r in rows)
+        assert old == new, (pred, nprobe, old, new)
 
 
 def test_ivf_topk_nprobe_three(spark, sf_dir):

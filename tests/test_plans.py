@@ -548,13 +548,18 @@ def test_dataset_diff_joins_digests_not_text(spark, sf_dir):
     assert "md5(cast(text" in plan, plan[:3000]
 
 
-def test_profile_is_single_aggregate_pass(spark, sf_dir):
-    # one aggregation over the corpus (Expand for the multi-distinct is
-    # expected), then a 1-row stack unpivot — never one job/scan per
-    # column: exactly one file-scan of orders in the plan.
+def test_profile_is_two_hash_friendly_passes(spark, sf_dir):
+    # Exact mode (round-13 optimization): TWO corpus passes — the
+    # multi-distinct Expand pass and the count/null/min/max pass —
+    # glued by a 1-row cross join, then the stack unpivot. Never one
+    # job/scan per column, and never a SORT of the Expanded corpus:
+    # with the var-width min/max(string) buffers out of the distinct
+    # aggregate, every grouped aggregate stays hash-based (the 1-row
+    # global min/max SortAggregate needs no Sort child).
     plan = _plan(Q.QUERIES["profile_orders"](spark, sf_dir))
-    assert plan.count("Scan parquet") == 1, plan[:3000]
+    assert plan.count("Scan parquet") == 2, plan[:3000]
     assert "Expand" in plan, plan[:3000]
+    assert "Sort [" not in plan, plan[:3000]
 
 
 def test_profile_approx_within_rsd_no_expand(spark, sf_dir):
