@@ -1493,23 +1493,31 @@ def probe_lists_for(
 ) -> list[int]:
     """The union of the query set's nprobe probe lists — the bounded
     (queries × nprobe) driver-side routing step a vector-search
-    frontend performs before issuing pruned scans."""
+    frontend performs before issuing pruned scans.
+
+    Round-13 optimization: routed entirely in numpy on the collected
+    query batch (a serving batch, 10²–10⁴ rows — the same driver-held
+    contract as the pandas ADC codec) instead of a Spark job whose
+    num_centroids × dim dot-product expressions were the single
+    largest Catalyst compile on every probe path. Accumulation parity
+    with the expr form is the pandas codec's tested contract: dots
+    fold left-associated (``acc = acc + v[t]·C[:,t]``), order is
+    (−dot, idx) via the same lexsort `_ivfpq_probe_pandas` uses, so
+    the selected lists are identical."""
+    import numpy as np
+
     cents = centroids if centroids is not None else ivf_centroids(num_centroids, dim)
-    dots = _dots_spark(vec_col, cents)
-    dcols = [f"d{i}" for i in range(len(cents))]
-    pairs_expr = ", ".join(
-        f"named_struct('negd', -({c}), 'idx', {i})" for i, c in enumerate(dcols)
-    )
-    probe = (
-        f"slice(transform(array_sort(array({pairs_expr})), s -> s.idx), 1, {nprobe})"
-    )
-    rows = (
-        queries.select(*[F.expr(d).alias(c) for d, c in zip(dots, dcols)])
-        .selectExpr(f"explode({probe}) AS list_id")
-        .distinct()
-        .collect()
-    )
-    return sorted(int(r["list_id"]) for r in rows)
+    C = np.array(cents, dtype=np.float64)
+    lists: set[int] = set()
+    idx = np.arange(len(cents))
+    for r in queries.select(vec_col).collect():
+        v = np.asarray(r[vec_col], dtype=np.float64)
+        acc = np.zeros(len(cents), dtype=np.float64)
+        for t in range(dim):
+            acc = acc + v[t] * C[:, t]
+        order = np.lexsort((idx, -acc))
+        lists.update(int(i) for i in order[:nprobe])
+    return sorted(lists)
 
 
 def assign_clusters_pandas(
