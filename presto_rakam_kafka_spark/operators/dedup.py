@@ -450,19 +450,25 @@ def minhash_lsh_pairs(
     # groups-aggregate shuffle PLUS the join (groups are ~n rows at
     # corpus scale — not broadcastable); the window is a single corpus
     # shuffle on the digest. Digests are uniform, so no skew.
-    annotated = df.selectExpr(
+    from presto_rakam_kafka_spark.operators.ranks import eager_pin
+
+    annotated = eager_pin(df.selectExpr(
         id_col, text_col, f"md5({text_col}) AS __digest"
     ).selectExpr(
         id_col,
         text_col,
         f"min({id_col}) OVER (PARTITION BY __digest) AS __rep",
         "count(1) OVER (PARTITION BY __digest) AS __size",
-    ).persist()
+    ))
     # annotated feeds four plan branches (expansion sides a/b, the
     # intra-group pair build, and reps → shingles). Without persist each
     # branch re-runs the digest window; exchange reuse MIGHT dedupe
     # them, but that is plan-shape fragile — persist makes the reuse
     # explicit (MEMORY_AND_DISK, ≈ corpus size, LRU-evicted after).
+    # Round-13: the fill is EAGER — a lazy persist lets AQE materialize
+    # the four consuming query stages concurrently, and tasks that all
+    # miss the cache each recompute the digest window (a cache RACE,
+    # up to 4× the corpus shuffle); one fill job pins it exactly once.
     reps = annotated.filter(F.col(id_col) == F.col("__rep")).select(
         F.col(id_col), F.col(text_col)
     )

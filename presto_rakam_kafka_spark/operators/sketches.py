@@ -522,18 +522,20 @@ def quantiles_from_histogram(
     runs over the SKETCH (groups × bins rows), never the corpus; the
     rank thresholds use identical IEEE double products in both engines
     (``tot * q`` then ceil), so the estimates hash-match exactly."""
+    # ONE pass over the sketch: the per-group total rides the SAME
+    # partitioning as the cumulative window (whole-partition frame), so
+    # the sketch is exchanged/sorted once and never joined back to
+    # itself — the round-12 shape's groupBy + rename + self-join
+    # consumed the histogram twice, which forced serve-path callers to
+    # eager-pin it (round-13 optimization; also moot-proofs the
+    # same-attribute self-join analysis trap the rename worked around).
     w = Window.partitionBy(group_col).orderBy("bin")
-    cum = hist.withColumn("_cum", F.sum("n").over(w))
-    # rename the grouped leg's key: both legs derive from the SAME
-    # sketch frame (possibly a drained streaming memory table), and a
-    # same-attribute self-join fails analysis (the stream_cohort_ltv
-    # lesson)
-    tot = (
-        hist.groupBy(group_col)
-        .agg(F.sum("n").cast("long").alias("_tot"))
-        .withColumnRenamed(group_col, "_tot_group")
+    w_all = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    j = cum.join(tot, F.col(group_col) == F.col("_tot_group"))
+    j = hist.withColumn("_cum", F.sum("n").over(w)).withColumn(
+        "_tot", F.sum("n").over(w_all).cast("long")
+    )
     aggs = [F.max("_tot").cast("long").alias("n_rows")]
     for q in qs:
         aggs.append(
@@ -705,14 +707,16 @@ def quantiles_from_histogram_log(
     estimates 10^-p."""
     S = int(sub_bins)
     p_scale = float(10 ** scale_digits)
+    # same one-pass shape as quantiles_from_histogram: total via a
+    # whole-partition window on the cum window's partitioning — one
+    # exchange, no sketch self-join (round-13 optimization)
     w = Window.partitionBy(group_col).orderBy("bin")
-    cum = hist.withColumn("_cum", F.sum("n").over(w))
-    tot = (
-        hist.groupBy(group_col)
-        .agg(F.sum("n").cast("long").alias("_tot"))
-        .withColumnRenamed(group_col, "_tot_group")
+    w_all = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    j = cum.join(tot, F.col(group_col) == F.col("_tot_group"))
+    j = hist.withColumn("_cum", F.sum("n").over(w)).withColumn(
+        "_tot", F.sum("n").over(w_all).cast("long")
+    )
     edge = F.when(
         F.col("bin") < 0, F.lit(1.0) / F.lit(p_scale)
     ).otherwise(

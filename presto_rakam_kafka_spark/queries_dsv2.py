@@ -1530,16 +1530,13 @@ def events_serve_rollup_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     merge_exprs = [F.sum("n").alias("n")]
 
     def finish(cells: DataFrame) -> DataFrame:
-        from presto_rakam_kafka_spark.operators.ranks import eager_pin
-
-        # the quantile finish consumes the histogram TWICE (cumulative
-        # ranks + per-group totals) — unpinned, each action re-runs the
-        # serve's tail scan through the Python source. The merged cells
-        # are (days × types × bins) rows — KBs — so pinning them costs
-        # nothing and halves the tail I/O (VERDICT r10 #7).
-        hist = eager_pin(
-            cells.groupBy("event_type", "bin").agg(F.sum("n").alias("n"))
-        )
+        # the quantile finish is ONE pass since round 13 (cumulative
+        # rank and per-group total share a single window exchange —
+        # operators/sketches.py), so the histogram is consumed once
+        # and the r10 eager-pin (which existed to stop the finish's
+        # second consumer re-running the tail scan) is gone: the whole
+        # serve is one job again.
+        hist = cells.groupBy("event_type", "bin").agg(F.sum("n").alias("n"))
         return sketches.quantiles_from_histogram_log(hist)
 
     log_dir = _segment_log_dir(spark, sf_dir)

@@ -461,9 +461,37 @@ def read_store_cells_at(
     ]
     if not files:
         return None
-    # mergeSchema: generations written before a cell-schema migration
-    # lack the new measure columns — merge them in as nullable
-    return spark.read.option("mergeSchema", "true").parquet(*files)
+    # Schema-migration tolerance: generations written before a cell-
+    # schema migration lack the new measure columns. mergeSchema=true
+    # gave that, but it launches a footer-reading SPARK JOB on every
+    # serve build (measured ~1.4 s of the serve's driver latency at
+    # sf0.1). The manifest is a bounded file list, so merge the footers
+    # DRIVER-side with pyarrow (µs per file) and hand Spark the final
+    # schema — missing columns read as nulls exactly as mergeSchema
+    # produced. Any surprise (type conflict, exotic type) falls back to
+    # the mergeSchema job: slower, never wrong (round-13 optimization).
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        merged: dict[str, object] = {}
+        order: list[str] = []
+        for p in files:
+            for f in pq.read_schema(p):
+                prev = merged.get(f.name)
+                if prev is None:
+                    merged[f.name] = f.with_nullable(True)
+                    order.append(f.name)
+                elif not prev.type.equals(f.type):
+                    raise ValueError(
+                        f"cell schema conflict on {f.name!r}: "
+                        f"{prev.type} vs {f.type}"
+                    )
+        schema = from_arrow_schema(pa.schema([merged[n] for n in order]))
+        return spark.read.schema(schema).parquet(*files)
+    except Exception:
+        return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
 def stored_cell_count(store: str) -> int | None:
