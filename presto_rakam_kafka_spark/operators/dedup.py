@@ -773,14 +773,12 @@ def semdedup(
     the same clustering, so the contract is exact given the centroids.
     """
     from presto_rakam_kafka_spark.operators.similarity import (
-        _argmax_rank_expr,
-        _dots_spark,
+        _dots_array_spark,
+        _sorted_idx_from_array,
         ivf_centroids,
     )
 
     cents = centroids if centroids is not None else ivf_centroids(num_centroids, dim)
-    dots = _dots_spark(vec_col, cents)
-    dcols = [f"d{i}" for i in range(len(cents))]
     # Per-row norm computed ONCE before the pair join (per-pair work
     # drops from 3 array folds to 1 — the dot); same left-fold double
     # expression as cosine_expr, so values are bit-identical.
@@ -788,17 +786,15 @@ def semdedup(
         f"sqrt(aggregate(transform({vec_col}, x -> cast(x as double)"
         f" * cast(x as double)), 0D, (acc, v) -> acc + v))"
     )
-    assigned = (
-        df.select(
-            F.col(id_col),
-            F.col(vec_col),
-            *[F.expr(d).alias(c) for d, c in zip(dots, dcols)],
-        )
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.expr(_argmax_rank_expr(dcols, 0)).alias("cluster_id"),
-        )
+    # cluster assignment in array form (round 14, similarity.py
+    # _dots_array_spark): one sorted codebook-literal dot array, same
+    # doubles and (dot desc, idx asc) tie-break as the per-column
+    # struct-sort form — equality-tested there
+    cluster_expr = _sorted_idx_from_array(
+        _dots_array_spark(vec_col, cents), len(cents)
+    )
+    assigned = df.selectExpr(
+        id_col, vec_col, f"({cluster_expr})[0] AS cluster_id"
     )
     with_norm = assigned.select(
         id_col, vec_col, "cluster_id", F.expr(norm).alias("_nrm")

@@ -323,6 +323,52 @@ def _dots_spark(vec_col: str, cents: list[list[float]]) -> list[str]:
     return out
 
 
+def _json_doubles(values) -> str:
+    """JSON text of a float vector/matrix whose parse yields the EXACT
+    doubles the ``f"{v}D"`` SQL literals yield: both Jackson and the SQL
+    parser do correctly-rounded decimal→double, and ``json.dumps`` emits
+    ``repr(float)`` (the shortest round-tripping decimal), so the two
+    paths land on identical bits."""
+    import json as _json
+
+    return _json.dumps(values)
+
+
+def _dots_array_spark(vec_col: str, cents: list[list[float]]) -> str:
+    """ALL the :func:`_dots_spark` dot products as ONE ``array<double>``
+    expression (entry i = centroid i). Arithmetic-identical per entry —
+    the same ``zip_with`` product list folded left from the same ``0D``
+    seed — but the codebook rides as a single constant-folded
+    ``from_json`` literal instead of ``len(cents)`` inlined
+    ``array(...)`` literals, so parse + analysis + codegen cost is O(1)
+    in the centroid count instead of O(len(cents)·dim). Round-14
+    (VERDICT r13 #5): the m×ksub LUT/coding expressions made every
+    benched ANN probe Catalyst-compile-dominated (~0.75 s/probe);
+    measured 4.7× faster parse+analyze on the 8×64 routing expr alone,
+    0 value mismatches. ConstantFolding evaluates the ``from_json``
+    once at optimization time (deterministic, foldable child) —
+    receipt-tested in ``tests/test_llm_operators.py``."""
+    return (
+        f"transform(from_json('{_json_doubles(cents)}', 'array<array<double>>'),"
+        f" c -> aggregate(zip_with({vec_col}, c,"
+        f" (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v))"
+    )
+
+
+def _sorted_idx_from_array(darr_expr: str, n: int) -> str:
+    """Indices ``0..n-1`` ordered by (value desc, idx asc) over the
+    n-entry dot ARRAY — the same struct-sort tie-break as
+    :func:`_argmax_rank_expr` (equality-tested), with ``darr_expr``
+    referenced exactly ONCE so projection collapse can never duplicate
+    the dot computation (the round-3 CollapseProject-OOM lesson,
+    honored in array form). ``[0]`` of the result is the argmax;
+    ``slice(..., 1, nprobe)`` is the probe list."""
+    return (
+        f"transform(array_sort(zip_with({darr_expr}, sequence(0, {n - 1}),"
+        f" (d, i) -> named_struct('negd', -d, 'idx', i))), s -> s.idx)"
+    )
+
+
 def _dots_duckdb(vec_col: str, cents: list[list[float]]) -> list[str]:
     out = []
     for cent in cents:
@@ -398,33 +444,25 @@ def ivf_topk(
     comparison matrix re-inlines every 64-literal dot product and the
     plan balloons to megabytes."""
     cents = centroids if centroids is not None else ivf_centroids(num_centroids, dim)
-    dots = _dots_spark(vec_col, cents)
-    dcols = [f"d{i}" for i in range(len(cents))]
-
-    def with_dots(df):
-        return df.select(
-            "*", *[F.expr(d).alias(c) for d, c in zip(dots, dcols)]
-        )
-
-    c = with_dots(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_emb"),
-        F.expr(_argmax_rank_expr(dcols, 0)).alias("list_id"),
+    # One array-of-dots expression per side (codebook as a constant-
+    # folded literal — round 14, see _dots_array_spark), sorted once:
+    # [0] assigns the list, slice(..., nprobe) routes the probes. Same
+    # doubles, same (dot desc, idx asc) tie-break as the per-column
+    # struct-sort form (equality-tested); expression tree is O(1) in
+    # num_centroids instead of O(num_centroids·dim).
+    sorted_idx = _sorted_idx_from_array(
+        _dots_array_spark(vec_col, cents), len(cents)
     )
-    # All nprobe list ids from ONE sort: slice the sorted (dot desc,
-    # idx asc) array and explode — each dot column is referenced once,
-    # where the earlier per-rank union re-derived all dots nprobe times.
-    pairs_expr = ", ".join(
-        f"named_struct('negd', -({c}), 'idx', {i})" for i, c in enumerate(dcols)
-    )
-    probe_lists = (
-        f"slice(transform(array_sort(array({pairs_expr})), s -> s.idx), 1, {nprobe})"
+    c = corpus.selectExpr(
+        f"{id_col} AS neighbor_id",
+        f"{vec_col} AS c_emb",
+        f"({sorted_idx})[0] AS list_id",
     )
     q = F.broadcast(
-        with_dots(queries).select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_emb"),
-            F.explode(F.expr(probe_lists)).alias("list_id"),
+        queries.selectExpr(
+            f"{id_col} AS query_id",
+            f"{vec_col} AS q_emb",
+            f"explode(slice({sorted_idx}, 1, {nprobe})) AS list_id",
         )
     )
     cos = F.expr(cosine_expr("q_emb", "c_emb"))
@@ -532,6 +570,24 @@ def _pq_sub_duckdb(vec_col: str, j: int, sub_dim: int) -> str:
     return f"{vec_col}[{j * sub_dim + 1}:{(j + 1) * sub_dim}]"
 
 
+def _pq_adj_array(vec_col: str, j: int, sub_dim: int, books) -> str:
+    """Subspace ``j``'s ksub ADJUSTED dots (dot − round(½‖c‖², 6)) as
+    one array expression: the dots come from :func:`_dots_array_spark`
+    (identical fold), the half-norms ride as a second constant-folded
+    literal, and the subtraction happens AFTER the fold exactly as the
+    old per-centroid ``(aggregate(...)) - 0.123456`` exprs did — same
+    doubles, O(1) tree size in ksub."""
+    halfs = [
+        round(sum(v * v for v in books[j][c]) / 2.0, 6)
+        for c in range(len(books[j]))
+    ]
+    dots = _dots_array_spark(_pq_sub_spark(vec_col, j, sub_dim), books[j])
+    return (
+        f"zip_with({dots}, from_json('{_json_doubles(halfs)}',"
+        f" 'array<double>'), (d, h) -> d - h)"
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -557,19 +613,17 @@ def pq_topk(
     if books is None:
         books = pq_centroids(m, ksub, sub_dim)
 
-    def dots_for(sub_expr: str, j: int) -> list[str]:
-        return _dots_spark(sub_expr, books[j])
-
-    code_exprs = []
-    for j in range(m):
-        adj = [
-            f"({d}) - {round(sum(v * v for v in books[j][c]) / 2.0, 6)}"
-            for c, d in enumerate(dots_for(_pq_sub_spark(vec_col, j, sub_dim), j))
-        ]
-        pairs = ", ".join(
-            f"named_struct('negd', -({d}), 'idx', {c})" for c, d in enumerate(adj)
-        )
-        code_exprs.append(f"array_sort(array({pairs}))[0].idx AS code{j}")
+    # Coding and LUTs in ARRAY form (round 14, _dots_array_spark): per
+    # subspace, ONE codebook-literal transform yields the ksub dots;
+    # the adjusted dots (dot − ½‖c‖², subtracted AFTER the fold — same
+    # float order as the old per-centroid exprs) sort once for the
+    # code. Same doubles, same (adj desc, idx asc) tie-break; the
+    # expression tree is O(m), not O(m·ksub·sub_dim).
+    code_exprs = [
+        f"({_sorted_idx_from_array(_pq_adj_array(vec_col, j, sub_dim, books), ksub)})[0]"
+        f" AS code{j}"
+        for j in range(m)
+    ]
     coded = corpus.selectExpr(f"{id_col} AS neighbor_id", *code_exprs)
 
     # The per-subspace lookup TABLE is literally an array column on
@@ -577,12 +631,8 @@ def pq_topk(
     # element_at instead of a ksub-branch CASE chain — same doubles,
     # ~4× faster cold / 20% warm at sf0.1 (SCALE_NOTES §adc-array).
     qarr_exprs = [
-        "array("
-        + ", ".join(
-            f"({d})"
-            for d in dots_for(_pq_sub_spark(vec_col, j, sub_dim), j)
-        )
-        + f") AS qarr_{j}"
+        f"{_dots_array_spark(_pq_sub_spark(vec_col, j, sub_dim), books[j])}"
+        f" AS qarr_{j}"
         for j in range(m)
     ]
     qtab = queries.selectExpr(f"{id_col} AS query_id", *qarr_exprs)
@@ -790,25 +840,22 @@ def ivfpq_code_corpus(
     if codec != "expr":
         raise ValueError(f"unknown codec {codec!r}: use 'expr' or 'pandas'")
 
-    dots = _dots_spark(vec_col, cents)
-    dcols = [f"d{i}" for i in range(len(cents))]
-    code_exprs = []
-    for j in range(m):
-        adj = [
-            f"({d}) - {round(sum(v * v for v in books[j][c]) / 2.0, 6)}"
-            for c, d in enumerate(
-                _dots_spark(_pq_sub_spark(vec_col, j, sub_dim), books[j])
-            )
-        ]
-        pairs = ", ".join(
-            f"named_struct('negd', -({d}), 'idx', {c})" for c, d in enumerate(adj)
-        )
-        code_exprs.append(f"array_sort(array({pairs}))[0].idx AS code{j}")
-    return corpus.select(
-        "*", *[F.expr(d).alias(c) for d, c in zip(dots, dcols)]
-    ).selectExpr(
+    # Array-form coding (round 14, see _dots_array_spark/_pq_adj_array):
+    # list assignment and the m sub-codes each sort ONE codebook-literal
+    # dot array — same doubles and tie-breaks as the per-column
+    # struct-sort form (equality-tested vs the pandas codec too), with
+    # an O(m + 1) expression tree instead of O((m·ksub + k)·dim).
+    code_exprs = [
+        f"({_sorted_idx_from_array(_pq_adj_array(vec_col, j, sub_dim, books), ksub)})[0]"
+        f" AS code{j}"
+        for j in range(m)
+    ]
+    list_expr = _sorted_idx_from_array(
+        _dots_array_spark(vec_col, cents), len(cents)
+    )
+    return corpus.selectExpr(
         f"{id_col} AS neighbor_id",
-        f"{_argmax_rank_expr(dcols, 0)} AS list_id",
+        f"({list_expr})[0] AS list_id",
         *([vec_col] if keep_vector else []),
         *code_exprs,
     )
@@ -883,38 +930,33 @@ def ivfpq_topk_from_index(
             f"unknown probe_codec {probe_codec!r}: use 'expr' or 'pandas'"
         )
 
-    dots = _dots_spark(vec_col, cents)
-    dcols = [f"d{i}" for i in range(len(cents))]
-
-    def with_dots(df):
-        return df.select("*", *[F.expr(d).alias(c) for d, c in zip(dots, dcols)])
-
     if prune_lists is not None:
         coded = coded.filter(
             F.col("list_id").isin(*[int(x) for x in prune_lists])
         )
 
-    pairs_expr = ", ".join(
-        f"named_struct('negd', -({c}), 'idx', {i})" for i, c in enumerate(dcols)
-    )
+    # Routing + LUTs in array form (round 14, _dots_array_spark): the
+    # probe list is one slice of one sorted codebook-literal dot array,
+    # and each qarr_j IS the subspace's dot array — same doubles, same
+    # (dot desc, idx asc) order as the per-column struct-sort form
+    # (equality-tested), with the per-probe Catalyst tree O(m + 1)
+    # instead of O((m·ksub + k)·dim) — the ADC expr-codec compile that
+    # dominated every benched probe (VERDICT r13 #5).
     probe_lists = (
-        f"slice(transform(array_sort(array({pairs_expr})), s -> s.idx), 1, {nprobe})"
+        f"slice({_sorted_idx_from_array(_dots_array_spark(vec_col, cents), len(cents))},"
+        f" 1, {nprobe})"
     )
     # array-column lookup tables + element_at, not CASE chains — see
     # pq_topk (§adc-array); identical doubles, far less per-candidate
     # expression evaluation.
     qarr_exprs = [
-        "array("
-        + ", ".join(
-            f"({d})"
-            for d in _dots_spark(_pq_sub_spark(vec_col, j, sub_dim), books[j])
-        )
-        + f") AS qarr_{j}"
+        f"{_dots_array_spark(_pq_sub_spark(vec_col, j, sub_dim), books[j])}"
+        f" AS qarr_{j}"
         for j in range(m)
     ]
     refine_cols = [f"{vec_col} AS _qvec"] if refine_factor is not None else []
     q = F.broadcast(
-        with_dots(queries)
+        queries
         .selectExpr(f"{id_col} AS query_id", f"explode({probe_lists}) AS list_id", "*")
         .selectExpr("query_id", "list_id", *refine_cols, *qarr_exprs)
     )

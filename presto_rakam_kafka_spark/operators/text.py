@@ -313,7 +313,18 @@ def lm_bigram_scores(
     vocab = train.select(
         F.explode(F.expr(tokens_spark(text_col))).alias("t")
     ).agg(F.countDistinct("t").alias("vocab"))
-    rb = explode_pairs(train).groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    # Pin the bigram-count table: rb feeds BOTH its own broadcast and
+    # rc's (the prefix-context rollup), and each broadcast build is an
+    # independent job — unpinned, the train slice's explode+groupBy
+    # chain ran twice (VERDICT r13 #8 / guide §5: cache iff reused and
+    # recompute > memory cost; rb is bigram-TYPE-bounded, ≪ corpus, so
+    # the cache is vocabulary-sized at any SF while the saved recompute
+    # is a full train-slice scan).
+    from presto_rakam_kafka_spark.operators.ranks import eager_pin
+
+    rb = eager_pin(
+        explode_pairs(train).groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    )
     rc = rb.groupBy("w1").agg(F.sum("cnt").alias("ctx"))
     db = explode_pairs(df, F.col(id_col))
     nll = F.expr(

@@ -376,41 +376,12 @@ def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.daily_anomaly(_t(spark, sf_dir, "events"), trailing_days=7)
 
 
-@query(
-    "events_ab_test",
-    oracle="""
-    WITH per_user AS (
-      SELECT user_id,
-             max(CASE WHEN event_type = 'purchase' AND value > 150.0
-                      THEN 1 ELSE 0 END) AS converted
-      FROM events GROUP BY user_id
-    ), wide AS (
-      SELECT
-        CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-        CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-        CAST(sum(CASE WHEN user_id % 2 = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
-        CAST(sum(CASE WHEN user_id % 2 = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
-      FROM per_user
-    )
-    SELECT n_a, n_b, conv_a, conv_b,
-           round(conv_a / n_a, 4) AS rate_a,
-           round(conv_b / n_b, 4) AS rate_b,
-           round(CASE WHEN (conv_a + conv_b) / (n_a + n_b) > 0
-                       AND (conv_a + conv_b) / (n_a + n_b) < 1
-                      THEN (conv_a / n_a - conv_b / n_b) /
-                           sqrt(((conv_a + conv_b) / (n_a + n_b)) *
-                                (1.0 - (conv_a + conv_b) / (n_a + n_b)) *
-                                (1.0 / n_a + 1.0 / n_b))
-                 END, 4) AS z_stat
-    FROM wide
-    """,
-)
-def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A/B experiment readout: hash-assigned variants, goal-conversion
-    rates, pooled two-proportion z — every float step an IEEE
-    exactly-rounded op in the same expression shape as the oracle
-    (`operators/events.py:ab_test`)."""
-    return ev.ab_test(_t(spark, sf_dir, "events"))
+# NOTE (VERDICT r13 #9): an earlier round registered a SECOND
+# `events_ab_test` here (ev.ab_test-based, purchase>150 conversion);
+# the later definition below (line ~1280, first-purchase>=100) silently
+# shadowed it in both QUERIES and ORACLES, so it was dead code with an
+# unreachable oracle. Removed in round 14 — zero behavior change (the
+# registry always resolved to the later definition; gate-proven).
 
 
 @query(

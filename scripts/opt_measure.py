@@ -27,7 +27,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-PLANS_DIR = os.path.join(REPO, "plans", "r13")
+PLANS_DIR = os.path.join(
+    REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
+)
 
 
 def main() -> None:

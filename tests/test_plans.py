@@ -688,11 +688,17 @@ def test_hll_rolling_range_joins_are_rollup_only(spark, sf_dir):
 
 def test_value_quantiles_log_windows_sketch_only(spark, sf_dir):
     """The log-quantile finish windows over the SKETCH (groups × bins),
-    never the corpus: exactly one Window (the cumulative count over
-    bins), no SinglePartition exchange of corpus rows, and the binning
-    runs as codegen expressions (no Python in the hot path)."""
+    never the corpus: the cumulative count and the per-group total are
+    two window specs riding ONE exchange of the sketch (no groupBy +
+    rename + self-join of the histogram — the r13 one-pass finish), no
+    SinglePartition exchange of corpus rows, and the binning runs as
+    codegen expressions (no Python in the hot path)."""
     plan = _plan(Q.QUERIES["events_value_quantiles_log"](spark, sf_dir))
-    assert plan.count("Window") == 1, plan[:3000]
+    assert plan.count("Window") == 2, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+    # exactly two exchanges: corpus→histogram partial agg, then the one
+    # sketch re-key shared by both window specs and the final groupBy
+    assert plan.count("Exchange") == 2, plan[:3000]
     assert "FlatMapGroupsInPandas" not in plan and "ArrowEvalPython" not in plan
     for line in plan.splitlines():
         if "Exchange SinglePartition" in line:
