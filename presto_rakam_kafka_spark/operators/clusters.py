@@ -79,10 +79,23 @@ def connected_components(
         # doubles per round — 2^rounds nodes, a driver OOM on
         # long-chain graphs (caught by the hostile-chain test).
         lbl = lbl.localCheckpoint(eager=False)
-        s = lbl.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        return lbl, s
+        row = lbl.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        # ADVICE r13 #2: a NULL checksum with labels present means the
+        # label column isn't castable to decimal (string/UUID doc ids)
+        # — every round would read None == None and "converge" after
+        # one step, silently returning non-transitive clusters. Refuse
+        # loudly; callers with non-numeric ids must map them to a
+        # numeric surrogate first (every in-repo caller uses long ids).
+        if row["s"] is None and row["n"]:
+            raise TypeError(
+                "connected_components convergence checksum is NULL: the "
+                "label column is not numeric-castable (string/UUID ids?)"
+                " — map ids to a numeric surrogate before clustering"
+            )
+        return lbl, row["s"]
 
     labels, prev_sum = _fill_and_sum(seed)
     for _ in range(max_iter):

@@ -300,7 +300,17 @@ def _lsh_rep_pairs(
     if sh is None:
         sh = shingle_sets(_ensure_min_parallelism(reps), text_col, id_col, n)
     sigs = _signatures_from_shingles(sh, id_col, num_hashes)
-    ver = sh.join(sigs, id_col).persist()
+    # EAGER fill, same rationale as minhash_lsh_pairs' `annotated` pin
+    # (round-13 fix, extended to `ver` in round 14): ver feeds THREE
+    # plan branches (band melt + verify sides a/b), and a lazy persist
+    # lets AQE materialize those query stages concurrently — tasks that
+    # all miss the cache each recompute the shingle+K-min-signature
+    # pass (up to 3× the operator's dominant cost). One fill job pins
+    # it exactly once; local cost is neutral (the fill pays what the
+    # first consumer would have paid).
+    from presto_rakam_kafka_spark.operators.ranks import eager_pin
+
+    ver = eager_pin(sh.join(sigs, id_col))
     # One 8-byte key per band (hash of the band's signature rows):
     # numeric shuffle keys, not concatenated strings. inline() explodes
     # the per-band structs straight to (band, key) columns — the whole

@@ -88,6 +88,46 @@ def user_session_stats(
     )
 
 
+def _prefix_counts(
+    depths: DataFrame,
+    steps: tuple[str, ...],
+    group_before: tuple[str, ...] = (),
+    group_after: tuple[str, ...] = (),
+) -> DataFrame:
+    """Funnel FINISH shared by every variant: per completed prefix
+    (and optional extra grouping columns), how many users reached it.
+    Each user with depth ≥ 1 contributes one row per prefix via
+    ``explode(sequence(1, depth))`` — round 14 replaced the 3-row
+    steps-frame ``depth >= step`` θ-join here (a per-run
+    createDataFrame, BroadcastExchange job, and BroadcastNestedLoopJoin
+    stage ×6 funnel variants) with this generator projection (guide
+    §2.4 — remove the join outright). Row-for-row identical: the inner
+    θ-join emitted exactly the prefixes 1..depth per user and nothing
+    for depth 0; the step-name lookup is ``element_at`` on a literal.
+    Output columns: [*group_before, step, step_name, *group_after,
+    n_users] — the exact former join+groupBy order."""
+    names_arr = "array(" + ", ".join(
+        "'" + s.replace("'", "\\'") + "'" for s in steps
+    ) + ")"
+    return (
+        depths.filter(F.col("depth") >= 1)
+        .select(
+            *group_before,
+            *group_after,
+            F.explode(F.sequence(F.lit(1), F.col("depth"))).alias("step"),
+        )
+        .groupBy(*group_before, "step", *group_after)
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            *group_before,
+            "step",
+            F.expr(f"element_at({names_arr}, step)").alias("step_name"),
+            *group_after,
+            "n_users",
+        )
+    )
+
+
 def funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
     """Ordered funnel: for each prefix of ``steps``, how many users
     completed it in order (later steps strictly after earlier ones;
@@ -117,14 +157,7 @@ def funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFram
     )
     depths = evs.groupBy("user_id").agg(depth.alias("depth"))
     # One row per funnel step: users whose depth reaches that step.
-    steps_df = depths.sparkSession.createDataFrame(
-        [(i + 1, s) for i, s in enumerate(steps)], "step INT, step_name STRING"
-    )
-    return (
-        depths.join(F.broadcast(steps_df), F.col("depth") >= F.col("step"))
-        .groupBy("step", "step_name")
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
+    return _prefix_counts(depths, steps)
 
 
 def funnel_windowed(
@@ -166,14 +199,7 @@ def funnel_windowed(
         F.array_sort(F.collect_list("ev")), zero, advance
     )["depth"]
     depths = evs.groupBy("user_id").agg(depth.alias("depth"))
-    steps_df = depths.sparkSession.createDataFrame(
-        [(i + 1, s) for i, s in enumerate(steps)], "step INT, step_name STRING"
-    )
-    return (
-        depths.join(F.broadcast(steps_df), F.col("depth") >= F.col("step"))
-        .groupBy("step", "step_name")
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
+    return _prefix_counts(depths, steps)
 
 
 def funnel_latency(
@@ -299,15 +325,7 @@ def funnel_filtered(
         lambda acc, e: F.when(F.get(e["m"], acc), acc + 1).otherwise(acc),
     )
     depths = evs.groupBy("user_id").agg(depth.alias("depth"))
-    steps_df = depths.sparkSession.createDataFrame(
-        [(i + 1, name) for i, (name, _) in enumerate(steps)],
-        "step INT, step_name STRING",
-    )
-    return (
-        depths.join(F.broadcast(steps_df), F.col("depth") >= F.col("step"))
-        .groupBy("step", "step_name")
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
+    return _prefix_counts(depths, tuple(name for name, _ in steps))
 
 
 def funnel_segmented(
@@ -359,14 +377,7 @@ def funnel_segmented(
     depths = folded.select(
         "user_id", F.col("acc.depth").alias("depth"), F.col("acc.seg").alias("seg")
     )
-    steps_df = depths.sparkSession.createDataFrame(
-        [(i + 1, s) for i, s in enumerate(steps)], "step INT, step_name STRING"
-    )
-    return (
-        depths.join(F.broadcast(steps_df), F.col("depth") >= F.col("step"))
-        .groupBy("step", "step_name", "seg")
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
+    return _prefix_counts(depths, steps, group_after=("seg",))
 
 
 def retention_filtered(
@@ -683,14 +694,7 @@ def funnel_trend(
         lambda acc, ev: F.when(ev["idx"] == acc, acc + 1).otherwise(acc),
     )
     depths = evs.groupBy("wk", "user_id").agg(depth.alias("depth"))
-    steps_df = depths.sparkSession.createDataFrame(
-        [(i + 1, s) for i, s in enumerate(steps)], "step INT, step_name STRING"
-    )
-    return (
-        depths.join(F.broadcast(steps_df), F.col("depth") >= F.col("step"))
-        .groupBy("wk", "step", "step_name")
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
+    return _prefix_counts(depths, steps, group_before=("wk",))
 
 
 def funnel_unordered(
@@ -721,14 +725,7 @@ def funnel_unordered(
         contrib = prefix_all
         depth = contrib if depth is None else depth + contrib
     per_user = per_user.select("user_id", depth.alias("depth"))
-    steps_df = per_user.sparkSession.createDataFrame(
-        [(i + 1, s) for i, s in enumerate(steps)], "step INT, step_name STRING"
-    )
-    return (
-        per_user.join(F.broadcast(steps_df), F.col("depth") >= F.col("step"))
-        .groupBy("step", "step_name")
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
+    return _prefix_counts(per_user, steps)
 
 
 def stickiness(events: DataFrame) -> DataFrame:

@@ -64,7 +64,14 @@ def get_spark(
         # fits per-partition keep planning SMJ (the size conditions
         # gate the choice). Measured ~5-8% on the SMJ-planning rows at
         # sf0.1 (dedup_semantic 4.3 -> 3.9); results are join-strategy
-        # independent.
+        # independent. Executor-memory assumption (ADVICE r13 #4): SHJ
+        # builds its per-partition hash map unspillable, and the size
+        # gate trusts plan statistics the Python DSv2 sources estimate
+        # poorly — deployments whose joins read stats-less Python
+        # sources with tight executor memory should flip this back to
+        # true (or hint SHUFFLE_MERGE on those joins); AQE's skew split
+        # and the size conditions bound, but do not eliminate, the
+        # build-side OOM risk.
         .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     if extra_conf:

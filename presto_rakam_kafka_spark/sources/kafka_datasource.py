@@ -737,7 +737,12 @@ class KafkaSegmentReader(DataSourceReader):
         )
 
     # -- A2/A3: segment enumeration → splits ---------------------------
-    def partitions(self) -> list[OffsetSplit]:
+    def partitions(self) -> list[InputPartition]:
+        # Returns OffsetSplit splits, or PackedSplit groups when segment
+        # packing engaged (ADVICE r13 #5: packing is ON by default at
+        # packBytes=128MB whenever minSplits did not subdivide — task
+        # layout and split ordering change for every consumer; readers
+        # relying on one-task-per-segment must set packBytes=0).
         # Parquet footer stats give each segment's offset span — the
         # planner's analog of a segment index lookup. One footer read
         # per segment, driver-side only. Stats-less segments scan the

@@ -470,6 +470,14 @@ def read_store_cells_at(
     # schema — missing columns read as nulls exactly as mergeSchema
     # produced. Any surprise (type conflict, exotic type) falls back to
     # the mergeSchema job: slower, never wrong (round-13 optimization).
+    # Scope note (ADVICE r13 #3): this try/except covers DRIVER-side
+    # schema construction only — the returned read is lazy, so a
+    # pyarrow→Spark type mapping that Spark's own parquet reader
+    # disagrees with (foreign-writer timestamp units, unsigned ints)
+    # would surface at action time, outside the fallback. Safe for
+    # cells this repo's Spark wrote (the only writer of a store);
+    # stores ingested from foreign writers should read via the
+    # mergeSchema path.
     try:
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -490,7 +498,13 @@ def read_store_cells_at(
                     )
         schema = from_arrow_schema(pa.schema([merged[n] for n in order]))
         return spark.read.schema(schema).parquet(*files)
-    except Exception:
+    except Exception as exc:  # noqa: BLE001 — any surprise → slow correct path
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "driver-side cell-schema merge failed (%s: %s); falling back "
+            "to the mergeSchema read", type(exc).__name__, exc,
+        )
         return spark.read.option("mergeSchema", "true").parquet(*files)
 
 

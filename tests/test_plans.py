@@ -214,16 +214,18 @@ def test_scalar_thresholds_broadcast_not_shuffle(spark, sf_dir):
 
 def test_funnel_is_one_corpus_shuffle(spark, sf_dir):
     # The sorted-fold funnel must shuffle the (filtered) corpus exactly
-    # once — the per-user collect_list agg. The step-level join uses a
-    # broadcast of the 3-row steps frame, and the later exchanges move
-    # only user-depth / step-count rows.
+    # once — the per-user collect_list agg. The step-level fan-out is a
+    # generator projection (explode(sequence(1, depth)) — round 14
+    # replaced the 3-row steps-frame θ-join), so the plan carries NO
+    # join of any kind, and the later exchange moves only step-count
+    # rows.
     from presto_rakam_kafka_spark.fixtures import read_table
     from presto_rakam_kafka_spark.operators import events as ev
 
     plan = _plan(ev.funnel(read_table(spark, sf_dir, "events")))
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Join" not in plan, plan[:2000]
+    assert "Generate explode" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan  # the steps join must not shuffle
 
 
 def test_active_users_calendar_join_is_broadcast(spark, sf_dir):
